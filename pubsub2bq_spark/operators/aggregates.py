@@ -1,0 +1,225 @@
+"""Aggregation operators: SURVEY.md §2.6 (A1-A7).
+
+All hash aggregations get map-side partial aggregation for free from
+Catalyst (partial_sum/partial_count before the shuffle). The
+privacy-threshold aggregate (A6) re-implements the reference's
+clean-room aggregation-threshold policy
+(/root/reference/sql/sp_demo_cleanroom.sql:51-57) as a view wrapper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.functions.privacy import threshold_gated_agg
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import load
+
+
+@register(
+    "groupby_agg",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            round(sum(l_quantity), 4)                                   AS sum_qty,
+            round(sum(l_extendedprice), 4)                              AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+            round(avg(l_quantity), 4)                                   AS avg_qty,
+            round(avg(l_extendedprice), 4)                              AS avg_price,
+            round(avg(l_discount), 4)                                   AS avg_disc,
+            count(*)                                                    AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped hash aggregate: 2 group keys, 8 aggregates.",
+    scale_notes="Partial (map-side) + final hash agg; group-key cardinality "
+                "is tiny (≤6) so the shuffle moves only partial states. The "
+                "canonical 100 TB-friendly aggregation.",
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS nd_part,
+               count(DISTINCT l_suppkey) AS nd_supp,
+               count(*)                  AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Exact distinct counting per group (two distinct aggregates + plain count).",
+    scale_notes="Multiple distincts expand to Expand + two-phase agg; at "
+                "100 TB prefer approx_count_distinct unless exactness is required.",
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "approx_distinct",
+    oracle=None,  # HLL sketch values are engine-specific → rows-only check.
+    doc="Approximate count-distinct (HyperLogLog++): the 100 TB-scale "
+        "substitute for exact distinct. rows-only: sketch estimates are "
+        "engine-specific.",
+    scale_notes="Constant-memory sketch, single shuffle of fixed-size "
+                "states; rsd=0.01 keeps error ~1%.",
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP: hierarchical subtotals incl. grand total (NULL group keys).",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE: all grouping-set combinations of two keys.",
+    scale_notes="Expand multiplies input by #grouping-sets before the "
+                "shuffle — acceptable for low-cardinality keys; for wide "
+                "cubes at 100 TB, compute per-set aggs and union instead.",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@register(
+    "having_filter",
+    oracle="""
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4)
+                   AS closed_total
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 10
+    """,
+    doc="Conditional aggregate (FILTER/CASE inside sum) + HAVING on the group.",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 4
+            ).alias("closed_total"),
+        )
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+@register(
+    "stats_agg",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4)            AS qty_stddev,
+               round(var_samp(l_quantity), 4)               AS qty_var,
+               round(median(l_quantity), 4)                 AS qty_median,
+               round(quantile_cont(l_quantity, 0.9), 4)     AS qty_p90,
+               round(min(l_quantity), 4)                    AS qty_min,
+               round(max(l_quantity), 4)                    AS qty_max
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: stddev, variance, exact median and "
+        "interpolated percentile, min/max.",
+    scale_notes="Exact percentile/median sort per group — fine for few "
+                "groups; at 100 TB switch to percentile_approx (t-digest "
+                "sketch, constant memory).",
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_median"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("qty_p90"),
+        F.round(F.min("l_quantity"), 4).alias("qty_min"),
+        F.round(F.max("l_quantity"), 4).alias("qty_max"),
+    )
+
+
+@register(
+    "privacy_threshold_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY o_orderstatus
+        HAVING count(DISTINCT o_custkey) >= 2
+    """,
+    doc="Aggregation-threshold (clean-room privacy) view: aggregates are "
+        "answered only for groups with >= 2 distinct privacy units "
+        "(reference policy: threshold=2 on customer_id, "
+        "/root/reference/sql/sp_demo_cleanroom.sql:51-57).",
+    scale_notes="Gate = one extra count(distinct unit) per group, folded "
+                "into the same aggregation pass.",
+)
+def privacy_threshold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return threshold_gated_agg(
+        o,
+        group_cols=["o_orderstatus"],
+        agg_exprs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        ],
+        privacy_unit_col="o_custkey",
+        threshold=2,
+    )

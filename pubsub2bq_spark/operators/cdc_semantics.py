@@ -1,0 +1,234 @@
+"""CDC semantics as oracle-checkable batch queries: SURVEY.md §2.2/§2.3.
+
+Each query deterministically synthesizes a Debezium-shaped CDC
+envelope FROM the `events` table (so the DuckDB oracle can state the
+expected flat result over the same parquet), then applies the real
+transform functions from ``pubsub2bq_spark.streaming.reconcile`` —
+the same code the streaming pipeline runs. The oracle therefore
+checks the transform end-to-end, not a reimplementation.
+
+Deterministic envelope derivation (both sides agree on it):
+  op        = 'd' if event_type='error', 'c' if 'signup', else 'u'
+  after     = payload struct  (NULL when op='d')
+  before    = payload struct  (NULL when op!='d')
+  source.db = 'debezium_test' if user_id % 2 = 0 else 'otherdb'
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.streaming.reconcile import (
+    include_list_filter,
+    project_to_sink_schema,
+    rewrite_deletes,
+    split_corrupt,
+    unwrap_envelope,
+)
+from pubsub2bq_spark.tables import load
+
+PAYLOAD_COLS = ["event_id", "user_id", "value"]
+
+def _op():
+    return (
+        F.when(F.col("event_type") == "error", "d")
+        .when(F.col("event_type") == "signup", "c")
+        .otherwise("u")
+    )
+
+
+def make_envelope(events: DataFrame) -> DataFrame:
+    """events → Debezium-shaped envelope {before, after, op, ts_ms, source}."""
+    payload = F.struct(*[F.col(c) for c in PAYLOAD_COLS])
+    op = _op()
+    return events.select(
+        F.when(op == "d", payload).alias("before"),
+        F.when(op != "d", payload).alias("after"),
+        op.alias("op"),
+        (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+        F.struct(
+            F.when(F.col("user_id") % 2 == 0, "debezium_test")
+            .otherwise("otherdb")
+            .alias("db"),
+            F.lit("people").alias("table"),
+        ).alias("source"),
+    )
+
+
+_OP_SQL = """CASE WHEN event_type = 'error' THEN 'd'
+                  WHEN event_type = 'signup' THEN 'c'
+                  ELSE 'u' END"""
+
+
+@register(
+    "unwrap",
+    oracle=f"""
+        SELECT event_id, user_id, round(value, 4) AS value, {_OP_SQL} AS op
+        FROM events
+    """,
+    doc="Envelope unwrap (ExtractNewRecordState): flatten "
+        "{{before,after,op,ts_ms}} to the new-row state; deletes fall back "
+        "to `before` so the full row survives "
+        "(/root/reference/conf/debezium.properties:17-18).",
+    scale_notes="Pure struct-field projection — codegen'd, no shuffle.",
+)
+def unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = make_envelope(load(spark, sf_dir, "events"))
+    flat = unwrap_envelope(env, PAYLOAD_COLS)
+    return flat.select(
+        "event_id", "user_id", F.round("value", 4).alias("value"), "op"
+    )
+
+
+@register(
+    "deleted_rewrite",
+    oracle=f"""
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted
+        FROM events
+    """,
+    doc="Delete rewrite: deletes become normal rows with __deleted='true' "
+        "(STRING — the reference's stringly-typed boolean; "
+        "/root/reference/conf/debezium.properties:19, README.md:290).",
+)
+def deleted_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = make_envelope(load(spark, sf_dir, "events"))
+    flat = rewrite_deletes(unwrap_envelope(env, PAYLOAD_COLS))
+    return flat.select("event_id", "user_id", "__deleted")
+
+
+@register(
+    "include_filter",
+    oracle=f"""
+        SELECT event_id, user_id, {_OP_SQL} AS op
+        FROM events
+        WHERE user_id % 2 = 0
+    """,
+    doc="database/table include-list on envelope source metadata "
+        "(/root/reference/conf/debezium.properties:11-12).",
+)
+def include_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = make_envelope(load(spark, sf_dir, "events"))
+    kept = include_list_filter(env, db="debezium_test", table="people")
+    return unwrap_envelope(kept, PAYLOAD_COLS).select("event_id", "user_id", "op")
+
+
+# Topic schema (v1): event_id, user_id, value.  Sink schema: topic cols + a
+# sink-only `age` column → NULL-filled.  Payload carries an extra field
+# `phone` not in the topic schema → silently dropped.
+_TOPIC_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+_SINK_SCHEMA = T.StructType(
+    _TOPIC_SCHEMA.fields + [T.StructField("age", T.LongType())]
+)
+
+
+@register(
+    "schema_project",
+    oracle="""
+        SELECT event_id, user_id, round(value, 4) AS value,
+               CAST(NULL AS BIGINT) AS age
+        FROM events
+    """,
+    doc="Sink-schema projection truth table: payload field `phone` not in "
+        "the topic schema is silently dropped (use_topic_schema=true wins "
+        "over drop_unknown_fields=false; /root/reference/README.md:288-290) "
+        "and sink-only `age` is NULL-filled (README.md:363-371).",
+)
+def schema_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    # Payload with an extra field the topic schema doesn't know about.
+    payload = e.select(
+        "event_id", "user_id", "value", F.lit("555-0100").alias("phone")
+    )
+    out = project_to_sink_schema(payload, _TOPIC_SCHEMA, _SINK_SCHEMA)
+    return out.select("event_id", "user_id", F.round("value", 4).alias("value"), "age")
+
+
+@register(
+    "null_fill",
+    oracle="""
+        SELECT event_id,
+               CAST(NULL AS VARCHAR) AS city,
+               CAST(NULL AS BIGINT)  AS age
+        FROM events
+    """,
+    doc="NULL-fill for sink-only columns (`age` lands NULL while delivery "
+        "continues; /root/reference/README.md:363-371).",
+)
+def null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sink = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("city", T.StringType()),
+            T.StructField("age", T.LongType()),
+        ]
+    )
+    topic = T.StructType([T.StructField("event_id", T.LongType())])
+    return project_to_sink_schema(e.select("event_id"), topic, sink)
+
+
+@register(
+    "schema_validate",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN event_id % 10 = 0 THEN NULL
+                    ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+               (event_id % 10 = 0) AS is_corrupt
+        FROM events
+    """,
+    doc="Topic schema validation: permissive JSON parse splits valid rows "
+        "from corrupt ones (corrupt → dead-letter path; every 10th payload "
+        "is deterministically truncated to simulate malformed messages).",
+    scale_notes="from_json is JVM-side Jackson; the split is two filters on "
+                "one parsed column — single pass, no Python.",
+)
+def schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    wire = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.substring("props", 1, 3))
+        .otherwise(F.col("props"))
+        .alias("data"),
+    )
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    valid, corrupt = split_corrupt(wire, "data", schema)
+    return valid.select("event_id", "k", F.lit(False).alias("is_corrupt")).unionByName(
+        corrupt.select("event_id", F.lit(None).cast("bigint").alias("k"),
+                       F.lit(True).alias("is_corrupt"))
+    )
+
+
+@register(
+    "schema_revision",
+    oracle=None,  # revision registry semantics → rows-only check
+    doc="Schema-revision registry: messages carry a revision id attribute "
+        "(googclient_schemarevisionid, /root/reference/README.md:293-295); "
+        "each revision parses with its own StructType, results union with a "
+        "stamped revision column.",
+)
+def schema_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.streaming.schema_registry import SchemaRegistry
+
+    e = load(spark, sf_dir, "events")
+    reg = SchemaRegistry()
+    reg.add("r1", T.StructType([T.StructField("k", T.LongType())]))
+    reg.add(
+        "r2",
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("extra", T.StringType())]),
+    )
+    wire = e.select(
+        "event_id",
+        F.col("props").alias("data"),
+        F.when(F.col("event_id") % 2 == 0, "r1").otherwise("r2").alias("revision_id"),
+    )
+    return reg.parse(wire, data_col="data", revision_col="revision_id")

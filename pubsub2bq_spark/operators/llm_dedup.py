@@ -1,0 +1,275 @@
+"""Deduplication family over `documents`: SURVEY.md §2.10 (U6) + the
+training-data-pipeline dedup suite.
+
+Four tiers, each a real 100 TB strategy:
+
+* exact        — hash-groupBy on a content digest (one shuffle);
+* ngram_jaccard— token-set Jaccard with *blocking* (lang, source,
+                 length band) so candidate pairs stay near-linear;
+* minhash_lsh  — MinHash signatures + banded LSH bucket join: the
+                 scalable near-dup path (pairs only form inside a
+                 band bucket);
+* simhash      — 16-bit sign-of-sums fingerprint; equal fingerprints
+                 cluster near-dups with a plain groupBy.
+
+Hashing is md5-based on BOTH engines (hex strings compare
+lexicographically the same everywhere), so every tier is
+oracle-checkable — no engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import load
+
+N_MINHASH = 8          # minhash signature length
+LSH_BANDS = 4          # bands of 2 rows each
+_TOKENIZE = "[^a-z]+"  # same regex both engines
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), _TOKENIZE), lambda x: x != "")
+
+
+@register(
+    "text_dedup",
+    oracle="""
+        SELECT md5(lower(text)) AS text_hash,
+               min(doc_id)      AS canonical_doc_id,
+               count(*)         AS n_copies
+        FROM documents
+        GROUP BY md5(lower(text))
+    """,
+    doc="Exact dedup: group documents by content digest; keep the lowest "
+        "doc_id as canonical.",
+    scale_notes="The digest is computed map-side, so the shuffle moves "
+                "(hash, doc_id) pairs only — never document bodies. The "
+                "baseline 100 TB dedup pass.",
+)
+def text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.lower(F.col("text"))).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "ngram_jaccard",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, source, n_chars,
+                   list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.source = b.source
+         AND (a.n_chars // 100) = (b.n_chars // 100)
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tok, b.tok))) > 0.6
+    """,
+    doc="Token-set Jaccard near-dup with blocking on (lang, source, "
+        "100-char length band); emits pairs with similarity > 0.6.",
+    scale_notes="Blocking keys turn the quadratic all-pairs into a "
+                "per-bucket join — the shuffle is on the block key, and "
+                "bucket sizes stay bounded. The un-blocked fallback is "
+                "minhash_lsh below.",
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
+        F.array_distinct(_tokens(F.col("text"))).alias("tok"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok"))).cast("double")
+    union = F.size(F.array_distinct(F.concat(F.col("a.tok"), F.col("b.tok"))))
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_band") == F.col("b.len_band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac > 0.6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def _shingles(col: Column) -> Column:
+    """3-word shingles; short docs fall back to the whole token string."""
+    t = _tokens(col)
+    n = F.size(t)
+    tri = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    return F.when(n >= 3, tri).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+_SHINGLES_SQL = """
+    CASE WHEN len(tok) >= 3
+         THEN list_transform(range(1, len(tok) - 1),
+                             i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+         ELSE [array_to_string(tok, ' ')] END
+"""
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n               ".join(
+        f"min(md5('{j}:' || sh)) AS h{j}" for j in range(N_MINHASH)
+    )
+    bands = ",\n               ".join(
+        f"h{2*j} || h{2*j+1} AS band{j}" for j in range(LSH_BANDS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS tok
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id,
+               {bands}
+            FROM sig
+        )
+    """
+
+
+@register(
+    "minhash_lsh",
+    oracle=_minhash_sig_sql()
+    + """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bk FROM banded) a
+        JOIN (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bk FROM banded) b
+          ON a.bk = b.bk AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash (8 salted md5 min-hashes over 3-word shingles) + banded "
+        "LSH (4 bands × 2 rows): candidate near-dup pairs form only when a "
+        "full band collides.",
+    scale_notes="THE scalable near-dup design: signatures are fixed-size "
+                "(shuffle moves 8 hashes/doc, not text), the band join is an "
+                "equi-join on the band key, and hot buckets can be salted. "
+                "Candidate pairs then go through ngram_jaccard-style "
+                "verification.",
+)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        *[
+            F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}")).alias(f"band{j}")
+            for j in range(LSH_BANDS)
+        ],
+    )
+    melted = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{j}") for j in range(LSH_BANDS)])).alias("bk"),
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    # bit j of a token's md5: high bit of hex nibble j+1.
+    bits = ",\n               ".join(
+        f"""CASE WHEN sum(CASE WHEN substr(md5(tok), {j + 1}, 1)
+                               IN ('8','9','a','b','c','d','e','f')
+                          THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b{j}"""
+        for j in range(_SIMHASH_BITS)
+    )
+    concat = " || ".join(f"b{j}" for j in range(_SIMHASH_BITS))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))) AS tok
+            FROM documents
+        ),
+        bits AS (
+            SELECT doc_id,
+               {bits}
+            FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, {concat} AS simhash FROM bits
+    """
+
+
+@register(
+    "simhash",
+    oracle=_simhash_sql(),
+    doc="SimHash: 16-bit sign-of-sums fingerprint over the distinct token "
+        "set (bit j = majority of tokens' md5-nibble-j high bits). Equal "
+        "fingerprints → near-dup candidates via plain groupBy.",
+    scale_notes="Fingerprint is one md5 + 16 conditional sums per token, "
+                "all map-side; clustering is a groupBy on a 16-char key. "
+                "Hamming-radius search = re-group on bit-masked variants.",
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when(
+                    F.substring(h, j + 1, 1).isin(*"89abcdef"), 1
+                ).otherwise(-1)
+            )
+            > 0,
+            "1",
+        )
+        .otherwise("0")
+        .alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    bits = tok.groupBy("doc_id").agg(*bit_cols)
+    return bits.select(
+        "doc_id", F.concat(*[F.col(f"b{j}") for j in range(_SIMHASH_BITS)]).alias("simhash")
+    )

@@ -1,0 +1,206 @@
+"""Similarity search over `embeddings` (array<float>, dim 64):
+SURVEY.md §2.10 (U5).
+
+* similarity_topk — brute-force cosine top-k: exact baseline; the
+  fold-based dot product stays JVM-side (F.zip_with + F.aggregate),
+  summing in array order so results are bit-identical to the oracle.
+* ann_lsh        — random-hyperplane LSH: the 100 TB path. Planes are
+  small *integer-valued* literals (deterministic, engine-portable);
+  candidates only form inside a bucket, turning O(n²) into a
+  per-bucket join.
+* embedding_dedup — cosine near-dup pairs gated by the same LSH
+  blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import load
+
+DIM = 64
+N_PLANES = 8
+
+
+def _planes() -> list[list[int]]:
+    """Deterministic integer-valued hyperplanes (no RNG, no fp literals →
+    identical on every engine)."""
+    return [
+        [((p * 73 + i * 37) % 19) - 9 for i in range(DIM)] for p in range(N_PLANES)
+    ]
+
+
+def _dvec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential fold over array order — deterministic summation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Sign-bit bucket key from the integer hyperplanes."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(w)) for w in plane])) > 0, "1").otherwise("0")
+        for plane in _planes()
+    ]
+    return F.concat(*bits)
+
+
+def _lsh_bucket_sql(vec_expr: str) -> str:
+    bits = []
+    for plane in _planes():
+        lits = ", ".join(f"{w}.0" for w in plane)
+        bits.append(
+            f"CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+_COS_SQL = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   {_COS_SQL} AS cos
+            FROM (SELECT * FROM v WHERE vec_id % 100 = 0) a
+            JOIN v b ON a.vec_id <> b.vec_id
+        )
+        SELECT query_id, vec_id, round(cos, 6) AS cosine, rn AS rank
+        FROM (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rn
+            FROM scored
+        )
+        WHERE rn <= 10
+    """,
+    doc="Brute-force cosine top-10 neighbors for query vectors "
+        "(vec_id % 100 = 0) — the exact-ANN baseline.",
+    scale_notes="Queries are broadcast (small side), candidates never "
+                "shuffle; per-row cost is one fold over a 64-float array in "
+                "codegen. Exact scan is the right call when queries ≪ corpus; "
+                "otherwise ann_lsh.",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    em = load(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("v"))
+    q = em.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        em.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "ann_lsh",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   {_COS_SQL} AS cos
+            FROM (SELECT * FROM v WHERE vec_id % 100 = 0) a
+            JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        )
+        SELECT query_id, vec_id, round(cos, 6) AS cosine, rn AS rank
+        FROM (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rn
+            FROM scored
+        )
+        WHERE rn <= 10
+    """,
+    doc="Approximate NN: random-hyperplane LSH (8 integer planes → 256 "
+        "buckets); top-10 searched only inside the query's bucket. Recall "
+        "vs the exact baseline is asserted in tests.",
+    scale_notes="The scale path: bucketing is map-side; the join shuffles "
+                "on the bucket key so each task scans one bucket. Multi-probe "
+                "(flipping low-margin bits) raises recall without re-shuffling.",
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    em = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v")))
+    q = em.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    scored = (
+        em.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "embedding_dedup",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_COS_SQL}, 6) AS cosine
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_COS_SQL} > 0.6
+    """,
+    doc="Embedding-cosine near-dup pairs (cos > 0.6), LSH-blocked so only "
+        "same-bucket pairs are compared.",
+    scale_notes="Same blocking story as minhash_lsh: quadratic work is "
+                "confined to buckets; the shuffle key is the bucket id.",
+)
+def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v")))
+    a, b = em.alias("a"), em.alias("b")
+    cos = _cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos > 0.6)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,168 @@
+"""Text-analysis operators over `documents`: SURVEY.md §2.10 (U7) +
+the training-data-pipeline text suite (lang-ID, quality score, token
+count, fingerprinting).
+
+Everything is built-in-function only (split/regexp/aggregate —
+JVM-side, codegen'd): at 100 TB these run as pure map stages over the
+document scan, with the single shuffle belonging to the final
+aggregation where one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import load
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language ID. Deliberately small + deterministic (no external models).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "las", "una"],
+}
+
+
+@register(
+    "word_count",
+    oracle="""
+        SELECT word, count(*) AS n
+        FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    doc="Tokenize → explode → count: the canonical text aggregation (U7).",
+    scale_notes="split+explode are codegen'd; the count shuffles once with "
+                "map-side partial aggregation. Word-frequency skew (stop "
+                "words) is absorbed by partial aggs.",
+)
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                    AS INTEGER)                                             AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+                    AS INTEGER)                                             AS bpe_ish_tokens,
+               n_chars
+        FROM documents
+    """,
+    doc="Token counting: whitespace tokens + a BPE-ish regex segmentation "
+        "(letter runs / single digits / single punctuation).",
+    scale_notes="regexp_extract_all + size stays in the JVM — no Python "
+                "tokenizer in the hot path.",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "quality_score",
+    oracle="""
+        SELECT doc_id,
+               length(text)                                                  AS n_chars_exact,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                    AS INTEGER)                                              AS n_tokens,
+               round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1), 6)                         AS punct_ratio,
+               round(CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1), 6)                         AS vowel_ratio,
+               (length(text) BETWEEN 100 AND 20000)                          AS len_ok
+        FROM documents
+    """,
+    doc="Document quality scoring: length, punctuation ratio, vowel ratio, "
+        "length-window flag — the cheap heuristics a pretraining filter runs "
+        "before expensive model-based scoring.",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    vowels = F.length(F.regexp_replace(F.lower(F.col("text")), r"[^aeiou]", ""))
+    return d.select(
+        "doc_id",
+        n.alias("n_chars_exact"),
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")).alias("n_tokens"),
+        F.round(punct.cast("double") / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(vowels.cast("double") / F.greatest(n, F.lit(1)), 6).alias("vowel_ratio"),
+        n.between(100, 20000).alias("len_ok"),
+    )
+
+
+def _marker_count_spark(col, words: list[str]):
+    """# of marker-word hits in the token array (JVM-side)."""
+    tokens = F.split(F.lower(col), "[^a-z]+")
+    return F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_intersect(string_split_regex(lower(text), '[^a-z]+'),
+                       {_LANG_MARKERS['en']!r})) AS score_en,
+                   len(list_intersect(string_split_regex(lower(text), '[^a-z]+'),
+                       {_LANG_MARKERS['de']!r})) AS score_de,
+                   len(list_intersect(string_split_regex(lower(text), '[^a-z]+'),
+                       {_LANG_MARKERS['fr']!r})) AS score_fr,
+                   len(list_intersect(string_split_regex(lower(text), '[^a-z]+'),
+                       {_LANG_MARKERS['es']!r})) AS score_es
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN score_en >= score_de AND score_en >= score_fr
+                         AND score_en >= score_es AND score_en > 0 THEN 'en'
+                    WHEN score_de >= score_fr AND score_de >= score_es
+                         AND score_de > 0 THEN 'de'
+                    WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+                    WHEN score_es > 0 THEN 'es'
+                    ELSE 'unknown' END AS pred_lang
+        FROM scored
+    """,
+    doc="Language ID via stopword-marker voting (deterministic n-gram "
+        "heuristic; no external model). Output keeps the table's `lang` "
+        "column so accuracy is inspectable.",
+    scale_notes="array_intersect against tiny literal arrays — map-only; "
+                "distinct-token dedup inside intersect keeps scores "
+                "set-based on both engines.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    scores = {k: _marker_count_spark(F.col("text"), v) for k, v in _LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] > 0),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]) & (scores["de"] > 0), "de")
+        .when((scores["fr"] >= scores["es"]) & (scores["fr"] > 0), "fr")
+        .when(scores["es"] > 0, "es")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))

@@ -1,0 +1,94 @@
+"""Multimodal-column operators: SURVEY.md §2.10 (U8) + U1/U2 pandas-UDF
+surface.
+
+`documents.text` stands in for opaque media payloads (UTF-8 bytes as
+the binary column) since the container ships no codecs; the decode is
+the deterministic fake from functions/multimodal.py, but the Spark
+plumbing — binary columns, Arrow batches, mapInPandas schema — is the
+real 100 TB design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pubsub2bq_spark.functions.multimodal import DECODE_META_SCHEMA, decode_meta_batches
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import load
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT)          AS n_bytes,
+               lower(substr(hex(encode(text)), 1, 8))              AS header_hex,
+               CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER)        AS width,
+               CAST((octet_length(encode(text)) // 64) % 64 + 16 AS INTEGER) AS height,
+               CAST(octet_length(encode(text)) % 5 + 1 AS INTEGER)          AS n_frames
+        FROM documents
+    """,
+    doc="Multimodal decode plumbing: binary payload column → typed "
+        "metadata via an Arrow-batched mapInPandas kernel (decode step is a "
+        "deterministic stub; schema/batching/partitioning are real).",
+    scale_notes="mapInPandas moves whole Arrow batches across the Python "
+                "boundary once — payload bytes are not re-serialized per "
+                "row. At 100 TB, payloads stay in object storage and the "
+                "binary column holds references + byte ranges.",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(decode_meta_batches, DECODE_META_SCHEMA)
+
+
+@register(
+    "udf_scalar",
+    oracle=None,  # exercises the Arrow pandas-UDF path; values mirror a SQL
+    # expression but the point is the Python boundary → rows-only.
+    doc="Scalar pandas UDF (Arrow-vectorized, series→series): normalized "
+        "value z-score against broadcast constants.",
+    scale_notes="pandas_udf transfers columnar Arrow batches — the only "
+                "acceptable Python hot path; a row-at-a-time F.udf here "
+                "would be 10-100× slower.",
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def zscore(v: pd.Series) -> pd.Series:
+        return (v - 50.0) / 25.0
+
+    e = load(spark, sf_dir, "events")
+    return e.select("event_id", F.round(zscore(F.col("value")), 6).alias("value_z"))
+
+
+@register(
+    "frame_sample",
+    oracle="""
+        SELECT doc_id, CAST(f AS INTEGER) AS frame_idx
+        FROM (
+            SELECT doc_id, unnest(range(1, octet_length(encode(text)) % 5 + 2)) AS f
+            FROM documents
+        )
+    """,
+    doc="Frame sampling (UDTF-shaped): one output row per sampled frame of "
+        "each media payload — explode of a generator over the decoded "
+        "frame count.",
+    scale_notes="Row expansion happens JVM-side via explode(sequence(...)); "
+                "the Python decoder only reports counts per Arrow batch.",
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    meta = d.mapInPandas(decode_meta_batches, DECODE_META_SCHEMA)
+    return meta.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_frames"))).alias("frame_idx"),
+    ).select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))

@@ -1,0 +1,130 @@
+"""Window functions: SURVEY.md §2.7 (W1-W4).
+
+All window specs carry a deterministic total order (unique-key
+tie-break) so results are reproducible and hash-comparable against
+the oracle. A window over partitionBy(k) costs one hash shuffle on k
+plus an in-partition sort — the same envelope as a groupBy, and AQE
+coalesces the post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import load
+
+
+@register(
+    "window_rank",
+    oracle="""
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS acctbal,
+               row_number() OVER w AS rn,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4)     OVER w AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    doc="Ranking family: row_number, rank, dense_rank, ntile per nation by balance.",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 4).alias("acctbal"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_lag",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               round(value, 4)                           AS value,
+               round(lag(value)  OVER w, 4)              AS prev_value,
+               round(lead(value) OVER w, 4)              AS next_value,
+               round(first_value(value) OVER w, 4)       AS first_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    doc="Analytic family: lag, lead, first_value over per-user event streams.",
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+        F.round(F.first("value").over(w), 4).alias("first_value"),
+    )
+
+
+@register(
+    "window_frame",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+               round(avg(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)         AS moving_avg3
+        FROM orders
+    """,
+    doc="Frame specs: running total (unbounded preceding) + 3-row moving average.",
+)
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(
+            F.sum("o_totalprice").over(base.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(base.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS total, rn AS k
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    doc="Top-k per group: 3 largest orders per customer via row_number.",
+    scale_notes="row_number + filter(rn<=k) lets Spark's WindowGroupLimit "
+                "(rank-limit pushdown) drop rows before the full sort "
+                "materializes — the scalable top-k-per-group idiom.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("total"),
+            F.col("rn").alias("k"),
+        )
+    )

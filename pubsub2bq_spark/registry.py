@@ -1,0 +1,72 @@
+"""Query registry: the single source of truth for the engine's surface.
+
+Every operator from SURVEY.md §2 registers here as a :class:`Query`:
+a PySpark implementation ``(spark, sf_dir) -> DataFrame`` paired with
+the ANSI-SQL oracle string DuckDB runs over the same parquet tables.
+``__spark_entry__.py`` is a thin shim over this registry.
+
+Rules enforced by convention (driver contract):
+
+* every computed/aggregate column is aliased identically on both sides;
+* double-valued aggregates are rounded to 4 decimals on both sides so
+  floating-point summation-order noise cannot flip the value hash;
+* queries with non-deterministic or non-SQL-expressible semantics set
+  ``oracle=None`` → the driver records a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "Query"] = {}
+
+
+@dataclass
+class Query:
+    key: str
+    spark: SparkQuery
+    oracle: str | None = None
+    doc: str = ""
+    scale_notes: str = field(default="", repr=False)
+
+
+def register(
+    key: str,
+    oracle: str | None = None,
+    doc: str = "",
+    scale_notes: str = "",
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator: register a Spark query implementation under ``key``."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if key in _REGISTRY:
+            raise ValueError(f"duplicate query key {key!r}")
+        _REGISTRY[key] = Query(key=key, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
+                               scale_notes=scale_notes)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    """Import all operator modules (side-effect: registration) and return the registry."""
+    # Imports are deferred so `import pubsub2bq_spark` stays cheap.
+    from pubsub2bq_spark.operators import (  # noqa: F401
+        aggregates,
+        cdc_semantics,
+        events_ops,
+        joins,
+        llm_dedup,
+        llm_similarity,
+        llm_text,
+        multimodal,
+        relational,
+        windows,
+    )
+
+    return dict(_REGISTRY)

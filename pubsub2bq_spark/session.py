@@ -1,0 +1,47 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs on ``local[N]`` (one JVM); production posture is a
+multi-executor cluster — every config here is chosen to be correct in
+both: AQE on (runtime partition coalescing, skew-join splitting,
+join-strategy switching), Arrow on (vectorized Python interop), UTC
+session timezone (parity with the DuckDB oracle and with parquet
+instant semantics).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "pubsub2bq_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # Shuffle parallelism ~ cores for local runs; on a real cluster AQE
+        # coalesces from a higher initial number, so this is the floor.
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        # AQE: runtime re-planning — partition coalescing, skew-join
+        # handling, sort-merge→broadcast switching. Core of the 100 TB story.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for any pandas_udf / toPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics (== DuckDB oracle).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

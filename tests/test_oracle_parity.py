@@ -1,0 +1,57 @@
+"""Every registered query with an oracle must hash-match DuckDB at
+sf0.001 (the driver re-checks at sf0.01). Queries without an oracle
+must at least execute and return a stable schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from pubsub2bq_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import compare, duckdb_conn
+
+QUERIES = all_queries()
+WITH_ORACLE = sorted(k for k, q in QUERIES.items() if q.oracle)
+ROWS_ONLY = sorted(k for k, q in QUERIES.items() if not q.oracle)
+
+
+@pytest.fixture(scope="module")
+def oracle(request):
+    con = duckdb_conn(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", WITH_ORACLE)
+def test_oracle_parity(spark, oracle, key):
+    q = QUERIES[key]
+    sdf = q.spark(spark, SF_SMOKE)
+    opdf = oracle.execute(q.oracle).fetchdf()
+    problems = compare(sdf, opdf)
+    assert not problems, f"{key}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY)
+def test_rows_only_executes(spark, key):
+    q = QUERIES[key]
+    sdf = q.spark(spark, SF_SMOKE)
+    n = sdf.count()
+    assert n >= 0
+    assert len(sdf.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+
+
+def test_oracle_keys_subset_of_queries():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 40  # coverage floor; grows with SURVEY §2
