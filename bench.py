@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+Each query is forced through full execution with the noop sink (count()
+would let Spark skip projections). Times exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pubsub2bq_spark.registry import all_queries  # noqa: E402
+from pubsub2bq_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the ops that
+# dominate real pipelines (scan→filter→join→agg, windows, dedup, ANN).
+HEADLINE = [
+    "filter_pred",
+    "groupby_agg",
+    "join_inner",
+    "join_broadcast",
+    "join_asof",
+    "count_distinct",
+    "window_rank",
+    "topk_per_group",
+    "sort_limit",
+    "latest_per_key",
+    "tumbling_agg",
+    "session_agg",
+    "json_extract",
+    "word_count",
+    "text_dedup",
+    "minhash_lsh",
+    "simhash",
+    "similarity_topk",
+    "ann_lsh",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("pubsub2bq_spark-bench")
+
+    registry = all_queries()
+    # Warm the JVM + parquet footers with a trivial action.
+    registry["scan_all"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        df = registry[key].spark(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -114,9 +114,14 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(col: Column) -> Column:
-    """3-word shingles; short docs fall back to the whole token string."""
-    t = _tokens(col)
+def _shingles(t: Column) -> Column:
+    """3-word shingles from a *materialized* token-array column; short docs
+    fall back to the whole token string.
+
+    IMPORTANT: `t` must be a plain column reference (tokens projected in a
+    prior select), not the tokenize expression itself — element_at is
+    evaluated 3× per shingle and would re-run the split each time.
+    """
     n = F.size(t)
     tri = F.transform(
         F.sequence(F.lit(1), n - 2),
@@ -136,8 +141,16 @@ _SHINGLES_SQL = """
 
 
 def _minhash_sig_sql() -> str:
+    # 8 independent 32-bit hashes from TWO md5 digests (8-hex-char slices):
+    # 4× cheaper than salting md5 per hash function; hex-string min ==
+    # numeric min, identical on both engines.
     mins = ",\n               ".join(
-        f"min(md5('{j}:' || sh)) AS h{j}" for j in range(N_MINHASH)
+        (
+            f"min(substr(md5(sh), {8 * j + 1}, 8)) AS h{j}"
+            if j < 4
+            else f"min(substr(md5('x' || sh), {8 * (j - 4) + 1}, 8)) AS h{j}"
+        )
+        for j in range(N_MINHASH)
     )
     bands = ",\n               ".join(
         f"h{2*j} || h{2*j+1} AS band{j}" for j in range(LSH_BANDS)
@@ -185,10 +198,15 @@ def _minhash_sig_sql() -> str:
 )
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+    tok = d.select("doc_id", _tokens(F.col("text")).alias("tok"))
+    sh = tok.select("doc_id", F.explode(_shingles(F.col("tok"))).alias("sh")).select(
+        "doc_id",
+        F.md5(F.col("sh")).alias("m0"),
+        F.md5(F.concat(F.lit("x"), F.col("sh"))).alias("m1"),
+    )
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
+            F.min(F.substring(F.col("m0" if j < 4 else "m1"), 8 * (j % 4) + 1, 8)).alias(f"h{j}")
             for j in range(N_MINHASH)
         ]
     )
