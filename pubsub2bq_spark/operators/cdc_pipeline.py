@@ -1,0 +1,261 @@
+"""Pipeline-level operators (SURVEY.md §2.1/§2.3/§2.11): each query
+runs the real Structured-Streaming CDC pipeline on the golden fixtures
+in a fresh temp dir and returns its observable outcome. Outcomes are
+deterministic, so most get literal-VALUES oracles — the driver's hash
+check then asserts the reference's delivery semantics end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.plans.pipeline_spec import CdcPipelineSpec, RetryPolicy
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.sources import cdc_fixtures as fx
+from pubsub2bq_spark.streaming.cdc import CdcPipeline
+from pubsub2bq_spark.streaming.reconcile import SchemaMismatchError
+from pubsub2bq_spark.tables import load
+
+
+def _fresh_spec(sink_schema=None, **kw) -> CdcPipelineSpec:
+    tmp = tempfile.mkdtemp(prefix="cdcq_")
+    return CdcPipelineSpec(
+        spool_dir=os.path.join(tmp, "spool"),
+        sink_dir=os.path.join(tmp, "sink"),
+        dlq_dir=os.path.join(tmp, "dlq"),
+        checkpoint_dir=os.path.join(tmp, "cp"),
+        envelope_schema=fx.ENVELOPE_SCHEMA,
+        topic_schema=fx.TOPIC_SCHEMA_V1,
+        sink_schema=sink_schema or fx.SINK_SCHEMA_V1,
+        retry=RetryPolicy(max_attempts=2, backoff_seconds=0.0),
+        **kw,
+    )
+
+
+def _run_golden_log(spark: SparkSession) -> CdcPipeline:
+    """Snapshot + evolution sequence (no halt): 6-row append log."""
+    spec = _fresh_spec(sink_schema=fx.SINK_SCHEMA_WITH_AGE)
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    fx.write_segment(spec.spool_dir, "001_noise", fx.noise_other_table())
+    fx.write_segment(spec.spool_dir, "002_insert994", fx.insert_994_with_phone())
+    fx.write_segment(spec.spool_dir, "003_insert995", fx.insert_995())
+    fx.write_segment(spec.spool_dir, "004_delete990", fx.delete_990())
+    p = CdcPipeline(spark, spec)
+    p.run_available_now()
+    return p
+
+
+@register(
+    "cdc_source",
+    oracle="""
+        SELECT * FROM (VALUES
+            (990, 'Tom',   'tom@corp.com',   'false'),
+            (990, 'Tom',   'tom@corp.com',   'true'),
+            (991, 'Phil',  'phil@corp.com',  'false'),
+            (992, 'Ted',   'ted@corp.com',   'false'),
+            (994, 'Vijay', 'vijay@corp.com', 'false'),
+            (995, 'Anna',  'anna@corp.com',  'false')
+        ) AS t(id, first_name, email, __deleted)
+    """,
+    doc="Full CDC pipeline end-to-end (S1): snapshot + inserts + delete "
+        "through spool→unwrap→rewrite→publish→validate→project→parquet "
+        "sink; returns the append log. Extra payload field `phone` is "
+        "gone, the delete is a __deleted='true' row, include-list noise "
+        "is absent — the reference's golden outcomes as one table.",
+    scale_notes="Micro-batch file source; every stage partition-parallel. "
+                "Checkpointed offsets give exactly-once to the idempotent "
+                "sink.",
+)
+def cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _run_golden_log(spark)
+    return p.read_sink().select("id", "first_name", "email", "__deleted")
+
+
+@register(
+    "sink_append",
+    oracle="""
+        SELECT * FROM (VALUES
+            (991, 'Phil',  2174),
+            (992, 'Ted',   2174),
+            (994, 'Vijay', 2174),
+            (995, 'Anna',  2174)
+        ) AS t(id, first_name, zipcode)
+    """,
+    doc="Sink append + last-writer-wins compaction (S4+T4): materialize "
+        "current state from the append log — latest row per ordering key, "
+        "tombstones (__deleted='true') dropped.",
+    scale_notes="Compaction = one shuffle on the key (row_number desc); at "
+                "100 TB this is the periodic OPTIMIZE pass over the CDC log.",
+)
+def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = _run_golden_log(spark)
+    log = p.read_sink().withColumn("_seq", F.monotonically_increasing_id())
+    w = Window.partitionBy("id").orderBy(F.col("_seq").desc())
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        latest.filter(F.col("__deleted") == "false")
+        .select("id", "first_name", "zipcode")
+    )
+
+
+@register(
+    "raw_tap",
+    oracle="""
+        SELECT
+          '{"id":994,"first_name":"Vijay","last_name":"BagofDonuts",'
+          || '"email":"vijay@corp.com","zipcode":2174,"city":"Arlington",'
+          || '"country":"USA","phone":"508-555-1212","__deleted":"false"}'
+              AS data,
+          '{"id":994}' AS ordering_key,
+          'rev1'       AS revision_id
+    """,
+    doc="Inspection tap (S6): the raw wire message — data JSON (still "
+        "carrying `phone`!), ordering key = PK JSON, schema-revision "
+        "attribute (/root/reference/README.md:290-295).",
+)
+def raw_tap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _fresh_spec()
+    fx.write_segment(spec.spool_dir, "000_insert994", fx.insert_994_with_phone())
+    p = CdcPipeline(spark, spec)
+    return p.raw_tap_batch().select(
+        "data",
+        "ordering_key",
+        F.col("attributes")["googclient_schemarevisionid"].alias("revision_id"),
+    )
+
+
+@register(
+    "dead_letter",
+    oracle="""
+        SELECT 'schema_validation_failed' AS dlq_reason,
+               1 AS delivery_attempts,
+               1 AS n_messages
+    """,
+    doc="Dead-letter split (S5): a corrupt payload routes to the DLQ table "
+        "with a reason + attempt count while valid rows in the same batch "
+        "deliver (reference: dead_letter_policy after max 5 attempts, "
+        "/root/reference/terraform/main.tf:406-409).",
+)
+def dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _fresh_spec()
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    p = CdcPipeline(spark, spec)
+    p.run_available_now()
+    tampered = p.raw_tap_batch().withColumn(
+        "data",
+        F.when(F.col("ordering_key") == '{"id":990}', F.lit('{"id":99')).otherwise(
+            F.col("data")
+        ),
+    )
+    p._deliver(tampered, epoch_id=0)
+    return (
+        p.read_dlq()
+        .groupBy("dlq_reason", "delivery_attempts")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_messages"))
+        .select("dlq_reason", F.col("delivery_attempts").cast("int"), "n_messages")
+    )
+
+
+@register(
+    "mismatch_halt",
+    oracle="""
+        SELECT TRUE AS halted, 3 AS rows_before, 3 AS rows_after,
+               TRUE AS replay_delivered
+    """,
+    doc="Schema-mismatch hard halt (D6, negative test): sink drops "
+        "`zipcode` → delivery halts with zero new rows and the checkpoint "
+        "NOT advanced; restoring the schema replays the stuck batch "
+        "(/root/reference/README.md:441-450).",
+)
+def mismatch_halt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _fresh_spec()
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    p = CdcPipeline(spark, spec)
+    p.run_available_now()
+    rows_before = p.read_sink().count()
+
+    spec.sink_schema = fx.SINK_SCHEMA_V2  # drops zipcode → mismatch
+    fx.write_segment(spec.spool_dir, "001_insert996", fx.insert_996())
+    halted = False
+    try:
+        p.run_available_now()
+    except SchemaMismatchError:
+        halted = True
+    rows_after = p.read_sink().count()
+
+    spec.sink_schema = fx.SINK_SCHEMA_V1  # restore → replay from checkpoint
+    p.run_available_now()
+    replayed = (
+        p.read_sink().filter(F.col("id") == 996).count() == 1
+    )
+    return spark.createDataFrame(
+        [(halted, rows_before, rows_after, replayed)],
+        "halted boolean, rows_before bigint, rows_after bigint, replay_delivered boolean",
+    )
+
+
+@register(
+    "insert_values",
+    oracle="""
+        SELECT * FROM (VALUES
+            (990, 'Tom',  2174),
+            (991, 'Phil', 2174),
+            (992, 'Ted',  2174)
+        ) AS t(id, first_name, zipcode)
+        ORDER BY id
+    """,
+    doc="INSERT ... VALUES into a catalog table (D2; reference seed rows "
+        "/root/reference/sql/pubsub2bq.sql:8-13).",
+)
+def insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="insq_")
+    spark.sql("DROP TABLE IF EXISTS people_seed")
+    spark.sql(
+        f"""
+        CREATE TABLE people_seed (id BIGINT, first_name STRING, zipcode BIGINT)
+        USING parquet LOCATION '{tmp}/people_seed'
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO people_seed VALUES
+            (990, 'Tom', 2174), (991, 'Phil', 2174), (992, 'Ted', 2174)
+        """
+    )
+    return spark.sql("SELECT id, first_name, zipcode FROM people_seed ORDER BY id")
+
+
+@register(
+    "clustered_write",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Clustered table write (L1): repartition + sortWithinPartitions on "
+        "the cluster key before the parquet write, so row-group min/max "
+        "stats enable key-range skipping (reference: LOAD DATA ... CLUSTER "
+        "BY trip_id, /root/reference/sql/sp_demo_cleanroom.sql:43-47); "
+        "round-trip verified by aggregating the rewritten table.",
+    scale_notes="repartition(key)+sortWithinPartitions = one shuffle; at "
+                "100 TB this is how you lay out a fact table for pruned "
+                "scans on the cluster key.",
+)
+def clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="clusw_")
+    li = load(spark, sf_dir, "lineitem")
+    (
+        li.repartition("l_returnflag")
+        .sortWithinPartitions("l_returnflag", "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/lineitem_clustered")
+    )
+    back = spark.read.parquet(f"{tmp}/lineitem_clustered")
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty")
+    )

@@ -1,0 +1,49 @@
+"""CDC pipeline specification.
+
+The reference wires its pipeline out of declarative config —
+Debezium .properties (connector, include lists, transforms;
+/root/reference/conf/debezium.properties:1-21) and Terraform (topic
+schema, subscription, dead-letter policy, sink table;
+/root/reference/terraform/main.tf:352-415). This dataclass is the
+same idea: a config object a builder turns into a running
+StreamingQuery, so pipelines are data, not code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+
+@dataclass
+class RetryPolicy:
+    """Sink delivery retry (reference: retry_policy minimum_backoff 60s,
+    dead_letter_policy max_delivery_attempts 5,
+    /root/reference/terraform/main.tf:402-409)."""
+
+    max_attempts: int = 5
+    backoff_seconds: float = 60.0
+
+
+@dataclass
+class CdcPipelineSpec:
+    # Source: spool directory of newline-JSON binlog segments (the
+    # file-based emulation of the Debezium→Pub/Sub feed; SURVEY.md S1).
+    spool_dir: str
+    # Sink: parquet table (the BigQuery-table analog) + DLQ + checkpoint.
+    sink_dir: str
+    dlq_dir: str
+    checkpoint_dir: str
+    # Schemas: declared independently per layer (SURVEY.md §1.3).
+    envelope_schema: T.StructType = None  # set by caller (fixtures provide it)
+    topic_schema: T.StructType = None
+    sink_schema: T.StructType = None
+    # Include lists (conf/debezium.properties:11-12).
+    db_include: str = "debezium_test"
+    table_include: str = "people"
+    # Ordering key = primary key (README.md:292).
+    ordering_key: tuple[str, ...] = ("id",)
+    # Schema revision id stamped on every message (README.md:293-295).
+    schema_revision_id: str = "rev1"
+    retry: RetryPolicy = field(default_factory=lambda: RetryPolicy(backoff_seconds=0.0))

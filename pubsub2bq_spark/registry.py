@@ -58,6 +58,7 @@ def all_queries() -> dict[str, Query]:
     # Imports are deferred so `import pubsub2bq_spark` stays cheap.
     from pubsub2bq_spark.operators import (  # noqa: F401
         aggregates,
+        cdc_pipeline,
         cdc_semantics,
         events_ops,
         joins,

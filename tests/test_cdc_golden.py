@@ -1,0 +1,146 @@
+"""End-to-end CDC pipeline test reproducing the reference lab's five
+golden scenarios (SURVEY.md §5; README.md sections 4-7):
+
+1. snapshot: 3 seed rows land with __deleted='false'
+2. extra payload field `phone` is silently dropped (topic schema wins)
+3. sink-only column `age` is NULL-filled, delivery continues
+4. delete id=990 arrives as a normal row with __deleted='true'
+5. sink drops `zipcode` → hard halt, zero new rows, checkpoint not
+   advanced — and replay succeeds after the sink schema is restored
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pubsub2bq_spark.plans.pipeline_spec import CdcPipelineSpec, RetryPolicy
+from pubsub2bq_spark.sources import cdc_fixtures as fx
+from pubsub2bq_spark.streaming.cdc import CdcPipeline
+from pubsub2bq_spark.streaming.reconcile import SchemaMismatchError
+
+
+def make_spec(tmp: str, sink_schema, checkpoint="cp") -> CdcPipelineSpec:
+    return CdcPipelineSpec(
+        spool_dir=os.path.join(tmp, "spool"),
+        sink_dir=os.path.join(tmp, "sink"),
+        dlq_dir=os.path.join(tmp, "dlq"),
+        checkpoint_dir=os.path.join(tmp, checkpoint),
+        envelope_schema=fx.ENVELOPE_SCHEMA,
+        topic_schema=fx.TOPIC_SCHEMA_V1,
+        sink_schema=sink_schema,
+        retry=RetryPolicy(max_attempts=2, backoff_seconds=0.0),
+    )
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+def sink_rows(pipeline):
+    return {r["id"]: r.asDict() for r in pipeline.read_sink().collect()}
+
+
+def test_golden_snapshot_and_evolution(spark, tmp):
+    spec = make_spec(tmp, fx.SINK_SCHEMA_V1)
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    fx.write_segment(spec.spool_dir, "001_noise", fx.noise_other_table())
+
+    p = CdcPipeline(spark, spec)
+    p.run_available_now()
+
+    rows = sink_rows(p)
+    # Scenario 1: exactly the 3 seed rows; include-list dropped the noise.
+    assert set(rows) == {990, 991, 992}
+    assert rows[990]["first_name"] == "Tom"
+    assert all(r["__deleted"] == "false" for r in rows.values())
+
+    # Scenario 2: insert with extra `phone` field → lands without phone.
+    fx.write_segment(spec.spool_dir, "002_insert994", fx.insert_994_with_phone())
+    p.run_available_now()
+    rows = sink_rows(p)
+    assert 994 in rows and "phone" not in rows[994]
+    assert rows[994]["email"] == "vijay@corp.com"
+
+    # Scenario 3: sink gains an `age` column → NULL-filled, delivery continues.
+    spec.sink_schema = fx.SINK_SCHEMA_WITH_AGE
+    fx.write_segment(spec.spool_dir, "003_insert995", fx.insert_995())
+    p.run_available_now()
+    rows = {r["id"]: r.asDict() for r in p.read_sink().collect()}
+    assert rows[995]["age"] is None
+
+    # Scenario 4: delete arrives as a row with __deleted='true'.
+    fx.write_segment(spec.spool_dir, "004_delete990", fx.delete_990())
+    p.run_available_now()
+    deleted = [
+        r
+        for r in p.read_sink().collect()
+        if r["id"] == 990 and r["__deleted"] == "true"
+    ]
+    assert len(deleted) == 1
+    assert deleted[0]["first_name"] == "Tom"  # delete payload from `before`
+
+    # Scenario 5: sink drops zipcode (topic-schema column) → hard halt,
+    # zero new rows, checkpoint not advanced.
+    n_before = p.read_sink().count()
+    spec.sink_schema = fx.SINK_SCHEMA_V2
+    fx.write_segment(spec.spool_dir, "005_insert996", fx.insert_996())
+    with pytest.raises(SchemaMismatchError):
+        p.run_available_now()
+    assert p.read_sink().count() == n_before  # zero rows delivered
+
+    # Replay: restore the sink schema; the same checkpoint re-delivers the
+    # stuck batch (offsets were never committed for the failed epoch).
+    spec.sink_schema = fx.SINK_SCHEMA_WITH_AGE
+    p.run_available_now()
+    rows = {r["id"]: r.asDict() for r in p.read_sink().collect()}
+    assert 996 in rows
+
+
+def test_raw_tap_wire_shape(spark, tmp):
+    """Inspection tap shows data / ordering_key / attributes
+    (/root/reference/README.md:290-295)."""
+    spec = make_spec(tmp, fx.SINK_SCHEMA_V1)
+    fx.write_segment(spec.spool_dir, "000_insert994", fx.insert_994_with_phone())
+    p = CdcPipeline(spark, spec)
+    msgs = p.raw_tap_batch().collect()
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert '"phone":"508-555-1212"' in m["data"]  # wire still carries phone
+    assert m["ordering_key"] == '{"id":994}'
+    assert m["attributes"]["googclient_schemaencoding"] == "JSON"
+    assert m["attributes"]["googclient_schemarevisionid"] == "rev1"
+
+
+def test_dead_letter_on_corrupt_payload(spark, tmp):
+    """Malformed messages route to the DLQ with a reason; valid rows in the
+    same batch still deliver."""
+    import json
+
+    spec = make_spec(tmp, fx.SINK_SCHEMA_V1)
+    os.makedirs(spec.spool_dir, exist_ok=True)
+    # One valid event; corruption is injected at the wire stage by writing
+    # a pre-serialized spool file whose second line is broken JSON inside
+    # the envelope's data... simpler: corrupt envelope rows are unparseable
+    # by the envelope schema and Spark's json source drops nulls; so instead
+    # test the topic-schema validation split directly through the pipeline's
+    # publish+deliver path with a tampered `data` payload.
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    p = CdcPipeline(spark, spec)
+    p.run_available_now()
+
+    # Tamper: deliver a batch whose data column is truncated JSON.
+    from pyspark.sql import functions as F
+
+    msgs = p.raw_tap_batch().withColumn(
+        "data", F.when(F.col("ordering_key") == '{"id":990}', F.lit('{"id":99')).otherwise(F.col("data"))
+    )
+    p._deliver(msgs, epoch_id=999)
+    dlq = p.read_dlq().collect()
+    assert len(dlq) == 1
+    assert dlq[0]["dlq_reason"] == "schema_validation_failed"
+    assert dlq[0]["delivery_attempts"] == 1
+    # valid rows of that batch still delivered (3 snapshot + 2 valid re-sent)
+    assert p.read_sink().count() == 3 + 2
