@@ -201,6 +201,57 @@ def mismatch_halt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "backfill_union",
+    oracle="""
+        SELECT * FROM (VALUES
+            (990, 'Tom',   'true'),
+            (991, 'Phil',  'false'),
+            (992, 'Ted',   'false'),
+            (994, 'Vijay', 'false'),
+            (995, 'Anna',  'false')
+        ) AS t(id, first_name, __deleted)
+    """,
+    doc="Datastream-style backfill + CDC (S8): batch snapshot of the "
+        "source table unioned with the change stream, resolved by "
+        "last-writer-wins on (ts_ms, is_stream) — the managed "
+        "`--backfill-all` + continuous-CDC pattern "
+        "(/root/reference/terraform/datastream.sh:111-119).",
+    scale_notes="Snapshot is a plain parquet scan; the merge is one shuffle "
+                "on the key. Backfill and live stream never block each "
+                "other — the union is plan-level.",
+)
+def backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # Batch snapshot: the seed rows as a parquet table (ts_ms=0: before all CDC).
+    spec = _fresh_spec()
+    snap_dir = os.path.join(os.path.dirname(spec.sink_dir), "snapshot")
+    snap_rows = [
+        (r["id"], r["first_name"], "false", 0) for r in fx.SEED_PEOPLE
+    ]
+    spark.createDataFrame(
+        snap_rows, "id bigint, first_name string, __deleted string, ts_ms bigint"
+    ).write.mode("overwrite").parquet(snap_dir)
+
+    # CDC catch-up: inserts + a delete arriving after the snapshot.
+    fx.write_segment(spec.spool_dir, "000_insert994", fx.insert_994_with_phone())
+    fx.write_segment(spec.spool_dir, "001_insert995", fx.insert_995())
+    fx.write_segment(spec.spool_dir, "002_delete990", fx.delete_990())
+    p = CdcPipeline(spark, spec)
+    p.run_available_now()
+
+    snapshot = spark.read.parquet(snap_dir)
+    stream_log = p.read_sink().select("id", "first_name", "__deleted", F.lit(1).alias("ts_ms"))
+    merged = snapshot.unionByName(stream_log)
+    w = Window.partitionBy("id").orderBy(F.col("ts_ms").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "first_name", "__deleted")
+    )
+
+
+@register(
     "insert_values",
     oracle="""
         SELECT * FROM (VALUES

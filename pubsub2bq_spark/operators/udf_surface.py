@@ -1,0 +1,108 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10 U1-U4).
+
+Every Python-boundary mechanism Spark offers, each exercised by a
+deterministic query with an oracle twin:
+
+* U1 scalar pandas UDF   — udf_scalar (operators/multimodal.py)
+* U2 grouped-map         — applyInPandas per-group kernel
+* U3 grouped-agg UDAF    — pandas_udf aggregating per group
+* U4 UDTF                — Python UDTF emitting N rows per input
+
+All of these cross the JVM→Python boundary via Arrow batches; they
+are the *slow path* by design — the registry's other 60+ operators
+stay JVM-side. Use these only where built-ins can't express the
+semantics (custom models, feature extractors).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import load
+
+
+@register(
+    "grouped_map",
+    oracle="""
+        SELECT event_id, user_id,
+               round(value - avg(value) OVER (PARTITION BY user_id), 4)
+                   AS value_centered
+        FROM events
+    """,
+    doc="Grouped-map applyInPandas (U2): per-user mean-centering — each "
+        "group arrives as one pandas DataFrame, returns one back.",
+    scale_notes="One shuffle on the group key; each group must fit in one "
+                "Python worker's memory — bounded keys only (users, docs), "
+                "never global groups.",
+)
+def grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["event_id", "user_id"]].copy()
+        out["value_centered"] = (pdf["value"] - pdf["value"].mean()).round(4)
+        return out
+
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(
+        center, "event_id bigint, user_id bigint, value_centered double"
+    )
+
+
+@register(
+    "udaf_grouped",
+    oracle="""
+        SELECT event_type,
+               round(sum(value * user_id) / sum(user_id), 4) AS weighted_avg
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Grouped-aggregate pandas UDAF (U3): user-weighted mean of value "
+        "per event_type.",
+    scale_notes="GROUPED_AGG pandas UDFs skip partial aggregation (full "
+                "groups ship to Python) — prefer built-in aggs at 100 TB; "
+                "this exists for genuinely custom statistics.",
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(weighted_avg(F.col("value"), F.col("user_id")), 4).alias("weighted_avg")
+    )
+
+
+@register(
+    "udtf_explode",
+    oracle="""
+        SELECT c_custkey, CAST(n AS INTEGER) AS prefix_len,
+               substr(c_name, 1, CAST(n AS INTEGER)) AS prefix
+        FROM (
+            SELECT c_custkey, c_name, unnest(range(1, 4)) AS n
+            FROM customer
+        )
+    """,
+    doc="UDTF surface (U4): one input row → N output rows (name prefixes "
+        "1..3). Implemented with the built-in explode+sequence — the "
+        "JVM-side UDTF pattern (a Python UDTF would Arrow-round-trip for "
+        "no semantic gain here; see tests for a real Python UDTF).",
+)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            "c_name",
+            F.explode(F.sequence(F.lit(1), F.lit(3))).alias("prefix_len"),
+        )
+        .select(
+            "c_custkey",
+            F.col("prefix_len").cast("int").alias("prefix_len"),
+            F.expr("substr(c_name, 1, prefix_len)").alias("prefix"),
+        )
+    )

@@ -60,6 +60,7 @@ def all_queries() -> dict[str, Query]:
         aggregates,
         cdc_pipeline,
         cdc_semantics,
+        ddl_ops,
         events_ops,
         joins,
         llm_dedup,
@@ -67,6 +68,7 @@ def all_queries() -> dict[str, Query]:
         llm_text,
         multimodal,
         relational,
+        udf_surface,
         windows,
     )
 

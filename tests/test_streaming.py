@@ -1,0 +1,191 @@
+"""Structured-Streaming semantics beyond the CDC pipeline: stream-static
+join, streaming dedup, watermarked windows, custom stateful operator,
+Python UDTF surface."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def write_events(dir_: str, name: str, rows: list[dict], mtime: int | None = None) -> None:
+    os.makedirs(dir_, exist_ok=True)
+    tmp = os.path.join(dir_, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    path = os.path.join(dir_, f"{name}.json")
+    os.rename(tmp, path)
+    if mtime is not None:
+        # The file source orders micro-batches by modification time; pin it
+        # so multi-batch tests are deterministic.
+        os.utime(path, (mtime, mtime))
+
+
+def run_to_memory(stream_df, output_mode: str, **write_opts):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def test_stream_static_join(spark, tmp_path):
+    """J8: stream ⋈ static dimension — no watermark needed, dim is
+    broadcast per micro-batch."""
+    src = str(tmp_path / "src")
+    write_events(
+        src,
+        "b0",
+        [
+            {"event_id": 1, "user_id": 10, "ts": "2024-01-01T00:00:00", "value": 1.0},
+            {"event_id": 2, "user_id": 20, "ts": "2024-01-01T00:01:00", "value": 2.0},
+            {"event_id": 3, "user_id": 99, "ts": "2024-01-01T00:02:00", "value": 3.0},
+        ],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver")], "user_id long, tier string"
+    )
+    joined = stream.join(F.broadcast(dim), "user_id", "inner").select(
+        "event_id", "tier"
+    )
+    name = run_to_memory(joined, "append")
+    rows = {r["event_id"]: r["tier"] for r in spark.table(name).collect()}
+    assert rows == {1: "gold", 2: "silver"}  # 99 has no dim row
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """T7: dropDuplicatesWithinWatermark removes re-deliveries across
+    micro-batches while bounding state."""
+    src = str(tmp_path / "src")
+    base = [
+        {"event_id": 1, "user_id": 10, "ts": "2024-01-01T00:00:00", "value": 1.0},
+        {"event_id": 2, "user_id": 20, "ts": "2024-01-01T00:01:00", "value": 2.0},
+    ]
+    write_events(src, "b0", base, mtime=1_000)
+    write_events(src, "b1", base + [
+        {"event_id": 3, "user_id": 30, "ts": "2024-01-01T00:02:00", "value": 3.0},
+    ], mtime=2_000)  # re-delivers 1 and 2
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+        .json(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = run_to_memory(stream, "append")
+    got = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert got == [1, 2, 3]
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    """T8: applyInPandasWithState carries per-user state across
+    micro-batches."""
+    from pubsub2bq_spark.streaming.stateful import running_user_stats
+
+    src = str(tmp_path / "src")
+    write_events(src, "b0", [
+        {"event_id": 1, "user_id": 10, "ts": "2024-01-01T00:00:00", "value": 1.5},
+        {"event_id": 2, "user_id": 10, "ts": "2024-01-01T00:01:00", "value": 2.5},
+    ], mtime=1_000)
+    write_events(src, "b1", [
+        {"event_id": 3, "user_id": 10, "ts": "2024-01-01T00:05:00", "value": 6.0},
+    ], mtime=2_000)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    name = run_to_memory(running_user_stats(stream), "update")
+    per_batch = sorted(
+        (r["batch_events"], r["total_events"], r["total_value"])
+        for r in spark.table(name).collect()
+    )
+    # batch 0: 2 events (sum 4.0); batch 1: 1 more event, state carried → 3 / 10.0
+    assert per_batch == [(1, 3, 10.0), (2, 2, 4.0)]
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T5: a row older than the committed watermark is dropped from the
+    aggregation.
+
+    Note Spark's watermark commits with a one-batch lag (it is computed
+    from data through batch N and applied to filtering from batch N+2's
+    planning onward), so the late row gets its own batch after the
+    watermark has propagated — that is the case the engine guarantees.
+    """
+    src = str(tmp_path / "src")
+    write_events(src, "b0", [
+        {"event_id": 1, "user_id": 10, "ts": "2024-01-01T10:00:00", "value": 1.0},
+    ], mtime=1_000)
+    write_events(src, "b1", [
+        {"event_id": 3, "user_id": 10, "ts": "2024-01-01T10:30:00", "value": 2.0},
+    ], mtime=2_000)
+    # Late row: 3 hours behind, watermark delay is 10 minutes → dropped.
+    write_events(src, "b2", [
+        {"event_id": 2, "user_id": 10, "ts": "2024-01-01T07:00:00", "value": 100.0},
+    ], mtime=3_000)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "total")
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = {str(r["ws"]): r["total"] for r in spark.table(name).collect()}
+    assert not any("07:00" in k for k in totals)  # late row never surfaced
+    assert any("10:00" in k for k in totals) and any("10:30" in k for k in totals)
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # the engine itself counted the late-row drop
+
+
+def test_python_udtf(spark):
+    """U4: real Python UDTF (Spark 4) — emits one row per n-gram."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="ngram: string, pos: int")
+    class CharNgrams:
+        def eval(self, text: str, n: int):
+            for i in range(len(text) - n + 1):
+                yield text[i : i + n], i
+
+    spark.udtf.register("char_ngrams", CharNgrams)
+    rows = spark.sql(
+        "SELECT * FROM char_ngrams('spark', 3)"
+    ).collect()
+    assert [(r["ngram"], r["pos"]) for r in rows] == [("spa", 0), ("par", 1), ("ark", 2)]
