@@ -68,6 +68,7 @@ def all_queries() -> dict[str, Query]:
         llm_text,
         multimodal,
         relational,
+        relational_ext,
         udf_surface,
         windows,
     )

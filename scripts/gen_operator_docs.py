@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Generate docs/OPERATORS.md from the query registry (single source of
+truth): key, semantics, oracle coverage, and 100 TB scale notes."""
+
+from __future__ import annotations
+
+import os
+import sys
+import textwrap
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pubsub2bq_spark.registry import all_queries  # noqa: E402
+
+
+def main() -> None:
+    qs = all_queries()
+    lines = [
+        "# Operator inventory (generated — do not edit)",
+        "",
+        f"{len(qs)} registered queries; "
+        f"{sum(1 for q in qs.values() if q.oracle)} with DuckDB oracle twins, "
+        f"{sum(1 for q in qs.values() if not q.oracle)} rows-only "
+        "(non-SQL-expressible: streaming state, sketches, Python-boundary).",
+        "",
+        "Regenerate with `python scripts/gen_operator_docs.py`.",
+        "",
+    ]
+    for key in sorted(qs):
+        q = qs[key]
+        check = "oracle" if q.oracle else "rows-only"
+        lines.append(f"## `{key}`  _({check})_")
+        lines.append("")
+        doc = " ".join(textwrap.dedent(q.doc or "").split())
+        lines.append(doc)
+        if q.scale_notes:
+            notes = " ".join(textwrap.dedent(q.scale_notes).split())
+            lines.append("")
+            lines.append(f"**At 100 TB:** {notes}")
+        lines.append("")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "docs", "OPERATORS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}: {len(qs)} operators")
+
+
+if __name__ == "__main__":
+    main()
