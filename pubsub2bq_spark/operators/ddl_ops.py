@@ -32,7 +32,9 @@ from pubsub2bq_spark.registry import register
 )
 def ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ddlq_")
-    spark.sql("CREATE DATABASE IF NOT EXISTS engine_ddl")
+    # Explicit LOCATION: never depend on a writable ./spark-warehouse in
+    # whatever cwd the driver launched from.
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS engine_ddl LOCATION '{tmp}/warehouse'")
     spark.sql("DROP TABLE IF EXISTS engine_ddl.people")
     spark.sql(
         f"""

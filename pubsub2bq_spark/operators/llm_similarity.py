@@ -21,14 +21,15 @@ from pubsub2bq_spark.registry import register
 from pubsub2bq_spark.tables import load
 
 DIM = 64
-N_PLANES = 8
+N_PLANES = 8       # embedding_dedup buckets (256) — tight blocking
+ANN_PLANES = 4     # ann_lsh buckets (16) + Hamming-1 multiprobe
 
 
-def _planes() -> list[list[int]]:
+def _planes(n: int = N_PLANES) -> list[list[int]]:
     """Deterministic integer-valued hyperplanes (no RNG, no fp literals →
     identical on every engine)."""
     return [
-        [((p * 73 + i * 37) % 19) - 9 for i in range(DIM)] for p in range(N_PLANES)
+        [((p * 73 + i * 37) % 19) - 9 for i in range(DIM)] for p in range(n)
     ]
 
 
@@ -48,23 +49,49 @@ def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
-def lsh_bucket(vec: Column) -> Column:
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
     """Sign-bit bucket key from the integer hyperplanes."""
     bits = [
         F.when(_dot(vec, F.array(*[F.lit(float(w)) for w in plane])) > 0, "1").otherwise("0")
-        for plane in _planes()
+        for plane in _planes(n_planes)
     ]
     return F.concat(*bits)
 
 
-def _lsh_bucket_sql(vec_expr: str) -> str:
+def _lsh_bucket_sql(vec_expr: str, n_planes: int = N_PLANES) -> str:
     bits = []
-    for plane in _planes():
+    for plane in _planes(n_planes):
         lits = ", ".join(f"{w}.0" for w in plane)
         bits.append(
             f"CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 THEN '1' ELSE '0' END"
         )
     return " || ".join(bits)
+
+
+def multiprobe_buckets(bucket: Column, n_planes: int) -> Column:
+    """The query's own bucket plus every Hamming-distance-1 variant —
+    multi-probe LSH: recall of ~n_planes extra buckets without growing
+    the table-side index."""
+    variants = [bucket]
+    for j in range(1, n_planes + 1):
+        flipped = F.when(F.substring(bucket, j, 1) == "1", "0").otherwise("1")
+        variants.append(
+            F.concat(F.substring(bucket, 1, j - 1), flipped, F.substring(bucket, j + 1, n_planes - j))
+        )
+    return F.array(*variants)
+
+
+def _multiprobe_sql(bucket_expr: str, n_planes: int) -> str:
+    variants = [bucket_expr]
+    for j in range(1, n_planes + 1):
+        flip = (
+            f"CASE WHEN substr({bucket_expr}, {j}, 1) = '1' THEN '0' ELSE '1' END"
+        )
+        variants.append(
+            f"substr({bucket_expr}, 1, {j - 1}) || {flip} || "
+            f"substr({bucket_expr}, {j + 1}, {n_planes - j})"
+        )
+    return "[" + ", ".join(variants) + "]"
 
 
 _COS_SQL = (
@@ -124,14 +151,18 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                   {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+                   {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])', ANN_PLANES)} AS bucket
             FROM embeddings
         ),
+        probes AS (
+            SELECT vec_id, v, unnest({_multiprobe_sql('bucket', ANN_PLANES)}) AS pb
+            FROM v WHERE vec_id % 100 = 0
+        ),
         scored AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+            SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id,
                    {_COS_SQL} AS cos
-            FROM (SELECT * FROM v WHERE vec_id % 100 = 0) a
-            JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            FROM probes a
+            JOIN v b ON a.pb = b.bucket AND a.vec_id <> b.vec_id
         )
         SELECT query_id, vec_id, round(cos, 6) AS cosine, rn AS rank
         FROM (
@@ -142,26 +173,37 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         WHERE rn <= 10
     """,
-    doc="Approximate NN: random-hyperplane LSH (8 integer planes → 256 "
-        "buckets); top-10 searched only inside the query's bucket. Recall "
-        "vs the exact baseline is asserted in tests.",
-    scale_notes="The scale path: bucketing is map-side; the join shuffles "
-                "on the bucket key so each task scans one bucket. Multi-probe "
-                "(flipping low-margin bits) raises recall without re-shuffling.",
+    doc="Approximate NN: random-hyperplane LSH (4 integer planes → 16 "
+        "buckets) with Hamming-1 multi-probe (5 probes per query) — top-10 "
+        "searched in ~5/16 of the corpus. Recall vs the exact baseline is "
+        "asserted in tests; plane count scales up when embeddings are "
+        "actually clustered (these test vectors are near-uniform, the "
+        "hardest case for LSH).",
+    scale_notes="The scale path: bucketing is map-side; candidates shuffle "
+                "on the bucket key so each task scans one bucket. Probes "
+                "multiply only the tiny query side. More planes (smaller "
+                "buckets) + more probes trade compute for recall without "
+                "re-indexing.",
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     em = load(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v")))
-    q = em.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), ANN_PLANES))
+    q = (
+        em.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(multiprobe_buckets(F.col("bucket"), ANN_PLANES)).alias("bucket"),
+        )
     )
     scored = (
         em.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (

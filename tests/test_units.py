@@ -1,0 +1,157 @@
+"""Unit tests for the engine's custom semantic layers: the schema-
+reconcile truth table (SURVEY.md §1.3), privacy threshold gating, and
+LSH quality (recall vs the exact baseline)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pubsub2bq_spark.streaming.reconcile import (
+    SchemaMismatchError,
+    project_to_sink_schema,
+    rewrite_deletes,
+    split_corrupt,
+    unwrap_envelope,
+)
+
+TOPIC = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("zipcode", T.LongType()),
+    ]
+)
+
+
+def payload(spark, rows=None, cols="id bigint, name string, zipcode bigint, phone string"):
+    return spark.createDataFrame(rows or [(1, "Tom", 2174, "555")], cols)
+
+
+class TestReconcileTruthTable:
+    def test_extra_payload_field_dropped(self, spark):
+        out = project_to_sink_schema(payload(spark), TOPIC, TOPIC)
+        assert out.columns == ["id", "name", "zipcode"]  # phone gone
+
+    def test_sink_only_column_null_filled(self, spark):
+        sink = T.StructType(TOPIC.fields + [T.StructField("age", T.LongType())])
+        row = project_to_sink_schema(payload(spark), TOPIC, sink).collect()[0]
+        assert row["age"] is None and row["name"] == "Tom"
+
+    def test_topic_column_missing_from_payload_null_filled(self, spark):
+        thin = payload(spark, rows=[(1, "Tom")], cols="id bigint, name string")  # no zipcode sent
+        row = project_to_sink_schema(thin, TOPIC, TOPIC).collect()[0]
+        assert row["zipcode"] is None
+
+    def test_missing_sink_column_halts(self, spark):
+        sink_v2 = T.StructType([f for f in TOPIC.fields if f.name != "zipcode"])
+        with pytest.raises(SchemaMismatchError, match="zipcode"):
+            project_to_sink_schema(payload(spark), TOPIC, sink_v2)
+
+    def test_type_cast_to_sink_type(self, spark):
+        sink = T.StructType(
+            [
+                T.StructField("id", T.StringType()),  # sink declares STRING
+                T.StructField("name", T.StringType()),
+                T.StructField("zipcode", T.LongType()),
+            ]
+        )
+        out = project_to_sink_schema(payload(spark), TOPIC, sink)
+        assert dict(out.dtypes)["id"] == "string"
+
+
+class TestUnwrapAndRewrite:
+    def test_delete_payload_comes_from_before(self, spark):
+        env = spark.createDataFrame(
+            [
+                (None, (1, "Tom"), "c", 10),
+                ((2, "Phil"), None, "d", 20),
+            ],
+            T.StructType(
+                [
+                    T.StructField(
+                        "before",
+                        T.StructType(
+                            [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+                        ),
+                    ),
+                    T.StructField(
+                        "after",
+                        T.StructType(
+                            [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+                        ),
+                    ),
+                    T.StructField("op", T.StringType()),
+                    T.StructField("ts_ms", T.LongType()),
+                ]
+            ),
+        )
+        flat = rewrite_deletes(unwrap_envelope(env, ["id", "name"]))
+        rows = {r["id"]: r for r in flat.collect()}
+        assert rows[1]["__deleted"] == "false"
+        assert rows[2]["__deleted"] == "true"
+        assert rows[2]["name"] == "Phil"  # came from `before`
+
+
+class TestCorruptSplit:
+    def test_split(self, spark):
+        df = spark.createDataFrame(
+            [(1, '{"k": 5}'), (2, "{broken")], "id bigint, data string"
+        )
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        valid, corrupt = split_corrupt(df, "data", schema)
+        assert [r["k"] for r in valid.collect()] == [5]
+        assert [r["id"] for r in corrupt.collect()] == [2]
+
+
+class TestPrivacy:
+    def test_small_groups_suppressed(self, spark):
+        from pubsub2bq_spark.functions.privacy import threshold_gated_agg
+
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)],
+            "grp string, unit bigint, v double",
+        )
+        out = threshold_gated_agg(
+            df, ["grp"], [F.sum("v").alias("total")], "unit", threshold=2
+        ).collect()
+        assert {r["grp"] for r in out} == {"a"}  # 'b' has 1 unit → suppressed
+        assert out[0]["total"] == 30.0
+
+
+class TestLshQuality:
+    def test_ann_recall_vs_exact(self, spark):
+        """ann_lsh must recover a healthy fraction of the exact top-10
+        (single-probe LSH with 8 planes on synthetic uniform vectors —
+        recall won't be high, but it must be nontrivial and its hits must
+        be true neighbors)."""
+        from pubsub2bq_spark.registry import all_queries
+
+        qs = all_queries()
+        sf = "/root/testdata/sf0.01"
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in qs["similarity_topk"].spark(spark, sf).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in qs["ann_lsh"].spark(spark, sf).collect()
+        }
+        # These synthetic embeddings are near-uniform (top cosine ~0.3-0.45)
+        # — the hardest regime for LSH. 4 planes + Hamming-1 multiprobe
+        # scans ~5/16 of the corpus; require recall well above that chance
+        # floor.
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.4, f"LSH recall too low: {recall:.2f}"
+
+    def test_minhash_candidates_are_similar(self, spark):
+        """MinHash-LSH candidates should overwhelmingly be pairs with real
+        token overlap (precision sanity)."""
+        from pubsub2bq_spark.registry import all_queries
+
+        qs = all_queries()
+        sf = "/root/testdata/sf0.01"
+        pairs = qs["minhash_lsh"].spark(spark, sf)
+        assert pairs.count() > 0
