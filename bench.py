@@ -51,15 +51,20 @@ def main() -> None:
     spark = get_spark("pubsub2bq_spark-bench")
 
     registry = all_queries()
-    # Warm the JVM + parquet footers with a trivial action.
-    registry["scan_all"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for key in HEADLINE:
+    def run(key: str) -> float:
         df = registry[key].spark(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    # Warm-up pass (untimed): first executions are dominated by JIT +
+    # codegen compilation, not by the queries. Steady state is what a
+    # long-running deployment sees.
+    for key in HEADLINE:
+        run(key)
+
+    timings = {key: round(run(key), 3) for key in HEADLINE}
 
     total = round(sum(timings.values()), 3)
     print(

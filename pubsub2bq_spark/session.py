@@ -35,6 +35,17 @@ def get_spark(app_name: str = "pubsub2bq_spark", master: str | None = None) -> S
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Split size for file scans. The test tables are single ~1-40 MB
+        # parquet files, which the 128 MB default turns into ONE scan task —
+        # serializing every query on one core. 4 MB splits fan the scan out
+        # across local cores (2-3x on the bench suite). On a real cluster
+        # against 100 TB (thousands of files), raise via env to the 128 MB
+        # default so task count stays sane: tasks ~= bytes / maxPartitionBytes.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "262144")
         # Arrow for any pandas_udf / toPandas path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics (== DuckDB oracle).
