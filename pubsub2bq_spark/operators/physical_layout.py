@@ -1,0 +1,64 @@
+"""Physical-layout operators beyond clustered_write (SURVEY.md §2.11):
+bucketed tables for shuffle-free co-located joins — the core 100 TB
+join strategy (the reference's CLUSTER BY analog taken one step
+further than row-group clustering).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import load
+
+N_BUCKETS = 8
+
+
+@register(
+    "bucketed_join",
+    oracle="""
+        SELECT c_nationkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
+    doc="Co-located join on bucketed tables: both sides written with "
+        "bucketBy(custkey), so the join runs with ZERO exchanges (plan "
+        "asserted shuffle-free in tests) — same result as join_inner.",
+    scale_notes="THE fact-fact join strategy at 100 TB: pay the bucket "
+                "shuffle once at write time, then every join/agg on the "
+                "bucket key is exchange-free forever. Bucket count sized to "
+                "target ~128-512 MB per bucket file.",
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="bucketq_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketed LOCATION '{tmp}/db'")
+    spark.sql("DROP TABLE IF EXISTS bucketed.orders_b")
+    spark.sql("DROP TABLE IF EXISTS bucketed.customer_b")
+    (
+        load(spark, sf_dir, "orders")
+        .write.bucketBy(N_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{tmp}/orders_b")
+        .saveAsTable("bucketed.orders_b")
+    )
+    (
+        load(spark, sf_dir, "customer")
+        .write.bucketBy(N_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{tmp}/customer_b")
+        .saveAsTable("bucketed.customer_b")
+    )
+    o = spark.table("bucketed.orders_b")
+    c = spark.table("bucketed.customer_b")
+    # MERGE hint: at test scale Catalyst would broadcast the small side,
+    # which hides the point — force the sort-merge path to demonstrate the
+    # exchange-free bucket join (at 100 TB fact-fact scale, SMJ is what
+    # you'd get anyway and the broadcast wouldn't fit).
+    return (
+        o.hint("merge").join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )

@@ -16,6 +16,10 @@ Rules enforced by convention (driver contract):
 
 from __future__ import annotations
 
+import functools
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -24,6 +28,31 @@ from pyspark.sql import DataFrame, SparkSession
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 _REGISTRY: dict[str, "Query"] = {}
+
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    The driver imports ``__spark_entry__`` from an arbitrary cwd with the
+    repo root only on the *driver's* sys.path. Module-level UDF/mapInPandas
+    functions are cloudpickled **by reference**, so the Python workers must
+    be able to ``import pubsub2bq_spark`` themselves. ``addPyFile`` is the
+    cluster-correct mechanism — identical behavior on ``local[N]`` and a
+    1000-executor cluster (the zip rides the Spark file server; workers get
+    it prepended to sys.path).
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_CONTEXTS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.mkdtemp(prefix="pubsub2bq_ship_"), "pubsub2bq_spark")
+    archive = shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir)
+    )
+    sc.addPyFile(archive)
+    _SHIPPED_CONTEXTS.add(id(sc))
 
 
 @dataclass
@@ -46,8 +75,14 @@ def register(
     def deco(fn: SparkQuery) -> SparkQuery:
         if key in _REGISTRY:
             raise ValueError(f"duplicate query key {key!r}")
-        _REGISTRY[key] = Query(key=key, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
-                               scale_notes=scale_notes)
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_worker_imports(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[key] = Query(key=key, spark=wrapped, oracle=oracle,
+                               doc=doc or (fn.__doc__ or ""), scale_notes=scale_notes)
         return fn
 
     return deco
@@ -67,6 +102,7 @@ def all_queries() -> dict[str, Query]:
         llm_similarity,
         llm_text,
         multimodal,
+        physical_layout,
         relational,
         relational_ext,
         source_formats,

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the engine's semantic kernels.
+
+Spark round-trips are slow, so strategies are kept small; the point is
+adversarial *shapes* (empty groups, ties, all-deleted, unicode), not
+volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pubsub2bq_spark.streaming.reconcile import (
+    SchemaMismatchError,
+    project_to_sink_schema,
+)
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+names = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=1, max_size=5, unique=True
+)
+
+
+class TestReconcileProperties:
+    @given(topic_cols=names, extra=st.sampled_from(["zz1", "zz2"]))
+    @settings(**SETTINGS)
+    def test_projection_never_leaks_unknown_fields(self, spark, topic_cols, extra):
+        """Whatever the topic schema is, a payload field outside it never
+        reaches the sink."""
+        topic = T.StructType([T.StructField(c, T.StringType()) for c in topic_cols])
+        sink = topic
+        payload_cols = topic_cols + [extra]
+        row = tuple("v" for _ in payload_cols)
+        df = spark.createDataFrame([row], ", ".join(f"{c} string" for c in payload_cols))
+        out = project_to_sink_schema(df, topic, sink)
+        assert extra not in out.columns
+        assert out.columns == topic_cols
+
+    @given(topic_cols=names)
+    @settings(**SETTINGS)
+    def test_any_missing_sink_column_halts(self, spark, topic_cols):
+        """Dropping ANY topic column from the sink halts delivery."""
+        topic = T.StructType([T.StructField(c, T.StringType()) for c in topic_cols])
+        sink = T.StructType(topic.fields[:-1])  # drop the last topic column
+        df = spark.createDataFrame(
+            [tuple("v" for _ in topic_cols)], ", ".join(f"{c} string" for c in topic_cols)
+        )
+        try:
+            project_to_sink_schema(df, topic, sink)
+            assert False, "expected halt"
+        except SchemaMismatchError as e:
+            assert topic_cols[-1] in str(e)
+
+
+class TestLatestPerKeyProperty:
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 3),        # key
+                st.integers(0, 50),       # ts
+                st.integers(0, 10_000),   # unique-ifier handled below
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_latest_per_key_matches_python_oracle(self, spark, rows):
+        """Window-based last-writer-wins == brute-force python max()."""
+        data = [(i, k, ts) for i, (k, ts, _) in enumerate(rows)]
+        df = spark.createDataFrame(data, "event_id long, user_id long, ts long")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        got = {
+            (r["user_id"], r["event_id"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        expect = {}
+        for eid, k, ts in data:
+            if k not in expect or (ts, eid) > expect[k]:
+                expect[k] = (ts, eid)
+        assert got == {(k, eid) for k, (ts, eid) in expect.items()}
+
+
+class TestPrivacyProperty:
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 4)),  # (group, unit)
+            min_size=1,
+            max_size=25,
+        ),
+        threshold=st.integers(1, 4),
+    )
+    @settings(**SETTINGS)
+    def test_every_emitted_group_meets_threshold(self, spark, rows, threshold):
+        from pubsub2bq_spark.functions.privacy import threshold_gated_agg
+
+        df = spark.createDataFrame(rows, "grp long, unit long")
+        out = threshold_gated_agg(
+            df, ["grp"], [F.count(F.lit(1)).alias("n")], "unit", threshold
+        ).collect()
+        emitted = {r["grp"] for r in out}
+        truth = {}
+        for g, u in rows:
+            truth.setdefault(g, set()).add(u)
+        assert emitted == {g for g, units in truth.items() if len(units) >= threshold}
