@@ -166,3 +166,60 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unknown")
     )
     return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+# Rolling-fingerprint parameters: 8-char grams sampled every 4th position
+# (winnowing-style stride bounds work per document), fingerprint = the 4
+# smallest gram hashes.
+FP_GRAM = 8
+FP_STRIDE = 4
+FP_KEEP = 4
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   md5(substr(lower(text), CAST(i AS INT), {FP_GRAM})) AS h
+            FROM documents,
+                 unnest(range(1, greatest(len(text) - {FP_GRAM} + 2, 2),
+                              {FP_STRIDE})) AS t(i)
+        )
+        SELECT doc_id,
+               array_to_string(list_sort(list(h))[1:{FP_KEEP}], '|') AS fingerprint,
+               count(*) AS n_grams
+        FROM grams
+        GROUP BY doc_id
+    """,
+    doc=f"Document fingerprinting via rolling character {FP_GRAM}-grams "
+        f"(stride {FP_STRIDE}): hash every sampled gram, keep the {FP_KEEP} "
+        "lexicographically smallest (winnowing-style min-k sketch). Equal "
+        "fingerprints ⇒ near-identical documents; md5 keeps the sketch "
+        "engine-portable.",
+    scale_notes="Gram explosion is map-side and bounded by stride; the only "
+                "shuffle carries (doc_id, 32-byte hash) pairs — document "
+                "bodies never move. min-k selection is an ordinary "
+                "hash-aggregate, partial-aggregated map-side.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                # DuckDB's range() upper bound is exclusive; sequence() is
+                # inclusive, so stop one position earlier: len - (GRAM-1).
+                F.greatest(F.length("text") - F.lit(FP_GRAM - 1), F.lit(1)),
+                F.lit(FP_STRIDE),
+            )
+        ).alias("i"),
+        F.lower(F.col("text")).alias("t"),
+    ).select("doc_id", F.md5(F.expr(f"substr(t, i, {FP_GRAM})")).alias("h"))
+    return grams.groupBy("doc_id").agg(
+        F.concat_ws("|", F.slice(F.array_sort(F.collect_list("h")), 1, FP_KEEP)).alias(
+            "fingerprint"
+        ),
+        F.count(F.lit(1)).alias("n_grams"),
+    )

@@ -146,6 +146,24 @@ class TestLshQuality:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.4, f"LSH recall too low: {recall:.2f}"
 
+    def test_ivf_recall_vs_exact(self, spark):
+        """ann_ivf (16 cells, 4 probes → ~1/4 of the corpus scanned) must
+        beat its chance floor on the same near-uniform vectors."""
+        from pubsub2bq_spark.registry import all_queries
+
+        qs = all_queries()
+        sf = "/root/testdata/sf0.01"
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in qs["similarity_topk"].spark(spark, sf).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in qs["ann_ivf"].spark(spark, sf).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.35, f"IVF recall too low: {recall:.2f}"
+
     def test_minhash_candidates_are_similar(self, spark):
         """MinHash-LSH candidates should overwhelmingly be pairs with real
         token overlap (precision sanity)."""
