@@ -51,10 +51,14 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udf_scalar",
-    oracle=None,  # exercises the Arrow pandas-UDF path; values mirror a SQL
-    # expression but the point is the Python boundary → rows-only.
+    oracle="""
+        SELECT event_id, round((value - 50.0) / 25.0, 6) AS value_z
+        FROM events
+    """,
     doc="Scalar pandas UDF (Arrow-vectorized, series→series): normalized "
-        "value z-score against broadcast constants.",
+        "value z-score against broadcast constants. Oracle-checkable "
+        "because (v-50)/25 is bit-exact IEEE arithmetic on both engines — "
+        "the check proves the Arrow boundary round-trips doubles losslessly.",
     scale_notes="pandas_udf transfers columnar Arrow batches — the only "
                 "acceptable Python hot path; a row-at-a-time F.udf here "
                 "would be 10-100× slower.",

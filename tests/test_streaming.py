@@ -75,6 +75,62 @@ def test_stream_static_join(spark, tmp_path):
     assert rows == {1: "gold", 2: "silver"}  # 99 has no dim row
 
 
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """J8 proper: stream ⋈ stream. Both sides watermarked; the join
+    condition carries the time bound Spark needs to expire buffered
+    state — an impression matches clicks within the following 10 min."""
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    write_events(
+        imp_dir,
+        "b0",
+        [
+            {"event_id": 1, "user_id": 10, "ts": "2024-01-01T00:00:00", "value": 0.0},
+            {"event_id": 2, "user_id": 20, "ts": "2024-01-01T00:05:00", "value": 0.0},
+            {"event_id": 3, "user_id": 30, "ts": "2024-01-01T01:00:00", "value": 0.0},
+        ],
+    )
+    write_events(
+        clk_dir,
+        "b0",
+        [
+            # joins imp 1 (4 min after) — inside the 10-min bound
+            {"event_id": 101, "user_id": 10, "ts": "2024-01-01T00:04:00", "value": 1.0},
+            # 55 min after imp 2 — outside the bound, must NOT join
+            {"event_id": 102, "user_id": 20, "ts": "2024-01-01T01:00:00", "value": 1.0},
+        ],
+    )
+    imps = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(imp_dir)
+        .select(
+            F.col("event_id").alias("imp_id"),
+            F.col("user_id").alias("imp_user"),
+            F.col("ts").alias("imp_ts"),
+        )
+        .withWatermark("imp_ts", "30 minutes")
+    )
+    clicks = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(clk_dir)
+        .select(
+            F.col("event_id").alias("clk_id"),
+            F.col("user_id").alias("clk_user"),
+            F.col("ts").alias("clk_ts"),
+        )
+        .withWatermark("clk_ts", "30 minutes")
+    )
+    joined = imps.join(
+        clicks,
+        (F.col("imp_user") == F.col("clk_user"))
+        & (F.col("clk_ts") >= F.col("imp_ts"))
+        & (F.col("clk_ts") <= F.col("imp_ts") + F.expr("interval 10 minutes")),
+        "inner",
+    ).select("imp_id", "clk_id")
+    name = run_to_memory(joined, "append")
+    rows = {(r["imp_id"], r["clk_id"]) for r in spark.table(name).collect()}
+    assert rows == {(1, 101)}
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """T7: dropDuplicatesWithinWatermark removes re-deliveries across
     micro-batches while bounding state."""
