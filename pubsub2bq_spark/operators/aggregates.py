@@ -223,3 +223,37 @@ def privacy_threshold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         privacy_unit_col="o_custkey",
         threshold=2,
     )
+
+
+N_SALT = 16
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+        SELECT l_suppkey,
+               count(*) AS n_items,
+               round(sum(l_extendedprice), 4) AS revenue
+        FROM lineitem
+        GROUP BY l_suppkey
+    """,
+    doc="Skew-resistant aggregation: a salted two-stage groupBy "
+        "(key, salt) -> key that produces the identical result to the "
+        "plain aggregate (the oracle IS the plain GROUP BY).",
+    scale_notes="The hot-key defense when one key holds a double-digit "
+                "percent of rows: stage 1 spreads each key over N_SALT "
+                "reducers, so no task receives a whole hot key; stage 2 "
+                "combines N_SALT partial states per key — tiny. Same "
+                "technique AQE's skew handling applies to joins, expressed "
+                "manually for aggregations. Associative aggregates only; "
+                "round(4) on both sides absorbs float reassociation.",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(N_SALT)))
+    partial = salted.groupBy("l_suppkey", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("l_extendedprice").alias("prev")
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("pn").alias("n_items"), F.round(F.sum("prev"), 4).alias("revenue")
+    )

@@ -291,3 +291,83 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select(
         "doc_id", F.concat(*[F.col(f"b{j}") for j in range(_SIMHASH_BITS)]).alias("simhash")
     )
+
+
+_CLUSTER_MAX_ITERS = 30
+
+
+@register(
+    "dedup_clusters",
+    oracle=_minhash_sig_sql().replace("WITH", "WITH RECURSIVE", 1)
+    + """
+        , pairs AS (
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bk FROM banded) a
+            JOIN (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bk FROM banded) b
+              ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT src, dst FROM pairs
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM pairs
+        ),
+        verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach AS (
+            SELECT doc_id, doc_id AS label FROM verts
+            UNION
+            SELECT e.dst AS doc_id, r.label
+            FROM reach r JOIN edges e ON r.doc_id = e.src
+        )
+        SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+    doc="Connected components over the minhash_lsh candidate graph: every "
+        "document in a near-dup component gets the component's minimum "
+        "doc_id as cluster_id — the canonical-representative step that "
+        "turns pairwise candidates into dedup groups. Iterative min-label "
+        "propagation; the oracle is a recursive-CTE transitive closure.",
+    scale_notes="Each iteration is one edge⋈label join + min-aggregate — "
+                "all shuffles keyed on doc_id, state is 2 longs per vertex. "
+                "Iterations ≈ graph diameter (near-dup components are "
+                "shallow; single digits in practice). localCheckpoint "
+                "truncates lineage so plan size stays O(1) per round. At "
+                "100 TB the same loop runs with the large-star/small-star "
+                "optimization; semantics are unchanged.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(_CLUSTER_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        # Min-label mass is strictly decreasing until the fixpoint.
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {_CLUSTER_MAX_ITERS} iterations"
+        )
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
