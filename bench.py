@@ -41,7 +41,12 @@ HEADLINE = [
     "simhash",
     "similarity_topk",
     "ann_lsh",
+    "ann_ivf",
     "multimodal_meta",
+    "doc_fingerprint",
+    "dedup_clusters",
+    "skew_salted_agg",
+    "bucketed_join",
 ]
 
 
@@ -53,8 +58,11 @@ def main() -> None:
     registry = all_queries()
 
     def run(key: str) -> float:
-        df = registry[key].spark(spark, sf_dir)
+        # Time construction AND execution: operators that do eager work
+        # while building (bucketed table writes, iterative fixpoints) must
+        # not get that work excluded from their measurement.
         t0 = time.perf_counter()
+        df = registry[key].spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
