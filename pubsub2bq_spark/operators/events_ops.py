@@ -233,3 +233,72 @@ def watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AvailableNow batch the final windows stay open, so fall back to the
     # complete-mode snapshot semantics by reading what was emitted.
     return spark.table(sink)
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+               v.user_id AS user_id
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    doc="Stream-stream inner join (J8): views matched to same-user "
+        "purchases within the following 30 minutes. Both sides are real "
+        "Structured Streaming readers over the events parquet, watermarked "
+        "so buffered state expires; AvailableNow drives it to completion. "
+        "With a single batch the inner join equals the batch join, so the "
+        "full DuckDB oracle applies (not just a rows-only check).",
+    scale_notes="Both sides shuffle on user_id; the time-bound in the join "
+                "condition plus the watermarks let Spark evict join state "
+                "older than bound+watermark — without it, stream-stream "
+                "state grows without limit. The 100 TB funnel-attribution "
+                "pattern.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.tables import normalize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            normalize_events(
+                spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    views, purchases = side("view", "v"), side("purchase", "p")
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("interval 30 minutes")),
+        "inner",
+    ).select(
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("v_user").alias("user_id"),
+    )
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

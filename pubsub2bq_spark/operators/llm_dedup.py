@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import load
+from pubsub2bq_spark.tables import fan_out, load
 
 N_MINHASH = 8          # minhash signature length
 LSH_BANDS = 4          # bands of 2 rows each
@@ -85,7 +85,7 @@ def text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "minhash_lsh below.",
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     toks = d.select(
         "doc_id",
         "lang",
@@ -197,7 +197,7 @@ def _minhash_sig_sql() -> str:
                 "verification.",
 )
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     tok = d.select("doc_id", _tokens(F.col("text")).alias("tok"))
     sh = tok.select("doc_id", F.explode(_shingles(F.col("tok"))).alias("sh")).select(
         "doc_id",
@@ -268,7 +268,7 @@ def _simhash_sql() -> str:
                 "Hamming-radius search = re-group on bit-masked variants.",
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
     )

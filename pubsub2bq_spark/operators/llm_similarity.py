@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import load
+from pubsub2bq_spark.tables import fan_out, load
 
 DIM = 64
 N_PLANES = 8       # embedding_dedup buckets (256) — tight blocking
@@ -129,7 +129,7 @@ _COS_SQL = (
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    em = load(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("v"))
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark).select("vec_id", _dvec("embedding").alias("v"))
     q = em.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -188,7 +188,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    em = load(spark, sf_dir, "embeddings").select(
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _dvec("embedding").alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"), ANN_PLANES))
     q = (
@@ -270,7 +270,7 @@ N_PROBE = 4        # cells probed per query
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    em = load(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("v"))
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark).select("vec_id", _dvec("embedding").alias("v"))
     cent = (
         em.orderBy("vec_id")
         .limit(N_CELLS)
@@ -321,7 +321,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "confined to buckets; the shuffle key is the bucket id.",
 )
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = load(spark, sf_dir, "embeddings").select(
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _dvec("embedding").alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v")))
     a, b = em.alias("a"), em.alias("b")

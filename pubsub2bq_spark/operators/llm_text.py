@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import load
+from pubsub2bq_spark.tables import fan_out, load
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
 # language ID. Deliberately small + deterministic (no external models).
@@ -43,7 +43,7 @@ _LANG_MARKERS = {
                 "words) is absorbed by partial aggs.",
 )
 def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     words = d.select(
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
     ).filter(F.col("word") != "")
@@ -67,7 +67,7 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tokenizer in the hot path.",
 )
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
     return d.select(
@@ -97,7 +97,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "before expensive model-based scoring.",
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     n = F.length("text")
     punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
     vowels = F.length(F.regexp_replace(F.lower(F.col("text")), r"[^aeiou]", ""))
@@ -150,7 +150,7 @@ def _marker_count_spark(col, words: list[str]):
                 "set-based on both engines.",
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     scores = {k: _marker_count_spark(F.col("text"), v) for k, v in _LANG_MARKERS.items()}
     pred = (
         F.when(
@@ -197,29 +197,35 @@ FP_KEEP = 4
         "lexicographically smallest (winnowing-style min-k sketch). Equal "
         "fingerprints ⇒ near-identical documents; md5 keeps the sketch "
         "engine-portable.",
-    scale_notes="Gram explosion is map-side and bounded by stride; the only "
-                "shuffle carries (doc_id, 32-byte hash) pairs — document "
-                "bodies never move. min-k selection is an ordinary "
-                "hash-aggregate, partial-aggregated map-side.",
+    scale_notes="Entirely map-side: the gram hashes are built per row with "
+                "transform() over a position sequence, sorted, and truncated "
+                "to the min-k sketch inside one projection — NO explode, NO "
+                "shuffle, document bodies never leave the scan task. The "
+                "per-document sketch is the textbook embarrassingly-parallel "
+                "100 TB pass.",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    grams = d.select(
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    # Project lowered text once so the transform() lambda binds a plain
+    # column reference (not a recomputed lower() per element).
+    low = d.select("doc_id", F.lower(F.col("text")).alias("t"))
+    positions = F.sequence(
+        F.lit(1),
+        # DuckDB's range() upper bound is exclusive; sequence() is
+        # inclusive, so stop one position earlier: len - (GRAM-1).
+        F.greatest(F.length("t") - F.lit(FP_GRAM - 1), F.lit(1)),
+        F.lit(FP_STRIDE),
+    )
+    grams = low.select(
         "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                # DuckDB's range() upper bound is exclusive; sequence() is
-                # inclusive, so stop one position earlier: len - (GRAM-1).
-                F.greatest(F.length("text") - F.lit(FP_GRAM - 1), F.lit(1)),
-                F.lit(FP_STRIDE),
-            )
-        ).alias("i"),
-        F.lower(F.col("text")).alias("t"),
-    ).select("doc_id", F.md5(F.expr(f"substr(t, i, {FP_GRAM})")).alias("h"))
-    return grams.groupBy("doc_id").agg(
-        F.concat_ws("|", F.slice(F.array_sort(F.collect_list("h")), 1, FP_KEEP)).alias(
+        F.transform(
+            positions, lambda i: F.md5(F.substr(F.col("t"), i, F.lit(FP_GRAM)))
+        ).alias("hs"),
+    )
+    return grams.select(
+        "doc_id",
+        F.concat_ws("|", F.slice(F.array_sort(F.col("hs")), 1, FP_KEEP)).alias(
             "fingerprint"
         ),
-        F.count(F.lit(1)).alias("n_grams"),
+        F.size("hs").cast("bigint").alias("n_grams"),
     )

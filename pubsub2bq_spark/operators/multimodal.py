@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 
 from pubsub2bq_spark.functions.multimodal import DECODE_META_SCHEMA, decode_meta_batches
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import load
+from pubsub2bq_spark.tables import fan_out, load
 
 
 @register(
@@ -43,7 +43,7 @@ from pubsub2bq_spark.tables import load
                 "binary column holds references + byte ranges.",
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
+    d = fan_out(load(spark, sf_dir, "documents"), spark).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return d.mapInPandas(decode_meta_batches, DECODE_META_SCHEMA)
@@ -88,7 +88,7 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "the Python decoder only reports counts per Arrow batch.",
 )
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
+    d = fan_out(load(spark, sf_dir, "documents"), spark).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     meta = d.mapInPandas(decode_meta_batches, DECODE_META_SCHEMA)

@@ -51,7 +51,9 @@ def get_spark(app_name: str = "pubsub2bq_spark", master: str | None = None) -> S
         # Deterministic timestamp semantics (== DuckDB oracle).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g: single-JVM local mode puts driver+executor heap in one
+        # process; 8g showed multi-second GC pauses on the bench suite.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -49,6 +49,24 @@ def normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, spark: SparkSession, target: int | None = None) -> DataFrame:
+    """Spread a CPU-dense per-row stage across all cores.
+
+    Parquet can't be split finer than a row group, so a tiny single-row-group
+    file scans as ONE task — serializing per-row-heavy stages (gram hashing,
+    minhash shingles, cosine folds) on one core no matter the cluster size.
+    When the incoming plan has fewer partitions than ``target`` (default:
+    ``defaultParallelism``) insert a round-robin repartition; otherwise
+    return the frame untouched. At 100 TB the scan already has thousands of
+    splits, so this is a structural no-op there — the shuffle only ever
+    moves a sub-core-count amount of data.
+    """
+    target = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one logical table as a DataFrame."""
     if name not in TABLE_NAMES:
