@@ -22,6 +22,9 @@ from pubsub2bq_spark.session import get_spark  # noqa: E402
 # Headline set: one per operator family, weighted toward the ops that
 # dominate real pipelines (scan→filter→join→agg, windows, dedup, ANN).
 HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "filter_pred",
     "groupby_agg",
     "join_inner",

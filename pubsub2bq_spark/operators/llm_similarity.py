@@ -199,11 +199,13 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(multiprobe_buckets(F.col("bucket"), ANN_PLANES)).alias("bucket"),
         )
     )
+    # No distinct needed: a vector has exactly ONE bucket and the probe set
+    # (own bucket + Hamming-1 flips) is duplicate-free, so each (query, vec)
+    # pair forms at most once — dedup here would be a pure extra shuffle.
     scored = (
         em.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (

@@ -93,6 +93,7 @@ def all_queries() -> dict[str, Query]:
     # Imports are deferred so `import pubsub2bq_spark` stays cheap.
     from pubsub2bq_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         cdc_pipeline,
         cdc_semantics,
         ddl_ops,
