@@ -50,6 +50,9 @@ HEADLINE = [
     "dedup_clusters",
     "skew_salted_agg",
     "bucketed_join",
+    # North-star pipeline at table scale: spool → publish → validate →
+    # project → sink, full streaming execution per run.
+    "cdc_stream_events",
 ]
 
 
