@@ -33,7 +33,7 @@ from pubsub2bq_spark.tables import load
                round(avg(l_discount), 4)                                   AS avg_disc,
                count(*)                                                    AS count_order
         FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 shape: pricing summary report — single-pass scan with "
@@ -48,7 +48,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
@@ -73,8 +73,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
         WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1995-03-15'
-          AND l_shipdate  > TIMESTAMP '1995-03-15'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1998-03-15'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
         LIMIT 10
@@ -83,7 +83,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem with selective predicates on all three tables, revenue "
         "aggregation, and TakeOrderedAndProject for the limit.",
     scale_notes="Filters push below the joins so only the BUILDING slice "
-                "of customers and the pre-1995-03-15 orders shuffle; the "
+                "of customers and the pre-1998-03-15 orders shuffle; the "
                 "filtered customer side is broadcast-size even at large SF "
                 "(AQE switches join strategy at runtime). The final top-10 "
                 "never materializes the full sorted result.",
@@ -91,10 +91,10 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
     li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -122,8 +122,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation   ON s_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1994-01-01'
-          AND o_orderdate <  TIMESTAMP '1995-01-01'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
         ORDER BY revenue DESC
     """,
@@ -139,8 +139,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")

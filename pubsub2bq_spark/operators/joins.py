@@ -80,13 +80,18 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
         SELECT c_custkey, c_name FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 350000)
     """,
-    doc="Left anti join (NOT EXISTS): customers with no orders at all.",
+    doc="Left anti join (NOT EXISTS): customers with no large orders "
+        "(> 350000). In this synthetic data every customer has at least "
+        "one order, so the unqualified anti-join would be vacuously empty "
+        "— the price predicate keeps the result set exercised.",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

@@ -315,9 +315,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round({_COS_SQL}, 6) AS cosine
         FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE {_COS_SQL} > 0.6
+        WHERE {_COS_SQL} > 0.3
     """,
-    doc="Embedding-cosine near-dup pairs (cos > 0.6), LSH-blocked so only "
+    doc="Embedding-cosine near-dup pairs (cos > 0.3), LSH-blocked so only "
         "same-bucket pairs are compared.",
     scale_notes="Same blocking story as minhash_lsh: quadratic work is "
                 "confined to buckets; the shuffle key is the bucket id.",
@@ -330,7 +330,7 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _cosine(F.col("a.v"), F.col("b.v"))
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(cos > 0.6)
+        .filter(cos > 0.3)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

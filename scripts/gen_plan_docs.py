@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Generate docs/PLANS.md: the physical plan for each headline query with
+a plan-quality summary (join strategies, exchange count, scan pushdown,
+whole-stage-codegen coverage).
+
+This is the evidence artifact for the 100 TB design claims: a reviewer can
+see per query that filters reach the parquet scan, small sides broadcast,
+and hot paths stay inside codegen — without re-running anything.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pubsub2bq_spark.registry import all_queries  # noqa: E402
+from pubsub2bq_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Batch headline queries only: streaming keys (cdc_*, watermark_window,
+# stream_stream_join) execute eagerly inside their builder, so their final
+# DataFrame is just the sink read-back — the interesting plan is asserted
+# in tests/test_streaming.py instead.
+PLAN_KEYS = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "filter_pred",
+    "groupby_agg",
+    "join_inner",
+    "join_broadcast",
+    "join_asof",
+    "count_distinct",
+    "window_rank",
+    "topk_per_group",
+    "sort_limit",
+    "latest_per_key",
+    "word_count",
+    "text_dedup",
+    "minhash_lsh",
+    "simhash",
+    "doc_fingerprint",
+    "similarity_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "skew_salted_agg",
+    "bucketed_join",
+]
+
+
+def summarize(executed: str, formatted: str) -> dict[str, object]:
+    """Join strategies and shuffle-stage counts from the AQE-final executed
+    plan; codegen + pushdown from the formatted explain (AQE hides codegen
+    ids in the executed-plan string)."""
+    return {
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", executed)),
+        "sort_merge_joins": executed.count("SortMergeJoin"),
+        "shuffle_stages": len(set(re.findall(r"ShuffleQueryStage (\d+)", executed)))
+        or len(re.findall(r"Exchange (?:hash|range)partitioning", executed)),
+        # Codegen stages appear as "*(N)" prefixes in the finalized plan
+        # (the initial-plan section carries no asterisks), falling back to
+        # "codegen id" markers for non-AQE plans.
+        "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", executed)))
+        or len(set(re.findall(r"codegen id : (\d+)", formatted))),
+        "pushed_filters": "PushedFilters: [" in formatted
+        and "PushedFilters: []" not in formatted,
+    }
+
+
+def main() -> None:
+    spark = get_spark("plan-docs")
+    registry = all_queries()
+    out = [
+        "# Physical plans (generated — do not edit)",
+        "",
+        f"`scripts/gen_plan_docs.py` over `{SF_DIR}`, AQE final plans "
+        "(each query executed once so AQE's runtime re-planning is "
+        "reflected).",
+        "",
+        "| query | broadcast joins | sort-merge joins | shuffle stages | codegen stages | pushed filters |",
+        "|---|---|---|---|---|---|",
+    ]
+    details = []
+    import contextlib
+    import io
+
+    for key in PLAN_KEYS:
+        df = registry[key].spark(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        formatted = buf.getvalue()
+        # collect() executes THIS DataFrame's QueryExecution, so the
+        # executedPlan below is the AQE-finalized plan (isFinalPlan=true);
+        # a .write would execute a copy and leave this plan unfinalized.
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        s = summarize(plan, formatted)
+        out.append(
+            f"| {key} | {s['broadcast_joins']} | {s['sort_merge_joins']} "
+            f"| {s['shuffle_stages']} | {s['codegen_stages']} "
+            f"| {'yes' if s['pushed_filters'] else '—'} |"
+        )
+        details.append(f"## {key}\n\n```\n{plan.strip()}\n```\n")
+    out.append("")
+    out.extend(details)
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
