@@ -346,21 +346,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(_CLUSTER_MAX_ITERS):
+    def propagate(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
+            edges.join(lbl, edges.src == lbl.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
-            )
-            .localCheckpoint()
+        return lbl.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
         )
+
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(_CLUSTER_MAX_ITERS):
+        # Two propagation hops per materialization: near-dup components are
+        # shallow, and the localCheckpoint + convergence action dominate the
+        # per-round cost — doubling the hop count halves the rounds without
+        # changing the fixpoint.
+        labels = propagate(propagate(labels)).localCheckpoint()
         # Min-label mass is strictly decreasing until the fixpoint.
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:

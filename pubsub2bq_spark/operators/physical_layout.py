@@ -72,3 +72,67 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
     )
+
+
+# SparkContext id -> (sf_dir, path) of the partitioned-orders layout.
+_PARTITIONED_READY: dict[int, tuple[str, str]] = {}
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders laid out as a year-partitioned parquet table (written once
+    per session+dataset, like the bucketed twins above — layout is an
+    investment, not a per-query cost)."""
+    ctx = id(spark.sparkContext)
+    ready = _PARTITIONED_READY.get(ctx)
+    if ready is None or ready[0] != sf_dir:
+        tmp = tempfile.mkdtemp(prefix="part_orders_")
+        (
+            load(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.partitionBy("o_year")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        _PARTITIONED_READY[ctx] = (sf_dir, tmp)
+    return spark.read.parquet(_PARTITIONED_READY[ctx][1])
+
+
+@register(
+    "partition_pruned_join",
+    oracle="""
+        SELECT fy, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total
+        FROM (
+            SELECT o_orderpriority, o_totalprice,
+                   'fy' || CAST(year(o_orderdate) % 100 AS VARCHAR) AS fy
+            FROM orders
+        )
+        WHERE fy = 'fy98'
+        GROUP BY fy, o_orderpriority
+    """,
+    doc="Dynamic partition pruning: the fact table is year-partitioned "
+        "parquet; the query filters a derived fiscal-year dimension and "
+        "joins it on the partition column, so Spark prunes fact partitions "
+        "at RUNTIME from the dim's surviving keys (plan shows "
+        "dynamicpruning in PartitionFilters) — only the fy98 directory is "
+        "ever scanned.",
+    scale_notes="The other half of the layout story next to bucketing: "
+                "partition on the dominant filter/join dimension (time), "
+                "and dim-driven queries read only matching partitions. At "
+                "100 TB this is the difference between scanning one year "
+                "and scanning the table; DPP makes it work even when the "
+                "partition keys only emerge from a dimension filter at "
+                "runtime.",
+)
+def partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _partitioned_orders(spark, sf_dir)
+    fy = (F.concat(F.lit("fy"), (F.col("o_year") % 100).cast("string"))).alias("fy")
+    dim = o.select("o_year").distinct().select("o_year", fy).filter(F.col("fy") == "fy98")
+    return (
+        o.join(F.broadcast(dim), "o_year")
+        .groupBy("fy", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )

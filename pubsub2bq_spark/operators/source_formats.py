@@ -87,3 +87,29 @@ def orc_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     _slice(spark, sf_dir).write.mode("overwrite").orc(f"{tmp}/li")
     back = spark.read.orc(f"{tmp}/li")
     return _agg(back)
+
+
+@register(
+    "binary_load",
+    oracle=None,  # file listing isn't visible to the DuckDB oracle → rows-only
+    doc="Multimodal ingest path (SURVEY.md §2.10 U8): spark.read.format"
+        "('binaryFile') over the dataset directory — one row per file with "
+        "(path, length, content). Returns per-file name, size, and the md5 "
+        "of the raw bytes: the pattern for loading opaque image/audio/video "
+        "payloads as binary columns with metadata.",
+    scale_notes="binaryFile reads are file-parallel (one task per file up "
+                "to maxPartitionBytes); at 100 TB payloads stay in object "
+                "storage and this scan carries references + bytes straight "
+                "into mapInPandas decode kernels (see multimodal_meta).",
+)
+def binary_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

@@ -64,6 +64,13 @@ class TestJoinStrategies:
             f"Exchange nodes:\n{plan}"
         )
 
+    def test_partitioned_join_uses_dynamic_pruning(self, spark):
+        """The year-partitioned fact scan must carry a dynamicpruning
+        expression in PartitionFilters — the dim filter prunes fact
+        partitions at runtime, not after the scan."""
+        plan = plan_of(spark, "partition_pruned_join")
+        assert "dynamicpruning" in plan, plan
+
     def test_similarity_broadcasts_query_side(self, spark):
         """Brute-force ANN must broadcast the tiny query set so the corpus
         never shuffles for the scoring join."""
