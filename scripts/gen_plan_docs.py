@@ -49,6 +49,7 @@ PLAN_KEYS = [
     "ann_ivf",
     "skew_salted_agg",
     "bucketed_join",
+    "partition_pruned_join",
 ]
 
 
