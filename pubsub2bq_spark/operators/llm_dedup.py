@@ -374,3 +374,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dedup_clusters did not converge in {_CLUSTER_MAX_ITERS} iterations"
         )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@register(
+    "minhash_verified",
+    oracle=_minhash_sig_sql()
+    + """
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bk FROM banded) a
+            JOIN (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bk FROM banded) b
+              ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        tokset AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+            FROM documents
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+                     / len(list_distinct(list_concat(ta.tok, tb.tok))), 6) AS jaccard
+        FROM cand c
+        JOIN tokset ta ON ta.doc_id = c.doc_a
+        JOIN tokset tb ON tb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+              / len(list_distinct(list_concat(ta.tok, tb.tok))) > 0.6
+    """,
+    doc="THE production dedup pipeline, composed end-to-end: MinHash-LSH "
+        "candidate generation (cheap, recall-oriented) followed by exact "
+        "token-set Jaccard verification (precision) — only pairs whose true "
+        "similarity exceeds 0.6 survive. candidates ≫ verified is the "
+        "expected shape; LSH false positives die at the verify stage.",
+    scale_notes="The two-phase design is what makes 100 TB dedup tractable: "
+                "the quadratic comparison only ever runs on LSH candidates "
+                "(bounded per bucket), and verification joins token sets by "
+                "doc_id — two hash joins keyed on doc id, no all-pairs "
+                "anything. The verified pairs then feed dedup_clusters.",
+)
+def minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = minhash_lsh(spark, sf_dir)
+    toks = fan_out(load(spark, sf_dir, "documents"), spark).select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b"))).cast("double")
+    union = F.size(F.array_distinct(F.concat(F.col("tok_a"), F.col("tok_b"))))
+    jac = inter / union
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac > 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
