@@ -164,3 +164,158 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc())
     )
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: forecasting-revenue-change — a pure scan-filter-"
+        "aggregate with three range predicates and no grouping.",
+    scale_notes="The degenerate-but-important shape: at 100 TB this is a "
+                "scan whose cost is decided entirely by pushdown. All three "
+                "predicates reach the parquet reader (row-group min/max "
+                "skipping on l_shipdate after a clustered write), the "
+                "projection is 4 columns, and the aggregation is a single "
+                "partial-combined scalar — the shuffle carries one row per "
+                "task.",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle="""
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               round(c_acctbal, 4) AS c_acctbal, n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue report — customer⋈orders⋈"
+        "lineitem⋈nation with a quarter-long order window and a returnflag "
+        "filter, top-20 customers by lost revenue.",
+    scale_notes="Both selective predicates sit on the fact side and push to "
+                "the scans; nation broadcasts. The group-by key includes "
+                "customer attributes so the aggregate shuffles once keyed "
+                "on c_custkey — carrying the dims through the agg beats a "
+                "second post-agg join at this dim cardinality. Top-20 is "
+                "TakeOrderedAndProject: no global sort materializes.",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(F.col("c_acctbal"), 4).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 150
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               round(o_totalprice, 4) AS o_totalprice,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: large-volume customers — a self-referential "
+        "semi-join (orders whose lineitems sum past a quantity threshold) "
+        "feeding a customer⋈orders⋈lineitem aggregate, top-100.",
+    scale_notes="The HAVING subquery is a full lineitem aggregate, but it "
+                "reduces to (orderkey, sum) — tiny relative to the fact — "
+                "and joins back as a left-semi on the already-shuffled "
+                "l_orderkey key, so AQE can reuse the exchange. The "
+                "threshold makes `big` highly selective at any SF; the "
+                "final agg only sees the surviving orders.",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(
+        F.col("q") > 150
+    ).select("l_orderkey")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
