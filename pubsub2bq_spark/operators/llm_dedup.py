@@ -428,3 +428,48 @@ def minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac > 0.6)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+        WITH ranked AS (
+            SELECT md5(lower(text)) AS text_hash, doc_id, length(text) AS n,
+                   row_number() OVER (PARTITION BY md5(lower(text))
+                                      ORDER BY length(text) DESC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY md5(lower(text))) AS n_copies
+            FROM documents
+        )
+        SELECT text_hash, doc_id AS kept_doc_id, n_copies
+        FROM ranked WHERE rn = 1
+    """,
+    doc="Quality-aware exact dedup: one survivor per content digest, "
+        "chosen by a quality ordering (longest text, doc_id tie-break) "
+        "instead of an arbitrary min — the 'keep best duplicate' policy "
+        "a pretraining pipeline wants when near-identical pages differ "
+        "in boilerplate.",
+    scale_notes="Same single-shuffle profile as exact dedup: the window "
+                "partitions on the digest, so rank + group count ride one "
+                "exchange keyed on text_hash. Digest cardinality ~= doc "
+                "count, so no skew; the quality ordering is computed "
+                "map-side before the shuffle.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    h = F.md5(F.lower(F.col("text")))
+    w = Window.partitionBy("text_hash")
+    ranked = d.select(
+        h.alias("text_hash"), "doc_id", F.length("text").alias("n")
+    ).select(
+        "text_hash",
+        "doc_id",
+        F.row_number()
+        .over(w.orderBy(F.col("n").desc(), F.col("doc_id").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "text_hash", F.col("doc_id").alias("kept_doc_id"), "n_copies"
+    )

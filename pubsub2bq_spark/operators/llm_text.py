@@ -229,3 +229,48 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size("hs").cast("bigint").alias("n_grams"),
     )
+
+
+@register(
+    "hash_split",
+    oracle="""
+        WITH assigned AS (
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c'
+                             THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e'
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, count(*) AS n_docs,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM assigned GROUP BY split
+    """,
+    doc="Deterministic train/val/test assignment by content-independent "
+        "hash bucket: first hex nibble of md5(doc_id) → 13/2/1 of 16 "
+        "(~81%/12%/6%). Hash-based splitting is how a training pipeline "
+        "keeps membership stable across reruns and joins — no RNG state, "
+        "no ordering dependence.",
+    scale_notes="Map-only assignment (md5 + string compare per row), then "
+                "a 3-group aggregate: the shuffle carries three rows per "
+                "task. Membership is a pure function of the key, so any "
+                "downstream stage can recompute it instead of joining a "
+                "split table — at 100 TB that deletes an entire fact-fact "
+                "join from the DAG.",
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib <= "c", "train").when(nib <= "e", "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
