@@ -29,6 +29,9 @@ PLAN_KEYS = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
     "filter_pred",
     "groupby_agg",
     "join_inner",
