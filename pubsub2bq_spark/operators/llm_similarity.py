@@ -337,3 +337,106 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+@register(
+    "embedding_centroid",
+    oracle="""
+        SELECT label, i AS dim_pos, round(avg(x), 6) AS c
+        FROM (
+            SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+            FROM embeddings
+        )
+        GROUP BY label, i
+    """,
+    doc="Per-label embedding centroids (element-wise mean), emitted as "
+        "(label, dim_pos, value) rows — the k-means-style statistic that "
+        "trains an IVF coarse quantizer or summarizes a labeled corpus.",
+    scale_notes="posexplode is map-side (64 rows per vector, no state); "
+                "the aggregate partial-combines before a shuffle keyed on "
+                "(label, dim) whose cardinality is labels x 64 — "
+                "independent of corpus size. This is how to reduce a "
+                "100 TB vector column to a KB-scale model artifact in one "
+                "pass with no driver-side math.",
+)
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    return (
+        em.select("label", F.posexplode(_dvec("embedding")).alias("i", "x"))
+        .groupBy("label", (F.col("i") + 1).alias("dim_pos"))
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+
+
+def _registered_oracle(key: str) -> str:
+    from pubsub2bq_spark.registry import all_queries
+
+    return all_queries()[key].oracle
+
+
+@register(
+    "ann_recall",
+    # Composed verbatim from the three registered oracles: each becomes a
+    # derived table (DuckDB allows WITH inside a subquery), then recall@10
+    # counts how many exact top-10 rows each approximate method recovered.
+    oracle=None,  # filled in immediately below — needs the other keys registered
+    doc="Recall@10 of both approximate indexes (LSH multiprobe, IVF) "
+        "against the brute-force baseline, per method: the quality "
+        "measurement that justifies shipping an ANN index at all. "
+        "avg/min recall over the query set plus query count.",
+    scale_notes="Each branch reuses the ANN plans unchanged; the recall "
+                "join is keyed on (query_id, vec_id) — query-set-sized, "
+                "negligible next to the searches themselves. In production "
+                "this runs on a sampled query set as a continuous index-"
+                "quality monitor.",
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk(spark, sf_dir).select("query_id", "vec_id")
+
+    def recall_of(approx: DataFrame, method: str) -> DataFrame:
+        hits = exact.join(
+            approx.select("query_id", "vec_id").withColumn("hit", F.lit(1)),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        return hits.groupBy("query_id").agg(
+            (F.count("hit") / F.lit(10.0)).alias("recall")
+        ).select(F.lit(method).alias("method"), "query_id", "recall")
+
+    per_q = recall_of(ann_lsh(spark, sf_dir), "lsh").unionByName(
+        recall_of(ann_ivf(spark, sf_dir), "ivf")
+    )
+    return per_q.groupBy("method").agg(
+        F.round(F.avg("recall"), 6).alias("avg_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )
+
+
+def _ann_recall_oracle() -> str:
+    exact = _registered_oracle("similarity_topk")
+    lsh = _registered_oracle("ann_lsh")
+    ivf = _registered_oracle("ann_ivf")
+    branch = """
+        SELECT '{m}' AS method, e.query_id,
+               CAST(count(a.vec_id) AS DOUBLE) / 10.0 AS recall
+        FROM ({exact}) e
+        LEFT JOIN ({approx}) a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id
+    """
+    return f"""
+        SELECT method, round(avg(recall), 6) AS avg_recall,
+               round(min(recall), 6) AS min_recall,
+               count(*) AS n_queries
+        FROM ({branch.format(m='lsh', exact=exact, approx=lsh)}
+              UNION ALL
+              {branch.format(m='ivf', exact=exact, approx=ivf)})
+        GROUP BY method
+    """
+
+
+from pubsub2bq_spark.registry import all_queries as _aq  # noqa: E402
+
+_aq()["ann_recall"].oracle = _ann_recall_oracle()
