@@ -302,3 +302,43 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "scd2_history",
+    oracle="""
+        SELECT event_id, user_id,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               row_number() OVER w AS version,
+               (lead(ts) OVER w IS NULL) AS is_current,
+               event_type, round(value, 4) AS value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    doc="Type-2 slowly-changing-dimension materialization of the change "
+        "log: every event becomes a versioned validity interval "
+        "[valid_from, valid_to) per key, open-ended for the current row — "
+        "the history table a warehouse builds downstream of the "
+        "reference's CDC feed (complement of latest_per_key, which is the "
+        "type-1 compaction).",
+    scale_notes="One shuffle on the key, then lead/row_number ride the "
+                "same sorted partition — interval assembly is a single "
+                "window pass, never a self-join. At 100 TB the win is "
+                "exactly that: the naive event-to-next-event range join "
+                "this replaces is quadratic per key.",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    valid_to = F.lead("ts").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        valid_to.isNull().alias("is_current"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
