@@ -342,3 +342,56 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value", 4).alias("value"),
     )
+
+
+@register(
+    "time_spine_gapfill",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS t0,
+                   date_trunc('hour', max(ts)) AS t1
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_ts
+            FROM bounds
+        ),
+        counts AS (
+            SELECT date_trunc('hour', ts) AS hour_ts,
+                   count(*) AS n_events, sum(value) AS sv
+            FROM events GROUP BY 1
+        )
+        SELECT s.hour_ts,
+               coalesce(n_events, 0) AS n_events,
+               round(coalesce(sv, 0), 4) AS sum_value
+        FROM spine s LEFT JOIN counts c ON s.hour_ts = c.hour_ts
+    """,
+    doc="Dense hourly time spine with gap-filling: generate every hour "
+        "between the stream's bounds (F.sequence + explode — generated "
+        "rows, not scanned ones) and left-join the hourly aggregate, "
+        "zero-filling silent hours. The op dashboards and downstream "
+        "ML feature pipelines need that plain groupBy can't give them: "
+        "absence of data as data.",
+    scale_notes="The spine is bounds-derived (two scalar aggregates, no "
+                "collect) and hours-sized — broadcast side of the join; "
+                "the hourly aggregate partial-combines before its one "
+                "shuffle. Spine cardinality grows with time, not volume, "
+                "so at 100 TB it is still a few thousand rows.",
+)
+def time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("interval 1 hour"))).alias("hour_ts")
+    )
+    counts = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv")
+    )
+    return spine.join(counts, "hour_ts", "left").select(
+        "hour_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(F.coalesce("sv", F.lit(0.0)), 4).alias("sum_value"),
+    )
