@@ -473,3 +473,48 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") == 1).select(
         "text_hash", F.col("doc_id").alias("kept_doc_id"), "n_copies"
     )
+
+
+@register(
+    "dedup_corpus",
+    # Composed from the registered dedup_clusters oracle (set right below,
+    # after both keys exist in the registry).
+    oracle=None,
+    doc="The dedup pipeline's final emit: the cleaned corpus. Keeps every "
+        "document that is either its cluster's canonical representative "
+        "(doc_id == cluster_id) or in no near-dup cluster at all — i.e. "
+        "documents minus non-canonical near-duplicates. This is the table "
+        "a training run actually reads; candidates → verify → cluster → "
+        "THIS.",
+    scale_notes="One left-anti join of documents against the non-canonical "
+                "cluster members — the cluster table is near-dup-sized "
+                "(tiny vs the corpus), so the anti join broadcasts. Text "
+                "is projected through untouched: the pipeline decides "
+                "membership on digests and never reshuffles payload bytes "
+                "until this single final join.",
+)
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_clusters(spark, sf_dir)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    d = load(spark, sf_dir, "documents")
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _dedup_corpus_oracle() -> str:
+    from pubsub2bq_spark.registry import all_queries
+
+    clusters = all_queries()["dedup_clusters"].oracle
+    return f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id NOT IN (
+            SELECT doc_id FROM ({clusters}) WHERE doc_id <> cluster_id
+        )
+    """
+
+
+from pubsub2bq_spark.registry import all_queries as _aq  # noqa: E402
+
+_aq()["dedup_corpus"].oracle = _dedup_corpus_oracle()
