@@ -274,3 +274,50 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+        WITH tagged AS (
+            SELECT event_type,
+                   substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <=
+                       CASE event_type WHEN 'click' THEN '3'
+                                       WHEN 'view'  THEN '7'
+                                       ELSE 'f' END AS kept
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_total,
+               sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
+        FROM tagged GROUP BY event_type
+    """,
+    doc="Deterministic stratified downsampling: per-class keep rates via "
+        "md5 hash-bucket thresholds (clicks ~4/16, views ~8/16, rare "
+        "classes kept whole) — how a training pipeline rebalances skewed "
+        "event classes without RNG state, reproducibly across reruns.",
+    scale_notes="Map-only membership (hash + threshold compare per row), "
+                "then a classes-sized aggregate. Like hash_split, "
+                "membership is a pure function of the key: downstream "
+                "stages recompute the predicate instead of joining a "
+                "sample-membership table, and changing a keep rate is a "
+                "constant edit, not a re-materialization.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.tables import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    nib = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    threshold = (
+        F.when(F.col("event_type") == "click", "3")
+        .when(F.col("event_type") == "view", "7")
+        .otherwise("f")
+    )
+    return (
+        e.select("event_type", (nib <= threshold).alias("kept"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        )
+    )
