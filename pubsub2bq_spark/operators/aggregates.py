@@ -82,18 +82,44 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    oracle=None,  # HLL sketch values are engine-specific → rows-only check.
+    # The HLL point estimate is engine-specific, so it can't be hash-
+    # compared. What IS the portable contract is the error bound: the
+    # approx count must land within 5×rsd of the exact count. The Spark
+    # side computes that boolean; the oracle asserts it literally TRUE,
+    # so the driver hash-checks the bound instead of skipping the key.
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_nd_part,
+               count(*) AS n_rows,
+               TRUE AS within_5rsd
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     doc="Approximate count-distinct (HyperLogLog++): the 100 TB-scale "
-        "substitute for exact distinct. rows-only: sketch estimates are "
-        "engine-specific.",
+        "substitute for exact distinct. The sketch estimate is engine-"
+        "specific, so the checked contract is |approx-exact| <= 5×rsd×exact.",
     scale_notes="Constant-memory sketch, single shuffle of fixed-size "
-                "states; rsd=0.01 keeps error ~1%.",
+                "states; rsd=0.01 keeps error ~1%. (The exact countDistinct "
+                "here exists only to verify the bound at test scale.)",
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_part"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact_nd_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_nd_part",
+            "n_rows",
+            (
+                F.abs(F.col("approx") - F.col("exact_nd_part"))
+                <= F.col("exact_nd_part") * F.lit(0.05)
+            ).alias("within_5rsd"),
+        )
     )
 
 

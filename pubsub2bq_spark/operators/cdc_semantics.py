@@ -210,7 +210,13 @@ def schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "schema_revision",
-    oracle=None,  # revision registry semantics → rows-only check
+    oracle="""
+        SELECT event_id,
+               CASE WHEN event_id % 2 = 0 THEN 'r1' ELSE 'r2' END AS revision_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(NULL AS VARCHAR) AS extra
+        FROM events
+    """,
     doc="Schema-revision registry: messages carry a revision id attribute "
         "(googclient_schemarevisionid, /root/reference/README.md:293-295); "
         "each revision parses with its own StructType, results union with a "

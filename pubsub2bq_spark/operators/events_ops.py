@@ -195,10 +195,27 @@ def session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "watermark_window",
-    oracle=None,  # true streaming execution → rows-only check
+    # Append mode is deterministic under AvailableNow: after the final
+    # batch the watermark settles at max(ts) - 10min, and exactly the
+    # windows with end <= watermark have been emitted. That closed set is
+    # plain SQL — windows whose end is at least 10 minutes before the
+    # stream's max event time (epoch_ms truncation matches Spark's
+    # millisecond watermark arithmetic).
+    oracle="""
+        SELECT make_timestamp(ws * 1000000) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 4) AS total
+        FROM (
+            SELECT event_type, value,
+                   CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws
+            FROM events
+        )
+        WHERE (ws + 300) * 1000 <= (SELECT epoch_ms(max(ts)) - 600000 FROM events)
+        GROUP BY 1, 2
+    """,
     doc="Structured Streaming: tumbling 5-minute event-time window with a "
         "10-minute watermark, driven to completion with AvailableNow over "
-        "the events parquet (late rows beyond the watermark are dropped).",
+        "the events parquet (late rows beyond the watermark are dropped); "
+        "emitted set = windows the final watermark closed.",
     scale_notes="Watermark bounds keyed state; append mode only emits "
                 "finalized windows. The real 100 TB pattern for late data.",
 )
@@ -229,9 +246,9 @@ def watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    # Append mode only emits windows the watermark has closed; with a single
-    # AvailableNow batch the final windows stay open, so fall back to the
-    # complete-mode snapshot semantics by reading what was emitted.
+    # Append mode: the memory sink now holds exactly the windows the final
+    # watermark (max ts - 10 min) closed; the last windows stay open and
+    # are deliberately absent — the oracle encodes the same closed set.
     return spark.table(sink)
 
 

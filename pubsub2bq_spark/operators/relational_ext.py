@@ -164,10 +164,20 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stateful_running",
-    oracle=None,  # cross-batch streaming state → rows-only check
+    # The update-mode memory sink appends one row per (user, batch); the
+    # row with the highest total_events per user is that user's final
+    # state, which must equal the batch group-by — SQL-expressible, so
+    # the cross-batch state machinery gets a real value-hash check.
+    oracle="""
+        SELECT user_id, count(*) AS total_events,
+               round(sum(value), 4) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
     doc="Arbitrary stateful streaming (T8): applyInPandasWithState keeps "
         "per-user running totals across micro-batches (see "
-        "streaming/stateful.py; cross-batch carry asserted in tests).",
+        "streaming/stateful.py; cross-batch carry asserted in tests). "
+        "Returns each user's final state, checked against the batch twin.",
     scale_notes="State is O(1) per user key and lives in the state store; "
                 "production pairs it with a processing-time timeout for "
                 "idle-key eviction.",
@@ -195,4 +205,11 @@ def stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    # Update mode appends one row per (user, batch); keep each user's
+    # final state (total_events strictly increases across a user's
+    # batches, so max/max_by is exact).
+    snap = spark.table(sink)
+    return snap.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events"),
+        F.max_by("total_value", "total_events").alias("total_value"),
+    )
