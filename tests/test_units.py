@@ -173,3 +173,48 @@ class TestLshQuality:
         sf = "/root/testdata/sf0.01"
         pairs = qs["minhash_lsh"].spark(spark, sf)
         assert pairs.count() > 0
+
+
+class TestEmbeddingDedupScaling:
+    def test_planes_scale_with_corpus(self):
+        """Plane count must grow with corpus size (bounded buckets) and
+        stay at the floor for every oracle/test scale."""
+        from pubsub2bq_spark.operators.llm_similarity import (
+            MAX_PLANES,
+            N_PLANES,
+            TARGET_BUCKET_ROWS,
+            planes_for_corpus,
+        )
+
+        # Oracle scales: sf0.001..sf0.1 corpora are all << 2^8 * target,
+        # so the static 8-plane oracle SQL matches the derived count.
+        for n in (50, 500, 5000, 262_144):
+            assert planes_for_corpus(n) == N_PLANES
+        # Growth: expected bucket cardinality n / 2^planes stays <= target.
+        for n in (10**6, 10**8, 10**9):
+            p = planes_for_corpus(n)
+            assert n / 2**p <= TARGET_BUCKET_ROWS
+        # Cost ceiling.
+        assert planes_for_corpus(2**60) == MAX_PLANES
+
+    def test_bucket_sizes_bounded(self, spark):
+        """Observed max bucket size at test scale must respect the bound
+        the derivation targets."""
+        from pyspark.sql import functions as F
+
+        from pubsub2bq_spark.operators.llm_similarity import (
+            TARGET_BUCKET_ROWS,
+            lsh_bucket,
+            planes_for_corpus,
+        )
+        from pubsub2bq_spark.tables import load
+
+        em = load(spark, "/root/testdata/sf0.01", "embeddings")
+        n_planes = planes_for_corpus(em.count())
+        sizes = (
+            em.select(lsh_bucket(F.transform("embedding", lambda x: x.cast("double")), n_planes).alias("b"))
+            .groupBy("b")
+            .count()
+        )
+        max_bucket = sizes.agg(F.max("count")).first()[0]
+        assert max_bucket <= TARGET_BUCKET_ROWS, max_bucket
