@@ -27,6 +27,8 @@ from last-writer-wins merges downstream, not arrival order).
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,33 +88,111 @@ class CdcPipeline:
         return self._publish(self.envelope_stream())
 
     # ---- subscriber / sink side -------------------------------------------
+    #
+    # Per-message delivery accounting (reference: retry_policy
+    # minimum_backoff 60s + dead_letter_policy max_delivery_attempts 5,
+    # /root/reference/terraform/main.tf:402-409). A failed sink write
+    # NACKs the batch: each message's failure is appended to a persistent
+    # nack log next to the checkpoint, and the raised error leaves the
+    # offsets uncommitted so the source redelivers — exactly Pub/Sub's
+    # redelivery-on-nack. On redelivery, messages whose logged attempts
+    # reached the cap are routed to the DLQ (with their real attempt
+    # count) instead of the sink, so a poison batch drains. The log holds
+    # only in-flight failed messages (cleared when the frontier batch
+    # commits) — at scale this is the broker's tiny per-message delivery
+    # state, never data-sized, and it broadcasts into the batch join.
+
+    @property
+    def _nack_dir(self) -> str:
+        return os.path.join(self.spec.checkpoint_dir, "nack_log")
+
+    def _nack_counts(self) -> DataFrame | None:
+        """(ordering_key, ts_ms) -> prior failed attempts + last failure time."""
+        if not os.path.isdir(self._nack_dir):
+            return None
+        raw = self.spark.read.schema(
+            "ordering_key string, ts_ms bigint, failed_at double"
+        ).parquet(self._nack_dir)
+        return raw.groupBy("ordering_key", "ts_ms").agg(
+            F.count(F.lit(1)).alias("prior_attempts"),
+            F.max("failed_at").alias("last_failed"),
+        )
+
+    def _record_nacks(self, messages: DataFrame) -> None:
+        (
+            messages.select(
+                "ordering_key", "ts_ms", F.lit(time.time()).alias("failed_at")
+            )
+            .write.mode("append")
+            .parquet(self._nack_dir)
+        )
+
+    def _await_backoff(self, nacks: DataFrame | None) -> None:
+        """Honor the minimum redelivery backoff: wait out the remainder of
+        the window since the batch's last failed attempt (scalar probe)."""
+        if nacks is None or self.spec.retry.backoff_seconds <= 0:
+            return
+        last = nacks.agg(F.max("last_failed")).first()[0]
+        if last is None:
+            return
+        remaining = self.spec.retry.backoff_seconds - (time.time() - last)
+        if remaining > 0:
+            time.sleep(remaining)
+
+    def _write_sink(self, projected: DataFrame) -> None:
+        """The one fallible delivery hop (tests inject transient faults here)."""
+        projected.write.mode("append").parquet(self.spec.sink_dir)
+
     def _deliver(self, messages: DataFrame, epoch_id: int) -> None:
         """One micro-batch delivery. Order of operations matters:
         the halt check runs BEFORE any write so a mismatch leaves both
-        sink and DLQ untouched and the checkpoint un-advanced."""
+        sink and DLQ untouched and the checkpoint un-advanced; exhausted
+        messages dead-letter only AFTER a successful sink write so a
+        still-failing batch can't double-DLQ them."""
         spec = self.spec
         valid, corrupt = split_corrupt(messages, "data", spec.topic_schema)
+
+        nacks = self._nack_counts()
+        exhausted: DataFrame | None = None
+        deliverable = valid
+        if nacks is not None:
+            flagged = valid.join(F.broadcast(nacks), ["ordering_key", "ts_ms"], "left")
+            exhausted = flagged.filter(
+                F.col("prior_attempts") >= spec.retry.max_attempts
+            )
+            deliverable = flagged.filter(
+                F.col("prior_attempts").isNull()
+                | (F.col("prior_attempts") < spec.retry.max_attempts)
+            ).drop("prior_attempts", "last_failed")
+
         projected = project_to_sink_schema(
-            valid.drop("data", "ordering_key", "attributes", "ts_ms"),
+            deliverable.drop("data", "ordering_key", "attributes", "ts_ms"),
             spec.topic_schema,
             spec.sink_schema,
         )
 
-        attempts = 0
-        while True:
-            attempts += 1
-            try:
-                projected.write.mode("append").parquet(spec.sink_dir)
-                break
-            except SchemaMismatchError:
-                raise  # permanent: halt (never reached — project raises earlier)
-            except Exception:
-                # Transient delivery failure → retry with backoff, then DLQ
-                # the whole batch (reference: >=60s backoff, 5 attempts).
-                if attempts >= spec.retry.max_attempts:
-                    self._to_dlq(messages, reason="delivery_failed", attempts=attempts)
-                    return
-                time.sleep(spec.retry.backoff_seconds)
+        self._await_backoff(nacks)
+        try:
+            self._write_sink(projected)
+        except SchemaMismatchError:
+            raise  # permanent: halt (never reached — project raises earlier)
+        except Exception:
+            # Transient delivery failure → NACK: log one failed attempt per
+            # message and fail the batch so offsets stay uncommitted and
+            # the source redelivers after the backoff.
+            self._record_nacks(deliverable)
+            raise
+
+        if exhausted is not None:
+            ex = exhausted.select(
+                "data",
+                "ordering_key",
+                "attributes",
+                "ts_ms",
+                F.col("prior_attempts").cast("int").alias("delivery_attempts"),
+            )
+            if ex.limit(1).count() > 0:
+                self._to_dlq(ex, reason="delivery_failed")
 
         if corrupt.isStreaming is False and corrupt.limit(1).count() > 0:
             self._to_dlq(
@@ -121,10 +201,18 @@ class CdcPipeline:
                 attempts=1,
             )
 
-    def _to_dlq(self, df: DataFrame, reason: str, attempts: int) -> None:
+        # Frontier batch committed: its delivery state is settled.
+        shutil.rmtree(self._nack_dir, ignore_errors=True)
+
+    def _to_dlq(self, df: DataFrame, reason: str, attempts: int | None = None) -> None:
+        out = df.withColumn("dlq_reason", F.lit(reason))
+        if "delivery_attempts" not in df.columns:
+            out = out.withColumn("delivery_attempts", F.lit(attempts))
         (
-            df.withColumn("dlq_reason", F.lit(reason))
-            .withColumn("delivery_attempts", F.lit(attempts))
+            out.select(
+                "data", "ordering_key", "attributes", "ts_ms",
+                "dlq_reason", "delivery_attempts",
+            )
             .write.mode("append")
             .parquet(self.spec.dlq_dir)
         )

@@ -144,3 +144,99 @@ def test_dead_letter_on_corrupt_payload(spark, tmp):
     assert dlq[0]["delivery_attempts"] == 1
     # valid rows of that batch still delivered (3 snapshot + 2 valid re-sent)
     assert p.read_sink().count() == 3 + 2
+
+
+def test_per_message_retry_exhaustion_dead_letters(spark, tmp):
+    """Transient sink failures NACK the batch (offsets uncommitted, one
+    logged attempt per message); at the attempt cap the messages route to
+    the DLQ with their real attempt count and the batch drains
+    (reference: max_delivery_attempts=5, terraform/main.tf:402-409)."""
+    spec = make_spec(tmp, fx.SINK_SCHEMA_V1)
+    spec.retry = RetryPolicy(max_attempts=3, backoff_seconds=0.0)
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    p = CdcPipeline(spark, spec)
+
+    real_write = p._write_sink
+    p._write_sink = lambda projected: (_ for _ in ()).throw(IOError("sink outage"))
+    for _ in range(spec.retry.max_attempts):
+        with pytest.raises(Exception):
+            p.run_available_now()
+
+    # Outage ends, but the messages have exhausted their attempts:
+    # redelivery routes them to the DLQ and commits the batch.
+    p._write_sink = real_write
+    p.run_available_now()
+    dlq = p.read_dlq().collect()
+    assert len(dlq) == 3
+    assert all(r["dlq_reason"] == "delivery_failed" for r in dlq)
+    assert all(r["delivery_attempts"] == 3 for r in dlq)
+    assert p.read_sink().count() == 0  # nothing ever reached the sink
+    assert not os.path.isdir(p._nack_dir)  # delivery state settled
+
+    # The stream is drained: a later, healthy message delivers normally.
+    fx.write_segment(spec.spool_dir, "001_insert994", fx.insert_994_with_phone())
+    p.run_available_now()
+    assert p.read_sink().count() == 1
+
+
+def test_transient_failure_recovers_without_dlq(spark, tmp):
+    """Failures below the cap redeliver and succeed: no DLQ rows, all
+    messages land, nack log cleared."""
+    spec = make_spec(tmp, fx.SINK_SCHEMA_V1)
+    spec.retry = RetryPolicy(max_attempts=5, backoff_seconds=0.0)
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    p = CdcPipeline(spark, spec)
+
+    real_write = p._write_sink
+    fails = {"left": 2}
+
+    def flaky(projected):
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise IOError("sink outage")
+        real_write(projected)
+
+    p._write_sink = flaky
+    for _ in range(2):
+        with pytest.raises(Exception):
+            p.run_available_now()
+    p.run_available_now()
+
+    assert p.read_sink().count() == 3
+    assert not os.path.exists(spec.dlq_dir) or p.read_dlq().count() == 0
+    assert not os.path.isdir(p._nack_dir)
+
+
+def test_schema_registry_survives_restart(spark, tmp):
+    """T2: revision history persists with the checkpoint; after a restart
+    a fresh registry over the same dir parses old-revision messages
+    (reference: debezium.properties schema history topic)."""
+    from pyspark.sql import types as T
+
+    from pubsub2bq_spark.streaming.schema_registry import SchemaRegistry
+
+    history_dir = os.path.join(tmp, "cp", "schema_history")
+    reg = SchemaRegistry(persist_dir=history_dir)
+    reg.add("r1", T.StructType([T.StructField("k", T.LongType())]))
+    reg.add(
+        "r2",
+        T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("extra", T.StringType())]
+        ),
+    )
+    del reg  # "restart"
+
+    recovered = SchemaRegistry(persist_dir=history_dir)
+    wire = spark.createDataFrame(
+        [(1, '{"k": 7}', "r1"), (2, '{"k": 8, "extra": "x"}', "r2")],
+        "event_id bigint, data string, revision_id string",
+    )
+    rows = {
+        r["event_id"]: r.asDict()
+        for r in recovered.parse(wire, data_col="data", revision_col="revision_id").collect()
+    }
+    assert rows[1]["k"] == 7 and rows[1]["extra"] is None
+    assert rows[2]["k"] == 8 and rows[2]["extra"] == "x"
+    # Monotonicity still enforced after recovery.
+    with pytest.raises(ValueError):
+        recovered.add("r1", T.StructType([]))
