@@ -16,12 +16,15 @@ from pubsub2bq_spark.tables import load
 
 N_BUCKETS = 8
 
-# SparkContext id -> sf_dir currently materialized as bucketed.* tables.
+# applicationId -> sf_dir currently materialized as bucketed.* tables.
 # The bucket write is a one-time layout investment (like building an
 # index); steady-state queries join the already-bucketed tables, so
 # repeated calls in one session must not re-pay the write. A different
-# sf_dir forces a rebuild (the table names are shared).
-_BUCKETED_READY: dict[int, str] = {}
+# sf_dir forces a rebuild (the table names are shared). Keyed on
+# applicationId (unique per context — id() values can be recycled after
+# GC) and double-checked against the catalog, since a new session in
+# the same process starts with a fresh catalog.
+_BUCKETED_READY: dict[str, str] = {}
 
 
 @register(
@@ -40,8 +43,10 @@ _BUCKETED_READY: dict[int, str] = {}
                 "target ~128-512 MB per bucket file.",
 )
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ctx = id(spark.sparkContext)
-    if _BUCKETED_READY.get(ctx) != sf_dir:
+    ctx = spark.sparkContext.applicationId
+    if _BUCKETED_READY.get(ctx) != sf_dir or not spark.catalog.tableExists(
+        "bucketed.orders_b"
+    ):
         tmp = tempfile.mkdtemp(prefix="bucketq_")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketed LOCATION '{tmp}/db'")
         spark.sql("DROP TABLE IF EXISTS bucketed.orders_b")
@@ -74,17 +79,19 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SparkContext id -> (sf_dir, path) of the partitioned-orders layout.
-_PARTITIONED_READY: dict[int, tuple[str, str]] = {}
+# applicationId -> (sf_dir, path) of the partitioned-orders layout.
+_PARTITIONED_READY: dict[str, tuple[str, str]] = {}
 
 
 def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders laid out as a year-partitioned parquet table (written once
     per session+dataset, like the bucketed twins above — layout is an
     investment, not a per-query cost)."""
-    ctx = id(spark.sparkContext)
+    import os
+
+    ctx = spark.sparkContext.applicationId
     ready = _PARTITIONED_READY.get(ctx)
-    if ready is None or ready[0] != sf_dir:
+    if ready is None or ready[0] != sf_dir or not os.path.isdir(ready[1]):
         tmp = tempfile.mkdtemp(prefix="part_orders_")
         (
             load(spark, sf_dir, "orders")

@@ -50,6 +50,12 @@ def get_spark(app_name: str = "pubsub2bq_spark", master: str | None = None) -> S
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics (== DuckDB oracle).
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); Spark reads it only as
+        # int64. Set at session construction so no operator has to mutate
+        # session state mid-flight (tables.load / streaming readers still
+        # set it defensively for vanilla driver-built sessions — always
+        # the same value, so there is no cross-query behavior change).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         # 8g measured strictly better than 16g on the bench suite (16.8s vs
         # 44.4s total): the larger heap traded frequent short GCs for

@@ -103,7 +103,11 @@ def main() -> None:
         # a .write would execute a copy and leave this plan unfinalized.
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        s = summarize(plan, formatted)
+        # The AQE plan string carries BOTH '== Final Plan ==' and
+        # '== Initial Plan ==' sections; counting over the whole string
+        # double-counts every operator (and mixes pre-/post-AQE join
+        # strategies). Summarize the final section only.
+        s = summarize(plan.split("== Initial Plan ==")[0], formatted)
         out.append(
             f"| {key} | {s['broadcast_joins']} | {s['sort_merge_joins']} "
             f"| {s['shuffle_stages']} | {s['codegen_stages']} "
