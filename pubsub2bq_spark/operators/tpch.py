@@ -1,0 +1,832 @@
+"""The remaining TPC-H-shaped suite (Q2,4,7,8,9,11-17,19-22).
+
+`analytics.py` carries Q1/Q3/Q5/Q6/Q10/Q18; together these 22 keys are
+the full TPC-H query surface adapted to the driver's schema (no
+partsupp table, no comment/shipmode/commitdate columns — the lineitem
+fact doubles as the part↔supplier bridge wherever the original uses
+partsupp, and categorical proxies replace the missing columns; each
+docstring notes the substitution).
+
+The reference's sink engine runs arbitrary composed SQL over delivered
+tables (`/root/reference/README.md:199-214`); this suite proves every
+classic OLAP shape — correlated aggregates, scalar subqueries,
+EXISTS/NOT EXISTS, OR-of-ANDs pushdown, distribution group-bys —
+compiles to the Spark plan you'd want at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import load
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+@register(
+    "tpch_q2",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY l_partkey, l_suppkey
+        ),
+        best AS (
+            SELECT l_partkey, min(unit_cost) AS best_cost FROM cost GROUP BY l_partkey
+        )
+        SELECT round(s_acctbal, 4) AS s_acctbal, s_name, n_name,
+               p_partkey, p_name, round(unit_cost, 4) AS supply_cost
+        FROM cost
+        JOIN best     ON cost.l_partkey = best.l_partkey AND unit_cost = best_cost
+        JOIN part     ON p_partkey = cost.l_partkey
+        JOIN supplier ON s_suppkey = cost.l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: minimum-cost supplier per part. partsupp is "
+        "absent from the schema, so observed unit price min(l_extendedprice"
+        "/l_quantity) over the lineitem bridge stands in for ps_supplycost.",
+    scale_notes="The region-filtered supplier⋈nation⋈region chain is "
+                "dim-sized and broadcasts into the lineitem scan; the only "
+                "shuffle is the (partkey,suppkey) aggregate. The correlated "
+                "min-per-part is a second map-side-combined agg on the "
+                "already-shuffled partkey key, not a self-join of the fact.",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    euro_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.withColumn("best_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 4).alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o_orderdate <  TIMESTAMP '1997-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: order-priority checking. The original's "
+        "commitdate<receiptdate EXISTS becomes 'has a returned lineitem' "
+        "(l_returnflag='R') — same left-semi plan shape.",
+    scale_notes="EXISTS compiles to a left-semi join keyed on orderkey; "
+                "the quarter predicate pushes to the orders scan and the "
+                "returnflag filter to the lineitem scan, so both shuffle "
+                "inputs are pre-filtered. Aggregate output is 5 rows.",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-07-01"))
+        & (F.col("o_orderdate") < _ts("1997-10-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q7",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: volume shipping between two nations, grouped by "
+        "direction and ship year.",
+    scale_notes="The nation-pair OR predicate can't prune a single scan "
+                "but both nation joins broadcast, so the filter applies "
+                "map-side right after the dim lookup — rows from the other "
+                "23 supplier nations never shuffle. Fact-fact "
+                "lineitem⋈orders is the one real shuffle.",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8") | (
+        (F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle="""
+        SELECT o_year,
+               round(sum(CASE WHEN nation = 'NATION_6' THEN volume ELSE 0 END)
+                     / sum(volume), 4) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n1.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region   ON n2.n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+              AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    doc="TPC-H Q8: national market share — NATION_6's share of ECONOMY-part "
+        "volume sold into AMERICA customers, by order year.",
+    scale_notes="Everything except lineitem⋈orders broadcasts (part filter "
+                "is 1/6 of a dim, supplier/nation/region are tiny). The "
+                "share is a conditional-sum ratio inside one aggregate — "
+                "no second pass, no join back.",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation"))
+    n2 = n.select("n_nationkey", "n_regionkey")
+    cust_america = (
+        c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust_america, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_6", volume).otherwise(F.lit(0.0)))
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9",
+    oracle="""
+        SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE 'red%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9: product-type profit by supplier nation and year. "
+        "ps_supplycost is absent; 0.6*p_retailprice stands in as unit cost.",
+    scale_notes="p_name LIKE 'red%' is a leading-prefix filter the parquet "
+                "reader can evaluate cheaply; the filtered part dim "
+                "broadcasts so lineitem prunes before the orders join — "
+                "at 100 TB only ~1/8 of the fact reaches the shuffle.",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"),
+                amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle="""
+        WITH supplied AS (
+            SELECT l_partkey, sum(l_extendedprice) AS part_value
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey AS ps_partkey, round(part_value, 4) AS part_value
+        FROM supplied
+        WHERE part_value > (SELECT sum(part_value) * 0.001 FROM supplied)
+        ORDER BY part_value DESC, ps_partkey
+    """,
+    doc="TPC-H Q11 shape: important-stock identification. partsupp value "
+        "(supplycost*availqty) becomes supplied lineitem value from EUROPE "
+        "suppliers; the HAVING threshold is the classic scalar subquery "
+        "over the same aggregate.",
+    scale_notes="The grouped aggregate computes once; the global total "
+                "reduces it to one row that broadcasts back as a cross "
+                "join — Spark's scalar-subquery plan — so the fact scans "
+                "once, not twice. Threshold filter happens post-agg on "
+                "part-cardinality data.",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    supplied = (
+        li.join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("part_value"))
+    )
+    threshold = supplied.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    return (
+        supplied.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round("part_value", 4).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("ps_partkey"))
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+        SELECT l_linestatus AS ship_mode,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY ship_mode
+        ORDER BY ship_mode
+    """,
+    doc="TPC-H Q12 shape: shipping-mode priority split. l_shipmode is "
+        "absent; l_linestatus is the categorical stand-in.",
+    scale_notes="One fact-fact shuffle join (orderkey), but the lineitem "
+                "side is year-filtered at the scan and projects 3 columns; "
+                "the conditional counts fold into a single partial agg of "
+                "2 output rows.",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13: customer order-count distribution. The original's "
+        "comment NOT-LIKE filter becomes an orderpriority exclusion.",
+    scale_notes="Two cascading aggregates: the first shuffles on custkey "
+                "(same key as the join, so AQE reuses the exchange), the "
+                "second groups the ~dozen distinct counts — negligible. "
+                "LEFT join keeps zero-order customers (count=0 bucket).",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle="""
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H Q14: promotion-effect revenue share for one ship month.",
+    scale_notes="Month filter pushes to the lineitem scan; part broadcasts "
+                "(it's a dim). The ratio is one conditional-sum aggregate — "
+                "single scan, single scalar out.",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01"))
+        & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15: top supplier by quarterly revenue (the view + scalar "
+        "max subquery form). Revenue is rounded before the max comparison "
+        "on both sides so float summation order cannot flip equality.",
+    scale_notes="Revenue aggregates on suppkey (one shuffle of the "
+                "quarter's slice); the max reduces to one broadcast row. "
+                "Joining supplier to the supplier-cardinality revenue "
+                "relation is dim-sized work.",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        s.join(F.broadcast(revenue), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: parts/supplier relationship count. The lineitem "
+        "bridge replaces partsupp; negative account balance replaces the "
+        "'complaints' supplier exclusion.",
+    scale_notes="The excluded-supplier set is dim-sized and broadcasts as "
+                "an anti-join; part filters broadcast too, so the fact "
+                "prunes before its one shuffle — the distinct-supplier "
+                "count groups on (brand,type,size).",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad_supp = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND p_type = 'SMALL'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = lineitem.l_partkey
+          )
+    """,
+    doc="TPC-H Q17: small-quantity-order revenue — the classic correlated "
+        "scalar subquery (per-part average quantity).",
+    scale_notes="Decorrelated by hand the way Catalyst would: per-part "
+                "averages aggregate on partkey, then join back on the same "
+                "key. Both sides of that join are keyed identically so AQE "
+                "reuses the exchange; the brand/type filter broadcasts to "
+                "prune the fact first.",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    # Per-part avg over ALL lineitems of that part (the subquery is not
+    # restricted by the outer brand filter — it correlates on partkey only).
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pp_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle="""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19: discounted revenue over an OR-of-ANDs of brand/size/"
+        "quantity bands (the disjunctive-predicate pushdown test).",
+    scale_notes="Catalyst extracts the common subexpressions: the "
+                "quantity-range union pushes to the lineitem scan and the "
+                "brand/size union to the part scan before the broadcast "
+                "join evaluates the full disjunction — the fact never "
+                "shuffles at all.",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ),
+        dominant AS (
+            SELECT l_partkey, l_suppkey
+            FROM (SELECT l_partkey, l_suppkey, qty,
+                         sum(qty) OVER (PARTITION BY l_partkey) AS part_total
+                  FROM shipped) t
+            WHERE qty > 0.5 * part_total
+              AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+        ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape: suppliers with excess stock of 'red' parts. "
+        "ps_availqty > half-of-shipped becomes 'supplier shipped more than "
+        "half this part's 1997 volume' — a dominant-supplier semi-join.",
+    scale_notes="The share test is a window-sum over the already-grouped "
+                "(partkey,suppkey) aggregate — partkey-keyed, no self-join "
+                "of the fact. Red parts and the region-filtered supplier "
+                "dim both broadcast; the final result is dim-sized.",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    red = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("part_total", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.5 * F.col("part_total"))
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+        WITH per AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey, l_suppkey
+        ),
+        ord AS (
+            SELECT l_orderkey, count(*) AS n_supp, sum(has_r) AS n_with_r
+            FROM per GROUP BY l_orderkey
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM per
+        JOIN ord USING (l_orderkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE per.has_r = 1 AND ord.n_supp >= 2 AND ord.n_with_r = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+    doc="TPC-H Q21 shape: suppliers who kept waiting multi-supplier "
+        "orders. receiptdate>commitdate becomes l_returnflag='R': count "
+        "orders where this supplier is the ONLY one with a returned line "
+        "(EXISTS another supplier / NOT EXISTS another late supplier).",
+    scale_notes="Both EXISTS conditions decorrelate into one orderkey-"
+                "grouped aggregate over the (orderkey,suppkey) relation — "
+                "per and ord share the orderkey shuffle key, so the join "
+                "back is exchange-reusable, never an O(n²) self-join.",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    s = load(spark, sf_dir, "supplier")
+    per = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"))
+    )
+    ord_stats = per.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("has_r").alias("n_with_r")
+    )
+    return (
+        per.join(ord_stats, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("has_r") == 1) & (F.col("n_supp") >= 2) & (F.col("n_with_r") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+        WITH pool AS (
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM customer WHERE c_nationkey IN (1, 6, 11, 16, 21)
+        )
+        SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+               round(sum(c_acctbal), 4) AS totacctbal
+        FROM pool
+        WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM pool
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+    """,
+    doc="TPC-H Q22 shape: global-sales-opportunity — rich customers in 5 "
+        "nations with no recent orders. Phone-prefix country codes become "
+        "nation keys; 'no orders at all' becomes 'no orders since 1999' "
+        "(every synthetic customer has at least one order). The average "
+        "threshold is rounded to cents on both sides so summation order "
+        "cannot flip a boundary comparison.",
+    scale_notes="The scalar average broadcasts as a one-row cross join; "
+                "the NOT EXISTS is a left-anti join against date-filtered "
+                "orders, keyed on custkey. Both sides of the anti-join "
+                "push their filters to the scan.",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool = load(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 6, 11, 16, 21)
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("1999-01-01")
+    ).select("o_custkey")
+    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    return (
+        pool.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -107,6 +107,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         relational_ext,
         source_formats,
+        tpch,
         udf_surface,
         windows,
     )
