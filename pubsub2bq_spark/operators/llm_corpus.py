@@ -1,0 +1,315 @@
+"""Corpus-hygiene operators for a pretraining data pipeline:
+train/test contamination detection, PII scrubbing, repetition
+filtering, and the composed C4-style cleaning funnel.
+
+These extend the text suite (`llm_text.py`) with the cross-document
+and compliance passes a 100 TB corpus build runs between ingestion
+and tokenization. Everything stays JVM-side (split / regexp /
+higher-order array functions); the only shuffles are the keyed joins
+and aggregates each docstring calls out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.operators.llm_text import (
+    FP_GRAM,
+    FP_KEEP,
+    FP_STRIDE,
+    fingerprint_sketch,
+)
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import fan_out, load
+
+# DuckDB twin of llm_text.fingerprint_sketch — shared by the oracles
+# below so the sketch definition can't drift between operators.
+_FP_CTE = f"""
+        grams AS (
+            SELECT doc_id,
+                   md5(substr(lower(text), CAST(i AS INT), {FP_GRAM})) AS h
+            FROM documents,
+                 unnest(range(1, greatest(len(text) - {FP_GRAM} + 2, 2),
+                              {FP_STRIDE})) AS t(i)
+        ),
+        fp AS (
+            SELECT doc_id,
+                   array_to_string(list_sort(list(h))[1:{FP_KEEP}], '|') AS fingerprint
+            FROM grams GROUP BY doc_id
+        )
+"""
+
+# hash_split's deterministic split assignment (first md5 nibble of the
+# doc_id: 13/2/1 of 16) — restated here for the contamination check.
+_SPLIT_SQL = """
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+             ELSE 'test' END
+"""
+
+
+def _split_col():
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return F.when(nib <= "c", "train").when(nib <= "e", "val").otherwise("test")
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+        WITH {_FP_CTE},
+        tagged AS (
+            SELECT doc_id, fingerprint, {_SPLIT_SQL} AS split FROM fp
+        ),
+        train_fp AS (
+            SELECT fingerprint, count(*) AS n_train_matches
+            FROM tagged WHERE split = 'train' GROUP BY fingerprint
+        )
+        SELECT doc_id, fingerprint, n_train_matches
+        FROM tagged JOIN train_fp USING (fingerprint)
+        WHERE split = 'test'
+    """,
+    doc="Train/test contamination detection: test-split documents whose "
+        "min-k gram fingerprint (doc_fingerprint's sketch) also appears in "
+        "the train split — the eval-integrity check every pretraining "
+        "pipeline runs before publishing a benchmark split.",
+    scale_notes="Sketching is map-only; the membership test is an "
+                "equi-join keyed on the fingerprint, both sides pre-"
+                "aggregated, so the shuffle carries one short hash string "
+                "per document — never the text. Near-uniform fingerprints "
+                "hash-partition evenly; a degenerate corpus (one dominant "
+                "boilerplate fingerprint) surfaces as one hot key and is "
+                "exactly the doc group you want flagged anyway.",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    tagged = fingerprint_sketch(d).select(
+        "doc_id", "fingerprint", _split_col().alias("split")
+    )
+    train_fp = (
+        tagged.filter(F.col("split") == "train")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_train_matches"))
+    )
+    return (
+        tagged.filter(F.col("split") == "test")
+        .join(train_fp, "fingerprint")
+        .select("doc_id", "fingerprint", "n_train_matches")
+    )
+
+
+# PII regexes, identical byte-for-byte on both engines (the subset of
+# regex syntax Java and RE2/DuckDB agree on: no lookaround, no \d
+# shorthand inside classes).
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+_PHONE_RE = r"\+1-555-[0-9][0-9][0-9][0-9]"
+_SSN_RE = r"[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' SSN 123-45-6789.' AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+               CAST(len(regexp_extract_all(t, '{_SSN_RE}'))   AS INTEGER) AS n_ssns,
+               md5(regexp_replace(regexp_replace(regexp_replace(t,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_SSN_RE}', '<SSN>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'))                        AS scrubbed_md5
+        FROM injected
+    """,
+    doc="PII scrubbing: regex redaction of emails / phone numbers / SSNs "
+        "to typed placeholders, with per-document redaction counts. The "
+        "synthetic corpus contains no PII, so a deterministic PII suffix "
+        "derived from doc_id is injected first — the redaction plumbing "
+        "(patterns, ordering, counting) is the operator under test; the "
+        "scrubbed-text md5 proves byte-exact output parity.",
+    scale_notes="Pure map stage: three regexp_replace passes fused into "
+                "one codegen'd projection, no Python, no shuffle at all. "
+                "At 100 TB this is scan-bound; pattern count grows the "
+                "per-row constant, not the data moved. SSN is scrubbed "
+                "before phone so the narrower pattern can't be shadowed.",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" SSN 123-45-6789."),
+    )
+    injected = d.select("doc_id", t.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _SSN_RE,
+            "<SSN>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return injected.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_SSN_RE), 0)).alias("n_ssns"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "repetition_filter",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        stats AS (
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   len(list_distinct(t)) AS n_distinct,
+                   list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i + 1]) AS bigrams
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS INTEGER)   AS n_tokens,
+               CAST(n_distinct AS INTEGER) AS n_distinct,
+               round(CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1), 6)
+                                           AS distinct_ratio,
+               round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                     / greatest(len(bigrams), 1), 6) AS bigram_dup_ratio,
+               (CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) < 0.45
+                OR 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                   / greatest(len(bigrams), 1) > 0.5) AS is_repetitive
+        FROM stats
+    """,
+    doc="Repetition filtering: per-document distinct-token ratio and "
+        "duplicate-bigram ratio, flagging boilerplate/degenerate documents "
+        "(the 'repeated line' heuristic from C4/Gopher-style cleaning, "
+        "adapted to single-line synthetic docs via token n-grams).",
+    scale_notes="Map-only: tokenization, bigram construction (transform "
+                "over an index sequence — no explode), and both distinct "
+                "ratios happen inside one projection per row. Document "
+                "text never shuffles; the operator output is a fixed-width "
+                "stats row per doc.",
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("t"),
+    )
+    n = F.size("t")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("t"), i), F.lit(" "), F.element_at(F.col("t"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = toks.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        bigrams.alias("bigrams"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.greatest(
+        F.col("n_tokens"), F.lit(1)
+    )
+    bigram_dup = 1.0 - F.size(F.array_distinct("bigrams")).cast("double") / F.greatest(
+        F.size("bigrams"), F.lit(1)
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(bigram_dup, 6).alias("bigram_dup_ratio"),
+        ((distinct_ratio < 0.45) | (bigram_dup > 0.5)).alias("is_repetitive"),
+    )
+
+
+@register(
+    "corpus_filter",
+    oracle=f"""
+        WITH {_FP_CTE},
+        flags AS (
+            SELECT d.doc_id, lang,
+                   (length(text) BETWEEN 100 AND 20000) AND
+                   (CAST(len(list_distinct(list_filter(
+                        string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> ''))) AS DOUBLE)
+                    / greatest(len(list_filter(
+                        string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '')), 1) >= 0.3) AS quality_ok,
+                   fingerprint
+            FROM documents d JOIN fp ON d.doc_id = fp.doc_id
+        ),
+        kept AS (
+            SELECT doc_id, lang, quality_ok,
+                   quality_ok AND row_number() OVER (
+                       PARTITION BY fingerprint, quality_ok ORDER BY doc_id
+                   ) = 1 AS is_kept
+            FROM flags
+        )
+        SELECT lang,
+               count(*) AS n_raw,
+               sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS n_quality,
+               sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS n_kept
+        FROM kept
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="The composed C4-style cleaning funnel: length window + "
+        "repetition gate (quality), then near-dup removal by fingerprint "
+        "keeping the lowest doc_id, reported as a per-language funnel "
+        "(raw → quality → kept). One key that chains the text suite the "
+        "way a real corpus build does.",
+    scale_notes="Quality flags and the sketch are one map pass over the "
+                "scan; canonical-member selection is a single window "
+                "shuffle keyed on the fingerprint (short hash, not text); "
+                "the funnel aggregate reduces to languages-cardinality "
+                "rows. Three stages, one data-sized shuffle total.",
+)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+    quality_ok = F.length("text").between(100, 20000) & (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1))
+        >= 0.3
+    )
+    flags = fingerprint_sketch(
+        d.withColumn("quality_ok", quality_ok), keep=("lang", "quality_ok")
+    )
+    w = Window.partitionBy("fingerprint", "quality_ok").orderBy("doc_id")
+    kept = flags.withColumn(
+        "is_kept", F.col("quality_ok") & (F.row_number().over(w) == 1)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("quality_ok"), 1).otherwise(0)).alias("n_quality"),
+            F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -206,9 +206,17 @@ FP_KEEP = 4
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark)
+    return fingerprint_sketch(d)
+
+
+def fingerprint_sketch(d: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep, fingerprint, n_grams) min-k gram sketch — the
+    shared primitive behind `doc_fingerprint`, `contamination_check`,
+    and `corpus_filter`. Map-only: carrying extra columns through the
+    projection is free and avoids a doc_id join to recover them."""
     # Project lowered text once so the transform() lambda binds a plain
     # column reference (not a recomputed lower() per element).
-    low = d.select("doc_id", F.lower(F.col("text")).alias("t"))
+    low = d.select("doc_id", *keep, F.lower(F.col("text")).alias("t"))
     positions = F.sequence(
         F.lit(1),
         # DuckDB's range() upper bound is exclusive; sequence() is
@@ -218,12 +226,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = low.select(
         "doc_id",
+        *keep,
         F.transform(
             positions, lambda i: F.md5(F.substr(F.col("t"), i, F.lit(FP_GRAM)))
         ).alias("hs"),
     )
     return grams.select(
         "doc_id",
+        *keep,
         F.concat_ws("|", F.slice(F.array_sort(F.col("hs")), 1, FP_KEEP)).alias(
             "fingerprint"
         ),

@@ -99,6 +99,7 @@ def all_queries() -> dict[str, Query]:
         ddl_ops,
         events_ops,
         joins,
+        llm_corpus,
         llm_dedup,
         llm_similarity,
         llm_text,
