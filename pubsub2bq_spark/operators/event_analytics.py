@@ -1,0 +1,186 @@
+"""Event-log analytics over `events`: sessionization, funnel analysis,
+cohort retention — the workloads a reference user runs on the delivered
+change-event table once it lands in the sink engine (the reference
+treats the sink as a general SQL engine, `/root/reference/README.md:199-214`).
+
+All three are window/aggregate compositions keyed on user_id: at 100 TB
+they shuffle once on the user key (sessionize, funnel) or twice
+(cohort joins back the per-user cohort week), never row-at-a-time.
+Gap comparisons use integer microseconds (`unix_micros`) so engine
+float epoch conventions can't flip a session boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import load
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min in µs
+
+
+@register(
+    "sessionize",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM ordered
+        )
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 4) AS total_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization: split each user's event stream into "
+        "sessions at >30-minute inactivity gaps (lag + running sum of "
+        "boundary flags — the classic gaps-and-islands window), then "
+        "aggregate per session. The batch twin of the streaming "
+        "session_window key.",
+    scale_notes="One shuffle on user_id serves the lag window, the "
+                "running sum, and the final per-session aggregate — "
+                "Catalyst plans all three in the same partitioning. "
+                "Per-user event counts are bounded, so no skew; the "
+                "(ts, event_id) ordering tiebreak makes boundaries "
+                "deterministic under equal timestamps.",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_s", new_s)
+        .withColumn("session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(ts) AS t_click
+            FROM events e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts > t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(ts) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts > t_click
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_view_click,
+               (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+    doc="Ordered-funnel analysis: users who viewed, then clicked after "
+        "their first view, then purchased after that click — strict "
+        "event-order semantics via first-timestamp chaining, not mere "
+        "per-type existence.",
+    scale_notes="Three user_id-keyed aggregates chained by user_id-keyed "
+                "joins: every stage shares one partitioning, so AQE "
+                "reuses the exchange across the whole chain. Each stage's "
+                "output is user-cardinality (small), and the final counts "
+                "reduce to a single row.",
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .join(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT e.user_id, cohort_week,
+                   CAST(floor(date_diff('day', cohort_week,
+                                        date_trunc('day', ts)) / 7.0)
+                        AS INTEGER) AS week_offset
+            FROM events e JOIN firsts USING (user_id)
+        )
+        SELECT cohort_week, week_offset,
+               count(DISTINCT user_id) AS n_active
+        FROM act
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """,
+    doc="Cohort retention: bucket users by the ISO week of their first "
+        "event, then count distinct active users per (cohort, weeks-since) "
+        "cell — the standard retention triangle.",
+    scale_notes="First-event week is a user_id-keyed aggregate; joining "
+                "it back to events reuses the same key. The distinct-user "
+                "count per cell partial-aggregates map-side on (cohort, "
+                "offset, user) before the final reduce — cells are "
+                "week²-cardinality, tiny at any scale.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = e.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.floor(
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_week")) / 7.0
+        )
+        .cast("int")
+        .alias("week_offset"),
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

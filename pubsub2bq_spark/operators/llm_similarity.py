@@ -399,6 +399,71 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_quantize",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               array_to_string(list_transform(e, x ->
+                   CAST(CASE WHEN scale = 0 THEN 0
+                             ELSE floor(x / scale + 0.5) END AS INTEGER)), ',')
+                                                             AS codes,
+               round(CASE WHEN scale = 0 THEN 0.0
+                          ELSE list_max(list_transform(e, x ->
+                              abs(x - floor(x / scale + 0.5) * scale)))
+                     END, 6)                                 AS max_err
+        FROM scaled
+    """,
+    doc="Per-vector int8 quantization: symmetric max-abs scaling to "
+        "[-127,127] integer codes plus the max reconstruction error — the "
+        "4x memory/bandwidth reduction that makes a 100 TB embedding "
+        "column fit an ANN serving tier. floor(x+0.5) rounding keeps the "
+        "codes bit-identical across engines (no banker's-rounding drift); "
+        "codes emit as a joined string for order-exact parity.",
+    scale_notes="Map-only: scale, codes, and error are one projection per "
+                "row over higher-order functions — no shuffle, no Python. "
+                "Product quantization (segmented codebooks) would follow "
+                "the same plan shape with a broadcast codebook join.",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    v = em.select("vec_id", _dvec("embedding").alias("e"))
+    # Internal name `s_raw` ≠ output alias `scale`: reusing the name would
+    # let the select below rebind the lambda's scale reference to the
+    # ROUNDED output column (observed: codes computed off round(scale,6),
+    # flipping floor() at near-half boundaries vs the oracle).
+    scaled = v.select(
+        "vec_id", "e",
+        (F.array_max(F.transform("e", lambda x: F.abs(x))) / 127.0).alias("s_raw"),
+    )
+    code = lambda x: F.floor(x / F.col("s_raw") + 0.5)  # noqa: E731
+    codes = F.transform(
+        "e",
+        lambda x: F.when(F.col("s_raw") == 0, F.lit(0))
+        .otherwise(code(x))
+        .cast("int"),
+    )
+    max_err = F.when(F.col("s_raw") == 0, F.lit(0.0)).otherwise(
+        F.array_max(F.transform("e", lambda x: F.abs(x - code(x) * F.col("s_raw"))))
+    )
+    return scaled.select(
+        "vec_id",
+        F.round("s_raw", 6).alias("scale"),
+        F.concat_ws(",", codes).alias("codes"),
+        F.round(max_err, 6).alias("max_err"),
+    )
+
+
 def _registered_oracle(key: str) -> str:
     from pubsub2bq_spark.registry import all_queries
 

@@ -97,6 +97,7 @@ def all_queries() -> dict[str, Query]:
         cdc_pipeline,
         cdc_semantics,
         ddl_ops,
+        event_analytics,
         events_ops,
         joins,
         llm_corpus,

@@ -32,6 +32,15 @@ PLAN_KEYS = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q18",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q21",
+    "contamination_check",
+    "pii_scrub",
+    "repetition_filter",
+    "corpus_filter",
     "filter_pred",
     "groupby_agg",
     "join_inner",
