@@ -283,3 +283,44 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("l_suppkey").agg(
         F.sum("pn").alias("n_items"), F.round(F.sum("prev"), 4).alias("revenue")
     )
+
+
+@register(
+    "approx_quantiles",
+    # The oracle checks the EXACT quantiles value-for-value and pins the
+    # approximation-error bounds as literal-true booleans: the Spark side
+    # computes |approx - exact| against the tolerance, so a sketch whose
+    # error exceeds the bound flips the boolean and fails the hash match
+    # (same pattern as approx_distinct's rsd check).
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 4)       AS qty_p50_exact,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95_exact,
+               TRUE AS qty_within_tol,
+               TRUE AS price_within_tol
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Approximate quantiles (percentile_approx, accuracy 10k) checked "
+        "against the exact interpolated percentile per group: |approx p50 "
+        "quantity| within ±1.0, approx p95 price within 1% relative.",
+    scale_notes="percentile_approx aggregates a fixed-size KLL-style "
+                "sketch — partial-combinable, memory-bounded per group — "
+                "where exact percentile must buffer the group. At 100 TB "
+                "the exact twin is the thing you drop; the bound check is "
+                "exactly the monitoring query that justifies dropping it.",
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qty_exact = F.expr("percentile(l_quantity, 0.5)")
+    qty_approx = F.expr("percentile_approx(l_quantity, 0.5, 10000)")
+    price_exact = F.expr("percentile(l_extendedprice, 0.95)")
+    price_approx = F.expr("percentile_approx(l_extendedprice, 0.95, 10000)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(qty_exact, 4).alias("qty_p50_exact"),
+        F.round(price_exact, 4).alias("price_p95_exact"),
+        (F.abs(qty_approx - qty_exact) <= 1.0).alias("qty_within_tol"),
+        (F.abs(price_approx - price_exact) <= 0.01 * F.abs(price_exact)).alias(
+            "price_within_tol"
+        ),
+    )

@@ -412,3 +412,84 @@ def time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.round(F.coalesce("sv", F.lit(0.0)), 4).alias("sum_value"),
     )
+
+
+@register(
+    "stream_upsert",
+    # The incremental merge is associative and the (ts desc, event_id
+    # desc) order is total, so the final state table equals the one-shot
+    # latest-per-key query regardless of how the file source batches the
+    # input — which is the correctness claim worth oracle-checking.
+    oracle="""
+        SELECT event_id, user_id, ts, event_type, round(value, 4) AS value
+        FROM (
+            SELECT event_id, user_id, ts, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    doc="Streaming SCD1 upsert: a foreachBatch MERGE that folds each "
+        "micro-batch into a keyed state table (latest event per user), "
+        "copy-on-write versioned parquet standing in for a lakehouse "
+        "MERGE target. The events table is spooled into 4 files and "
+        "streamed with maxFilesPerTrigger=1, so the merge really runs "
+        "across multiple micro-batches with a checkpoint.",
+    scale_notes="Each merge shuffles state∪batch once on user_id. "
+                "Copy-on-write rewrites the full state per batch — fine "
+                "while state ≪ stream, the honest cost of parquet-as-"
+                "sink; at 100 TB the target becomes a transactional "
+                "table format (Delta/Iceberg MERGE) or the partitioned "
+                "merge writes only touched partitions. Batch order "
+                "cannot change the result: the merge is associative "
+                "with a total LWW order.",
+)
+def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="upsert_")
+    spool = os.path.join(tmp, "spool")
+    # Spool normalized events (µs timestamps) into 4 files → 4 micro-batches.
+    load(spark, sf_dir, "events").repartition(4).write.parquet(spool)
+
+    state_root = os.path.join(tmp, "state")
+    current: dict[str, str | None] = {"path": None}
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        merged = batch
+        if current["path"] is not None:
+            merged = s.read.parquet(current["path"]).unionByName(batch)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # Copy-on-write: each version is a fresh directory; never rewrite
+        # the path a lazy reader might still scan.
+        new_path = os.path.join(state_root, f"v{batch_id}")
+        latest.write.mode("overwrite").parquet(new_path)
+        current["path"] = new_path
+
+    schema = spark.read.parquet(spool).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spool)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert current["path"] is not None
+    return spark.read.parquet(current["path"]).select(
+        "event_id", "user_id", "ts", "event_type", F.round("value", 4).alias("value")
+    )

@@ -128,3 +128,32 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").alias("k"),
         )
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6)    AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Distribution window family: percent_rank + cume_dist of each "
+        "customer's balance within their nation (the relative-standing "
+        "analytics the ranking family doesn't cover).",
+    scale_notes="Same single shuffle as the ranking window — both "
+                "functions evaluate in one pass over the sorted "
+                "partition. The (acctbal, custkey) tiebreak makes every "
+                "rank unique, so peer-group semantics can't diverge "
+                "between engines.",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
