@@ -1,0 +1,135 @@
+"""Semantic invariants for the round-2 operators — properties the
+DuckDB hash parity can't express (bounds, monotonicity, residuals,
+synthetic contamination planted across splits)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.operators.event_analytics import SESSION_GAP_US, sessionize
+from pubsub2bq_spark.operators.llm_corpus import (
+    _EMAIL_RE,
+    _PHONE_RE,
+    _SSN_RE,
+    contamination_check,
+)
+from pubsub2bq_spark.operators.llm_similarity import embedding_quantize
+from pubsub2bq_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+
+class TestEmbeddingQuantize:
+    def test_codes_bounded_and_error_within_half_step(self, spark):
+        rows = embedding_quantize(spark, SF_SMOKE).collect()
+        assert len(rows) > 0
+        for r in rows:
+            codes = [int(c) for c in r.codes.split(",")]
+            assert all(-127 <= c <= 127 for c in codes), r.vec_id
+            # round-to-nearest ⇒ reconstruction error ≤ scale/2 (+ rounding
+            # slack from the 6-dp display rounding of scale and max_err)
+            assert r.max_err <= r.scale / 2 + 1e-6, (r.vec_id, r.max_err, r.scale)
+
+
+class TestFunnel:
+    def test_funnel_counts_monotone(self, spark):
+        row = all_queries()["funnel_steps"].spark(spark, SF_SMOKE).collect()[0]
+        assert row.n_view >= row.n_view_click >= row.n_view_click_purchase
+        assert row.n_view_click_purchase >= 0
+
+
+class TestSessionize:
+    def test_gap_invariants(self, spark):
+        """Consecutive sessions of one user are separated by more than the
+        gap; events within a session never straddle a larger gap."""
+        sess = sessionize(spark, SF_SMOKE)
+        w_us = (
+            sess.select(
+                "user_id",
+                "session_id",
+                F.unix_micros("session_start").alias("s"),
+                F.unix_micros("session_end").alias("e"),
+                "n_events",
+            )
+            .orderBy("user_id", "session_id")
+            .collect()
+        )
+        by_user: dict[int, list] = {}
+        for r in w_us:
+            assert r.e >= r.s and r.n_events >= 1
+            by_user.setdefault(r.user_id, []).append(r)
+        assert by_user, "no sessions produced"
+        for rs in by_user.values():
+            # session ids are 1..k dense per user
+            assert [r.session_id for r in rs] == list(range(1, len(rs) + 1))
+            for a, b in zip(rs, rs[1:]):
+                assert b.s - a.e > SESSION_GAP_US, (a, b)
+
+
+class TestPiiScrub:
+    def test_no_residual_pii_after_scrub(self, spark):
+        """Re-apply the module's own patterns to the scrubbed text: zero
+        matches must remain (the invariant the md5 parity can't show)."""
+        from pubsub2bq_spark.tables import load
+
+        d = load(spark, SF_SMOKE, "documents")
+        t = F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" SSN 123-45-6789."),
+        )
+        scrubbed = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _SSN_RE, "<SSN>"
+            ),
+            _PHONE_RE,
+            "<PHONE>",
+        )
+        residual = (
+            d.select(
+                (
+                    F.size(F.regexp_extract_all(scrubbed, F.lit(_EMAIL_RE), 0))
+                    + F.size(F.regexp_extract_all(scrubbed, F.lit(_PHONE_RE), 0))
+                    + F.size(F.regexp_extract_all(scrubbed, F.lit(_SSN_RE), 0))
+                ).alias("n")
+            )
+            .agg(F.sum("n").alias("total"))
+            .collect()[0]
+            .total
+        )
+        assert residual == 0
+
+
+def _split_of(doc_id: int) -> str:
+    nib = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+    return "train" if nib <= "c" else ("val" if nib <= "e" else "test")
+
+
+class TestContamination:
+    def test_planted_cross_split_duplicate_is_flagged(self, spark, tmp_path):
+        """Plant an exact duplicate across the train/test hash-split in a
+        synthetic documents table; the check must flag the test copy."""
+        train_id = next(i for i in range(1, 1000) if _split_of(i) == "train")
+        test_id = next(i for i in range(1, 1000) if _split_of(i) == "test")
+        bystander = next(
+            i for i in range(test_id + 1, 2000) if _split_of(i) == "test"
+        )
+        dup = "the quick brown fox jumps over the lazy dog " * 4
+        other = "completely different content with nothing shared here " * 4
+        df = spark.createDataFrame(
+            [
+                (train_id, dup, "en", "src0", len(dup)),
+                (test_id, dup, "en", "src0", len(dup)),
+                (bystander, other, "en", "src0", len(other)),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        sf_dir = str(tmp_path)
+        df.write.parquet(f"{sf_dir}/documents.parquet")
+        flagged = contamination_check(spark, sf_dir).collect()
+        assert [r.doc_id for r in flagged] == [test_id]
+        assert flagged[0].n_train_matches == 1
