@@ -184,3 +184,48 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_MULTI_GRAIN_SQL = """
+    WITH g AS (
+        SELECT date_trunc('hour', ts) AS h,
+               date_trunc('day',  ts) AS d,
+               date_trunc('week', ts) AS wk,
+               event_type, value
+        FROM events
+    )
+    SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                WHEN grouping(d) = 0 THEN 'day'
+                ELSE 'week' END AS grain,
+           coalesce(h, d, wk) AS bucket_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM g
+    GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (wk, event_type))
+"""
+
+
+@register(
+    "multi_grain_rollup",
+    # date_trunc grain names and GROUPING() semantics are identical in
+    # Spark SQL and DuckDB (both week-truncate to Monday), so one SQL
+    # text serves as both implementation and oracle.
+    oracle=_MULTI_GRAIN_SQL,
+    doc="Hypertable-style continuous aggregate: hourly, daily, and weekly "
+        "rollups of the event stream from ONE scan via GROUPING SETS over "
+        "pre-truncated grain columns — the time-series rollup pattern "
+        "(TimescaleDB continuous aggregates / druid rollup) on Spark.",
+    scale_notes="GROUPING SETS expands rows 3x *after* map-side partial "
+                "aggregation on the (grain, type) keys, so the shuffle "
+                "carries near-aggregate cardinality, not 3x the fact. One "
+                "scan replaces three — at 100 TB the scan is the cost, so "
+                "this is a ~3x win over per-grain queries; finer-to-"
+                "coarser reuse (day from hour) is the documented next "
+                "refinement when grains share alignment.",
+)
+def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MULTI_GRAIN_SQL)

@@ -133,3 +133,63 @@ class TestContamination:
         flagged = contamination_check(spark, sf_dir).collect()
         assert [r.doc_id for r in flagged] == [test_id]
         assert flagged[0].n_train_matches == 1
+
+
+class TestRound2Plans:
+    """Plan-quality gates for the round-2 suites (same posture as
+    test_plans.py: assert the property that survives a 1000-executor
+    scale-up)."""
+
+    def _plan(self, spark, key: str) -> str:
+        import contextlib
+        import io
+
+        df = all_queries()[key].spark(spark, SF_SMOKE)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    @staticmethod
+    def _n_nodes(plan: str, op: str) -> int:
+        """Count physical nodes by their detail header '(N) <op>' —
+        formatted explain prints every node twice (tree + details)."""
+        import re
+
+        return len(re.findall(rf"^\(\d+\) {re.escape(op)}", plan, re.M))
+
+    def test_q19_fact_never_shuffles(self, spark):
+        """Q19's OR-of-ANDs must resolve as a broadcast join: no
+        sort-merge, no fact-side exchange before the aggregate."""
+        plan = self._plan(spark, "tpch_q19")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q9_prefix_filter_pushed(self, spark):
+        """p_name LIKE 'red%' must reach the part scan as a pushed
+        StringStartsWith filter."""
+        plan = self._plan(spark, "tpch_q9")
+        assert "StringStartsWith(p_name,red)" in plan.replace("'", ""), plan
+
+    def test_map_only_corpus_ops_have_no_data_shuffle(self, spark):
+        """pii_scrub / repetition_filter are pure map stages: the only
+        allowed exchange is fan_out's round-robin scan widening."""
+        for key in ("pii_scrub", "repetition_filter"):
+            plan = self._plan(spark, key)
+            n_exchange = self._n_nodes(plan, "Exchange")
+            assert n_exchange <= 1, f"{key}: {n_exchange} exchanges\n{plan}"
+            assert "RoundRobinPartitioning" in plan or n_exchange == 0, key
+            assert "Join" not in plan, key
+
+    def test_sessionize_single_user_partitioning(self, spark):
+        """lag window, running sum, and the session aggregate must all
+        plan inside ONE user_id hash partitioning."""
+        plan = self._plan(spark, "sessionize")
+        assert plan.count("hashpartitioning(user_id") <= 1, plan
+
+    def test_multi_grain_rollup_single_scan(self, spark):
+        """GROUPING SETS must expand one events scan, not three."""
+        plan = self._plan(spark, "multi_grain_rollup")
+        n_scans = self._n_nodes(plan, "Scan parquet")
+        assert n_scans == 1, f"expected 1 scan, saw {n_scans}\n{plan}"
+        assert "Expand" in plan
