@@ -157,3 +157,49 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "window_range_frame",
+    # RANGE frame over integer order keys: both engines define the frame
+    # as all peers within [current-6, current] days — epoch-day ints keep
+    # the bound arithmetic exact (no interval-type coercion differences).
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+               ), 4) AS total_7d,
+               CAST(count(*) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_7d
+        FROM orders
+    """,
+    doc="Value-bounded RANGE frame: each order's trailing-7-day spend per "
+        "customer (sum + count over RANGE 6 PRECEDING on epoch days) — "
+        "the time-sliding frame the ROWS family can't express when event "
+        "spacing is irregular.",
+    scale_notes="Same single shuffle as any customer-partitioned window; "
+                "the RANGE frame is evaluated with a sliding aggregate "
+                "over the sorted run, not a self-join — at 100 TB this "
+                "replaces the classic O(n·k) 'join the last 7 days to "
+                "itself' anti-pattern with one sort per partition.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("total_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
