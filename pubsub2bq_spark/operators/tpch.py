@@ -338,11 +338,12 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(supplycost*availqty) becomes supplied lineitem value from EUROPE "
         "suppliers; the HAVING threshold is the classic scalar subquery "
         "over the same aggregate.",
-    scale_notes="The grouped aggregate computes once; the global total "
-                "reduces it to one row that broadcasts back as a cross "
-                "join — Spark's scalar-subquery plan — so the fact scans "
-                "once, not twice. Threshold filter happens post-agg on "
-                "part-cardinality data.",
+    scale_notes="The grouped aggregate materializes once via "
+                "localCheckpoint (without it Spark rebuilt the aggregate "
+                "for both consumers — two full fact scans, no "
+                "ReuseExchange); the global total then reduces the part-"
+                "cardinality checkpoint to one row that broadcasts back "
+                "as the scalar-subquery cross join. One fact scan total.",
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -358,6 +359,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("part_value"))
+        .localCheckpoint()
     )
     threshold = supplied.agg((F.sum("part_value") * 0.001).alias("threshold"))
     return (
@@ -507,9 +509,11 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max subquery form). Revenue is rounded before the max comparison "
         "on both sides so float summation order cannot flip equality.",
     scale_notes="Revenue aggregates on suppkey (one shuffle of the "
-                "quarter's slice); the max reduces to one broadcast row. "
-                "Joining supplier to the supplier-cardinality revenue "
-                "relation is dim-sized work.",
+                "quarter's slice) and materializes via localCheckpoint — "
+                "its two consumers (the max scalar and the join) would "
+                "otherwise each rebuild it from a full fact scan. The max "
+                "reduces the supplier-cardinality checkpoint to one "
+                "broadcast row; the supplier join is dim-sized work.",
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
@@ -521,7 +525,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "total_revenue"
         )
-    )
+    ).localCheckpoint()
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         s.join(F.broadcast(revenue), F.col("s_suppkey") == F.col("supplier_no"))
@@ -750,10 +754,14 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders. receiptdate>commitdate becomes l_returnflag='R': count "
         "orders where this supplier is the ONLY one with a returned line "
         "(EXISTS another supplier / NOT EXISTS another late supplier).",
-    scale_notes="Both EXISTS conditions decorrelate into one orderkey-"
-                "grouped aggregate over the (orderkey,suppkey) relation — "
-                "per and ord share the orderkey shuffle key, so the join "
-                "back is exchange-reusable, never an O(n²) self-join.",
+    scale_notes="Both EXISTS conditions decorrelate into window "
+                "aggregates (count/sum over the orderkey partition) on "
+                "top of the one (orderkey,suppkey) aggregate — a groupBy+"
+                "join-back formulation made Spark compute that aggregate "
+                "TWICE (the join sides carry different null filters, so "
+                "ReuseExchange can't unify them; two full fact scans). "
+                "The window form scans lineitem once and shuffles the "
+                "already-aggregated relation once more on orderkey.",
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -766,11 +774,10 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"))
     )
-    ord_stats = per.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("has_r").alias("n_with_r")
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        per.join(ord_stats, F.col("l_orderkey") == F.col("ok"))
+        per.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_with_r", F.sum("has_r").over(w))
         .filter((F.col("has_r") == 1) & (F.col("n_supp") >= 2) & (F.col("n_with_r") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
