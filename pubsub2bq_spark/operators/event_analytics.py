@@ -105,22 +105,25 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event-order semantics via first-timestamp chaining, not mere "
         "per-type existence.",
     scale_notes="Three user_id-keyed aggregates chained by user_id-keyed "
-                "joins: every stage shares one partitioning, so AQE "
-                "reuses the exchange across the whole chain. Each stage's "
-                "output is user-cardinality (small), and the final counts "
-                "reduce to a single row.",
+                "joins: every stage shares one partitioning. Each stage's "
+                "user-cardinality output is localCheckpointed because it "
+                "has two consumers (the next stage and its own count) — "
+                "without that, Spark rebuilt each stage per consumer and "
+                "the plan scanned events six times instead of three "
+                "(one pushed-down type filter each).",
 )
 def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("t_view")
-    )
+    ).localCheckpoint()
     c = (
         e.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint()
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -159,18 +162,22 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Cohort retention: bucket users by the ISO week of their first "
         "event, then count distinct active users per (cohort, weeks-since) "
         "cell — the standard retention triangle.",
-    scale_notes="First-event week is a user_id-keyed aggregate; joining "
-                "it back to events reuses the same key. The distinct-user "
-                "count per cell partial-aggregates map-side on (cohort, "
-                "offset, user) before the final reduce — cells are "
-                "week²-cardinality, tiny at any scale.",
+    scale_notes="The cohort week is a min-over-user window, not an "
+                "aggregate-plus-join-back: the join formulation scanned "
+                "events twice and shuffled both join sides on user_id "
+                "anyway, so the window form does the same one user_id "
+                "shuffle over ONE scan. The distinct-user count then "
+                "partial-aggregates map-side; cells are week²-"
+                "cardinality, tiny at any scale.",
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    firsts = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
-    act = e.join(firsts, "user_id").select(
+    cohort_week = F.date_trunc("week", F.min("ts").over(Window.partitionBy("user_id")))
+    act = e.select(
+        "user_id",
+        cohort_week.alias("cohort_week"),
+        "ts",
+    ).select(
         "user_id",
         "cohort_week",
         F.floor(

@@ -83,9 +83,11 @@ def _split_col():
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark)
+    # One sketching pass (gram hashing is the operator's CPU cost) serves
+    # both the train and test consumers.
     tagged = fingerprint_sketch(d).select(
         "doc_id", "fingerprint", _split_col().alias("split")
-    )
+    ).localCheckpoint()
     train_fp = (
         tagged.filter(F.col("split") == "train")
         .groupBy("fingerprint")

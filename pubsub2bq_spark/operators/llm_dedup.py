@@ -92,7 +92,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
         F.array_distinct(_tokens(F.col("text"))).alias("tok"),
-    )
+    ).localCheckpoint()  # both self-join sides read one tokenization pass
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok"))).cast("double")
     union = F.size(F.array_distinct(F.concat(F.col("a.tok"), F.col("b.tok"))))
@@ -217,10 +217,13 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(LSH_BANDS)
         ],
     )
+    # Materialize the signature pipeline once: without this, BOTH sides of
+    # the band self-join re-run shingling + 2 md5s per shingle + the min
+    # aggregate — the expensive half of the whole operator, twice.
     melted = banded.select(
         "doc_id",
         F.explode(F.array(*[F.col(f"band{j}") for j in range(LSH_BANDS)])).alias("bk"),
-    )
+    ).localCheckpoint()
     a, b = melted.alias("a"), melted.alias("b")
     return (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -298,10 +298,18 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cell = Window.partitionBy("vec_id").orderBy(
         F.col("cos_c").desc(), F.col("cid").asc()
     )
+    # One centroid-assignment pass (N_CELLS cosines per vector), pruned to
+    # the probe depth and materialized: this IS the IVF index build — its
+    # two consumers (cell assignment, query probes) otherwise each re-ran
+    # the broadcast crossJoin, and the plan scanned embeddings 4 times.
+    # At 100 TB the persisted index would carry (vec_id, cid) only and
+    # re-join vectors by id; locally the vectors ride along.
     dist = (
         em.crossJoin(F.broadcast(cent))
         .select("vec_id", "v", "cid", _cosine(F.col("v"), F.col("cv")).alias("cos_c"))
         .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= N_PROBE)
+        .localCheckpoint()
     )
     asgn = dist.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
     probes = (
@@ -355,7 +363,9 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_planes = planes_for_corpus(corpus.count())
     em = fan_out(corpus, spark).select(
         "vec_id", _dvec("embedding").alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
+    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes)).localCheckpoint()
+    # ^ one bucketing pass (n_planes dot products/vector) feeds both
+    # self-join sides instead of recomputing per side.
     a, b = em.alias("a"), em.alias("b")
     cos = _cosine(F.col("a.v"), F.col("b.v"))
     return (
