@@ -453,15 +453,53 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     spool = os.path.join(tmp, "spool")
     # Spool normalized events (µs timestamps) into 4 files → 4 micro-batches.
     load(spark, sf_dir, "events").repartition(4).write.parquet(spool)
+    run_upsert_pipeline(spark, spool, os.path.join(tmp, "ckpt"),
+                        os.path.join(tmp, "state"))
+    return read_upsert_state(spark, os.path.join(tmp, "state")).select(
+        "event_id", "user_id", "ts", "event_type", F.round("value", 4).alias("value")
+    )
 
-    state_root = os.path.join(tmp, "state")
-    current: dict[str, str | None] = {"path": None}
+
+def _latest_state_version(state_root: str) -> str | None:
+    """Highest committed state version directory, recovered from DISK —
+    a restarted driver must find the merge target without any in-memory
+    pointer (the T1 persistence contract, like the checkpoint itself)."""
+    import os
+
+    if not os.path.isdir(state_root):
+        return None
+    versions = sorted(
+        (int(name[1:]), name)
+        for name in os.listdir(state_root)
+        if name.startswith("v") and name[1:].isdigit()
+        # only versions whose write completed (parquet _SUCCESS marker):
+        # a crash mid-write must fall back to the previous version
+        and os.path.exists(os.path.join(state_root, name, "_SUCCESS"))
+    )
+    return os.path.join(state_root, versions[-1][1]) if versions else None
+
+
+def read_upsert_state(spark: SparkSession, state_root: str) -> DataFrame:
+    path = _latest_state_version(state_root)
+    assert path is not None, "no committed upsert state"
+    return spark.read.parquet(path)
+
+
+def run_upsert_pipeline(
+    spark: SparkSession, spool: str, checkpoint: str, state_root: str
+) -> None:
+    """Drive the streaming SCD1 merge to completion over `spool`.
+    Restart-safe: offsets live in the checkpoint, the merge target is
+    re-discovered from the versioned state directory, so a second call
+    (after a crash or with new spool files) resumes instead of
+    reprocessing."""
 
     def merge(batch: DataFrame, batch_id: int) -> None:
+        import os
+
         s = batch.sparkSession
-        merged = batch
-        if current["path"] is not None:
-            merged = s.read.parquet(current["path"]).unionByName(batch)
+        prev = _latest_state_version(state_root)
+        merged = batch if prev is None else s.read.parquet(prev).unionByName(batch)
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
@@ -472,9 +510,7 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Copy-on-write: each version is a fresh directory; never rewrite
         # the path a lazy reader might still scan.
-        new_path = os.path.join(state_root, f"v{batch_id}")
-        latest.write.mode("overwrite").parquet(new_path)
-        current["path"] = new_path
+        latest.write.mode("overwrite").parquet(os.path.join(state_root, f"v{batch_id}"))
 
     schema = spark.read.parquet(spool).schema
     stream = (
@@ -484,12 +520,8 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    assert current["path"] is not None
-    return spark.read.parquet(current["path"]).select(
-        "event_id", "user_id", "ts", "event_type", F.round("value", 4).alias("value")
-    )

@@ -193,3 +193,55 @@ class TestRound2Plans:
         n_scans = self._n_nodes(plan, "Scan parquet")
         assert n_scans == 1, f"expected 1 scan, saw {n_scans}\n{plan}"
         assert "Expand" in plan
+
+
+class TestStreamUpsertRecovery:
+    def test_restart_resumes_from_checkpoint_and_disk_state(self, spark, tmp_path):
+        """Kill-and-restart contract (T1 persistence): run the merge over
+        2 spool files, 'restart' (fresh call, no in-memory state), add 2
+        more files, run again with the SAME checkpoint — the second run
+        must process only the new batches and the final state must equal
+        the one-shot latest-per-key over all events."""
+        import os
+
+        from pubsub2bq_spark.operators.events_ops import (
+            read_upsert_state,
+            run_upsert_pipeline,
+        )
+        from pubsub2bq_spark.tables import load
+
+        events = load(spark, SF_SMOKE, "events")
+        spool = str(tmp_path / "spool")
+        ckpt = str(tmp_path / "ckpt")
+        state = str(tmp_path / "state")
+        # phase 1: only the first half of the data exists
+        half1 = events.filter(F.col("event_id") % 2 == 0)
+        half2 = events.filter(F.col("event_id") % 2 == 1)
+        half1.repartition(2).write.mode("overwrite").parquet(spool)
+        run_upsert_pipeline(spark, spool, ckpt, state)
+        n_versions_p1 = len(os.listdir(state))
+        got1 = {r.user_id: r.event_id for r in read_upsert_state(spark, state).collect()}
+        # phase 2: new files arrive; a FRESH pipeline call (no shared
+        # python state) resumes from checkpoint + disk state
+        half2.repartition(2).write.mode("append").parquet(spool)
+        run_upsert_pipeline(spark, spool, ckpt, state)
+        versions = sorted(os.listdir(state))
+        # only the new batches produced versions — no reprocessing
+        assert len(versions) == n_versions_p1 + 2, versions
+        final = read_upsert_state(spark, state)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        expected = (
+            events.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        assert {r.user_id: r.event_id for r in final.collect()} == {
+            r.user_id: r.event_id for r in expected.collect()
+        }
+        # and phase-1 state was a genuine prefix (some user's latest changed)
+        final_map = {r.user_id: r.event_id for r in final.collect()}
+        assert got1 != final_map
