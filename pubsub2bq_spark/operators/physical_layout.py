@@ -143,3 +143,80 @@ def partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+
+
+Z_BITS = 8          # bits interleaved per dimension
+Z_BUCKET_SHIFT = 12  # 16-bit z-value >> 12 → 16 deterministic buckets
+
+
+def _zval_sql(a: str, b: str) -> str:
+    """16-bit Morton code: interleave the low 8 bits of a (odd positions)
+    and b (even positions). Unrolled shift-and-mask — identical integer
+    arithmetic on both engines."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(({a} >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"(({b} >> {i}) & 1) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def _zval_col(a, b):
+    """Spark twin of ``_zval_sql``: ((x >> i) & 1) * 2^(2i+1 | 2i)."""
+    out = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        out = out + F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long") * (
+            1 << (2 * i + 1)
+        )
+        out = out + F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long") * (1 << (2 * i))
+    return out
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+        WITH z AS (
+            SELECT l_partkey % 256 AS pk, l_suppkey % 256 AS sk,
+                   ({_zval_sql('(l_partkey % 256)', '(l_suppkey % 256)')})
+                       AS zval
+            FROM lineitem
+        )
+        SELECT CAST(zval >> {Z_BUCKET_SHIFT} AS INTEGER) AS z_bucket,
+               count(*) AS n_rows,
+               CAST(min(pk) AS INTEGER) AS pk_min, CAST(max(pk) AS INTEGER) AS pk_max,
+               CAST(min(sk) AS INTEGER) AS sk_min, CAST(max(sk) AS INTEGER) AS sk_max
+        FROM z
+        GROUP BY z_bucket
+        ORDER BY z_bucket
+    """,
+    doc="Z-order (Morton) multi-dimensional clustering: interleave the "
+        "bits of two join/filter keys, bucket rows by the z-value prefix, "
+        "and report per-bucket min/max ranges of BOTH keys — the layout "
+        "that lets a scan prune files for predicates on either dimension "
+        "(single-key clustering prunes only its own key).",
+    scale_notes="The z-value is pure per-row bit math (codegen'd); "
+                "bucketing by z-prefix is deterministic (no sampled range "
+                "boundaries), so the write path is repartitionByRange-free."
+                " Per-bucket min/max on both dims stay narrow — that "
+                "narrowness IS the file-skipping guarantee; the aggregate "
+                "output is bucket-cardinality.",
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pk = (F.col("l_partkey") % 256).cast("int")
+    sk = (F.col("l_suppkey") % 256).cast("int")
+    z = li.select(pk.alias("pk"), sk.alias("sk")).withColumn(
+        "zval", _zval_col(F.col("pk"), F.col("sk"))
+    )
+    return (
+        z.groupBy(
+            F.shiftright(F.col("zval"), Z_BUCKET_SHIFT).cast("int").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pk").alias("pk_min"),
+            F.max("pk").alias("pk_max"),
+            F.min("sk").alias("sk_min"),
+            F.max("sk").alias("sk_max"),
+        )
+        .orderBy("z_bucket")
+    )
