@@ -41,6 +41,11 @@ PLAN_KEYS = [
     "pii_scrub",
     "repetition_filter",
     "corpus_filter",
+    "sessionize",
+    "cohort_retention",
+    "multi_grain_rollup",
+    "window_range_frame",
+    "zorder_layout",
     "filter_pred",
     "groupby_agg",
     "join_inner",
