@@ -205,3 +205,107 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signup_ts", F.last("signup_ts_src", ignorenulls=True).over(w)
     )
     return merged.filter(F.col("side") == 1).select("event_id", "user_id", "ts", "signup_ts")
+
+
+BLOOM_BITS = 1 << 16  # 64K buckets — the broadcastable filter domain
+N_JOIN_SALT = 8
+
+
+@register(
+    "bloom_semi_reduction",
+    # The pre-filter is semantics-preserving (false positives are removed
+    # by the exact join), so the oracle is the PLAIN join — what the
+    # operator must equal, not how it prunes.
+    oracle="""
+        SELECT count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+    """,
+    doc="Bloom-style semi-join reduction, expressed relationally: the "
+        "selective build side collapses to its DISTINCT 16-bit hash "
+        "buckets (<=64K rows no matter how large the build side), that "
+        "bucket set broadcasts, and the fact pre-filters on bucket "
+        "membership before the exact join removes hash false positives. "
+        "The manual twin of Spark's runtime row-group bloom filters "
+        "(spark.sql.optimizer.runtime.bloomFilter), with the filter "
+        "relation visible in the plan.",
+    scale_notes="The point at 100 TB: the pre-filter join is a broadcast "
+                "of AT MOST 64K ints even when the build side has "
+                "millions of keys — the fact rows that survive are "
+                "~selectivity + collision-rate, so the expensive exact "
+                "join shuffles a fraction of the fact. Bucket count "
+                "trades broadcast size against false-positive rate; "
+                "xxhash64 keeps membership computation codegen'd.",
+)
+def bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sel = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    buckets = sel.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(BLOOM_BITS)).alias("bk")
+    ).distinct()
+    pre = li.withColumn(
+        "bk", F.pmod(F.xxhash64("l_orderkey"), F.lit(BLOOM_BITS))
+    ).join(F.broadcast(buckets), "bk", "left_semi")
+    return (
+        pre.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "skew_salted_join",
+    # Salting is result-preserving: the oracle is the plain join+aggregate.
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    doc="Skew-resistant join via explicit salting: the probe side gets a "
+        "deterministic salt in [0,N), the build side replicates N ways "
+        "with every salt value, and the join runs on (key, salt) — no "
+        "single reducer ever receives a whole hot key. Companion to "
+        "skew_salted_agg; result identical to the plain join (the "
+        "oracle).",
+    scale_notes="The manual form of AQE's skew-join splitting, for when "
+                "skew is known ahead of time (a celebrity user, a null-"
+                "heavy key): N_SALT bounds the per-task share of a hot "
+                "key at 1/N. Replication multiplies the build side N× — "
+                "cheap for dimensions; for fact-fact skew, salt ONLY the "
+                "hot keys (split the relation) so the tax isn't global.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    salts = spark.range(N_JOIN_SALT).select(F.col("id").cast("int").alias("salt"))
+    o_salted = o.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(N_JOIN_SALT)).cast("int")
+    )
+    c_rep = c.crossJoin(F.broadcast(salts))
+    return (
+        o_salted.join(
+            c_rep,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (o_salted.salt == c_rep.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
