@@ -29,7 +29,10 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 _REGISTRY: dict[str, "Query"] = {}
 
-_SHIPPED_CONTEXTS: set[int] = set()
+# Keyed on applicationId, not id(sc): id() values can be recycled after
+# the old context is garbage-collected, and a new context must re-ship
+# (same hazard class as the physical_layout caches, ADVICE r1).
+_SHIPPED_CONTEXTS: set[str] = set()
 
 
 def ensure_worker_imports(spark: SparkSession) -> None:
@@ -44,7 +47,7 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     it prepended to sys.path).
     """
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED_CONTEXTS:
+    if sc.applicationId in _SHIPPED_CONTEXTS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     base = os.path.join(tempfile.mkdtemp(prefix="pubsub2bq_ship_"), "pubsub2bq_spark")
@@ -52,7 +55,7 @@ def ensure_worker_imports(spark: SparkSession) -> None:
         base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir)
     )
     sc.addPyFile(archive)
-    _SHIPPED_CONTEXTS.add(id(sc))
+    _SHIPPED_CONTEXTS.add(sc.applicationId)
 
 
 @dataclass

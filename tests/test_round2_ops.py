@@ -245,3 +245,37 @@ class TestStreamUpsertRecovery:
         # and phase-1 state was a genuine prefix (some user's latest changed)
         final_map = {r.user_id: r.event_id for r in final.collect()}
         assert got1 != final_map
+
+
+class TestEmptyInputs:
+    """Operators must degrade to empty results, not crash, when a table
+    is empty — the behavior a scheduled 100 TB pipeline needs when a
+    partition/day has no data."""
+
+    def _empty_sf_dir(self, spark, tmp_path) -> str:
+        from pubsub2bq_spark.tables import TABLE_NAMES, load
+
+        sf = str(tmp_path)
+        for t in TABLE_NAMES:
+            load(spark, SF_SMOKE, t).limit(0).write.parquet(f"{sf}/{t}.parquet")
+        return sf
+
+    def test_corpus_and_event_ops_on_empty_tables(self, spark, tmp_path):
+        sf = self._empty_sf_dir(spark, tmp_path)
+        reg = all_queries()
+        for key in (
+            "sessionize",
+            "cohort_retention",
+            "multi_grain_rollup",
+            "repetition_filter",
+            "pii_scrub",
+            "corpus_filter",
+            "contamination_check",
+            "embedding_quantize",
+        ):
+            assert reg[key].spark(spark, sf).count() == 0, key
+
+    def test_funnel_on_empty_events_is_all_zero(self, spark, tmp_path):
+        sf = self._empty_sf_dir(spark, tmp_path)
+        row = all_queries()["funnel_steps"].spark(spark, sf).collect()[0]
+        assert (row.n_view, row.n_view_click, row.n_view_click_purchase) == (0, 0, 0)
