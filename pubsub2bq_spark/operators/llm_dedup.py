@@ -521,3 +521,62 @@ def _dedup_corpus_oracle() -> str:
 from pubsub2bq_spark.registry import all_queries as _aq  # noqa: E402
 
 _aq()["dedup_corpus"].oracle = _dedup_corpus_oracle()
+
+
+LEV_PREFIX = 64
+LEV_MAX = 10
+
+
+@register(
+    "edit_distance_pairs",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, lang, CAST(n_chars // 50 AS BIGINT) AS band,
+                   substr(text, 1, {LEV_PREFIX}) AS head
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               CAST(levenshtein(a.head, b2.head) AS INTEGER) AS lev
+        FROM b a
+        JOIN b b2 ON a.lang = b2.lang AND a.band = b2.band
+                 AND a.doc_id < b2.doc_id
+        WHERE levenshtein(a.head, b2.head) <= {LEV_MAX}
+    """,
+    doc=f"Blocked edit-distance near-dup pairs: Levenshtein over the "
+        f"first {LEV_PREFIX} chars, candidates restricted to the same "
+        f"(lang, length-band) block, threshold {LEV_MAX} — the character-"
+        "level companion to the token-set (ngram_jaccard) and sketch "
+        "(minhash/simhash) dedup family; both engines implement the same "
+        "DP metric.",
+    scale_notes="Levenshtein is O(m·n) per pair — the blocking is what "
+                "makes it survivable: pairs only form inside (lang, "
+                "band) blocks and the prefix cap bounds per-pair cost at "
+                f"{LEV_PREFIX}². The blocked relation is checkpointed so "
+                "prefix extraction runs once. At 100 TB this runs as the "
+                "verify stage AFTER a sketch pass (minhash_verified "
+                "pattern), never as the candidate generator.",
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    b = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 50).cast("bigint").alias("band"),
+        F.substring("text", 1, LEV_PREFIX).alias("head"),
+    ).localCheckpoint()
+    a, b2 = b.alias("a"), b.alias("b2")
+    lev = F.levenshtein(F.col("a.head"), F.col("b2.head"))
+    return (
+        a.join(
+            b2,
+            (F.col("a.lang") == F.col("b2.lang"))
+            & (F.col("a.band") == F.col("b2.band"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .filter(lev <= LEV_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b2.doc_id").alias("doc_b"),
+            lev.cast("int").alias("lev"),
+        )
+    )

@@ -331,3 +331,135 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
         )
     )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "tfidf_topterms",
+    # Scores are rounded to 6dp BEFORE ranking on BOTH engines, with the
+    # term as tiebreak — sub-rounding float noise (ln() last-ulp, sum
+    # order) can therefore never flip the selected top-k set.
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, word, count(*) AS cnt
+            FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                          x -> x <> '')) AS word
+                FROM documents
+            ) GROUP BY doc_id, word
+        ),
+        dl AS (SELECT doc_id, sum(cnt) AS doc_len FROM tf GROUP BY doc_id),
+        df AS (SELECT word, count(*) AS n_docs FROM tf GROUP BY word),
+        n AS (SELECT count(*) AS n_total FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.word,
+                   round((CAST(cnt AS DOUBLE) / doc_len)
+                         * (ln((n_total + 1.0) / (n_docs + 1.0)) + 1.0), 6)
+                       AS tfidf
+            FROM tf JOIN dl USING (doc_id) JOIN df USING (word), n
+        )
+        SELECT doc_id, word, tfidf, CAST(rn AS INTEGER) AS rn
+        FROM (
+            SELECT doc_id, word, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, word ASC) AS rn
+            FROM scored
+        )
+        WHERE rn <= {TFIDF_TOP_K}
+    """,
+    doc=f"TF-IDF top-{TFIDF_TOP_K} terms per document (smoothed idf = "
+        "ln((N+1)/(df+1))+1): the keyword-extraction pass of a corpus "
+        "indexing pipeline.",
+    scale_notes="Three keyed aggregates (doc-term counts, doc lengths, "
+                "document frequencies) + one term-keyed join back; the "
+                "corpus size N is a one-row broadcast. Stop-word df skew "
+                "is absorbed by map-side partial counts; the per-doc "
+                "top-k is WindowGroupLimit-prunable.",
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("doc_len"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("n_docs"))
+    n = d.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df, "word")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("doc_len"))
+                * (F.log((F.col("n_total") + 1.0) / (F.col("n_docs") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "word", "tfidf", "rn")
+    )
+
+
+@register(
+    "unigram_logprob",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                      x -> x <> '')) AS word
+            FROM documents
+        ),
+        freq AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+        tot AS (SELECT sum(cnt) AS total FROM freq)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_neg_logprob
+        FROM words JOIN freq USING (word), tot
+        GROUP BY doc_id
+    """,
+    doc="Unigram language-model scoring: each document's average negative "
+        "log-probability under the corpus unigram distribution — the "
+        "cheap KenLM-style perplexity proxy a pretraining pipeline uses "
+        "to rank text quality before model-based filters.",
+    scale_notes="The unigram table is a term-keyed aggregate (vocabulary-"
+                "cardinality — small); scoring joins it back on the term "
+                "key. At 100 TB the frequency table is the artifact you "
+                "materialize once and broadcast if vocabulary-sized; the "
+                "6dp rounding absorbs summation-order noise in the avg.",
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("word"),
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    return (
+        words.join(freq, "word")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("cnt").cast("double") / F.col("total"))), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
