@@ -324,3 +324,65 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_within_tol"
         ),
     )
+
+
+@register(
+    "hll_mergeable_sketch",
+    # Exact distinct counts are hash-checked; the HLL estimates are pinned
+    # by literal-true tolerance booleans (approx_distinct pattern). The
+    # merge property — union of per-day sketches == sketch of the union —
+    # is what the 'total' row checks.
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS scope,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS within_5pct
+        FROM events
+        GROUP BY date_trunc('day', ts)
+        UNION ALL
+        SELECT 'total' AS scope,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS within_5pct
+        FROM events
+    """,
+    doc="Mergeable distinct-count sketches: per-day HyperLogLog sketches "
+        "of active users (hll_sketch_agg), merged with hll_union_agg into "
+        "the all-time estimate — the pre-aggregation pattern that answers "
+        "'distinct users over any date range' from day-sized sketches "
+        "without rescanning the fact. Estimates checked within 5% of "
+        "exact on every row.",
+    scale_notes="THE 100 TB distinct-count architecture: the fact scans "
+                "once into day-cardinality sketches (KB each, partial-"
+                "combinable); any range query unions sketches instead of "
+                "rescanning. The exact countDistinct twin here exists "
+                "only to verify the bound — production drops it.",
+)
+def hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.tables import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+    )
+    tol = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= F.greatest(0.05 * exact, F.lit(5.0))
+    )
+    per_day = daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("scope"),
+        "exact_users",
+        tol(F.expr("hll_sketch_estimate(sk)").cast("double"),
+            F.col("exact_users").cast("double")).alias("within_5pct"),
+    )
+    merged_est = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("double").alias("est")
+    )
+    exact_total = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    total = (
+        exact_total.join(F.broadcast(merged_est))
+        .select(
+            F.lit("total").alias("scope"),
+            "exact_users",
+            tol(F.col("est"), F.col("exact_users").cast("double")).alias("within_5pct"),
+        )
+    )
+    return per_day.unionByName(total)
