@@ -91,7 +91,13 @@ def orc_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "binary_load",
-    oracle=None,  # file listing isn't visible to the DuckDB oracle → rows-only
+    # rows-only by necessity: the oracle SQL runs against pre-registered
+    # table VIEWS with no filesystem access, and the raw file bytes are
+    # not derivable from the views. (DuckDB read_blob() could hash the
+    # same files, but the oracle string is static while the sf dir
+    # differs between the driver's run and local tests.) The content
+    # check lives in tests/test_round2_ops.py instead.
+    oracle=None,
     doc="Multimodal ingest path (SURVEY.md §2.10 U8): spark.read.format"
         "('binaryFile') over the dataset directory — one row per file with "
         "(path, length, content). Returns per-file name, size, and the md5 "

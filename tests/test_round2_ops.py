@@ -279,3 +279,21 @@ class TestEmptyInputs:
         sf = self._empty_sf_dir(spark, tmp_path)
         row = all_queries()["funnel_steps"].spark(spark, sf).collect()[0]
         assert (row.n_view, row.n_view_click, row.n_view_click_purchase) == (0, 0, 0)
+
+
+class TestBinaryLoadContent:
+    def test_md5_matches_hashlib_over_same_files(self, spark):
+        """binary_load is rows-only in the driver (the oracle can't reach
+        the filesystem); check content-exactness here against hashlib."""
+        import glob
+        import os
+
+        got = {
+            r.file_name: (r.n_bytes, r.content_md5)
+            for r in all_queries()["binary_load"].spark(spark, SF_SMOKE).collect()
+        }
+        expected = {}
+        for p in glob.glob(f"{SF_SMOKE}/*.parquet"):
+            raw = open(p, "rb").read()
+            expected[os.path.basename(p)] = (len(raw), hashlib.md5(raw).hexdigest())
+        assert got == expected
