@@ -360,10 +360,13 @@ def hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubsub2bq_spark.tables import load as _load
 
     e = _load(spark, sf_dir, "events")
+    # day-cardinality with KB sketches — materialized for its two
+    # consumers (per-day rows, merged estimate); the exact-total twin
+    # below is the only other fact scan and production drops it
     daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.expr("hll_sketch_agg(user_id)").alias("sk"),
-    )
+    ).localCheckpoint()
     tol = lambda est, exact: (  # noqa: E731
         F.abs(est - exact) <= F.greatest(0.05 * exact, F.lit(5.0))
     )

@@ -353,7 +353,10 @@ TFIDF_TOP_K = 3
         ),
         dl AS (SELECT doc_id, sum(cnt) AS doc_len FROM tf GROUP BY doc_id),
         df AS (SELECT word, count(*) AS n_docs FROM tf GROUP BY word),
-        n AS (SELECT count(*) AS n_total FROM documents),
+        -- N = docs with >=1 token (matches the Spark side, which derives
+        -- it from the tokenized relation; an all-punctuation doc is
+        -- outside the tf-idf universe on both engines)
+        n AS (SELECT count(*) AS n_total FROM dl),
         scored AS (
             SELECT tf.doc_id, tf.word,
                    round((CAST(cnt AS DOUBLE) / doc_len)
@@ -389,10 +392,15 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
         ).alias("word"),
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    # tf has THREE consumers (doc lengths, document frequencies, scoring):
+    # materialize it once or Spark re-runs the explode+count per consumer
+    # (plan audit: 4 document scans without this, 1 with).
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt")) \
+        .localCheckpoint()
     dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("doc_len"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("n_docs"))
-    n = d.agg(F.count(F.lit(1)).alias("n_total"))
+    # corpus size from the checkpointed relation — no extra table scan
+    n = dl.agg(F.count(F.lit(1)).alias("n_total"))
     scored = (
         tf.join(dl, "doc_id")
         .join(df, "word")
@@ -450,7 +458,9 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
         ).alias("word"),
     )
-    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocabulary-cardinality — materialized so its two consumers (the
+    # scalar total and the scoring join) don't each re-run the explode
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
     tot = freq.agg(F.sum("cnt").alias("total"))
     return (
         words.join(freq, "word")
