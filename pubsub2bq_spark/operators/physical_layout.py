@@ -220,3 +220,56 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+COMPACT_SMALL_FILES = 32
+COMPACT_TARGET_FILES = 4
+
+
+@register(
+    "file_compaction",
+    # The literal file counts are REAL assertions: the operator reports
+    # os-listed parquet counts before/after, so a compaction that writes
+    # the wrong number of files (or loses rows) hash-mismatches.
+    oracle=f"""
+        SELECT count(*) AS n_rows,
+               {COMPACT_SMALL_FILES} AS files_before,
+               {COMPACT_TARGET_FILES} AS files_after,
+               round(sum(value), 4) AS total_value
+        FROM events
+    """,
+    doc="Small-file compaction: the table-maintenance pass every "
+        "streaming sink needs — a fragmented table (32 small files, the "
+        "micro-batch residue) is rewritten into 4 right-sized files via "
+        "coalesce, preserving rows and values exactly. Reports actual "
+        "file counts from the filesystem, checked against the expected "
+        "literals.",
+    scale_notes="coalesce(N) merges partitions WITHOUT a shuffle — "
+                "compaction is a read+write, never an exchange. At 100 TB "
+                "this runs per partition-directory with target file size "
+                "~512MB-1GB (files_target = partition_bytes/target), and "
+                "only on partitions whose small-file count crosses a "
+                "threshold; a transactional table format makes the swap "
+                "atomic where plain parquet needs a directory rename.",
+)
+def file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    e = load(spark, sf_dir, "events")
+    frag = os.path.join(tempfile.mkdtemp(prefix="compactq_"), "frag")
+    e.repartition(COMPACT_SMALL_FILES).write.parquet(frag)
+
+    def n_parquet(path: str) -> int:
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+    files_before = n_parquet(frag)
+    compacted = os.path.join(os.path.dirname(frag), "compacted")
+    spark.read.parquet(frag).coalesce(COMPACT_TARGET_FILES).write.parquet(compacted)
+    files_after = n_parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(files_before).alias("files_before"),
+        F.lit(files_after).alias("files_after"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
