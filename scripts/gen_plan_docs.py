@@ -65,6 +65,13 @@ PLAN_KEYS = [
     "ann_lsh",
     "ann_ivf",
     "skew_salted_agg",
+    "skew_salted_join",
+    "bloom_semi_reduction",
+    "tfidf_topterms",
+    "unigram_logprob",
+    "edit_distance_pairs",
+    "hll_mergeable_sketch",
+    "embedding_quantize",
     "bucketed_join",
     "partition_pruned_join",
 ]
