@@ -389,3 +389,53 @@ def hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_day.unionByName(total)
+
+
+@register(
+    "feature_binning",
+    oracle="""
+        WITH binned AS (
+            SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS q_bin,
+                   CAST(floor(o_totalprice / 50000.0) AS INTEGER)     AS w_bin,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT CAST(q_bin AS INTEGER) AS q_bin, w_bin,
+               count(*) AS n,
+               round(min(o_totalprice), 4) AS lo,
+               round(max(o_totalprice), 4) AS hi
+        FROM binned
+        GROUP BY q_bin, w_bin
+        ORDER BY q_bin, w_bin
+    """,
+    doc="ML feature binning: decile (equal-frequency, ntile with a total "
+        "order) and equal-width buckets of order value in one pass, with "
+        "per-(bin,bin) counts and value ranges — the discretization step "
+        "of a feature-engineering pipeline.",
+    scale_notes="ntile over a global ORDER BY is a single-partition sort "
+                "— fine for the oracle-exact demo, but the 100 TB path "
+                "is approx quantile BOUNDARIES (percentile_approx / "
+                "QuantileDiscretizer) computed once and applied map-side; "
+                "the equal-width bin shows that shape: pure per-row "
+                "arithmetic, no shuffle until the final bin-cardinality "
+                "aggregate.",
+)
+def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(
+        F.ntile(10).over(w).alias("q_bin"),
+        F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("w_bin"),
+        "o_totalprice",
+    )
+    return (
+        binned.groupBy("q_bin", "w_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("q_bin", "w_bin")
+    )
