@@ -113,6 +113,7 @@ def all_queries() -> dict[str, Query]:
         relational_ext,
         source_formats,
         tpch,
+        training_prep,
         udf_surface,
         windows,
     )

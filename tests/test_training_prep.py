@@ -1,0 +1,147 @@
+"""Semantic invariants for the training-prep suite (doc_chunk,
+dup_passage, …) — properties the DuckDB hash parity can't express:
+lossless chunk coverage, planted cross-document duplicate passages,
+map-only plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.operators.training_prep import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    DUP_GRAM,
+    doc_chunk,
+    dup_passage,
+)
+from tests.conftest import SF_SMOKE
+
+
+class TestDocChunk:
+    def test_stride_prefixes_reconstruct_document(self, spark):
+        """Concatenating each chunk's first STRIDE tokens in chunk order
+        must reproduce the document's full token stream (chunking is
+        lossless; overlap is exactly CHUNK-STRIDE tokens)."""
+        chunks = doc_chunk(spark, SF_SMOKE)
+        rebuilt = {
+            r.doc_id: r.toks
+            for r in (
+                chunks.withColumn(
+                    "head",
+                    F.slice(F.split("chunk_text", r"\s+"), 1, CHUNK_STRIDE),
+                )
+                .groupBy("doc_id")
+                .agg(
+                    F.flatten(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_id", "head"))
+                        ).getField("head")
+                    ).alias("toks")
+                )
+                .collect()
+            )
+        }
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        expected = {
+            r.doc_id: r.toks
+            for r in docs.select(
+                "doc_id",
+                F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
+            ).collect()
+        }
+        assert rebuilt == expected
+
+    def test_chunk_sizes(self, spark):
+        """Chunk width is exactly min(CHUNK, n_tokens - chunk_id*STRIDE):
+        full-width until the document tail runs out."""
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+            "doc_id",
+            F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
+                "n_tokens"
+            ),
+        )
+        rows = doc_chunk(spark, SF_SMOKE).join(docs, "doc_id").collect()
+        assert rows
+        for r in rows:
+            expected = min(CHUNK_TOKENS, r.n_tokens - r.chunk_id * CHUNK_STRIDE)
+            assert r.n_chunk_tokens == max(expected, 0) or (
+                r.n_tokens == 0 and r.n_chunk_tokens == 0
+            ), (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.n_tokens)
+            assert 0 <= r.n_chunk_tokens <= CHUNK_TOKENS
+
+    def test_map_only_plan(self, spark):
+        """Chunking must not shuffle: the only allowed exchange is
+        fan_out's round-robin scan widening."""
+        import contextlib
+        import io
+        import re
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            doc_chunk(spark, SF_SMOKE).explain("formatted")
+        plan = buf.getvalue()
+        n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchange <= 1, plan
+        assert "Join" not in plan
+
+
+class TestDupPassage:
+    def _sf_with_docs(self, spark, tmp_path, texts: dict[int, str]) -> str:
+        sf = str(tmp_path)
+        rows = [
+            (doc_id, text, "en", "synthetic", len(text))
+            for doc_id, text in texts.items()
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{sf}/documents.parquet")
+        return sf
+
+    def test_planted_shared_passage_is_flagged(self, spark, tmp_path):
+        """Two docs sharing a 12-word passage each get 12-8+1=5 duplicate
+        gram positions; an unrelated doc gets zero."""
+        passage = " ".join(f"shared{i}" for i in range(12))
+        filler_a = " ".join(f"aaa{i}" for i in range(20))
+        filler_b = " ".join(f"bbb{i}" for i in range(20))
+        filler_c = " ".join(f"ccc{i}" for i in range(40))
+        sf = self._sf_with_docs(
+            spark,
+            tmp_path,
+            {
+                1: f"{filler_a} {passage}",
+                2: f"{passage} {filler_b}",
+                3: filler_c,
+            },
+        )
+        got = {r.doc_id: r for r in dup_passage(spark, sf).collect()}
+        expected_dup = 12 - DUP_GRAM + 1
+        assert got[1].n_dup_grams == expected_dup
+        assert got[2].n_dup_grams == expected_dup
+        assert got[3].n_dup_grams == 0
+        assert not got[3].flagged
+        # 32 tokens → 25 grams; 5/25 = 0.2 ⇒ flagged at the threshold
+        assert got[1].n_grams == 32 - DUP_GRAM + 1
+        assert got[1].flagged
+
+    def test_short_doc_has_zero_grams(self, spark, tmp_path):
+        sf = self._sf_with_docs(spark, tmp_path, {1: "only five words right here"})
+        row = dup_passage(spark, sf).collect()[0]
+        assert (row.n_grams, row.n_dup_grams, row.dup_ratio, row.flagged) == (
+            0,
+            0,
+            0.0,
+            False,
+        )
+
+    def test_ratio_bounds(self, spark):
+        bad = (
+            dup_passage(spark, SF_SMOKE)
+            .filter(
+                (F.col("n_dup_grams") > F.col("n_grams"))
+                | (F.col("dup_ratio") < 0)
+                | (F.col("dup_ratio") > 1)
+            )
+            .count()
+        )
+        assert bad == 0
