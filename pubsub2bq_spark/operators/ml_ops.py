@@ -1,0 +1,248 @@
+"""ML-adjacent operators: fixed-iteration Lloyd's k-means over
+`embeddings`, per-group feature standardization, and truncated EWMA
+smoothing of per-user event series.
+
+k-means is the iterative-algorithm archetype (same family as
+dedup_clusters' label propagation): tiny broadcast state (K x DIM
+centroids) against a full-corpus scan per iteration. It also upgrades
+the ann_ivf story — ann_ivf's deterministic centroid stub is documented
+as "k-means-refined offline at real scale"; this IS that refinement,
+expressed in the same engine.
+
+All distance math goes through the same sequential-fold dot product as
+llm_similarity (deterministic summation order, engine-portable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.operators.llm_similarity import DIM, _dot, _dvec
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import fan_out, load
+
+K_CLUSTERS = 8
+# Truncated-EWMA parameters: weight (1-EWMA_ALPHA)^age over the most
+# recent EWMA_SPAN observations per user (adjust=True convention:
+# normalized by the sum of weights).
+EWMA_ALPHA = 0.3
+EWMA_SPAN = 50
+
+_SQDIST_SQL = (
+    "list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.c) "
+    "+ list_dot_product(c.c, c.c)"
+)
+
+_KMEANS_ASSIGN_SQL = """
+    SELECT vec_id, v, cid FROM (
+        SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM v a CROSS JOIN {cent} c
+    ) WHERE rn = 1
+"""
+
+_KMEANS_RECOMPUTE_SQL = """
+    SELECT cid, list(m ORDER BY dim) AS c FROM (
+        SELECT cid, dim, avg(v[dim]) AS m
+        FROM (SELECT cid, v, unnest(generate_series(1, {dim})) AS dim FROM {assigned})
+        GROUP BY cid, dim
+    ) GROUP BY cid
+"""
+
+
+def _sqdist(a, b):
+    """|a|^2 - 2 a.b + |b|^2 — same three-fold formula as the oracle."""
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K-row centroid relation,
+    argmin squared distance with cid as the deterministic tie-break."""
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cid").asc()
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "cid", _sqdist(F.col("v"), F.col("c")).alias("dist")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def _recompute(assigned: DataFrame) -> DataFrame:
+    """Per-cluster mean vector, rebuilt in element order. One shuffle
+    keyed (cid, dim) with map-side partial avg; the result is K rows."""
+    per_dim = (
+        assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.avg("val").alias("m"))
+    )
+    return per_dim.groupBy("cid").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))).getField("m").alias("c")
+    )
+
+
+@register(
+    "kmeans_lloyd",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                   v AS c
+            FROM v ORDER BY vec_id LIMIT {K_CLUSTERS}
+        ),
+        a1 AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="c0")}),
+        c1 AS ({_KMEANS_RECOMPUTE_SQL.format(dim=DIM, assigned="a1")}),
+        a2 AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="c1")}),
+        final AS (
+            SELECT cid, dim, avg(v[dim]) AS m, count(*) AS n
+            FROM (SELECT cid, v, unnest(generate_series(1, {DIM})) AS dim FROM a2)
+            GROUP BY cid, dim
+        )
+        SELECT cid AS cluster_id,
+               max(n)             AS n_members,
+               round(sum(m), 4)   AS centroid_sum
+        FROM final GROUP BY cid
+    """,
+    doc=f"Lloyd's k-means, K={K_CLUSTERS}, two assignment rounds with a "
+        f"deterministic init (the {K_CLUSTERS} lowest vec_ids) — the "
+        f"offline centroid refinement ann_ivf's stub documents.",
+    scale_notes="The iterative archetype: per round, one broadcast of K x "
+                "DIM centroids against the corpus scan (no corpus "
+                "shuffle for assignment) + one (cid, dim)-keyed avg "
+                "shuffle whose output is K rows. Rounds scale linearly "
+                "in corpus size; at 100 TB use k-means|| sampling for "
+                "init and localCheckpoint the corpus between rounds "
+                "(done here) so each round re-reads columnar cache, not "
+                "lineage. Final stats reuse the assignment pass's "
+                "exploded aggregation — counts and centroid sums come "
+                "from ONE shuffle, not two.",
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        fan_out(load(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .localCheckpoint()  # both assignment rounds read one decode pass
+    )
+    c0 = (
+        v.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cid"),
+            F.col("v").alias("c"),
+        )
+    )
+    a2 = _assign(v, _recompute(_assign(v, c0)))
+    final = (
+        a2.select("cid", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.avg("val").alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    return final.groupBy("cid").agg(
+        F.max("n").alias("n_members"),
+        F.round(F.sum("m"), 4).alias("centroid_sum"),
+    ).select(F.col("cid").alias("cluster_id"), "n_members", "centroid_sum")
+
+
+@register(
+    "feature_scale",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   avg(value)         AS mu,
+                   stddev_samp(value) AS sigma,
+                   min(value)         AS lo,
+                   max(value)         AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round((e.value - s.mu) / nullif(s.sigma, 0), 6) AS z_value,
+               round((e.value - s.lo) / nullif(s.hi - s.lo, 0), 6) AS minmax_value
+        FROM events e JOIN stats s USING (event_type)
+    """,
+    doc="Per-group feature standardization: z-score and min-max scaling "
+        "of event values within each event_type — the two-pass "
+        "(aggregate, then broadcast back) normalization an ML feature "
+        "pipeline runs before training.",
+    scale_notes="The stats relation is |event_type| rows — broadcast back, "
+                "so the full data shuffles ZERO times (a window over "
+                "event_type would shuffle the whole fact instead). "
+                "nullif guards degenerate groups (constant value) to NULL "
+                "identically on both engines.",
+)
+def feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    return e.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0)), 6
+        ).alias("z_value"),
+        F.round(
+            (F.col("value") - F.col("lo"))
+            / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0)),
+            6,
+        ).alias("minmax_value"),
+    )
+
+
+@register(
+    "ewma_recent",
+    oracle=f"""
+        WITH aged AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) - 1 AS age
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS n_obs,
+               round(sum(value * power({1 - EWMA_ALPHA}, age))
+                     / sum(power({1 - EWMA_ALPHA}, age)), 6) AS ewma
+        FROM aged WHERE age < {EWMA_SPAN}
+        GROUP BY user_id
+    """,
+    doc=f"Truncated EWMA (alpha={EWMA_ALPHA}, span={EWMA_SPAN}) of each "
+        f"user's most recent event values — exponential smoothing with "
+        f"the adjust=True normalization, truncated where the tail weight "
+        f"is < 2e-8.",
+    scale_notes="One window shuffle keyed user_id (rank-from-latest), one "
+                "same-keyed aggregation — AQE coalesces them onto the same "
+                "partitioning. The truncation is what makes this scale: "
+                "the exact recursive EWMA needs either a sequential scan "
+                "per key or (1-a)^(-rn) weight terms that overflow for "
+                "long series; bounding age < span keeps every exponent in "
+                "[0, span) at any corpus size.",
+)
+def ewma_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    decay = F.lit(1 - EWMA_ALPHA)
+    aged = e.withColumn("age", F.row_number().over(w) - 1).filter(
+        F.col("age") < EWMA_SPAN
+    )
+    return aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(
+            F.sum(F.col("value") * F.pow(decay, "age"))
+            / F.sum(F.pow(decay, "age")),
+            6,
+        ).alias("ewma"),
+    )

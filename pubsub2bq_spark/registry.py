@@ -107,6 +107,7 @@ def all_queries() -> dict[str, Query]:
         llm_dedup,
         llm_similarity,
         llm_text,
+        ml_ops,
         multimodal,
         physical_layout,
         relational,

@@ -1,0 +1,111 @@
+"""Semantic invariants for ml_ops (kmeans_lloyd, feature_scale,
+ewma_recent) — properties beyond the DuckDB hash parity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.operators.ml_ops import (
+    EWMA_SPAN,
+    K_CLUSTERS,
+    ewma_recent,
+    feature_scale,
+    kmeans_lloyd,
+)
+from tests.conftest import SF_SMOKE
+
+
+class TestKmeans:
+    def test_partition_of_corpus(self, spark):
+        """Every vector lands in exactly one cluster: member counts sum
+        to the corpus size, cluster ids stay within [0, K)."""
+        rows = kmeans_lloyd(spark, SF_SMOKE).collect()
+        n_corpus = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+        assert sum(r.n_members for r in rows) == n_corpus
+        assert all(0 <= r.cluster_id < K_CLUSTERS for r in rows)
+        assert len({r.cluster_id for r in rows}) == len(rows)
+        assert all(math.isfinite(r.centroid_sum) for r in rows)
+
+    def test_iteration_reduces_objective(self, spark):
+        """Lloyd's guarantee: mean squared distance to the assigned
+        centroid is non-increasing across the two assignment rounds."""
+        from pubsub2bq_spark.operators.llm_similarity import _dvec
+        from pubsub2bq_spark.operators.ml_ops import _assign, _recompute, _sqdist
+        from pubsub2bq_spark.tables import load
+
+        v = (
+            load(spark, SF_SMOKE, "embeddings")
+            .select("vec_id", _dvec("embedding").alias("v"))
+            .localCheckpoint()
+        )
+        from pyspark.sql import Window
+
+        c0 = (
+            v.orderBy("vec_id")
+            .limit(K_CLUSTERS)
+            .select(
+                (F.row_number().over(Window.orderBy("vec_id")) - 1)
+                .cast("int")
+                .alias("cid"),
+                F.col("v").alias("c"),
+            )
+        )
+
+        def objective(assigned, cents):
+            return (
+                assigned.join(cents, "cid")
+                .select(_sqdist(F.col("v"), F.col("c")).alias("d"))
+                .agg(F.avg("d"))
+                .first()[0]
+            )
+
+        a1 = _assign(v, c0)
+        c1 = _recompute(a1)
+        a2 = _assign(v, c1)
+        # objective(a2, c1) <= objective(a1, c1) <= objective(a1, c0)
+        assert objective(a2, c1) <= objective(a1, c1) + 1e-9
+        assert objective(a1, c1) <= objective(a1, c0) + 1e-9
+
+
+class TestFeatureScale:
+    def test_group_moments(self, spark):
+        """z-scores have ~0 mean and ~1 sample stddev per group; min-max
+        values span exactly [0, 1]."""
+        agg = (
+            feature_scale(spark, SF_SMOKE)
+            .groupBy("event_type")
+            .agg(
+                F.avg("z_value").alias("mz"),
+                F.stddev_samp("z_value").alias("sz"),
+                F.min("minmax_value").alias("lo"),
+                F.max("minmax_value").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        assert agg
+        for r in agg:
+            assert abs(r.mz) < 1e-4, r
+            # z rounded to 6dp before re-aggregation → loose tolerance
+            assert abs(r.sz - 1.0) < 1e-3, r
+            assert r.lo == 0.0 and r.hi == 1.0, r
+
+
+class TestEwmaRecent:
+    def test_bounds_and_span(self, spark):
+        rows = ewma_recent(spark, SF_SMOKE).collect()
+        assert rows
+        assert all(1 <= r.n_obs <= EWMA_SPAN for r in rows)
+        # EWMA is a convex combination → stays within the observed range
+        e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        rng = (
+            e.groupBy("user_id")
+            .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .collect()
+        )
+        bounds = {r.user_id: (r.lo, r.hi) for r in rng}
+        for r in rows:
+            lo, hi = bounds[r.user_id]
+            assert lo - 1e-6 <= r.ewma <= hi + 1e-6, r
