@@ -33,6 +33,16 @@ CHUNK_STRIDE = 48
 # Duplicate-passage granularity: word 8-grams.
 DUP_GRAM = 8
 
+# Hashing-trick feature space (power of two, like sklearn's
+# FeatureHasher default shrunk to keep the oracle output readable).
+HASH_FEATURES = 64
+
+# Deterministic negative sampling: k negatives per anchor, stride prime.
+NEG_K = 5
+NEG_STRIDE = 7919
+
+_HEXDIGITS = "0123456789abcdef"
+
 
 def _ws_tokens(col):
     """Whitespace tokens, empties dropped (same split as token_count)."""
@@ -196,5 +206,187 @@ def dup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
             ratio.alias("dup_ratio"),
             (ratio >= 0.2).alias("flagged"),
+        )
+    )
+
+
+def _feat_idx_sql(key_expr: str) -> str:
+    """Portable md5-hex → feature index: both engines agree on md5 and on
+    1-based strpos/instr over a hex-digit alphabet (integer-from-hex
+    casts do NOT port between Spark and DuckDB)."""
+    h = f"md5({key_expr})"
+    return (
+        f"CAST((((strpos('{_HEXDIGITS}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('{_HEXDIGITS}', substr({h}, 2, 1)) - 1))"
+        f" % {HASH_FEATURES}) AS INT)"
+    )
+
+
+def _feat_sign_sql(key_expr: str) -> str:
+    return f"CASE WHEN substr(md5({key_expr}), 3, 1) <= '7' THEN 1.0 ELSE -1.0 END"
+
+
+def _feat_idx_spark(key):
+    h = F.md5(key)
+
+    def pos(i: int):
+        return F.instr(F.lit(_HEXDIGITS), F.substring(h, i, 1)) - 1
+
+    return ((pos(1) * 16 + pos(2)) % HASH_FEATURES).cast("int")
+
+
+def _feat_sign_spark(key):
+    return F.when(F.substring(F.md5(key), 3, 1) <= "7", F.lit(1.0)).otherwise(
+        F.lit(-1.0)
+    )
+
+
+@register(
+    "feature_hash",
+    oracle=f"""
+        WITH feats AS (
+            SELECT {_feat_idx_sql("'et=' || event_type")} AS feat_idx,
+                   {_feat_sign_sql("'et=' || event_type")} * value AS contrib
+            FROM events
+            UNION ALL
+            SELECT {_feat_idx_sql("'uid=' || CAST(user_id AS VARCHAR)")},
+                   {_feat_sign_sql("'uid=' || CAST(user_id AS VARCHAR)")} * value
+            FROM events
+        )
+        SELECT feat_idx,
+               count(*)                 AS n,
+               round(sum(contrib), 4)   AS signed_sum
+        FROM feats GROUP BY feat_idx
+    """,
+    doc=f"Hashing-trick featurization (Weinberger et al. 2009): categorical "
+        f"features (event_type, user_id) hashed into {HASH_FEATURES} "
+        f"buckets with a signed contribution — the fixed-width, "
+        f"vocabulary-free encoding a large-scale trainer consumes.",
+    scale_notes="Feature extraction is a pure map stage (md5 + strpos, "
+                "codegen'd); the only shuffle is the final group-by over "
+                f"{HASH_FEATURES} feature ids with map-side partial aggs — "
+                "output size is fixed regardless of input scale. The "
+                "hex-strpos index is engine-portable; at 100 TB swap in "
+                "xxhash64 & bitmask (same plan shape, cheaper hash).",
+)
+def feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    et_key = F.concat(F.lit("et="), F.col("event_type"))
+    uid_key = F.concat(F.lit("uid="), F.col("user_id").cast("string"))
+    feats = e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    _feat_idx_spark(et_key).alias("feat_idx"),
+                    (_feat_sign_spark(et_key) * F.col("value")).alias("contrib"),
+                ),
+                F.struct(
+                    _feat_idx_spark(uid_key).alias("feat_idx"),
+                    (_feat_sign_spark(uid_key) * F.col("value")).alias("contrib"),
+                ),
+            )
+        ).alias("f")
+    ).select("f.feat_idx", "f.contrib")
+    return feats.groupBy("feat_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("contrib"), 4).alias("signed_sum"),
+    )
+
+
+@register(
+    "negative_sample",
+    oracle=f"""
+        WITH idx AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1),
+                                doc_id) - 1 AS idx
+            FROM documents
+        ),
+        n AS (SELECT count(*) AS n_total FROM documents),
+        anchors AS (
+            SELECT i.doc_id AS anchor_doc_id, i.idx,
+                   CAST(unnest(generate_series(1, {NEG_K})) AS INT) AS neg_rank
+            FROM idx i WHERE i.doc_id % 50 = 0
+        )
+        SELECT a.anchor_doc_id, a.neg_rank, i.doc_id AS neg_doc_id
+        FROM anchors a
+        CROSS JOIN n
+        JOIN idx i
+          ON i.idx = (a.idx + a.neg_rank * {NEG_STRIDE}) % n.n_total
+        WHERE i.idx <> a.idx
+    """,
+    doc=f"Deterministic negative sampling for contrastive training: each "
+        f"anchor document (doc_id %% 50 = 0) gets {NEG_K} pseudo-random "
+        f"negatives via a prime-stride walk over a dense global index — "
+        f"reproducible across runs and engines, no RNG.",
+    scale_notes="The dense global index is built WITHOUT a single-partition "
+                "window at scale: partition rows by an md5 nibble (16 "
+                "groups), rank within each group, and add broadcast "
+                "cumulative group offsets — the oracle's flat row_number "
+                "over (nibble, doc_id) is exactly that composite order. "
+                "The negative lookup is an equi-join on idx; the corpus "
+                "count rides a broadcast single-row relation. Index "
+                "relation is localCheckpointed (anchor + negative sides "
+                "read it once).",
+)
+def negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    # Scalable dense index: rank within 16 nibble groups, then add each
+    # group's cumulative offset (16-row broadcast) — equals the oracle's
+    # global row_number ORDER BY (nib, doc_id) without a global window.
+    within = F.row_number().over(
+        Window.partitionBy("nib").orderBy("doc_id")
+    )
+    ranked = d.select("doc_id", nib.alias("nib")).withColumn("rn", within)
+    offsets = (
+        ranked.groupBy("nib")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("nib").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("nib", "offset")
+    )
+    idx = (
+        ranked.join(F.broadcast(offsets), "nib")
+        .select("doc_id", (F.col("offset") + F.col("rn") - 1).alias("idx"))
+        .localCheckpoint()
+    )
+    n_total = idx.agg(F.count(F.lit(1)).alias("n_total"))
+    anchors = (
+        idx.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("anchor_doc_id"),
+            F.col("idx").alias("anchor_idx"),
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("neg_rank"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "anchor_doc_id",
+            "anchor_idx",
+            "neg_rank",
+            ((F.col("anchor_idx") + F.col("neg_rank") * NEG_STRIDE) % F.col("n_total")).alias(
+                "neg_idx"
+            ),
+        )
+    )
+    return (
+        anchors.join(idx, anchors.neg_idx == idx.idx)
+        .filter(F.col("idx") != F.col("anchor_idx"))
+        .select(
+            "anchor_doc_id",
+            "neg_rank",
+            F.col("doc_id").alias("neg_doc_id"),
         )
     )

@@ -145,3 +145,42 @@ class TestDupPassage:
             .count()
         )
         assert bad == 0
+
+
+class TestFeatureHash:
+    def test_mass_conservation_and_range(self, spark):
+        """Two features per event ⇒ sum(n) == 2·|events|; indices live
+        in [0, HASH_FEATURES)."""
+        from pubsub2bq_spark.operators.training_prep import (
+            HASH_FEATURES,
+            feature_hash,
+        )
+
+        rows = feature_hash(spark, SF_SMOKE).collect()
+        n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+        assert sum(r.n for r in rows) == 2 * n_events
+        assert all(0 <= r.feat_idx < HASH_FEATURES for r in rows)
+
+
+class TestNegativeSample:
+    def test_counts_and_no_self_pairs(self, spark):
+        from pubsub2bq_spark.operators.training_prep import NEG_K, negative_sample
+
+        rows = negative_sample(spark, SF_SMOKE).collect()
+        per_anchor: dict[int, list] = {}
+        for r in rows:
+            per_anchor.setdefault(r.anchor_doc_id, []).append(r)
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        n_anchors = docs.filter(F.col("doc_id") % 50 == 0).count()
+        assert len(per_anchor) == n_anchors
+        for anchor, negs in per_anchor.items():
+            assert len(negs) == NEG_K, anchor
+            assert all(n.neg_doc_id != anchor for n in negs)
+            assert len({n.neg_doc_id for n in negs}) == NEG_K  # distinct
+
+    def test_deterministic_across_runs(self, spark):
+        from pubsub2bq_spark.operators.training_prep import negative_sample
+
+        a = sorted(map(tuple, negative_sample(spark, SF_SMOKE).collect()))
+        b = sorted(map(tuple, negative_sample(spark, SF_SMOKE).collect()))
+        assert a == b
