@@ -321,9 +321,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-@register(
-    "scd2_history",
-    oracle="""
+# Shared by scd2_history and asof_snapshot (which queries it at a point
+# in time).
+_SCD2_SQL = """
         SELECT event_id, user_id,
                ts AS valid_from,
                lead(ts) OVER w AS valid_to,
@@ -332,7 +332,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type, round(value, 4) AS value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-    """,
+"""
+
+
+@register(
+    "scd2_history",
+    oracle=_SCD2_SQL,
     doc="Type-2 slowly-changing-dimension materialization of the change "
         "log: every event becomes a versioned validity interval "
         "[valid_from, valid_to) per key, open-ended for the current row — "
@@ -525,3 +530,42 @@ def run_upsert_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+@register(
+    "asof_snapshot",
+    oracle=f"""
+        WITH hist AS ({_SCD2_SQL}),
+        snap AS (SELECT date_trunc('day', max(ts)) AS snapshot_ts FROM events)
+        SELECT s.snapshot_ts, h.user_id, h.event_id, h.version,
+               h.event_type, h.value
+        FROM hist h CROSS JOIN snap s
+        WHERE h.valid_from <= s.snapshot_ts
+          AND (h.valid_to IS NULL OR h.valid_to > s.snapshot_ts)
+    """,
+    doc="Point-in-time (time-travel) query over the SCD2 history: the "
+        "exact per-key state as of a snapshot instant (start of the "
+        "stream's last day) — at most one interval per key covers any "
+        "instant, so this reconstructs the table the sink held then.",
+    scale_notes="Reuses scd2_history's single window pass; the snapshot "
+                "instant is a scalar aggregate broadcast via cross join "
+                "(no collect), and the interval filter is a map-side "
+                "predicate — no extra shuffle beyond the history build. "
+                "On a warehouse with interval-partitioned history this is "
+                "the query partition pruning serves.",
+)
+def asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = scd2_history(spark, sf_dir)
+    snap = load(spark, sf_dir, "events").agg(
+        F.date_trunc("day", F.max("ts")).alias("snapshot_ts")
+    )
+    return (
+        hist.crossJoin(F.broadcast(snap))
+        .filter(
+            (F.col("valid_from") <= F.col("snapshot_ts"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("snapshot_ts")))
+        )
+        .select(
+            "snapshot_ts", "user_id", "event_id", "version", "event_type", "value"
+        )
+    )

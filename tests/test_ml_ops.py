@@ -109,3 +109,50 @@ class TestEwmaRecent:
         for r in rows:
             lo, hi = bounds[r.user_id]
             assert lo - 1e-6 <= r.ewma <= hi + 1e-6, r
+
+
+class TestPagerank:
+    def test_mass_conservation_and_positivity(self, spark):
+        """Damping + dangling redistribution keep total PageRank mass at
+        exactly 1; every node keeps at least the teleport floor."""
+        from pubsub2bq_spark.operators.ml_ops import pagerank
+
+        rows = pagerank(spark, SF_SMOKE).collect()
+        n_nations = spark.read.parquet(f"{SF_SMOKE}/nation.parquet").count()
+        assert len(rows) == n_nations
+        assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-4
+        assert all(r.pagerank >= 0.15 / n_nations - 1e-9 for r in rows)
+
+
+class TestAsofSnapshot:
+    def test_at_most_one_interval_per_key(self, spark):
+        from pubsub2bq_spark.operators.events_ops import asof_snapshot
+
+        snap = asof_snapshot(spark, SF_SMOKE)
+        dup = snap.groupBy("user_id").count().filter(F.col("count") > 1).count()
+        assert dup == 0
+
+    def test_snapshot_matches_manual_replay(self, spark):
+        """The snapshot row per user is the latest event at or before the
+        snapshot instant."""
+        from pubsub2bq_spark.operators.events_ops import asof_snapshot
+        from pubsub2bq_spark.tables import load
+
+        snap_rows = asof_snapshot(spark, SF_SMOKE).collect()
+        assert snap_rows
+        t = snap_rows[0].snapshot_ts
+        e = load(spark, SF_SMOKE, "events").filter(F.col("ts") <= t)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        expected = {
+            (r.user_id, r.event_id)
+            for r in e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id")
+            .collect()
+        }
+        got = {(r.user_id, r.event_id) for r in snap_rows}
+        assert got == expected
