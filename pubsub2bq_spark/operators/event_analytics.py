@@ -236,3 +236,127 @@ def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_MULTI_GRAIN_SQL)
+
+
+ANOMALY_BASELINE = 20  # trailing observations forming the baseline
+ANOMALY_MIN_OBS = 5    # below this the z-score is undefined (NULL)
+ANOMALY_Z = 3.0
+
+ATTRIB_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day attribution window
+
+
+@register(
+    "anomaly_detect",
+    oracle=f"""
+        WITH scored AS (
+            SELECT event_id, user_id, ts, value,
+                   avg(value)         OVER w AS mu,
+                   stddev_samp(value) OVER w AS sigma,
+                   count(*)           OVER w AS n_base
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN {ANOMALY_BASELINE} PRECEDING
+                                  AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id,
+               CASE WHEN n_base >= {ANOMALY_MIN_OBS}
+                    THEN round((value - mu) / nullif(sigma, 0), 6) END AS z_score,
+               coalesce(n_base >= {ANOMALY_MIN_OBS}
+                        AND abs((value - mu) / nullif(sigma, 0)) > {ANOMALY_Z},
+                        false) AS is_anomaly
+        FROM scored
+    """,
+    doc=f"Trailing-baseline anomaly detection: each event's value scored "
+        f"against the mean/stddev of the user's previous "
+        f"{ANOMALY_BASELINE} events (current row excluded); |z| > "
+        f"{ANOMALY_Z} flags an anomaly, fewer than {ANOMALY_MIN_OBS} "
+        f"baseline rows yields NULL (cold start).",
+    scale_notes="One shuffle on user_id; mean/stddev/count all ride the "
+                "same sorted window frame in one pass (no self-join "
+                "against the trailing slice). The ROWS frame bounds state "
+                "per row at O(baseline), independent of series length — "
+                "the streaming twin of this is a bounded-state "
+                "applyInPandasWithState.",
+)
+def anomaly_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-ANOMALY_BASELINE, -1)
+    )
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_samp("value").over(w)
+    n_base = F.count(F.lit(1)).over(w)
+    z = (F.col("value") - mu) / F.nullif(sigma, F.lit(0.0))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.when(n_base >= ANOMALY_MIN_OBS, F.round(z, 6)).alias("z_score"),
+        F.coalesce(
+            (n_base >= ANOMALY_MIN_OBS) & (F.abs(z) > ANOMALY_Z), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT event_id, user_id, ts, event_type, value,
+                   last_value(CASE WHEN event_type = 'click' THEN event_id END
+                              IGNORE NULLS) OVER w AS last_click_id,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS) OVER w AS last_click_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id AS purchase_id, user_id,
+               CASE WHEN epoch_us(ts) - epoch_us(last_click_ts)
+                         <= {ATTRIB_WINDOW_US}
+                    THEN last_click_id END AS attributed_click_id,
+               coalesce(epoch_us(ts) - epoch_us(last_click_ts)
+                        <= {ATTRIB_WINDOW_US}, false) AS attributed,
+               round(value, 4) AS value
+        FROM tagged
+        WHERE event_type = 'purchase'
+    """,
+    doc="Last-touch attribution: each purchase is credited to the user's "
+        "most recent strictly-preceding click within a 7-day window — "
+        "the carry-forward (last_value IGNORE NULLS) formulation, not a "
+        "per-purchase as-of self-join.",
+    scale_notes="ONE shuffle on user_id and a single forward pass; the "
+                "naive per-purchase as-of join against the click stream "
+                "is a second shuffle plus a range-join explosion. "
+                "Carry-forward state is O(1) per row, so the same window "
+                "runs unbounded on a stream. Integer-microsecond gap "
+                "arithmetic (epoch_us twin: unix_micros) keeps the "
+                "window edge engine-exact.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    gap_ok = (
+        F.unix_micros("ts") - F.unix_micros(F.last(click_ts, ignorenulls=True).over(w))
+    ) <= ATTRIB_WINDOW_US
+    return (
+        e.withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .withColumn("gap_ok", gap_ok)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(F.col("gap_ok"), F.col("last_click_id")).alias(
+                "attributed_click_id"
+            ),
+            F.coalesce(F.col("gap_ok"), F.lit(False)).alias("attributed"),
+            F.round("value", 4).alias("value"),
+        )
+    )

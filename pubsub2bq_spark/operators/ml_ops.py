@@ -381,3 +381,53 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # truncate per-round lineage (25 rows)
         )
     return pr.join(nodes, "node").select("n_name", F.round("pr", 6).alias("pagerank"))
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@register(
+    "winsorize",
+    oracle=f"""
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, {WINSOR_LO}) AS lo,
+                   quantile_cont(value, {WINSOR_HI}) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round(e.value, 4) AS value,
+               round(least(greatest(e.value, q.lo), q.hi), 4) AS winsorized,
+               (e.value < q.lo OR e.value > q.hi) AS clipped
+        FROM events e JOIN q USING (event_type)
+    """,
+    doc=f"Winsorization: clamp event values to the per-group "
+        f"[p{int(WINSOR_LO * 100)}, p{int(WINSOR_HI * 100)}] exact "
+        f"interpolated percentiles — the outlier treatment an ML feature "
+        f"pipeline applies before scaling (complement of feature_scale).",
+    scale_notes="Spark's exact `percentile` and DuckDB's quantile_cont "
+                "share the (n-1)p linear-interpolation definition, so the "
+                "clamp edges are engine-identical. The quantile relation "
+                "is |event_type| rows broadcast back — no second "
+                "full-data shuffle; at extreme scale swap the exact "
+                "percentile for percentile_approx (approx_quantiles "
+                "documents the error-bound contract).",
+)
+def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    return e.join(F.broadcast(q), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 4
+        ).alias("winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )

@@ -1,0 +1,158 @@
+"""Corpus indexing and co-occurrence statistics over `documents`:
+an inverted index (term → document-frequency + posting sample) and
+PMI-scored word co-occurrence — the text-engine artifacts built
+downstream of the cleaning funnel (llm_corpus) before retrieval or
+embedding training.
+
+Both stages dedupe to (word, doc) pairs FIRST: multiplicity within a
+document is irrelevant to document frequency and to document-level
+co-occurrence, and dropping it early is what keeps the pair expansion
+bounded."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import fan_out, load
+
+POSTING_SAMPLE = 20  # doc ids retained per term (lowest-id sample)
+PMI_MIN_DF = 20      # vocabulary floor for pair expansion
+PMI_MAX_DF = 400     # stop-word ceiling (sf0.001: 500 docs)
+PMI_MIN_PAIR = 5     # minimum co-occurrence support
+
+# Shared first stage: distinct (word, doc_id) pairs.
+_WORD_DOC_SQL = """
+    SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+    )
+"""
+
+
+def _word_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+                )
+            ).alias("word"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "inverted_index",
+    oracle=f"""
+        WITH wd AS ({_WORD_DOC_SQL})
+        SELECT word,
+               count(*) AS df,
+               array_to_string(
+                   list_slice(list(doc_id ORDER BY doc_id), 1, {POSTING_SAMPLE}),
+                   ',') AS posting_sample
+        FROM wd GROUP BY word
+    """,
+    doc=f"Inverted index: per term, document frequency and the first "
+        f"{POSTING_SAMPLE} posting doc_ids — the retrieval-side artifact "
+        f"a search layer consumes.",
+    scale_notes="Tokens dedupe to (word, doc) map-side-combinable pairs "
+                "before the single word-keyed shuffle; the posting list "
+                "is capped so hot terms (stop words) cannot produce "
+                "multi-GB aggregation values — full postings at scale go "
+                "to a bucketed (word → doc segment) layout instead of "
+                "one row per term.",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wd = _word_doc(spark, sf_dir)
+    return wd.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTING_SAMPLE), ","
+        ).alias("posting_sample"),
+    )
+
+
+@register(
+    "word_pmi",
+    oracle=f"""
+        WITH wd AS ({_WORD_DOC_SQL}),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        vocab AS (
+            SELECT word, count(*) AS df FROM wd GROUP BY word
+            HAVING count(*) BETWEEN {PMI_MIN_DF} AND {PMI_MAX_DF}
+        ),
+        wdv AS (SELECT wd.doc_id, wd.word, v.df FROM wd JOIN vocab v USING (word)),
+        pairs AS (
+            SELECT a.word AS word_a, b.word AS word_b,
+                   max(a.df) AS df_a, max(b.df) AS df_b,
+                   count(*) AS n_pair
+            FROM wdv a JOIN wdv b
+              ON a.doc_id = b.doc_id AND a.word < b.word
+            GROUP BY a.word, b.word
+            HAVING count(*) >= {PMI_MIN_PAIR}
+        )
+        SELECT word_a, word_b, n_pair,
+               round(ln(n_pair * n.n_docs / (df_a * df_b)), 6) AS pmi
+        FROM pairs CROSS JOIN n
+    """,
+    doc=f"Document-level pointwise mutual information over word pairs: "
+        f"PMI = ln(P(a,b) / P(a)P(b)) for vocabulary terms with df in "
+        f"[{PMI_MIN_DF}, {PMI_MAX_DF}] co-occurring in >= {PMI_MIN_PAIR} "
+        f"documents — the association statistic behind collocation "
+        f"mining and embedding evaluation.",
+    scale_notes="The pair expansion is the quadratic hazard; it is gated "
+                "TWICE before it happens: multiplicity dedup (word,doc) "
+                "and a df-band vocabulary filter that drops both the "
+                "singleton tail and the stop-word head. The self-join is "
+                "doc_id-keyed (co-partitioned, no broadcast of the "
+                "corpus); per-doc cost is O(vocab_words_in_doc²) with "
+                "the band keeping that bounded. At 100 TB tighten the "
+                "band or add per-doc top-k-by-tf truncation.",
+)
+def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wd = _word_doc(spark, sf_dir).localCheckpoint()  # feeds vocab + both join sides
+    n_docs = (
+        load(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    vocab = (
+        wd.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(PMI_MIN_DF, PMI_MAX_DF))
+    )
+    wdv = wd.join(F.broadcast(vocab), "word")
+    a = wdv.select(
+        "doc_id", F.col("word").alias("word_a"), F.col("df").alias("dfa")
+    )
+    b = wdv.select(
+        "doc_id", F.col("word").alias("word_b"), F.col("df").alias("dfb")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(
+            F.max("dfa").alias("df_a"),
+            F.max("dfb").alias("df_b"),
+            F.count(F.lit(1)).alias("n_pair"),
+        )
+        .filter(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "word_a",
+        "word_b",
+        "n_pair",
+        F.round(
+            F.log(
+                F.col("n_pair") * F.col("n_docs") / (F.col("df_a") * F.col("df_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )

@@ -113,6 +113,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         relational_ext,
         source_formats,
+        text_index,
         tpch,
         training_prep,
         udf_surface,

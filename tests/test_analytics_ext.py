@@ -1,0 +1,142 @@
+"""Semantic invariants for batch-E operators: anomaly detection,
+attribution, inverted index, PMI, winsorization."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.operators.event_analytics import (
+    ANOMALY_MIN_OBS,
+    anomaly_detect,
+    attribution_last_touch,
+)
+from pubsub2bq_spark.operators.ml_ops import winsorize
+from pubsub2bq_spark.operators.text_index import (
+    PMI_MAX_DF,
+    PMI_MIN_DF,
+    PMI_MIN_PAIR,
+    POSTING_SAMPLE,
+    inverted_index,
+    word_pmi,
+)
+from tests.conftest import SF_SMOKE
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_events(spark, tmp_path, rows) -> str:
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(f"{sf}/events.parquet")
+    return sf
+
+
+def _t(minutes: int) -> dt.datetime:
+    return dt.datetime(2026, 1, 1) + dt.timedelta(minutes=minutes)
+
+
+class TestAnomalyDetect:
+    def test_planted_outlier_flagged_and_cold_start_null(self, spark, tmp_path):
+        """Steady 10.0 baseline then a 1000.0 spike: the spike is the only
+        anomaly; the first ANOMALY_MIN_OBS rows have NULL z (cold start)."""
+        rows = [
+            (i, _t(i), 1, "view", 10.0 + (i % 3) * 0.1, "{}") for i in range(10)
+        ] + [(10, _t(10), 1, "view", 1000.0, "{}")]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.event_id: r for r in anomaly_detect(spark, sf).collect()}
+        assert got[10].is_anomaly and got[10].z_score > 3
+        assert all(not got[i].is_anomaly for i in range(10))
+        # rows 0..ANOMALY_MIN_OBS-1 have < MIN_OBS preceding rows → NULL
+        for i in range(ANOMALY_MIN_OBS):
+            assert got[i].z_score is None, i
+
+    def test_flag_implies_score(self, spark):
+        bad = (
+            anomaly_detect(spark, SF_SMOKE)
+            .filter(F.col("is_anomaly") & (F.abs(F.col("z_score")) <= 3))
+            .count()
+        )
+        assert bad == 0
+
+
+class TestAttribution:
+    def test_known_sequence(self, spark, tmp_path):
+        """click(t0) → purchase(t1): attributed. purchase with no prior
+        click: not. purchase 8 days after the click: outside window."""
+        rows = [
+            (1, _t(0), 1, "click", 1.0, "{}"),
+            (2, _t(30), 1, "purchase", 50.0, "{}"),
+            (3, _t(0), 2, "purchase", 20.0, "{}"),
+            (4, _t(0), 3, "click", 1.0, "{}"),
+            (5, _t(8 * 24 * 60), 3, "purchase", 30.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r.purchase_id: r for r in attribution_last_touch(spark, sf).collect()}
+        assert got[2].attributed and got[2].attributed_click_id == 1
+        assert not got[3].attributed and got[3].attributed_click_id is None
+        assert not got[5].attributed and got[5].attributed_click_id is None
+
+    def test_purchases_preserved(self, spark):
+        from pubsub2bq_spark.tables import load
+
+        n_purch = (
+            load(spark, SF_SMOKE, "events")
+            .filter(F.col("event_type") == "purchase")
+            .count()
+        )
+        assert attribution_last_touch(spark, SF_SMOKE).count() == n_purch
+
+
+class TestInvertedIndex:
+    def test_df_and_posting_sorted(self, spark):
+        rows = inverted_index(spark, SF_SMOKE).collect()
+        assert rows
+        for r in rows:
+            posting = [int(x) for x in r.posting_sample.split(",")]
+            assert posting == sorted(posting)
+            assert len(posting) == min(r.df, POSTING_SAMPLE)
+            assert len(set(posting)) == len(posting)
+
+
+class TestWordPmi:
+    def test_support_and_formula(self, spark):
+        rows = word_pmi(spark, SF_SMOKE).collect()
+        assert rows
+        idx = {r.word: r.df for r in inverted_index(spark, SF_SMOKE).collect()}
+        n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+        for r in rows:
+            df_a, df_b = idx[r.word_a], idx[r.word_b]
+            assert PMI_MIN_DF <= df_a <= PMI_MAX_DF
+            assert PMI_MIN_DF <= df_b <= PMI_MAX_DF
+            assert PMI_MIN_PAIR <= r.n_pair <= min(df_a, df_b)
+            expected = math.log(r.n_pair * n_docs / (df_a * df_b))
+            assert abs(r.pmi - expected) < 1e-5
+
+
+class TestWinsorize:
+    def test_clamped_range_and_clip_flag(self, spark):
+        out = winsorize(spark, SF_SMOKE)
+        # winsorized stays within the group's observed (rounded) band
+        agg = (
+            out.groupBy("event_type")
+            .agg(
+                F.min("winsorized").alias("wlo"),
+                F.max("winsorized").alias("whi"),
+                F.sum(F.col("clipped").cast("int")).alias("n_clip"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        for r in agg:
+            # ~10% of mass sits outside [p5, p95]
+            assert 0 < r.n_clip < 0.2 * r.n, r
+        bad = out.filter(
+            (F.col("winsorized") > F.col("value")) & ~F.col("clipped")
+            | (F.col("winsorized") < F.col("value")) & ~F.col("clipped")
+        ).count()
+        assert bad == 0
