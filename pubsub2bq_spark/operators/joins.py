@@ -309,3 +309,100 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# interval_join_binned: 200 deterministic 43-minute "campaign" windows
+# laid out every 211 minutes from the stream's first midnight.
+N_INTERVALS = 200
+INTERVAL_STEP_S = 211 * 60
+INTERVAL_LEN_S = 43 * 60
+INTERVAL_BIN_S = 3600  # bin width >= interval length → <= 2 bins/interval
+
+
+@register(
+    "interval_join_binned",
+    oracle=f"""
+        WITH t0 AS (
+            SELECT CAST(floor(epoch(min(ts)) / 86400) * 86400 AS BIGINT) AS t0
+            FROM events
+        ),
+        intervals AS (
+            SELECT CAST(i AS INT) AS interval_id,
+                   t0.t0 + i * {INTERVAL_STEP_S}                      AS s,
+                   t0.t0 + i * {INTERVAL_STEP_S} + {INTERVAL_LEN_S}   AS e
+            FROM t0, (SELECT unnest(generate_series(0, {N_INTERVALS - 1})) AS i)
+        )
+        SELECT i.interval_id,
+               count(ev.ts)                      AS n_events,
+               round(coalesce(sum(ev.value), 0), 4) AS total
+        FROM intervals i
+        LEFT JOIN events ev
+          ON epoch(ev.ts) >= i.s AND epoch(ev.ts) < i.e
+        GROUP BY i.interval_id
+    """,
+    doc="Point-in-interval join, binned: events matched to containing "
+        "campaign windows via a time-bucket equi-join instead of the "
+        "naive theta join — the range-join optimization warehouses ship "
+        "as 'range join hints'.",
+    scale_notes="The oracle's theta join is O(points x intervals) — a "
+                "nested-loop that dies at scale. The plan here explodes "
+                "each interval to the <= 2 hour-bins it covers and "
+                "equi-joins points on their bin (one keyed shuffle), "
+                "then applies containment as a cheap residual filter: "
+                "cost O(points + intervals) with bin-hash parallelism. "
+                "Hot bins (flash events) salt like any skewed key; bin "
+                "width tracks the max interval length.",
+)
+def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    t0 = e.agg(
+        (F.floor(F.unix_timestamp(F.min("ts")) / 86400) * 86400)
+        .cast("bigint")
+        .alias("t0")
+    )
+    intervals = (
+        t0.select(
+            F.explode(F.sequence(F.lit(0), F.lit(N_INTERVALS - 1))).alias("i"),
+            "t0",
+        )
+        .select(
+            F.col("i").cast("int").alias("interval_id"),
+            (F.col("t0") + F.col("i") * INTERVAL_STEP_S).alias("s"),
+            (F.col("t0") + F.col("i") * INTERVAL_STEP_S + INTERVAL_LEN_S).alias("e"),
+        )
+    )
+    # Explode each interval to the hour-bins it covers (<= 2 by
+    # construction), points carry exactly one bin → equi-join, no dupes.
+    ibins = intervals.select(
+        "interval_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / INTERVAL_BIN_S).cast("bigint"),
+                F.floor((F.col("e") - 1) / INTERVAL_BIN_S).cast("bigint"),
+            )
+        ).alias("bin"),
+    )
+    pts = e.select(
+        F.unix_timestamp("ts").alias("ep"),
+        "value",
+    ).withColumn("bin", F.floor(F.col("ep") / INTERVAL_BIN_S).cast("bigint"))
+    hits = (
+        ibins.join(pts, "bin")
+        .filter((F.col("ep") >= F.col("s")) & (F.col("ep") < F.col("e")))
+        .groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sv"),
+        )
+    )
+    return (
+        intervals.select("interval_id")
+        .join(hits, "interval_id", "left")
+        .select(
+            "interval_id",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(F.coalesce("sv", F.lit(0.0)), 4).alias("total"),
+        )
+    )

@@ -156,3 +156,84 @@ def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pmi"),
     )
+
+
+@register(
+    "bigram_logprob",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT doc_id,
+                   t[CAST(i AS INT)]     AS w1,
+                   t[CAST(i AS INT) + 1] AS w2
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+                FROM toks
+            )
+        ),
+        pc AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+        hc AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1),
+        v  AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vsz FROM bigrams)
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(-ln((pc.c12 + 1) / (hc.c1 + v.vsz))), 6) AS bigram_nll
+        FROM bigrams b
+        JOIN pc USING (w1, w2)
+        JOIN hc USING (w1)
+        CROSS JOIN v
+        GROUP BY b.doc_id
+    """,
+    doc="Bigram language-model scoring: per-document mean negative "
+        "log-probability under the corpus bigram model with add-1 "
+        "smoothing — the sequence-aware upgrade of unigram_logprob's "
+        "quality proxy (high NLL = unnatural word order).",
+    scale_notes="Bigram rows are localCheckpointed once and feed the "
+                "pair-count aggregate, the history-count aggregate, and "
+                "the scoring join — three consumers, one tokenization. "
+                "All joins are keyed on (w1,w2)/(w1) (sort-merge, "
+                "co-partitionable); the vocabulary size rides a broadcast "
+                "scalar. Stop-word bigram skew is absorbed by partial "
+                "aggs; at 100 TB hash the grams to int64 first.",
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+        ).alias("t"),
+    )
+    n = F.size("t")
+    starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = (
+        toks.select("doc_id", "t", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+        .localCheckpoint()  # one tokenization feeds three consumers
+    )
+    pc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hc = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bigrams.agg(F.countDistinct("w2").cast("double").alias("vsz"))
+    return (
+        bigrams.join(pc, ["w1", "w2"])
+        .join(hc, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log((F.col("c12") + 1) / (F.col("c1") + F.col("vsz")))), 6
+            ).alias("bigram_nll"),
+        )
+    )

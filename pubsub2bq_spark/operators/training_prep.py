@@ -390,3 +390,56 @@ def negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("neg_doc_id"),
         )
     )
+
+
+@register(
+    "dataset_mixture",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents
+        ),
+        cap AS (
+            SELECT min(n) AS m FROM (
+                SELECT count(*) AS n FROM documents GROUP BY source
+            )
+        )
+        SELECT doc_id, source, CAST(rk AS INT) AS rk
+        FROM ranked CROSS JOIN cap
+        WHERE rk <= cap.m
+    """,
+    doc="Balanced dataset mixture: deterministic per-source downsampling "
+        "to the smallest source's cardinality — each source contributes "
+        "its md5-rank-lowest documents, giving a reproducible equal-"
+        "weight pretraining mix without RNG.",
+    scale_notes="One window shuffle keyed on source (the mixture "
+                "dimension, low cardinality → pre-aggregate counts are "
+                "tiny); the cap is a broadcast scalar. Rank-by-hash is a "
+                "uniform sample that is stable under corpus growth for "
+                "the retained prefix. Source-key skew (one giant source) "
+                "is the window's partition — at 100 TB replace rank with "
+                "an md5-threshold filter (pure map, no window) computed "
+                "from the cap/count ratio.",
+)
+def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    cap = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("m"))
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("rk") <= F.col("m"))
+        .select("doc_id", "source", "rk")
+    )

@@ -140,3 +140,81 @@ class TestWinsorize:
             | (F.col("winsorized") < F.col("value")) & ~F.col("clipped")
         ).count()
         assert bad == 0
+
+
+class TestIntervalJoinBinned:
+    def test_matches_naive_theta_join(self, spark):
+        """The binned equi-join must produce exactly the naive
+        containment join's aggregate."""
+        from pubsub2bq_spark.operators.joins import (
+            INTERVAL_LEN_S,
+            INTERVAL_STEP_S,
+            N_INTERVALS,
+            interval_join_binned,
+        )
+        from pubsub2bq_spark.tables import load
+
+        got = {
+            r.interval_id: (r.n_events, r.total)
+            for r in interval_join_binned(spark, SF_SMOKE).collect()
+        }
+        assert len(got) == N_INTERVALS
+        e = load(spark, SF_SMOKE, "events").select(
+            F.unix_timestamp("ts").alias("ep"), "value"
+        )
+        t0_row = e.agg(
+            (F.floor(F.unix_timestamp(F.min(F.timestamp_seconds("ep"))) / 86400) * 86400)
+        ).first()[0]
+        pts = [(r.ep, r.value) for r in e.collect()]
+        for i in range(N_INTERVALS):
+            s = t0_row + i * INTERVAL_STEP_S
+            hit = [(ep, v) for ep, v in pts if s <= ep < s + INTERVAL_LEN_S]
+            assert got[i][0] == len(hit), i
+            assert abs(got[i][1] - round(sum(v for _, v in hit), 4)) < 1e-6, i
+
+
+class TestBigramLogprob:
+    def test_counts_and_positivity(self, spark):
+        from pubsub2bq_spark.operators.text_index import bigram_logprob
+        from pubsub2bq_spark.tables import load
+
+        rows = bigram_logprob(spark, SF_SMOKE).collect()
+        assert rows
+        toks = {
+            r.doc_id: r.n
+            for r in load(spark, SF_SMOKE, "documents")
+            .select(
+                "doc_id",
+                F.size(
+                    F.filter(
+                        F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+                    )
+                ).alias("n"),
+            )
+            .collect()
+        }
+        for r in rows:
+            assert r.n_bigrams == toks[r.doc_id] - 1
+            assert r.bigram_nll > 0
+
+
+class TestDatasetMixture:
+    def test_balanced_and_deterministic(self, spark):
+        from pubsub2bq_spark.operators.training_prep import dataset_mixture
+        from pubsub2bq_spark.tables import load
+
+        out = dataset_mixture(spark, SF_SMOKE)
+        counts = {r.source: r.n for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        src_counts = {
+            r.source: r.n
+            for r in load(spark, SF_SMOKE, "documents")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        m = min(src_counts.values())
+        assert set(counts) == set(src_counts)
+        assert all(v == m for v in counts.values())
+        a = sorted(map(tuple, out.collect()))
+        b = sorted(map(tuple, dataset_mixture(spark, SF_SMOKE).collect()))
+        assert a == b
