@@ -95,3 +95,56 @@ class TestAggAndSort:
         hide codegen ids until execution, so assert on a non-AQE query.)"""
         plan = plan_of(spark, "filter_pred")
         assert "codegen id" in plan
+
+
+class TestRound2SecondHalfPlans:
+    """Plan gates for the training-prep / ML / analytics additions."""
+
+    def test_broadcast_back_normalizers_avoid_smj(self, spark):
+        """feature_scale / winsorize join a tiny stats relation back to
+        the fact: must be a broadcast join, never a sort-merge (which
+        would shuffle the whole fact a second time)."""
+        for key in ("feature_scale", "winsorize"):
+            plan = plan_of(spark, key)
+            assert "BroadcastHashJoin" in plan, key
+            assert "SortMergeJoin" not in plan, key
+
+    def test_single_user_partitioning_for_window_ops(self, spark):
+        """anomaly_detect / attribution_last_touch / ewma_recent are
+        one-pass window compositions: exactly one user_id hash
+        partitioning in the plan."""
+        for key in ("anomaly_detect", "attribution_last_touch", "ewma_recent"):
+            plan = plan_of(spark, key)
+            assert plan.count("hashpartitioning(user_id") <= 1, key
+
+    def test_interval_join_is_equi_not_nested_loop(self, spark):
+        """The binned interval join must plan as an equi-join on the
+        bin key — no cartesian/broadcast-nested-loop anywhere."""
+        plan = plan_of(spark, "interval_join_binned")
+        assert "CartesianProduct" not in plan
+        # the scalar t0/count relations legitimately ride BNLJ; the
+        # bin join itself must be hash/sort-merge
+        assert "hashpartitioning(bin" in plan or "BroadcastHashJoin" in plan, plan
+
+    def test_pmi_joins_are_equi(self, spark):
+        """word_pmi's vocabulary and pair joins must all be hash
+        equi-joins (broadcast at small scale, doc_id-shuffled at large);
+        the only nested-loop allowed is the scalar n_docs cross join."""
+        import re
+
+        plan = plan_of(spark, "word_pmi")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # formatted explain prints each op twice (tree + detail); count
+        # only the numbered detail lines — scalar n_docs BNLJ only.
+        assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) <= 1
+
+    def test_doc_chunk_and_feature_hash_have_bounded_exchanges(self, spark):
+        """doc_chunk: map-only (fan_out round-robin at most);
+        feature_hash: exactly one aggregation exchange."""
+        import re
+
+        plan = plan_of(spark, "doc_chunk")
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
+        plan = plan_of(spark, "feature_hash")
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
