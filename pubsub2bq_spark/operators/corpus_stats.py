@@ -1,0 +1,214 @@
+"""Corpus-level distribution statistics over `documents`: exact heavy
+hitters (frequent terms), per-document token entropy, and per-source
+n-gram diversity.
+
+These are the monitoring/quality statistics a pretraining pipeline
+computes alongside the cleaning funnel (llm_corpus) and the indexing
+stages (text_index): what dominates the token distribution, which
+documents are degenerate (low-entropy repetition), and how much lexical
+variety each source contributes (reference parity: the pipeline's
+query-side aggregation surface, /root/reference/sql/sp_demo_cleanroom.sql,
+is GROUP-BY analytics over synced rows — these keys are the same shape
+pointed at corpus text).
+
+Everything is built-in-function only: split / explode / two-phase
+aggregation; shuffles are keyed on word / doc_id / source, never on
+raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import fan_out, load
+
+TOP_K = 25          # heavy_hitters: terms retained
+DIVERSITY_GRAM = 3  # ngram_diversity: word-gram width
+
+# Shared tokenization (same split as text_index / unigram_logprob).
+_WORDS_SQL = """
+    SELECT doc_id, source,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS word
+    FROM documents
+"""
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+            )
+        ).alias("word"),
+    )
+
+
+@register(
+    "heavy_hitters",
+    oracle=f"""
+        WITH words AS ({_WORDS_SQL}),
+        counts AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+        top AS (
+            SELECT word, freq FROM counts
+            ORDER BY freq DESC, word LIMIT {TOP_K}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS INT) AS rk,
+               word, freq
+        FROM top
+    """,
+    doc=f"Exact heavy hitters: the {TOP_K} most frequent corpus terms with "
+        f"rank and count (ties broken lexicographically) — the frequency "
+        f"head a tokenizer-vocabulary or stop-word list is built from.",
+    scale_notes="Two-phase aggregation: map-side partial counts absorb the "
+                "stop-word skew before the single word-keyed shuffle, and "
+                "the top-k plans as TakeOrderedAndProject (per-partition "
+                "heap + driver merge of k rows), never a global sort. The "
+                f"final rank window touches {TOP_K} rows. When even the "
+                "exact count map outgrows the cluster (trillions of "
+                "distinct terms), the documented relaxation is a count-min "
+                "sketch + per-partition heap with identical output schema; "
+                "up to billions of terms the exact two-phase agg is the "
+                "better plan.",
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _words(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), "word").limit(TOP_K)
+    # Rank window runs on the already-limited TOP_K-row relation.
+    w = Window.orderBy(F.col("freq").desc(), "word")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rk"), "word", "freq"
+    )
+
+
+@register(
+    "token_entropy",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                      x -> x <> '')) AS word
+            FROM documents
+        ),
+        wc AS (
+            SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS c
+            FROM words GROUP BY doc_id, word
+        ),
+        tot AS (
+            SELECT doc_id, word, c,
+                   sum(c) OVER (PARTITION BY doc_id) AS n
+            FROM wc
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT)   AS n_tokens,
+               count(*)                 AS n_distinct,
+               round(-sum((c / n) * ln(c / n)), 6) AS entropy
+        FROM tot
+        GROUP BY doc_id
+    """,
+    doc="Per-document Shannon entropy of the word distribution (nats), "
+        "with token and distinct-word counts — the degenerate-repetition "
+        "detector: boilerplate and keyword-stuffed documents score far "
+        "below natural prose of the same length.",
+    scale_notes="groupBy (doc_id, word) then a doc_id window then a doc_id "
+                "aggregate: Catalyst plans the window and the final agg in "
+                "the SAME hashpartitioning(doc_id) — two exchanges total, "
+                "the second moving one row per distinct (doc, word). "
+                "Per-document state is bounded by document length, so no "
+                "skew hazard; at 100 TB this is a scan + two bounded "
+                "shuffles, embarrassingly scalable.",
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        _words(spark, sf_dir)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / F.col("n")
+    return (
+        wc.withColumn("n", n)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+
+
+@register(
+    "ngram_diversity",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT source,
+                   array_to_string(
+                       list_slice(t, CAST(i AS INT),
+                                  CAST(i AS INT) + {DIVERSITY_GRAM} - 1),
+                       ' ') AS gram
+            FROM (
+                SELECT source, t,
+                       unnest(generate_series(
+                           1, greatest(len(t) - {DIVERSITY_GRAM} + 1, 0))) AS i
+                FROM toks
+            )
+        )
+        SELECT source,
+               count(*)            AS n_grams,
+               count(DISTINCT gram) AS n_distinct,
+               round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
+                   AS diversity
+        FROM grams
+        GROUP BY source
+    """,
+    doc=f"Per-source lexical diversity: distinct word {DIVERSITY_GRAM}-grams "
+        f"over total {DIVERSITY_GRAM}-gram positions — the corpus-health "
+        f"metric that exposes template-generated or self-repeating sources "
+        f"(low ratio) before they flood a training mix.",
+    scale_notes="Gram generation is a map stage; count-distinct is Spark's "
+                "two-phase expand/partial-agg (dedup keyed on (source, "
+                "gram) before the source-keyed final shuffle), so the hot "
+                "source key never concentrates raw gram traffic on one "
+                "reducer. At 100 TB swap gram strings for xxhash64(gram) "
+                "so the shuffle moves 8 bytes per position, accepting "
+                "hash-collision error ~n²/2⁶⁴.",
+)
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        "source",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+        ).alias("t"),
+    )
+    n = F.size("t")
+    starts = F.when(
+        n >= DIVERSITY_GRAM, F.sequence(F.lit(1), n - (DIVERSITY_GRAM - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.array_join(F.slice(F.col("t"), F.col("i"), DIVERSITY_GRAM), " ")
+    grams = (
+        toks.select("source", "t", F.explode(starts).alias("i"))
+        .select("source", gram.alias("gram"))
+    )
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
+        F.round(
+            F.countDistinct("gram").cast("double") / F.count(F.lit(1)), 6
+        ).alias("diversity"),
+    )

@@ -360,3 +360,98 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("value"),
         )
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+        WITH b AS (
+            SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut_us
+            FROM events
+        ),
+        old_r AS (
+            SELECT user_id, value, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events, b
+            WHERE epoch_us(ts) <= b.cut_us
+        ),
+        old_s AS (
+            SELECT user_id, round(value, 4) AS old_value
+            FROM old_r WHERE rn = 1 AND event_type <> 'error'
+        ),
+        new_r AS (
+            SELECT user_id, value, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ),
+        new_s AS (
+            SELECT user_id, round(value, 4) AS new_value
+            FROM new_r WHERE rn = 1 AND event_type <> 'error'
+        )
+        SELECT coalesce(o.user_id, n.user_id) AS user_id,
+               CASE WHEN o.user_id IS NULL THEN 'added'
+                    WHEN n.user_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change_type,
+               o.old_value, n.new_value
+        FROM old_s o FULL JOIN new_s n ON o.user_id = n.user_id
+        WHERE o.user_id IS NULL OR n.user_id IS NULL
+           OR o.old_value <> n.new_value
+    """,
+    doc="Point-in-time snapshot diff: reconstruct the live CDC state "
+        "(latest non-delete row per key, `error` = tombstone per the "
+        "envelope convention) at the stream's midpoint and at its end, "
+        "and emit added / removed / changed keys with before/after "
+        "values — the table-diff a sync-validation job runs against "
+        "two reconciled snapshots.",
+    scale_notes="Both snapshot reconstructions and the full-outer diff "
+                "join share hashpartitioning(user_id): each side "
+                "shuffles the fact once for its row_number window and "
+                "the join reuses that partitioning (no third exchange). "
+                "The cutoff is a broadcast scalar from a min/max agg "
+                "(map-side combinable). Single-scan alternative at 100 "
+                "TB: conditional max_by aggregation folds both windows "
+                "into one user_id shuffle; kept as two windows for plan "
+                "clarity since both are the same exchange key.",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cut = e.agg(
+        (
+            F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
+        ).alias("cut_us")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def snapshot(df: DataFrame, value_alias: str) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select("user_id", F.round("value", 4).alias(value_alias))
+        )
+
+    old_s = snapshot(
+        e.crossJoin(F.broadcast(cut)).filter(
+            F.unix_micros("ts") <= F.col("cut_us")
+        ),
+        "old_value",
+    )
+    new_s = snapshot(e, "new_value")
+    o, n = old_s.alias("o"), new_s.alias("n")
+    joined = o.join(n, F.col("o.user_id") == F.col("n.user_id"), "full")
+    return joined.filter(
+        F.col("o.user_id").isNull()
+        | F.col("n.user_id").isNull()
+        | (F.col("old_value") != F.col("new_value"))
+    ).select(
+        F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias("user_id"),
+        F.when(F.col("o.user_id").isNull(), "added")
+        .when(F.col("n.user_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        "old_value",
+        "new_value",
+    )

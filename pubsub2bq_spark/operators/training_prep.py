@@ -41,6 +41,9 @@ HASH_FEATURES = 64
 NEG_K = 5
 NEG_STRIDE = 7919
 
+# Sequence packing: training-sequence token budget (context length).
+PACK_TOKENS = 512
+
 _HEXDIGITS = "0123456789abcdef"
 
 
@@ -389,6 +392,69 @@ def negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_rank",
             F.col("doc_id").alias("neg_doc_id"),
         )
+    )
+
+
+@register(
+    "sequence_pack",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        offs AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+            FROM toks
+        )
+        SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+               start_off // {PACK_TOKENS} AS pack_id,
+               start_off % {PACK_TOKENS}  AS pack_offset
+        FROM offs
+    """,
+    doc=f"Sequence packing (concat-and-slice): concatenate each source's "
+        f"documents in doc_id order and assign every document to the "
+        f"{PACK_TOKENS}-token training sequence its first token lands in — "
+        f"the layout GPT-style pretraining uses to fill fixed-length "
+        f"context windows without padding waste.",
+    scale_notes="The prefix sum is ONE window shuffle keyed on source. "
+                "Source is low-cardinality, so at 100 TB the per-source "
+                "sort partition is the hazard: the scale path is the "
+                "negative_sample dense-index technique generalized to "
+                "sums — per-hash-bucket partial sums, a broadcast "
+                "cumulative-offset relation (|buckets| rows), then "
+                "within-bucket prefix sums — which replaces the giant "
+                "sorted partition with bounded buckets at identical "
+                "output. Pack assignment itself is pure integer math "
+                "(codegen'd `div`/`%`), no further exchange.",
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(_ws_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs = toks.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return offs.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.expr(f"start_off div {PACK_TOKENS}").alias("pack_id"),
+        (F.col("start_off") % PACK_TOKENS).alias("pack_offset"),
     )
 
 

@@ -99,6 +99,7 @@ def all_queries() -> dict[str, Query]:
         analytics,
         cdc_pipeline,
         cdc_semantics,
+        corpus_stats,
         ddl_ops,
         event_analytics,
         events_ops,

@@ -148,3 +148,53 @@ class TestRound2SecondHalfPlans:
         assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
         plan = plan_of(spark, "feature_hash")
         assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
+
+
+class TestCorpusStatsAndGraphPlans:
+    """Plan gates for heavy_hitters / sequence_pack / triangle_count /
+    token_entropy / snapshot_diff."""
+
+    def test_heavy_hitters_topk_not_global_sort(self, spark):
+        """Top-k must plan as TakeOrderedAndProject (per-partition heap +
+        driver merge of k rows), never a full global Sort of the counts."""
+        plan = plan_of(spark, "heavy_hitters")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_sequence_pack_single_exchange(self, spark):
+        """Concat-and-slice packing is one window shuffle on source;
+        pack-id math is pure projection."""
+        import re
+
+        plan = plan_of(spark, "sequence_pack")
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+    def test_triangle_count_all_joins_broadcast(self, spark):
+        """The checkpointed edge set is tiny: wedge-close joins and the
+        nation join must all be broadcast; the member expansion is one
+        explode (a 3-way union of tri would rebuild the join per branch)."""
+        import re
+
+        plan = plan_of(spark, "triangle_count")
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 3
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+    def test_token_entropy_window_feeds_final_agg(self, spark):
+        """The doc_id window and the final doc_id aggregate share one
+        hashpartitioning: exchanges = fan_out round-robin + (doc_id,word)
+        agg + doc_id window, and no fourth for the final agg."""
+        import re
+
+        plan = plan_of(spark, "token_entropy")
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 3
+
+    def test_snapshot_diff_single_key_partitioning(self, spark):
+        """Both snapshot windows and the full-outer diff join run in
+        hashpartitioning(user_id); the only other partitioning is the
+        scalar cutoff's SinglePartition."""
+        import re
+
+        plan = plan_of(spark, "snapshot_diff")
+        parts = set(re.findall(r"hashpartitioning\((\w+?)#", plan))
+        assert parts <= {"user_id"}, parts
