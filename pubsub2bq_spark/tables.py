@@ -40,12 +40,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark only reads as
-    int64 (spark.sql.legacy.parquet.nanosAsLong). Convert ns → µs with
-    exact integer division (same truncation DuckDB applies), yielding a
-    proper TimestampType column."""
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    """Normalize `ts` to TimestampType regardless of how the parquet was
+    written. Generated data has shipped as TIMESTAMP(NANOS) — which Spark
+    only reads as int64 (spark.sql.legacy.parquet.nanosAsLong) — and as
+    TIMESTAMP(MICROS) without the UTC flag, which reads as TIMESTAMP_NTZ.
+    ns → µs uses exact integer division (same truncation DuckDB applies);
+    NTZ → LTZ is value-identical because the session timezone is pinned to
+    UTC (session.py). Downstream epoch arithmetic (`unix_micros`) and
+    watermarks then see one stable type everywhere."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
