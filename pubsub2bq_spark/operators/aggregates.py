@@ -439,3 +439,113 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_bin", "w_bin")
     )
+
+
+CM_DEPTH = 4    # independent hash rows
+CM_WIDTH = 64   # buckets per row
+_CM_HEX = "0123456789abcdef"
+
+
+def _cm_bucket_spark(seed, item):
+    """Portable md5-hex → count-min bucket (feature_hash's engine-portable
+    hex-strpos trick, parameterized by width)."""
+    h = F.md5(F.concat(F.lit("cm"), seed.cast("string"), F.lit(":"), item))
+
+    def pos(i: int):
+        return F.instr(F.lit(_CM_HEX), F.substring(h, i, 1)) - 1
+
+    return ((pos(1) * 16 + pos(2)) % CM_WIDTH).cast("int")
+
+
+def _cm_bucket_sql(seed_expr: str, item_expr: str) -> str:
+    h = f"md5('cm' || CAST({seed_expr} AS VARCHAR) || ':' || {item_expr})"
+    return (
+        f"CAST((((strpos('{_CM_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('{_CM_HEX}', substr({h}, 2, 1)) - 1))"
+        f" % {CM_WIDTH}) AS INT)"
+    )
+
+
+@register(
+    "countmin_sketch",
+    oracle=f"""
+        WITH per_user_day AS (
+            SELECT date_trunc('day', ts) AS d,
+                   CAST(user_id AS VARCHAR) AS item,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        sketch AS (
+            SELECT d, t.i AS i,
+                   {_cm_bucket_sql("t.i", "item")} AS bucket,
+                   sum(n) AS cnt
+            FROM per_user_day, unnest(range(0, {CM_DEPTH})) AS t(i)
+            GROUP BY 1, 2, 3
+        ),
+        merged AS (
+            SELECT i, bucket, sum(cnt) AS cnt FROM sketch GROUP BY i, bucket
+        ),
+        users AS (
+            SELECT item, sum(n) AS exact_n FROM per_user_day GROUP BY item
+        )
+        SELECT CAST(u.item AS BIGINT) AS user_id,
+               u.exact_n AS exact_n,
+               min(m.cnt) AS est_n,
+               min(m.cnt) >= u.exact_n AS over_ok
+        FROM users u,
+             unnest(range(0, {CM_DEPTH})) AS t(i)
+        JOIN merged m
+          ON m.i = t.i AND m.bucket = {_cm_bucket_sql("t.i", "u.item")}
+        GROUP BY u.item, u.exact_n
+    """,
+    doc=f"Mergeable count-min sketch: per-day {CM_DEPTH}x{CM_WIDTH} "
+        "frequency sketches of user activity, summed across days into "
+        "the all-time sketch (count-min merges by cell-wise addition), "
+        "then every user's frequency estimated as the min over hash "
+        "rows — with the exact count and the count-min guarantee "
+        "(estimate never under-counts) checked per user. The frequency "
+        "twin of hll_mergeable_sketch's distinct-count architecture; "
+        "md5-based bucketing makes the whole sketch engine-portable and "
+        "hash-checkable, not just bound-checkable.",
+    scale_notes="The only data-sized shuffle is the (day,user) pre-"
+                f"aggregation; the sketch itself is {CM_DEPTH}*{CM_WIDTH} "
+                "cells per day — KBs regardless of corpus size — so "
+                "merging any date range is a broadcast-scale sum. 'How "
+                "often did X occur in range R' then answers from sketch "
+                "cells without rescanning the fact; width tunes the "
+                "eps*N overestimate, depth the failure probability. The "
+                "exact twin here exists only to verify the bound and is "
+                "what production drops.",
+)
+def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    per_user_day = (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.col("user_id").cast("string").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # one fact scan feeds sketch build AND exact twin
+    )
+    seeds = F.array(*[F.lit(i) for i in range(CM_DEPTH)])
+    with_bucket = per_user_day.select(
+        "d", "item", "n", F.explode(seeds).alias("i")
+    ).withColumn("bucket", _cm_bucket_spark(F.col("i"), F.col("item")))
+    # Per-day sketches (the mergeable artifact), then the cell-wise merge.
+    sketch = with_bucket.groupBy("d", "i", "bucket").agg(F.sum("n").alias("cnt"))
+    merged = sketch.groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
+    users = per_user_day.groupBy("item").agg(F.sum("n").alias("exact_n"))
+    probes = users.select(
+        "item", "exact_n", F.explode(seeds).alias("i")
+    ).withColumn("bucket", _cm_bucket_spark(F.col("i"), F.col("item")))
+    return (
+        probes.join(F.broadcast(merged), ["i", "bucket"])
+        .groupBy("item", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+        .select(
+            F.col("item").cast("bigint").alias("user_id"),
+            "exact_n",
+            "est_n",
+            (F.col("est_n") >= F.col("exact_n")).alias("over_ok"),
+        )
+    )

@@ -526,3 +526,126 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+BFS_ROUNDS = 4
+BFS_SOURCE = 0          # n_nationkey of the BFS root
+BFS_EDGE_FRAC = 0.5     # keep edges with weight >= this fraction of avg
+
+
+def _bfs_iter_sql(prev: str, out: str) -> str:
+    """One unrolled BFS relaxation: dist_{k+1}(n) = min(dist_k(n),
+    1 + min over kept in-edges of dist_k(src)). Explicit CASE instead of
+    least() so NULL semantics cannot differ between engines."""
+    return f"""
+    {out} AS (
+        SELECT n.node,
+               CASE WHEN n.dist IS NULL THEN c.cd
+                    WHEN c.cd IS NULL THEN n.dist
+                    ELSE least(n.dist, c.cd) END AS dist
+        FROM {prev} n
+        LEFT JOIN (
+            SELECT e.dst AS node, min(p.dist) + 1 AS cd
+            FROM kept e JOIN {prev} p ON p.node = e.src
+            WHERE p.dist IS NOT NULL
+            GROUP BY e.dst
+        ) c ON n.node = c.node
+    )"""
+
+
+def _graph_bfs_oracle() -> str:
+    its = ",".join(
+        _bfs_iter_sql(f"d{i - 1}", f"d{i}") for i in range(1, BFS_ROUNDS + 1)
+    )
+    return f"""
+        WITH {_PR_EDGES_SQL},
+        aw AS (SELECT avg(w) AS aw FROM edges),
+        kept AS (
+            SELECT src, dst FROM edges, aw WHERE w >= {BFS_EDGE_FRAC} * aw
+        ),
+        d0 AS (
+            SELECT node, CASE WHEN node = {BFS_SOURCE} THEN 0 END AS dist
+            FROM nodes
+        ),
+        {its}
+        SELECT n.n_name, CAST(d.dist AS INT) AS hops
+        FROM d{BFS_ROUNDS} d JOIN nodes n USING (node)
+        WHERE d.dist IS NOT NULL
+    """
+
+
+@register(
+    "graph_bfs",
+    oracle=_graph_bfs_oracle(),
+    doc=f"Single-source BFS shortest hops (≤{BFS_ROUNDS} rounds) from "
+        f"nation {BFS_SOURCE} over the STRONG trade graph — the pagerank "
+        f"edge relation thresholded to weights ≥ {BFS_EDGE_FRAC}x the "
+        "average, so reachability means 'connected by substantial trade "
+        "volume', not by any single order. Frontier relaxation: each "
+        "round min-merges 1 + the frontier's out-neighbor distances into "
+        "the running distance vector.",
+    scale_notes="Edge derivation (three broadcast dim joins + one "
+                "(src,dst) aggregation) runs ONCE and is checkpointed; "
+                "each round then joins the |nations|-row distance vector "
+                "(broadcast) against the edge relation and min-merges — "
+                "iteration cost is independent of fact size. On a "
+                "billion-node graph the identical loop runs with dist "
+                "co-partitioned with edges on src (dedup_clusters' "
+                "pattern) and stops early via the same frontier-empty "
+                "convergence probe used there.",
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint()  # edge build runs once; every round reuses it
+    )
+    avg_w = edges.agg(F.avg("w").alias("aw"))
+    kept = (
+        edges.join(F.broadcast(avg_w))
+        .filter(F.col("w") >= BFS_EDGE_FRAC * F.col("aw"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    dist = nation.select(
+        F.col("n_nationkey").alias("node"),
+        F.when(F.col("n_nationkey") == BFS_SOURCE, 0).alias("dist"),
+    ).localCheckpoint()
+    for _ in range(BFS_ROUNDS):
+        cand = (
+            kept.join(
+                F.broadcast(
+                    dist.filter(F.col("dist").isNotNull())
+                    .select(F.col("node").alias("src"), "dist")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg((F.min("dist") + 1).alias("cd"))
+            .select(F.col("dst").alias("node"), "cd")
+        )
+        dist = dist.join(F.broadcast(cand), "node", "left").select(
+            "node",
+            F.when(F.col("dist").isNull(), F.col("cd"))
+            .when(F.col("cd").isNull(), F.col("dist"))
+            .otherwise(F.least("dist", "cd"))
+            .alias("dist"),
+        ).localCheckpoint()  # 25-row vector; truncate per-round lineage
+    return (
+        dist.filter(F.col("dist").isNotNull())
+        .join(
+            F.broadcast(nation), dist.node == nation.n_nationkey
+        )
+        .select("n_name", F.col("dist").cast("int").alias("hops"))
+    )
