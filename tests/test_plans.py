@@ -198,3 +198,42 @@ class TestCorpusStatsAndGraphPlans:
         plan = plan_of(spark, "snapshot_diff")
         parts = set(re.findall(r"hashpartitioning\((\w+?)#", plan))
         assert parts <= {"user_id"}, parts
+
+
+class TestRound2LateOps:
+    def test_incremental_dedup_shuffles_hashes_not_text(self, spark):
+        """Every exchange is keyed on the 32-char digest (or the batch
+        window's digest partitioning) — document text never shuffles, and
+        there is no nested-loop anywhere."""
+        import re
+
+        plan = plan_of(spark, "incremental_dedup")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        parts = set(re.findall(r"hashpartitioning\((\w+?)#", plan))
+        assert parts <= {"text_hash"}, parts
+
+    def test_variant_extract_single_partial_agg_shuffle(self, spark):
+        """parse_json/variant_get are pure projection; the only exchange
+        is the event_type aggregate, partial-combined map-side."""
+        import re
+
+        plan = plan_of(spark, "variant_extract")
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+        assert "HashAggregate" in plan
+
+    def test_countmin_probe_join_is_broadcast(self, spark):
+        """The merged sketch is KB-scale (depth*width cells): the probe
+        join must broadcast it, never sort-merge the user side against it."""
+        plan = plan_of(spark, "countmin_sketch")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_graph_bfs_distance_vector_broadcast(self, spark):
+        """The distance vector is |nations|-sized: the final name join (and
+        each round's frontier join, same shape) broadcasts it rather than
+        shuffling the edge relation."""
+        plan = plan_of(spark, "graph_bfs")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
