@@ -212,3 +212,79 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("gram").cast("double") / F.count(F.lit(1)), 6
         ).alias("diversity"),
     )
+
+
+VOCAB_SIZE = 1000  # vocab_coverage: retained vocabulary entries
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                      x -> x <> '')) AS word
+            FROM documents
+        ),
+        counts AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+        vocab AS (
+            SELECT word FROM counts ORDER BY freq DESC, word LIMIT {VOCAB_SIZE}
+        ),
+        per_doc AS (
+            SELECT w.doc_id, w.lang, count(*) AS n_tok,
+                   count(CASE WHEN v.word IS NULL THEN 1 END) AS n_oov
+            FROM words w LEFT JOIN vocab v USING (word)
+            GROUP BY 1, 2
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(n_oov * 1.0 / n_tok), 6) AS avg_oov_rate,
+               round(max(n_oov * 1.0 / n_tok), 6) AS max_oov_rate
+        FROM per_doc GROUP BY lang
+    """,
+    doc=f"Vocabulary coverage: build the top-{VOCAB_SIZE} corpus vocabulary "
+        "(frequency head, lexicographic tiebreak — heavy_hitters at vocab "
+        "scale), then score every document's out-of-vocabulary token rate "
+        "and aggregate per language. The tokenizer-fit check a pipeline "
+        "runs before committing to a vocab: a language whose avg OOV rate "
+        "is high is underserved by the proposed vocabulary.",
+    scale_notes="Vocab build is the two-phase word count with a "
+                "TakeOrderedAndProject head — never a global sort; the "
+                "membership probe broadcasts the vocab (KBs) so the OOV "
+                "join is map-side with zero extra shuffle. Total "
+                "exchanges: word-count agg + per-doc agg + lang agg, each "
+                "partial-combined. At 100 TB the vocab build runs once "
+                "and persists; scoring new corpus slices is then one "
+                "broadcast probe + two aggs.",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+            )
+        ).alias("word"),
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = (
+        counts.orderBy(F.col("freq").desc(), "word")
+        .limit(VOCAB_SIZE)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    oov = F.col("n_oov") / F.col("n_tok")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(oov), 6).alias("avg_oov_rate"),
+        F.round(F.max(oov), 6).alias("max_oov_rate"),
+    )

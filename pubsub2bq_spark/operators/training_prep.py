@@ -19,7 +19,7 @@ gram / doc_id / feature index, never on raw text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
@@ -508,4 +508,58 @@ def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cap))
         .filter(F.col("rk") <= F.col("m"))
         .select("doc_id", "source", "rk")
+    )
+
+
+N_SHARDS = 16  # corpus_shuffle: output shards (one md5 hex digit)
+
+
+@register(
+    "corpus_shuffle",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id,
+                   strpos('{_HEXDIGITS}',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                       AS shard,
+                   md5(CAST(doc_id AS VARCHAR)) AS sort_key
+            FROM documents
+        )
+        SELECT doc_id, CAST(shard AS INT) AS shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY sort_key, doc_id) AS INT)
+                   AS pos_in_shard
+        FROM assigned
+    """,
+    doc=f"Deterministic global training shuffle: every document gets a "
+        f"pseudo-random md5 sort key, a shard assignment (first hex digit "
+        f"→ {N_SHARDS} shards), and its position within the shard — the "
+        "decorrelation pass a pretraining pipeline runs so consecutive "
+        "training examples never come from the same source/page run. "
+        "Reproducible end-to-end: same corpus in, same example order out "
+        "(no rand(), no partition-order dependence).",
+    scale_notes="Shard assignment is pure map-side arithmetic; the only "
+                "exchange is the shard-keyed shuffle, and within-shard "
+                "ordering sorts ~n/16 rows per task. Global example index "
+                "= broadcast per-shard-count prefix sums + pos_in_shard — "
+                "the two-level indexing that avoids negative_sample's "
+                "single-partition-window hazard at any corpus size. "
+                "Writing each shard sorted by the md5 key is exactly the "
+                "layout a sequential training reader consumes.",
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    h = F.md5(F.col("doc_id").cast("string"))
+    assigned = d.select(
+        "doc_id",
+        (F.instr(F.lit(_HEXDIGITS), F.substring(h, 1, 1)) - 1)
+        .cast("int")
+        .alias("shard"),
+        h.alias("sort_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return assigned.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos_in_shard"),
     )

@@ -237,3 +237,22 @@ class TestRound2LateOps:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_vocab_coverage_broadcast_probe_topk_head(self, spark):
+        """The vocab head is a per-partition heap (TakeOrderedAndProject),
+        and the OOV membership probe broadcasts the vocab — no sort-merge
+        join anywhere."""
+        plan = plan_of(spark, "vocab_coverage")
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_corpus_shuffle_one_keyed_exchange(self, spark):
+        """Shard assignment is map-side; the only keyed partitioning is the
+        shard window (plus fan_out's round-robin) — no global range sort."""
+        import re
+
+        plan = plan_of(spark, "corpus_shuffle")
+        parts = set(re.findall(r"hashpartitioning\((\w+?)#", plan))
+        assert parts <= {"shard"}, parts
+        assert "rangepartitioning" not in plan
