@@ -27,6 +27,28 @@ class RetryPolicy:
 
 
 @dataclass
+class DeliveryConfig:
+    """Subscription delivery surface (reference: sink subscription
+    message_retention_duration 604800s + retain_acked_messages,
+    /root/reference/terraform/main.tf:400-401; inspection tap
+    retention 1200s, ack deadline 60s, TTL 86400s, main.tf:376-387).
+
+    Spark mapping (SURVEY.md §2.4 T3): retention bounds how far back the
+    spool keeps replayable segments (`CdcPipeline.prune_spool`), and the
+    inspection tap filters to the retention window when asked for "what
+    is currently replayable" (`raw_tap_batch(now_ms=...)`). Ack deadline
+    and TTL have no Structured-Streaming analog beyond documentation —
+    micro-batch commit IS the ack — so they are carried for config
+    fidelity and surfaced in describe()."""
+
+    sink_retention_seconds: int = 604_800
+    tap_retention_seconds: int = 1_200
+    ack_deadline_seconds: int = 60
+    tap_ttl_seconds: int = 86_400
+    retain_acked: bool = True
+
+
+@dataclass
 class CdcPipelineSpec:
     # Source: spool directory of newline-JSON binlog segments (the
     # file-based emulation of the Debezium→Pub/Sub feed; SURVEY.md S1).
@@ -47,3 +69,4 @@ class CdcPipelineSpec:
     # Schema revision id stamped on every message (README.md:293-295).
     schema_revision_id: str = "rev1"
     retry: RetryPolicy = field(default_factory=lambda: RetryPolicy(backoff_seconds=0.0))
+    delivery: DeliveryConfig = field(default_factory=DeliveryConfig)

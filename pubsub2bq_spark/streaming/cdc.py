@@ -243,11 +243,36 @@ class CdcPipeline:
     def read_dlq(self) -> DataFrame:
         return self.spark.read.parquet(self.spec.dlq_dir)
 
-    def raw_tap_batch(self) -> DataFrame:
+    def raw_tap_batch(self, now_ms: int | None = None) -> DataFrame:
         """Inspection subscription (S6): the raw message frame, batch mode
         — data / ordering_key / attributes, pre-parse
-        (/root/reference/README.md:281-296)."""
+        (/root/reference/README.md:281-296). With ``now_ms`` set, only
+        messages inside the tap's retention window are visible — the
+        reference tap retains messages 1200 s
+        (/root/reference/terraform/main.tf:379)."""
         envelopes = self.spark.read.schema(self.spec.envelope_schema).json(
             self.spec.spool_dir
         )
+        if now_ms is not None:
+            cutoff = now_ms - self.spec.delivery.tap_retention_seconds * 1000
+            envelopes = envelopes.filter(F.col("ts_ms") >= cutoff)
         return self._publish(envelopes)
+
+    def prune_spool(self, now_s: float) -> list[str]:
+        """Enforce source-side retention (T3): drop spool segments whose
+        mtime has aged past the sink subscription's retention window
+        (reference: message_retention_duration 604800 s,
+        /root/reference/terraform/main.tf:401). Returns pruned paths.
+        Replay (restart from an older checkpoint) only reaches back as
+        far as the newest surviving segment — the same bound Pub/Sub
+        retention puts on its REPLAY button."""
+        cutoff = now_s - self.spec.delivery.sink_retention_seconds
+        pruned: list[str] = []
+        if not os.path.isdir(self.spec.spool_dir):
+            return pruned
+        for name in sorted(os.listdir(self.spec.spool_dir)):
+            path = os.path.join(self.spec.spool_dir, name)
+            if os.path.isfile(path) and os.path.getmtime(path) < cutoff:
+                os.remove(path)
+                pruned.append(path)
+        return pruned

@@ -240,3 +240,36 @@ def test_schema_registry_survives_restart(spark, tmp):
     # Monotonicity still enforced after recovery.
     with pytest.raises(ValueError):
         recovered.add("r1", T.StructType([]))
+
+
+def test_retention_prunes_old_spool_segments(spark, tmp):
+    """T3 retention: segments older than the sink subscription's
+    message_retention_duration (main.tf:401) are pruned; newer ones
+    survive and stay replayable."""
+    spec = make_spec(tmp, fx.SINK_SCHEMA_V1)
+    old = fx.write_segment(spec.spool_dir, "000_old", fx.snapshot_events())
+    new = fx.write_segment(spec.spool_dir, "001_new", fx.insert_995())
+    now = os.path.getmtime(new)
+    # Age the first segment past the 604800s default retention window.
+    os.utime(old, (now - 700_000, now - 700_000))
+    p = CdcPipeline(spark, spec)
+    pruned = p.prune_spool(now_s=now)
+    assert pruned == [old]
+    assert os.path.exists(new)
+    assert p.prune_spool(now_s=now) == []  # idempotent
+
+
+def test_raw_tap_respects_retention_window(spark, tmp):
+    """S6 tap retention (main.tf:379, 1200s): with now_ms given, only
+    messages inside the window are visible; without it, everything is
+    (the default the green CORRECTNESS row checks)."""
+    spec = make_spec(tmp, fx.SINK_SCHEMA_V1)
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events(ts_ms=1_000))
+    fx.write_segment(
+        spec.spool_dir, "001_recent", fx.insert_995(ts_ms=10_000_000)
+    )
+    p = CdcPipeline(spark, spec)
+    assert p.raw_tap_batch().count() == 4
+    window_ms = spec.delivery.tap_retention_seconds * 1000
+    recent = p.raw_tap_batch(now_ms=10_000_000 + window_ms)
+    assert recent.count() == 1
