@@ -474,21 +474,17 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _registered_oracle(key: str) -> str:
-    from pubsub2bq_spark.registry import all_queries
-
-    return all_queries()[key].oracle
-
-
 @register(
     "ann_recall",
     # Composed verbatim from the three registered oracles: each becomes a
     # derived table (DuckDB allows WITH inside a subquery), then recall@10
     # counts how many exact top-10 rows each approximate method recovered.
     oracle=None,  # filled in immediately below — needs the other keys registered
-    doc="Recall@10 of both approximate indexes (LSH multiprobe, IVF) "
-        "against the brute-force baseline, per method: the quality "
-        "measurement that justifies shipping an ANN index at all. "
+    doc="Recall@10 of every approximate index (LSH multiprobe, stub-"
+        "centroid IVF, k-means-refined IVF) against the brute-force "
+        "baseline, per method: the quality measurement that justifies "
+        "shipping an ANN index at all — and that shows the k-means "
+        "refinement lifting IVF recall at the same probe budget. "
         "avg/min recall over the query set plus query count.",
     scale_notes="Each branch reuses the ANN plans unchanged; the recall "
                 "join is keyed on (query_id, vec_id) — query-set-sized, "
@@ -509,8 +505,12 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit") / F.lit(10.0)).alias("recall")
         ).select(F.lit(method).alias("method"), "query_id", "recall")
 
-    per_q = recall_of(ann_lsh(spark, sf_dir), "lsh").unionByName(
-        recall_of(ann_ivf(spark, sf_dir), "ivf")
+    from pubsub2bq_spark.operators.ml_ops import ann_ivf_kmeans
+
+    per_q = (
+        recall_of(ann_lsh(spark, sf_dir), "lsh")
+        .unionByName(recall_of(ann_ivf(spark, sf_dir), "ivf"))
+        .unionByName(recall_of(ann_ivf_kmeans(spark, sf_dir), "ivf_kmeans"))
     )
     return per_q.groupBy("method").agg(
         F.round(F.avg("recall"), 6).alias("avg_recall"),
@@ -519,10 +519,20 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_recall_oracle() -> str:
-    exact = _registered_oracle("similarity_topk")
-    lsh = _registered_oracle("ann_lsh")
-    ivf = _registered_oracle("ann_ivf")
+_ANN_METHODS = (("lsh", "ann_lsh"), ("ivf", "ann_ivf"),
+                ("ivf_kmeans", "ann_ivf_kmeans"))
+
+
+def refresh_ann_recall_oracle() -> None:
+    """(Re)compose ann_recall's oracle from whichever ANN-method oracles
+    are registered so far. Called from the bottom of THIS module and of
+    ml_ops (which contributes ann_ivf_kmeans): import order between the
+    two is driven by who gets imported first, and each bottom-call sees
+    every key registered up to that point — the last call sees all of
+    them, whichever order the modules load in."""
+    from pubsub2bq_spark.registry import _REGISTRY
+
+    exact = _REGISTRY["similarity_topk"].oracle
     branch = """
         SELECT '{m}' AS method, e.query_id,
                CAST(count(a.vec_id) AS DOUBLE) / 10.0 AS recall
@@ -531,17 +541,18 @@ def _ann_recall_oracle() -> str:
           ON e.query_id = a.query_id AND e.vec_id = a.vec_id
         GROUP BY e.query_id
     """
-    return f"""
+    branches = " UNION ALL ".join(
+        branch.format(m=m, exact=exact, approx=_REGISTRY[k].oracle)
+        for m, k in _ANN_METHODS
+        if k in _REGISTRY
+    )
+    _REGISTRY["ann_recall"].oracle = f"""
         SELECT method, round(avg(recall), 6) AS avg_recall,
                round(min(recall), 6) AS min_recall,
                count(*) AS n_queries
-        FROM ({branch.format(m='lsh', exact=exact, approx=lsh)}
-              UNION ALL
-              {branch.format(m='ivf', exact=exact, approx=ivf)})
+        FROM ({branches})
         GROUP BY method
     """
 
 
-from pubsub2bq_spark.registry import all_queries as _aq  # noqa: E402
-
-_aq()["ann_recall"].oracle = _ann_recall_oracle()
+refresh_ann_recall_oracle()

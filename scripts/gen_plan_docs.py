@@ -74,6 +74,12 @@ PLAN_KEYS = [
     "embedding_quantize",
     "bucketed_join",
     "partition_pruned_join",
+    "incremental_dedup",
+    "variant_extract",
+    "countmin_sketch",
+    "graph_bfs",
+    "vocab_coverage",
+    "corpus_shuffle",
 ]
 
 

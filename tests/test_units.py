@@ -164,6 +164,29 @@ class TestLshQuality:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.35, f"IVF recall too low: {recall:.2f}"
 
+    def test_kmeans_centroids_lift_ivf_recall(self, spark):
+        """ann_ivf_kmeans (k-means-refined centroids, same probe budget)
+        must clearly beat the stub-centroid ann_ivf — the measured payoff
+        of wiring kmeans_lloyd into the index (0.46 → 0.66 at sf0.01)."""
+        from pubsub2bq_spark.registry import all_queries
+
+        qs = all_queries()
+        sf = "/root/testdata/sf0.01"
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in qs["similarity_topk"].spark(spark, sf).collect()
+        }
+
+        def recall(key: str) -> float:
+            approx = {
+                (r["query_id"], r["vec_id"])
+                for r in qs[key].spark(spark, sf).collect()
+            }
+            return len(exact & approx) / len(exact)
+
+        stub, refined = recall("ann_ivf"), recall("ann_ivf_kmeans")
+        assert refined >= stub + 0.1, f"no recall lift: {stub:.2f} → {refined:.2f}"
+
     def test_minhash_candidates_are_similar(self, spark):
         """MinHash-LSH candidates should overwhelmingly be pairs with real
         token overlap (precision sanity)."""
