@@ -119,3 +119,46 @@ def binary_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@register(
+    "python_datasource",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('r', 1000, 'debezium_test', 'people',  990, 'Tom',   'tom@corp.com'),
+            ('r', 1001, 'debezium_test', 'people',  991, 'Phil',  'phil@corp.com'),
+            ('r', 1002, 'debezium_test', 'people',  992, 'Ted',   'ted@corp.com'),
+            ('c', 1500, 'otherdb',       'misc',      1, 'Ghost', 'g@x.com'),
+            ('c', 2000, 'debezium_test', 'people',  994, 'Vijay', 'vijay@corp.com'),
+            ('c', 3000, 'debezium_test', 'people',  995, 'Anna',  'anna@corp.com'),
+            ('d', 4000, 'debezium_test', 'people',  990, 'Tom',   'tom@corp.com')
+        ) AS t(op, ts_ms, db, tbl, id, first_name, email)
+    """,
+    doc="Custom Python Data Source (Spark 4 API): the 'cdcspool' source "
+        "plans one input split per spool segment and parses newline-JSON "
+        "CDC envelopes executor-side — the connector slot where a real "
+        "binlog client or queue consumer goes when no JVM source exists "
+        "(the reference's Debezium connector, conf/debezium.properties:3). "
+        "Reads the golden fixture log: snapshot, noise table, two inserts, "
+        "one delete (payload recovered from `before`, the SMT coalesce).",
+    scale_notes="partitions() makes parallelism = segment count — each "
+                "executor opens only its file, nothing routes through the "
+                "driver. The Python row-yield path costs ~an order over "
+                "the JVM JSON reader, which is why the production "
+                "pipeline keeps readStream.json and this stays the "
+                "custom-protocol escape hatch; Arrow-batch emission "
+                "(yield pa.RecordBatch) is the documented upgrade when "
+                "the source itself is columnar.",
+)
+def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.sources import cdc_fixtures as fx
+    from pubsub2bq_spark.sources.spool_datasource import register_spool_source
+
+    register_spool_source(spark)
+    spool = tempfile.mkdtemp(prefix="pyds_spool_")
+    fx.write_segment(spool, "000_snapshot", fx.snapshot_events())
+    fx.write_segment(spool, "001_noise", fx.noise_other_table())
+    fx.write_segment(spool, "002_insert994", fx.insert_994_with_phone())
+    fx.write_segment(spool, "003_insert995", fx.insert_995())
+    fx.write_segment(spool, "004_delete990", fx.delete_990())
+    return spark.read.format("cdcspool").load(spool)
