@@ -556,3 +556,75 @@ def refresh_ann_recall_oracle() -> None:
 
 
 refresh_ann_recall_oracle()
+
+
+RAG_K = 3          # retrieved documents per query
+RAG_SNIPPET = 120  # context characters taken per retrieved doc
+
+
+def _rag_oracle() -> str:
+    from pubsub2bq_spark.registry import _REGISTRY
+
+    topk = _REGISTRY["similarity_topk"].oracle
+    return f"""
+        WITH hits AS (
+            SELECT * FROM ({topk}) WHERE rank <= {RAG_K}
+        )
+        SELECT h.query_id,
+               count(*) AS n_ctx_docs,
+               string_agg(substr(d.text, 1, {RAG_SNIPPET}), ' | '
+                          ORDER BY h.rank) AS context,
+               sum(length(substr(d.text, 1, {RAG_SNIPPET})))
+                   + 3 * (count(*) - 1) AS ctx_chars
+        FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+        GROUP BY h.query_id
+    """
+
+
+@register(
+    "rag_retrieve",
+    oracle=None,  # composed from similarity_topk's oracle below
+    doc=f"Composed retrieval pipeline (RAG shape): top-{RAG_K} documents "
+        "per query by embedding cosine (the similarity_topk index, "
+        "vec_id = doc_id), joined back to document text and packed into "
+        f"one rank-ordered context string ({RAG_SNIPPET}-char snippets, "
+        "' | ' separators) with a char budget — the retrieve-and-"
+        "assemble step between an ANN index and a generation prompt.",
+    scale_notes="The ranked hit list is queries x k rows — it broadcasts "
+                "into the documents join, so full document text is "
+                "touched only for retrieved ids (never scanned into a "
+                "shuffle). Context assembly groups on query_id with the "
+                "rank riding along in a sorted struct array; at serving "
+                "scale the same plan reads text via id-keyed point "
+                "lookups against the clustered/bucketed layout "
+                "(clustered_write), and the ANN index replaces the "
+                "exact scan (ann_ivf_kmeans).",
+)
+def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = similarity_topk(spark, sf_dir).filter(F.col("rank") <= RAG_K)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, RAG_SNIPPET).alias("snippet")
+    )
+    joined = d.join(
+        F.broadcast(hits), d.doc_id == hits.vec_id
+    ).select("query_id", "rank", "snippet")
+    packed = F.transform(
+        F.array_sort(F.collect_list(F.struct("rank", "snippet"))),
+        lambda s: s.getField("snippet"),
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_ctx_docs"),
+        F.array_join(packed, " | ").alias("context"),
+        (
+            F.sum(F.length("snippet")) + 3 * (F.count(F.lit(1)) - 1)
+        ).alias("ctx_chars"),
+    )
+
+
+def refresh_rag_oracle() -> None:
+    from pubsub2bq_spark.registry import _REGISTRY
+
+    _REGISTRY["rag_retrieve"].oracle = _rag_oracle()
+
+
+refresh_rag_oracle()
