@@ -569,3 +569,141 @@ def asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snapshot_ts", "user_id", "event_id", "version", "event_type", "value"
         )
     )
+
+
+@register(
+    "stream_observe",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+               round(sum(value), 4) AS total_value
+        FROM events
+    """,
+    doc="Streaming observability: df.observe() metrics (row count, "
+        "purchase count, value sum) attached to a streaming pipeline and "
+        "summed across every micro-batch's progress report — the "
+        "monitoring surface that tells an operator what a 100 TB stream "
+        "is actually delivering without a second scan. The accumulated "
+        "metrics must equal the batch aggregate over the same input.",
+    scale_notes="observe() metrics are computed inline with the batch "
+                "(accumulator-style, no extra pass, no extra shuffle) "
+                "and surface per-batch through StreamingQueryProgress — "
+                "the zero-cost alternative to aggregating the sink "
+                "table for dashboards. Summing across progress events "
+                "makes the result trigger-cadence-independent.",
+)
+def stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.tables import normalize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    ).observe(
+        "delivery",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        F.sum("value").alias("sum_value"),
+    )
+    sink = f"obs_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = {"n_rows": 0, "n_purchase": 0, "sum_value": 0.0}
+    for progress in q.recentProgress:
+        m = (progress.get("observedMetrics") or {}).get("delivery")
+        if m:
+            totals["n_rows"] += m["n_rows"]
+            totals["n_purchase"] += m["n_purchase"]
+            totals["sum_value"] += m["sum_value"]
+    return spark.createDataFrame(
+        [(totals["n_rows"], totals["n_purchase"], round(totals["sum_value"], 4))],
+        "n_rows bigint, n_purchase bigint, total_value double",
+    )
+
+
+@register(
+    "stream_fanout",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS total,
+               count(CASE WHEN value > 95.0 THEN 1 END) AS n_audit
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Multi-sink fanout from ONE streaming pass: each micro-batch is "
+        "persisted, then written to three sinks — the main event log, a "
+        "per-type metrics rollup, and a high-value audit sample — the "
+        "reference's topology (BQ sink + inspection tap + dead-letter, "
+        "terraform/main.tf:352-415) generalized to N consumers without N "
+        "source scans. Returns the metrics sink accumulated across "
+        "batches, which must equal the batch aggregate.",
+    scale_notes="batch.persist() makes the fanout one source scan + three "
+                "cheap consumers instead of three full pipelines; at "
+                "100 TB this is the difference between 1x and 3x ingest "
+                "cost. Each sink appends independently (parquet dirs "
+                "here; tables/queues in production) and the rollup is "
+                "event-type-cardinality rows per batch — merge-on-read "
+                "cheap.",
+)
+def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pubsub2bq_spark.tables import normalize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    base = tempfile.mkdtemp(prefix="fanout_")
+    sinks = {name: os.path.join(base, name) for name in ("log", "metrics", "audit")}
+
+    def deliver(batch: DataFrame, epoch_id: int) -> None:
+        batch.persist()
+        try:
+            batch.write.mode("append").parquet(sinks["log"])
+            (
+                batch.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("value").alias("total"),
+                    F.count(F.when(F.col("value") > 95.0, 1)).alias("n_audit"),
+                )
+                .write.mode("append")
+                .parquet(sinks["metrics"])
+            )
+            batch.filter(F.col("value") > 95.0).write.mode("append").parquet(
+                sinks["audit"]
+            )
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", os.path.join(base, "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Metrics accumulated across micro-batches == batch aggregate.
+    return (
+        spark.read.parquet(sinks["metrics"])
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total"), 4).alias("total"),
+            F.sum("n_audit").alias("n_audit"),
+        )
+    )

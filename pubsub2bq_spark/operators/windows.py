@@ -203,3 +203,74 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w), 4).alias("total_7d"),
         F.count(F.lit(1)).over(w).alias("n_7d"),
     )
+
+
+CORR_FRAME = 20  # rolling_corr: trailing observations per user
+
+
+@register(
+    "rolling_corr",
+    # Pearson r from the five frame sums (the portable formula — engines'
+    # built-in corr() differ in degenerate-case handling); nullif guards
+    # zero variance to NULL identically on both sides.
+    oracle=f"""
+        SELECT event_id, user_id,
+               round(
+                   (n * sxy - sx * sy)
+                   / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
+                   6) AS corr_vk
+        FROM (
+            SELECT event_id, user_id,
+                   count(*)       OVER w AS n,
+                   sum(x)         OVER w AS sx,
+                   sum(y)         OVER w AS sy,
+                   sum(x * x)     OVER w AS sxx,
+                   sum(y * y)     OVER w AS syy,
+                   sum(x * y)     OVER w AS sxy
+            FROM (
+                SELECT event_id, user_id, ts, value AS x,
+                       CAST(json_extract(props, '$.k') AS DOUBLE) AS y
+                FROM events
+            )
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {CORR_FRAME - 1} PRECEDING AND CURRENT ROW)
+        )
+        WHERE n = {CORR_FRAME}
+    """,
+    doc=f"Rolling correlation: Pearson r between event value and the "
+        f"props.k payload over each user's trailing {CORR_FRAME} events "
+        "(emitted only for full frames) — the drift detector that flags "
+        "when two signals that should co-move stop doing so. Computed "
+        "from the five frame sums so the formula is engine-portable.",
+    scale_notes="One shuffle on user_id; all five sums ride the SAME "
+                "sorted window frame in one pass (Spark evaluates the "
+                "shared frame once), state per row bounded at "
+                f"O({CORR_FRAME}). The streaming twin is this formula "
+                "over applyInPandasWithState with a ring buffer.",
+)
+def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("double").alias("y"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(CORR_FRAME - 1), Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    corr = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
+    )
+    return (
+        e.select("event_id", "user_id", n.alias("n"), F.round(corr, 6).alias("corr_vk"))
+        .filter(F.col("n") == CORR_FRAME)
+        .drop("n")
+    )

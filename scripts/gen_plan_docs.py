@@ -80,6 +80,8 @@ PLAN_KEYS = [
     "graph_bfs",
     "vocab_coverage",
     "corpus_shuffle",
+    "ann_ivf_kmeans",
+    "rag_retrieve",
 ]
 
 
