@@ -49,3 +49,47 @@ def ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT id, first_name, zipcode, phone FROM engine_ddl.people ORDER BY id"
     )
+
+
+@register(
+    "sql_script_proc",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_units,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY o_orderstatus
+        HAVING count(DISTINCT o_custkey) >= 2
+    """,
+    doc="Stored-procedure shape via Spark 4 SQL scripting (L3): a "
+        "BEGIN...END block declares the privacy threshold as a variable "
+        "and runs the gated aggregate with it — the engine-native port "
+        "of the reference's CREATE PROCEDURE "
+        "(/root/reference/sql/sp_demo_cleanroom.sql:1-79), whose body is "
+        "exactly this pattern (parameterized clean-room aggregate over "
+        "loaded tables). SURVEY §2.11 L3 previously mapped procedures to "
+        "Python composition; SQL scripting closes the gap in-dialect.",
+    scale_notes="Scripting is control flow on the DRIVER; every statement "
+                "inside still compiles to a normal Catalyst plan (this "
+                "one: two-phase distinct-agg, no extra cost vs the plain "
+                "query). Variables substitute as literals at plan time, "
+                "so pruning/pushdown see constants.",
+)
+def sql_script_proc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE min_units INT DEFAULT 2;
+          SELECT o_orderstatus,
+                 count(DISTINCT o_custkey) AS n_units,
+                 round(sum(o_totalprice), 4) AS total
+          FROM orders
+          GROUP BY o_orderstatus
+          HAVING count(DISTINCT o_custkey) >= min_units;
+        END
+        """
+    )

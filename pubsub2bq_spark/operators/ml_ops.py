@@ -773,3 +773,57 @@ from pubsub2bq_spark.operators.llm_similarity import (  # noqa: E402
 )
 
 refresh_ann_recall_oracle()
+
+
+# Engine-portable SQL for the strong trade graph + bounded reachability:
+# identical text runs as the Spark query (over registered views) and the
+# DuckDB oracle — WITH RECURSIVE is in both dialects (Spark 4.1+).
+_RECURSIVE_REACH_SQL = f"""
+    WITH RECURSIVE edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    aw AS (SELECT avg(w) AS aw FROM edges),
+    kept AS (
+        SELECT src, dst FROM edges, aw WHERE w >= {BFS_EDGE_FRAC} * aw
+    ),
+    reach(node, hops) AS (
+        SELECT CAST({BFS_SOURCE} AS INT) AS node, 0 AS hops
+        UNION ALL
+        SELECT e.dst AS node, r.hops + 1 AS hops
+        FROM reach r JOIN kept e ON e.src = r.node
+        WHERE r.hops < {BFS_ROUNDS}
+    )
+    SELECT n.n_name, CAST(min(r.hops) AS INT) AS hops
+    FROM reach r JOIN nation n ON r.node = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "recursive_cte",
+    oracle=_RECURSIVE_REACH_SQL,
+    doc="Recursive CTE (Spark 4.1 WITH RECURSIVE): bounded transitive "
+        "closure over the strong trade graph — the SQL-native twin of "
+        "graph_bfs's DataFrame frontier loop, byte-identical query text "
+        "on both engines. min(hops) per reached nation; tests assert it "
+        "equals graph_bfs exactly.",
+    scale_notes="The recursion unrolls to the same per-round join shape "
+                "as graph_bfs (frontier ⋈ edges), driven by the engine "
+                "instead of the application — each step is a normal "
+                "Catalyst plan over the previous step's output. UNION "
+                "ALL + an explicit hop bound keeps the working set "
+                "finite; on billion-node graphs prefer the explicit "
+                "loop (graph_bfs) for per-round checkpointing and "
+                "convergence-probe control.",
+)
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_REACH_SQL)

@@ -297,3 +297,20 @@ class TestBinaryLoadContent:
             raw = open(p, "rb").read()
             expected[os.path.basename(p)] = (len(raw), hashlib.md5(raw).hexdigest())
         assert got == expected
+
+
+def test_recursive_cte_equals_graph_bfs(spark):
+    """The SQL-native recursion and the DataFrame frontier loop are two
+    mechanisms for one semantic — their reachability sets must agree."""
+    from pubsub2bq_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    bfs = {
+        (r["n_name"], r["hops"]) for r in qs["graph_bfs"].spark(spark, sf).collect()
+    }
+    rec = {
+        (r["n_name"], r["hops"])
+        for r in qs["recursive_cte"].spark(spark, sf).collect()
+    }
+    assert bfs == rec
