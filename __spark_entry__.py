@@ -49,7 +49,7 @@ SURVEY2_KEYS = frozenset({
     "sort_limit", "union_all", "intersect_except",
     # §2.9 scalar functions
     "string_funcs", "date_funcs", "math_funcs", "case_when",
-    "json_extract", "array_funcs", "cast_funcs",
+    "json_extract", "array_funcs", "cast_funcs", "map_funcs",
     # §2.10 UDF + LLM
     "udf_scalar", "grouped_map", "udaf_grouped", "udtf_explode",
     "similarity_topk", "text_dedup", "word_count", "multimodal_meta",

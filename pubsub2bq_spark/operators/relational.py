@@ -414,3 +414,40 @@ def parquet_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "map_funcs",
+    # Map values surface as scalars (map types don't hash-compare across
+    # engines): key lookup, membership, size, and the sorted key list.
+    oracle="""
+        SELECT event_id,
+               event_type                          AS m_type,
+               CAST(value >= 50.0 AS VARCHAR)      AS m_high,
+               2                                   AS m_size,
+               'high,type'                         AS m_keys
+        FROM events
+    """,
+    doc="Map family (§2.9, the attributes model of §1.4): build a "
+        "map<string,string> per event (create_map — the Pub/Sub message "
+        "attributes shape, README.md:293-295), then element_at lookups, "
+        "size, and sorted map_keys — accessed back out as scalars so the "
+        "oracle compares engine-portably.",
+    scale_notes="Pure projection: map construction and access are "
+                "codegen'd per-row expressions, no shuffle, no Python — "
+                "the same cost envelope as the attributes map the CDC "
+                "publish stage builds (streaming/cdc.py).",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("high"), (F.col("value") >= 50.0).cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "high").alias("m_high"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("m_keys"),
+    )
