@@ -455,3 +455,50 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_value",
         "new_value",
     )
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+        WITH steps AS (
+            SELECT user_id, event_type AS cur,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        counts AS (
+            SELECT cur, nxt, count(*) AS n
+            FROM steps WHERE nxt IS NOT NULL
+            GROUP BY cur, nxt
+        ),
+        outs AS (SELECT cur, sum(n) AS tot FROM counts GROUP BY cur)
+        SELECT c.cur, c.nxt, c.n,
+               round(c.n * 1.0 / o.tot, 6) AS p
+        FROM counts c JOIN outs o ON c.cur = o.cur
+    """,
+    doc="First-order Markov transition matrix over user event sequences: "
+        "per (current, next) event-type pair, the transition count and "
+        "conditional probability P(next | current) — the sequence-model "
+        "prior behind next-action prediction and anomalous-flow "
+        "detection (a transition with tiny p is a suspicious hop).",
+    scale_notes="One shuffle on user_id orders each user's sequence for "
+                "the lead(); the pair counts then reduce to event-type² "
+                "rows with map-side partial agg, and the normalizing "
+                "out-degree relation is broadcast back. State per row is "
+                "O(1) — the same plan holds for billions of events; the "
+                "streaming twin maintains counts incrementally per "
+                "micro-batch.",
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        e.select("user_id", F.col("event_type").alias("cur"), "ts", "event_id")
+        .withColumn("nxt", F.lead("cur").over(w))
+        .filter(F.col("nxt").isNotNull())
+    )
+    counts = steps.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    outs = counts.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return counts.join(F.broadcast(outs), "cur").select(
+        "cur", "nxt", "n", F.round(F.col("n") / F.col("tot"), 6).alias("p")
+    )
