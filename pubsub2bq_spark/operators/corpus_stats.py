@@ -288,3 +288,68 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(oov), 6).alias("avg_oov_rate"),
         F.round(F.max(oov), 6).alias("max_oov_rate"),
     )
+
+
+@register(
+    "dataset_card",
+    oracle="""
+        WITH hashed AS (
+            SELECT lang, source, len(text) AS n_chars,
+                   count(*) OVER (PARTITION BY md5(lower(text))) > 1 AS is_dup
+            FROM documents
+        )
+        SELECT coalesce(lang, '<all>') AS lang,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+               count(DISTINCT source) AS n_sources,
+               round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS dup_rate
+        FROM hashed
+        GROUP BY GROUPING SETS ((lang), ())
+    """,
+    doc="Dataset card: the per-language + overall corpus report a "
+        "pipeline publishes with every release — document counts, "
+        "character volume, mean/median length, source diversity, and "
+        "exact-duplicate rate — computed in one scan (digest dup flags "
+        "ride a window, the report is one GROUPING SETS aggregate).",
+    scale_notes="One digest-keyed window shuffle (hashes only) + one "
+                "grouping-sets agg emitting languages+1 rows; every "
+                "column partial-aggregates except the exact median, "
+                "whose 100 TB substitute is percentile_approx "
+                "(approx_quantiles documents the bound check). This is "
+                "the query that runs after every corpus_filter / "
+                "incremental_dedup batch to version the dataset card.",
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    w = Window.partitionBy(F.md5(F.lower(F.col("text"))))
+    hashed = d.select(
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        (F.count(F.lit(1)).over(w) > 1).alias("is_dup"),
+    )
+    return (
+        hashed.groupingSets([["lang"], []], "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.round(
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+            "p50_chars",
+            "n_sources",
+            "dup_rate",
+        )
+    )

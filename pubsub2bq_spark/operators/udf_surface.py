@@ -162,3 +162,64 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInArrow(
         kernel, "event_id bigint, type_bytes int, value_doubled double"
     )
+
+
+@register(
+    "udtf_table_arg",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n,
+               sum(CAST(floor(value * 100) AS BIGINT)) AS cents_total,
+               round(max(value), 4) AS max_value
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Polymorphic UDTF with a TABLE argument (Spark 4): the relation "
+        "itself is the argument — PARTITION BY user_id streams each "
+        "user's rows through eval() and terminate() emits one summary "
+        "row per partition (count, integer-cents total, max). The "
+        "engine-native custom-aggregation shape SQL callers can invoke "
+        "without knowing Python is underneath. Cents accumulate as "
+        "integers so the result is summation-order-independent and "
+        "hash-checkable.",
+    scale_notes="PARTITION BY shuffles once on user_id and streams each "
+                "partition through the Python worker row-wise — state is "
+                "O(1) per partition, arbitrarily many users. Row-wise "
+                "eval() is the API's cost (Arrow batches feed it, but "
+                "eval is per-row Python); keep kernels trivial or use "
+                "applyInPandas when the per-group logic is vectorizable.",
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n int, cents_total bigint, max_value double")
+    class UserSummary:
+        def __init__(self):
+            self.user = None
+            self.n = 0
+            self.cents = 0
+            self.mx = None
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            self.cents += int(math.floor(row["value"] * 100))
+            self.mx = row["value"] if self.mx is None else max(self.mx, row["value"])
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.cents, round(self.mx, 4)
+
+    from pubsub2bq_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("pubsub2bq_user_summary", UserSummary)
+    return spark.sql(
+        """
+        SELECT * FROM pubsub2bq_user_summary(
+            TABLE(SELECT user_id, value FROM events) PARTITION BY user_id
+        )
+        """
+    )
