@@ -451,3 +451,46 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("m_size"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("m_keys"),
     )
+
+
+@register(
+    "safe_funcs",
+    # DuckDB twins: TRY_CAST, and NULL-guarded arithmetic for the
+    # division/overflow cases try_* absorbs.
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(event_type AS BIGINT)                       AS bad_cast,
+               TRY_CAST(substr(props, 7, 2) AS BIGINT)              AS digit_cast,
+               CASE WHEN CAST(floor(value) AS BIGINT) % 7 = 0 THEN NULL
+                    ELSE round(value / (CAST(floor(value) AS BIGINT) % 7), 4)
+               END                                                  AS safe_div,
+               TRY_CAST(concat('20', substr(props, 7, 2), '-13-01') AS DATE)
+                                                                    AS bad_date
+        FROM events
+    """,
+    doc="SAFE-function family: Spark's try_cast / try_divide / try_to_* "
+        "absorb errors to NULL instead of failing the job — the engine "
+        "analog of BigQuery's SAFE.* dialect (the reference's sink "
+        "engine). Exercised on guaranteed-bad inputs (alphabetic cast, "
+        "month-13 date), a value-dependent division that hits divide-by-"
+        "zero, and a valid digit cast as the control.",
+    scale_notes="Pure projection, codegen'd; the point at 100 TB is "
+                "operational — one malformed row NULLs out instead of "
+                "killing a 10-hour job, and the NULL count is the data-"
+                "quality metric (dead_letter's batch analog for scalar "
+                "expressions).",
+)
+def safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    digits = F.substring("props", 7, 2)
+    return e.select(
+        "event_id",
+        F.col("event_type").try_cast("bigint").alias("bad_cast"),
+        digits.try_cast("bigint").alias("digit_cast"),
+        F.round(
+            F.try_divide(F.col("value"), F.floor("value").cast("bigint") % 7), 4
+        ).alias("safe_div"),
+        F.try_to_date(F.concat(F.lit("20"), digits, F.lit("-13-01"))).alias(
+            "bad_date"
+        ),
+    )

@@ -82,6 +82,11 @@ PLAN_KEYS = [
     "corpus_shuffle",
     "ann_ivf_kmeans",
     "rag_retrieve",
+    "recursive_cte",
+    "markov_transitions",
+    "canonical_dedup",
+    "dataset_card",
+    "rolling_corr",
 ]
 
 

@@ -256,3 +256,32 @@ class TestRound2LateOps:
         parts = set(re.findall(r"hashpartitioning\((\w+?)#", plan))
         assert parts <= {"shard"}, parts
         assert "rangepartitioning" not in plan
+
+    def test_markov_single_sequence_shuffle(self, spark):
+        """The lead() window and nothing else touches the fact: keyed
+        partitionings are user_id (sequence) + cur/(cur,nxt) (tiny agg);
+        the normalizer joins back as a broadcast."""
+        import re
+
+        plan = plan_of(spark, "markov_transitions")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        parts = set(re.findall(r"hashpartitioning\((\w+?)#", plan))
+        assert "user_id" in parts and parts <= {"user_id", "cur", "nxt"}, parts
+
+    def test_canonical_dedup_shuffles_hashes_only(self, spark):
+        """Both digests are map-side; the single keyed exchange carries
+        canon_hash (plus fan_out's round-robin)."""
+        import re
+
+        plan = plan_of(spark, "canonical_dedup")
+        parts = set(re.findall(r"hashpartitioning\((\w+?)#", plan))
+        assert parts <= {"canon_hash", "raw_hash"}, parts
+        assert "CartesianProduct" not in plan
+
+    def test_dataset_card_two_keyed_stages(self, spark):
+        """Digest window + grouping-sets agg: no join at all, and every
+        partitioning is the digest or the expanded grouping key."""
+        plan = plan_of(spark, "dataset_card")
+        assert "Join" not in plan
+        assert "HashAggregate" in plan and "Expand" in plan
