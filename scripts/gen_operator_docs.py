@@ -45,5 +45,28 @@ def main() -> None:
     print(f"wrote {out}: {len(qs)} operators")
 
 
+def survey_key_section() -> str:
+    """SURVEY.md §2.13: the complete key inventory grouped by module.
+    Re-run with --survey-keys and splice the output over the existing
+    section when keys are added (test_survey_lists_every_key enforces
+    sync)."""
+    import inspect
+    from collections import defaultdict
+
+    qs = all_queries()
+    groups: dict[str, list[str]] = defaultdict(list)
+    for k, q in qs.items():
+        mod = inspect.getmodule(inspect.unwrap(q.spark)).__name__.split(".")[-1]
+        groups[mod].append(k)
+    lines = []
+    for mod in sorted(groups):
+        keys = " ".join(f"`{k}`" for k in sorted(groups[mod]))
+        lines.append(f"- **{mod}** ({len(groups[mod])}): {keys}")
+    return "\n".join(lines)
+
+
 if __name__ == "__main__":
-    main()
+    if "--survey-keys" in sys.argv:
+        print(survey_key_section())
+    else:
+        main()
