@@ -256,3 +256,29 @@ def test_survey_lists_every_key():
     ).read()
     missing = [k for k in all_queries() if f"`{k}`" not in survey]
     assert not missing, f"keys absent from SURVEY.md: {missing}"
+
+
+def test_no_driver_side_data_materialization():
+    """Static gate over the whole package: operator/streaming code never
+    collects row data to the driver (`.collect()` / `.toPandas()`) and
+    never registers a row-at-a-time Python UDF (`F.udf(`). `.first()` is
+    permitted ONLY as a scalar probe on an aggregate (`.agg(...).first()`
+    — convergence checks, backoff clocks), which moves one row, not
+    data."""
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)), "pubsub2bq_spark")
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for name in files:
+            if not name.endswith(".py"):
+                continue
+            path = os.path.join(root, name)
+            src = open(path).read()
+            for i, line in enumerate(src.splitlines(), 1):
+                if re.search(r"\.collect\(\)|\.toPandas\(\)|\bF\.udf\(", line):
+                    offenders.append(f"{path}:{i}: {line.strip()}")
+                if ".first()" in line and ".agg(" not in line:
+                    offenders.append(f"{path}:{i}: bare .first(): {line.strip()}")
+    assert not offenders, "\n".join(offenders)
