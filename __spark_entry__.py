@@ -28,6 +28,7 @@ SURVEY2_KEYS = frozenset({
     # §2.1 sources/sinks
     "cdc_source", "include_filter", "schema_validate", "sink_append",
     "dead_letter", "raw_tap", "parquet_load", "backfill_union",
+    "python_datasource",
     # §2.2 projection/filter
     "unwrap", "deleted_rewrite", "schema_project", "null_fill",
     "scan_all", "project_compute", "filter_pred",
@@ -50,12 +51,14 @@ SURVEY2_KEYS = frozenset({
     # §2.9 scalar functions
     "string_funcs", "date_funcs", "math_funcs", "case_when",
     "json_extract", "array_funcs", "cast_funcs", "map_funcs",
+    # §2.9 SAFE family
+    "safe_funcs",
     # §2.10 UDF + LLM
     "udf_scalar", "grouped_map", "udaf_grouped", "udtf_explode",
     "similarity_topk", "text_dedup", "word_count", "multimodal_meta",
-    "binary_load", "frame_sample",
+    "binary_load", "frame_sample", "udf_arrow", "udtf_table_arg",
     # §2.11 physical layout
-    "clustered_write", "cdc_stream_events",
+    "clustered_write", "cdc_stream_events", "sql_script_proc",
 })
 
 
