@@ -162,3 +162,68 @@ def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx.write_segment(spool, "003_insert995", fx.insert_995())
     fx.write_segment(spool, "004_delete990", fx.delete_990())
     return spark.read.format("cdcspool").load(spool)
+
+
+@register(
+    "python_stream_source",
+    oracle="""
+        SELECT op, count(*) AS n, min(ts_ms) AS first_ts, max(ts_ms) AS last_ts
+        FROM (VALUES
+            ('r', 1000), ('r', 1001), ('r', 1002),
+            ('c', 1500), ('c', 2000), ('c', 3000),
+            ('d', 4000)
+        ) AS t(op, ts_ms)
+        GROUP BY op
+    """,
+    doc="STREAMING Python Data Source (Spark 4 SimpleDataSourceStream"
+        "Reader): the 'cdcspoolstream' source tracks consumed-segment "
+        "count as its offset (the binlog-position analog), read() "
+        "returns new segments + the advanced offset, and "
+        "readBetweenOffsets() replays committed ranges after restart — "
+        "the full custom streaming connector contract the reference "
+        "delegates to Debezium (conf/debezium.properties:15-16, offset "
+        "persistence). Runs the golden fixture log through the stream "
+        "into a memory sink, aggregated per op.",
+    scale_notes="Offsets are tiny driver-side JSON (like file-source "
+                "logs); rows flow through the prefetch thread, so this "
+                "simple-reader tier suits control-plane-rate sources — "
+                "for data-plane volume the partitioned streamReader "
+                "(splits per micro-batch, executor-side read) is the "
+                "documented upgrade, same offset contract. Exactly-once "
+                "comes from readBetweenOffsets replay against the "
+                "committed offset log.",
+)
+def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pubsub2bq_spark.sources import cdc_fixtures as fx
+    from pubsub2bq_spark.sources.spool_datasource import (
+        register_spool_stream_source,
+    )
+
+    register_spool_stream_source(spark)
+    spool = tempfile.mkdtemp(prefix="pyds_stream_")
+    fx.write_segment(spool, "000_snapshot", fx.snapshot_events())
+    fx.write_segment(spool, "001_noise", fx.noise_other_table())
+    fx.write_segment(spool, "002_insert994", fx.insert_994_with_phone())
+    fx.write_segment(spool, "003_insert995", fx.insert_995())
+    fx.write_segment(spool, "004_delete990", fx.delete_990())
+    stream = spark.readStream.format("cdcspoolstream").load(spool)
+    sink = f"pyds_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)  # single-batch fallback drains the spool
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts_ms").alias("first_ts"),
+            F.max("ts_ms").alias("last_ts"),
+        )
+    )

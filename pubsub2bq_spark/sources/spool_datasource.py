@@ -19,7 +19,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Flat message projection emitted by the reader: envelope metadata +
 # the payload columns shared by every fixture revision. A delete event
@@ -95,3 +100,93 @@ def register_spool_source(spark) -> None:
         return
     spark.dataSource.register(CdcSpoolDataSource)
     _REGISTERED.add(app)
+
+
+def _build_stream_source():
+    """Build the streaming DataSource class INSIDE a function so
+    cloudpickle serializes it by value: the streaming source's planner
+    runs in a dedicated driver-side Python worker that does NOT see
+    addPyFile paths (unlike executor workers), so a module-level class
+    (pickled by reference) dies with ModuleNotFoundError when the driver
+    starts outside the repo. Everything the class needs is defined
+    locally — no references back into pubsub2bq_spark."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import (
+        DataSource as _DS,
+        SimpleDataSourceStreamReader as _SR,
+    )
+
+    ddl = SPOOL_DDL  # closure-captured string — pickled by value
+
+    class _Reader(_SR):
+        """Offset = count of spool segments fully consumed (segments are
+        append-only and name-sorted — the monotonicity Debezium gets from
+        binlog positions). read() returns rows past the offset plus the
+        advanced offset; readBetweenOffsets() replays committed ranges
+        deterministically after restart."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("cdcspoolstream requires a path: .load(spool_dir)")
+
+        def initialOffset(self):
+            return {"n": 0}
+
+        def _files(self):
+            return sorted(
+                f for f in _os.listdir(self.path) if f.endswith(".json")
+            )
+
+        def _rows(self, files):
+            for name in files:
+                with open(_os.path.join(self.path, name)) as f:
+                    for line in f:
+                        if not line.strip():
+                            continue
+                        e = _json.loads(line)
+                        payload = e.get("after") or e.get("before") or {}
+                        src = e.get("source") or {}
+                        yield (
+                            e.get("op"),
+                            e.get("ts_ms"),
+                            src.get("db"),
+                            src.get("table"),
+                            payload.get("id"),
+                            payload.get("first_name"),
+                            payload.get("email"),
+                        )
+
+        def read(self, start):
+            files = self._files()
+            rows = list(self._rows(files[start["n"]:]))
+            return iter(rows), {"n": len(files)}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(list(self._rows(self._files()[start["n"]:end["n"]])))
+
+    class CdcSpoolStreamDataSource(_DS):
+        """``spark.readStream.format("cdcspoolstream").load(spool_dir)``."""
+
+        @classmethod
+        def name(cls):
+            return "cdcspoolstream"
+
+        def schema(self):
+            return ddl
+
+        def simpleStreamReader(self, schema):
+            return _Reader(self.options)
+
+    return CdcSpoolStreamDataSource
+
+
+def register_spool_stream_source(spark) -> None:
+    app = spark.sparkContext.applicationId
+    key = f"stream:{app}"
+    if key in _REGISTERED:
+        return
+    spark.dataSource.register(_build_stream_source())
+    _REGISTERED.add(key)
