@@ -34,6 +34,7 @@ SURVEY2_KEYS = frozenset({
     "scan_all", "project_compute", "filter_pred",
     # §2.3 schema/DDL
     "insert_values", "ddl_evolution", "schema_revision", "mismatch_halt",
+    "table_ttl",
     # §2.4 delivery/state
     "latest_per_key", "watermark_window", "tumbling_agg", "sliding_agg",
     "session_agg", "dedup", "stateful_running",

@@ -489,8 +489,8 @@ def _cm_bucket_sql(seed_expr: str, item_expr: str) -> str:
             SELECT item, sum(n) AS exact_n FROM per_user_day GROUP BY item
         )
         SELECT CAST(u.item AS BIGINT) AS user_id,
-               u.exact_n AS exact_n,
-               min(m.cnt) AS est_n,
+               CAST(u.exact_n AS BIGINT) AS exact_n,
+               CAST(min(m.cnt) AS BIGINT) AS est_n,
                min(m.cnt) >= u.exact_n AS over_ok
         FROM users u,
              unnest(range(0, {CM_DEPTH})) AS t(i)

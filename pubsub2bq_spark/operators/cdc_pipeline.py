@@ -8,7 +8,6 @@ check then asserts the reference's delivery semantics end-to-end.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,11 +18,11 @@ from pubsub2bq_spark.registry import register
 from pubsub2bq_spark.sources import cdc_fixtures as fx
 from pubsub2bq_spark.streaming.cdc import CdcPipeline
 from pubsub2bq_spark.streaming.reconcile import SchemaMismatchError
-from pubsub2bq_spark.tables import fan_out, load
+from pubsub2bq_spark.tables import fan_out, load, scratch_dir
 
 
 def _fresh_spec(sink_schema=None, **kw) -> CdcPipelineSpec:
-    tmp = tempfile.mkdtemp(prefix="cdcq_")
+    tmp = scratch_dir("cdcq_")
     return CdcPipelineSpec(
         spool_dir=os.path.join(tmp, "spool"),
         sink_dir=os.path.join(tmp, "sink"),
@@ -202,6 +201,61 @@ def mismatch_halt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_ttl",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('rows_before_ttl', 3),
+            ('rows_live',       1),
+            ('live_ids',        995)
+        ) AS t(metric, value)
+    """,
+    doc="Sink-table TTL (D4): the reference recreates the evolved sink "
+        "table with a 3600 s expiration (/root/reference/README.md:"
+        "387-392) and the tap subscription carries an expiration policy "
+        "(terraform/main.tf:382-384). Here delivery.table_ttl_seconds "
+        "arms a post-commit retention pass in foreachBatch "
+        "(CdcPipeline.enforce_table_retention): a snapshot batch is "
+        "delivered, its fragments aged past the TTL, and a second batch "
+        "delivered — the pass expires the aged fragments while the fresh "
+        "batch's rows survive.",
+    scale_notes="BigQuery expiration is wall-clock age, so the parquet "
+                "analog prunes appended fragments by write time — each "
+                "micro-batch append is one fragment, so file-level delete "
+                "IS the time-partition drop; nothing data-sized is read "
+                "or moved. With a lakehouse sink this becomes DELETE "
+                "WHERE ingest_ts < now()-ttl / expire-snapshots, still "
+                "metadata-rate.",
+)
+def table_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.plans.pipeline_spec import DeliveryConfig
+
+    spec = _fresh_spec()
+    spec.delivery = DeliveryConfig(table_ttl_seconds=3600)
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    p = CdcPipeline(spark, spec)
+    p.run_available_now()
+    rows_before = p.read_sink().count()
+    # Age the snapshot fragments past the TTL, then deliver a new batch:
+    # its post-commit retention pass expires them.
+    for name in os.listdir(spec.sink_dir):
+        path = os.path.join(spec.sink_dir, name)
+        if os.path.isfile(path) and not name.startswith(("_", ".")):
+            aged = os.path.getmtime(path) - spec.delivery.table_ttl_seconds - 600
+            os.utime(path, (aged, aged))
+    fx.write_segment(spec.spool_dir, "001_insert995", fx.insert_995())
+    p.run_available_now()
+    live = p.read_sink()
+    return spark.createDataFrame(
+        [
+            ("rows_before_ttl", rows_before),
+            ("rows_live", live.count()),
+            ("live_ids", live.agg(F.max("id")).first()[0]),
+        ],
+        "metric string, value int",
+    )
+
+
+@register(
     "backfill_union",
     oracle="""
         SELECT * FROM (VALUES
@@ -266,7 +320,7 @@ def backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/root/reference/sql/pubsub2bq.sql:8-13).",
 )
 def insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tmp = tempfile.mkdtemp(prefix="insq_")
+    tmp = scratch_dir("insq_")
     spark.sql("DROP TABLE IF EXISTS people_seed")
     spark.sql(
         f"""
@@ -299,7 +353,7 @@ def insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "scans on the cluster key.",
 )
 def clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tmp = tempfile.mkdtemp(prefix="clusw_")
+    tmp = scratch_dir("clusw_")
     li = load(spark, sf_dir, "lineitem")
     (
         li.repartition("l_returnflag")
@@ -382,7 +436,7 @@ _EV_SINK = T.StructType(
                 "with executors; the checkpoint is the only coordination.",
 )
 def cdc_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tmp = tempfile.mkdtemp(prefix="cdc_events_")
+    tmp = scratch_dir("cdc_events_")
     spec = CdcPipelineSpec(
         spool_dir=os.path.join(tmp, "spool"),
         sink_dir=os.path.join(tmp, "sink"),

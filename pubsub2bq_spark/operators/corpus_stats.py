@@ -300,7 +300,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT coalesce(lang, '<all>') AS lang,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                round(avg(n_chars), 4) AS avg_chars,
                round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
                count(DISTINCT source) AS n_sources,

@@ -5,11 +5,10 @@ sink recreate at README.md:379-392)."""
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 
 from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import scratch_dir
 
 
 @register(
@@ -31,7 +30,7 @@ from pubsub2bq_spark.registry import register
                 "cheap-ALTER behavior needed at 100 TB.",
 )
 def ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tmp = tempfile.mkdtemp(prefix="ddlq_")
+    tmp = scratch_dir("ddlq_")
     # Explicit LOCATION: never depend on a writable ./spark-warehouse in
     # whatever cwd the driver launched from.
     spark.sql(f"CREATE DATABASE IF NOT EXISTS engine_ddl LOCATION '{tmp}/warehouse'")

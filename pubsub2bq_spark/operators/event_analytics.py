@@ -35,8 +35,9 @@ SESSION_GAP_US = 1800 * 1_000_000  # 30 min in µs
         ),
         sess AS (
             SELECT user_id, ts, value,
-                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
             FROM ordered
         )
         SELECT user_id, session_id,

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import load, table_path
+from pubsub2bq_spark.tables import load, scratch_dir, table_path
 
 
 @register(
@@ -452,17 +452,23 @@ def time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+    import shutil
 
-    tmp = tempfile.mkdtemp(prefix="upsert_")
-    spool = os.path.join(tmp, "spool")
-    # Spool normalized events (µs timestamps) into 4 files → 4 micro-batches.
-    load(spark, sf_dir, "events").repartition(4).write.parquet(spool)
-    run_upsert_pipeline(spark, spool, os.path.join(tmp, "ckpt"),
-                        os.path.join(tmp, "state"))
-    return read_upsert_state(spark, os.path.join(tmp, "state")).select(
-        "event_id", "user_id", "ts", "event_type", F.round("value", 4).alias("value")
-    )
+    tmp = scratch_dir("upsert_")
+    try:
+        spool = os.path.join(tmp, "spool")
+        # Spool normalized events (µs timestamps) into 4 files → 4 micro-batches.
+        load(spark, sf_dir, "events").repartition(4).write.parquet(spool)
+        run_upsert_pipeline(spark, spool, os.path.join(tmp, "ckpt"),
+                            os.path.join(tmp, "state"))
+        # Eager localCheckpoint so the temp spool/state (a full copy of the
+        # input) can be deleted before the caller consumes the result.
+        return read_upsert_state(spark, os.path.join(tmp, "state")).select(
+            "event_id", "user_id", "ts", "event_type",
+            F.round("value", 4).alias("value"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _latest_state_version(state_root: str) -> str | None:
@@ -596,6 +602,12 @@ def stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubsub2bq_spark.tables import normalize_events
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # recentProgress is a ring buffer (default 100 entries); a run with
+    # more micro-batches than the cap would silently undercount the sums
+    # below. Raise the cap well past any plausible batch count here and
+    # assert we stayed under it after the run.
+    progress_cap = 10_000
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", str(progress_cap))
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = normalize_events(
         spark.readStream.schema(raw_schema)
@@ -616,13 +628,19 @@ def stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    progresses = q.recentProgress
+    assert len(progresses) < progress_cap, (
+        f"{len(progresses)} progress events hit the {progress_cap} buffer cap; "
+        "totals would undercount"
+    )
     totals = {"n_rows": 0, "n_purchase": 0, "sum_value": 0.0}
-    for progress in q.recentProgress:
+    for progress in progresses:
         m = (progress.get("observedMetrics") or {}).get("delivery")
         if m:
-            totals["n_rows"] += m["n_rows"]
-            totals["n_purchase"] += m["n_purchase"]
-            totals["sum_value"] += m["sum_value"]
+            totals["n_rows"] += m["n_rows"] or 0
+            totals["n_purchase"] += m["n_purchase"] or 0
+            # sum(value) over an empty/all-null batch observes as NULL.
+            totals["sum_value"] += m["sum_value"] or 0.0
     return spark.createDataFrame(
         [(totals["n_rows"], totals["n_purchase"], round(totals["sum_value"], 4))],
         "n_rows bigint, n_purchase bigint, total_value double",
@@ -656,7 +674,7 @@ def stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+    import shutil
 
     from pubsub2bq_spark.tables import normalize_events
 
@@ -667,7 +685,7 @@ def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    base = tempfile.mkdtemp(prefix="fanout_")
+    base = scratch_dir("fanout_")
     sinks = {name: os.path.join(base, name) for name in ("log", "metrics", "audit")}
 
     def deliver(batch: DataFrame, epoch_id: int) -> None:
@@ -690,20 +708,28 @@ def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             batch.unpersist()
 
-    q = (
-        stream.writeStream.foreachBatch(deliver)
-        .option("checkpointLocation", os.path.join(base, "cp"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # Metrics accumulated across micro-batches == batch aggregate.
-    return (
-        spark.read.parquet(sinks["metrics"])
-        .groupBy("event_type")
-        .agg(
-            F.sum("n").alias("n"),
-            F.round(F.sum("total"), 4).alias("total"),
-            F.sum("n_audit").alias("n_audit"),
+    try:
+        q = (
+            stream.writeStream.foreachBatch(deliver)
+            .option("checkpointLocation", os.path.join(base, "cp"))
+            .trigger(availableNow=True)
+            .start()
         )
-    )
+        q.awaitTermination()
+        # Metrics accumulated across micro-batches == batch aggregate.
+        # localCheckpoint (eager) materializes the tiny per-type rollup so
+        # the temp sinks can be deleted before the caller consumes it.
+        return (
+            spark.read.parquet(sinks["metrics"])
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.round(F.sum("total"), 4).alias("total"),
+                F.sum("n_audit").alias("n_audit"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        # The log sink holds a full copy of the input; leaking it per
+        # bench iteration fills /tmp at sf0.1+.
+        shutil.rmtree(base, ignore_errors=True)

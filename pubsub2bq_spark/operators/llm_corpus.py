@@ -274,8 +274,8 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang,
                count(*) AS n_raw,
-               sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS n_quality,
-               sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS n_kept
+               CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM kept
         GROUP BY lang
         ORDER BY lang

@@ -574,8 +574,8 @@ def _rag_oracle() -> str:
                count(*) AS n_ctx_docs,
                string_agg(substr(d.text, 1, {RAG_SNIPPET}), ' | '
                           ORDER BY h.rank) AS context,
-               sum(length(substr(d.text, 1, {RAG_SNIPPET})))
-                   + 3 * (count(*) - 1) AS ctx_chars
+               CAST(sum(length(substr(d.text, 1, {RAG_SNIPPET})))
+                        + 3 * (count(*) - 1) AS BIGINT) AS ctx_chars
         FROM hits h JOIN documents d ON h.vec_id = d.doc_id
         GROUP BY h.query_id
     """

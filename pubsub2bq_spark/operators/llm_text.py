@@ -299,7 +299,7 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                count(*) AS n_total,
-               sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM tagged GROUP BY event_type
     """,
     doc="Deterministic stratified downsampling: per-class keep rates via "

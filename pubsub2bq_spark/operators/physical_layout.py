@@ -6,13 +6,12 @@ further than row-group clustering).
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import load
+from pubsub2bq_spark.tables import load, scratch_dir
 
 N_BUCKETS = 8
 
@@ -47,7 +46,7 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _BUCKETED_READY.get(ctx) != sf_dir or not spark.catalog.tableExists(
         "bucketed.orders_b"
     ):
-        tmp = tempfile.mkdtemp(prefix="bucketq_")
+        tmp = scratch_dir("bucketq_")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketed LOCATION '{tmp}/db'")
         spark.sql("DROP TABLE IF EXISTS bucketed.orders_b")
         spark.sql("DROP TABLE IF EXISTS bucketed.customer_b")
@@ -92,7 +91,7 @@ def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = spark.sparkContext.applicationId
     ready = _PARTITIONED_READY.get(ctx)
     if ready is None or ready[0] != sf_dir or not os.path.isdir(ready[1]):
-        tmp = tempfile.mkdtemp(prefix="part_orders_")
+        tmp = scratch_dir("part_orders_")
         (
             load(spark, sf_dir, "orders")
             .withColumn("o_year", F.year("o_orderdate"))
@@ -256,7 +255,7 @@ def file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     e = load(spark, sf_dir, "events")
-    frag = os.path.join(tempfile.mkdtemp(prefix="compactq_"), "frag")
+    frag = os.path.join(scratch_dir("compactq_"), "frag")
     e.repartition(COMPACT_SMALL_FILES).write.parquet(frag)
 
     def n_parquet(path: str) -> int:

@@ -8,14 +8,13 @@ hash check proves the round-trip is lossless.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import load
+from pubsub2bq_spark.tables import load, scratch_dir
 
 _SLICE_SCHEMA = T.StructType(
     [
@@ -55,7 +54,7 @@ def _agg(df: DataFrame) -> DataFrame:
                 "parquet at the staging boundary.",
 )
 def csv_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tmp = tempfile.mkdtemp(prefix="csvq_")
+    tmp = scratch_dir("csvq_")
     _slice(spark, sf_dir).write.mode("overwrite").option("header", True).csv(f"{tmp}/li")
     back = spark.read.schema(_SLICE_SCHEMA).option("header", True).csv(f"{tmp}/li")
     return _agg(back)
@@ -70,7 +69,7 @@ def csv_load(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "no inference scan. Staging converts to parquet.",
 )
 def json_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tmp = tempfile.mkdtemp(prefix="jsonq_")
+    tmp = scratch_dir("jsonq_")
     _slice(spark, sf_dir).write.mode("overwrite").json(f"{tmp}/li")
     back = spark.read.schema(_SLICE_SCHEMA).json(f"{tmp}/li")
     return _agg(back)
@@ -83,7 +82,7 @@ def json_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pushdown + pruning preserved).",
 )
 def orc_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tmp = tempfile.mkdtemp(prefix="orcq_")
+    tmp = scratch_dir("orcq_")
     _slice(spark, sf_dir).write.mode("overwrite").orc(f"{tmp}/li")
     back = spark.read.orc(f"{tmp}/li")
     return _agg(back)
@@ -155,7 +154,7 @@ def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubsub2bq_spark.sources.spool_datasource import register_spool_source
 
     register_spool_source(spark)
-    spool = tempfile.mkdtemp(prefix="pyds_spool_")
+    spool = scratch_dir("pyds_spool_")
     fx.write_segment(spool, "000_snapshot", fx.snapshot_events())
     fx.write_segment(spool, "001_noise", fx.noise_other_table())
     fx.write_segment(spool, "002_insert994", fx.insert_994_with_phone())
@@ -176,8 +175,9 @@ def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY op
     """,
     doc="STREAMING Python Data Source (Spark 4 SimpleDataSourceStream"
-        "Reader): the 'cdcspoolstream' source tracks consumed-segment "
-        "count as its offset (the binlog-position analog), read() "
+        "Reader): the 'cdcspoolstream' source tracks the last consumed "
+        "segment name as a high-water-mark offset (the binlog-position "
+        "analog, robust to retention pruning of consumed prefixes), read() "
         "returns new segments + the advanced offset, and "
         "readBetweenOffsets() replays committed ranges after restart — "
         "the full custom streaming connector contract the reference "
@@ -202,7 +202,7 @@ def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_spool_stream_source(spark)
-    spool = tempfile.mkdtemp(prefix="pyds_stream_")
+    spool = scratch_dir("pyds_stream_")
     fx.write_segment(spool, "000_snapshot", fx.snapshot_events())
     fx.write_segment(spool, "001_noise", fx.noise_other_table())
     fx.write_segment(spool, "002_insert994", fx.insert_994_with_phone())

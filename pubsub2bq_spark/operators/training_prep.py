@@ -412,8 +412,8 @@ def negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks
         )
         SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
-               start_off // {PACK_TOKENS} AS pack_id,
-               start_off % {PACK_TOKENS}  AS pack_offset
+               CAST(start_off // {PACK_TOKENS} AS BIGINT) AS pack_id,
+               CAST(start_off % {PACK_TOKENS} AS BIGINT)  AS pack_offset
         FROM offs
     """,
     doc=f"Sequence packing (concat-and-slice): concatenate each source's "

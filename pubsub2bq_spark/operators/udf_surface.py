@@ -169,7 +169,7 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT user_id,
                count(*) AS n,
-               sum(CAST(floor(value * 100) AS BIGINT)) AS cents_total,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_total,
                round(max(value), 4) AS max_value
         FROM events
         GROUP BY user_id

@@ -46,6 +46,12 @@ class DeliveryConfig:
     ack_deadline_seconds: int = 60
     tap_ttl_seconds: int = 86_400
     retain_acked: bool = True
+    # Sink/DLQ table expiration (reference: the evolved sink table is
+    # recreated with a 3600 s expiration, /root/reference/README.md:387-392).
+    # None = tables never expire (the safe default); when set,
+    # CdcPipeline.enforce_table_retention drops aged fragments after each
+    # committed micro-batch.
+    table_ttl_seconds: int | None = None
 
 
 @dataclass

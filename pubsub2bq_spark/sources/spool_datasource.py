@@ -121,10 +121,16 @@ def _build_stream_source():
     ddl = SPOOL_DDL  # closure-captured string — pickled by value
 
     class _Reader(_SR):
-        """Offset = count of spool segments fully consumed (segments are
-        append-only and name-sorted — the monotonicity Debezium gets from
-        binlog positions). read() returns rows past the offset plus the
-        advanced offset; readBetweenOffsets() replays committed ranges
+        """Offset = lexicographic high-water mark: the NAME of the last
+        fully-consumed segment (segments sort by name — the monotonicity
+        Debezium gets from binlog positions). A name-keyed offset stays
+        correct when consumed prefixes are pruned (CdcPipeline.prune_spool):
+        pruned segments all sort <= the mark, so the `> mark` slice is
+        unaffected, where a count-based offset would shift and silently
+        replay or skip segments. Legacy count offsets ({"n": k}) from
+        pre-existing checkpoints are mapped onto the current listing once,
+        then re-emitted as marks. read() returns rows past the offset plus
+        the advanced offset; readBetweenOffsets() replays committed ranges
         deterministically after restart."""
 
         def __init__(self, options):
@@ -133,7 +139,16 @@ def _build_stream_source():
                 raise ValueError("cdcspoolstream requires a path: .load(spool_dir)")
 
         def initialOffset(self):
-            return {"n": 0}
+            return {"hwm": ""}
+
+        def _mark(self, offset, files):
+            """High-water mark from a new- or legacy-format offset."""
+            if "hwm" in offset:
+                return offset["hwm"]
+            # Legacy count offset: only sound on a never-pruned spool
+            # (the only kind that can carry one).
+            k = offset.get("n", 0)
+            return files[k - 1] if k else ""
 
         def _files(self):
             return sorted(
@@ -161,11 +176,16 @@ def _build_stream_source():
 
         def read(self, start):
             files = self._files()
-            rows = list(self._rows(files[start["n"]:]))
-            return iter(rows), {"n": len(files)}
+            mark = self._mark(start, files)
+            fresh = [f for f in files if f > mark]
+            rows = list(self._rows(fresh))
+            return iter(rows), {"hwm": fresh[-1] if fresh else mark}
 
         def readBetweenOffsets(self, start, end):
-            return iter(list(self._rows(self._files()[start["n"]:end["n"]])))
+            files = self._files()
+            lo = self._mark(start, files)
+            hi = self._mark(end, files)
+            return iter(list(self._rows([f for f in files if lo < f <= hi])))
 
     class CdcSpoolStreamDataSource(_DS):
         """``spark.readStream.format("cdcspoolstream").load(spool_dir)``."""

@@ -204,6 +204,9 @@ class CdcPipeline:
         # Frontier batch committed: its delivery state is settled.
         shutil.rmtree(self._nack_dir, ignore_errors=True)
 
+        # Post-commit retention pass (runs only when a TTL is configured).
+        self.enforce_table_retention(now_s=time.time())
+
     def _to_dlq(self, df: DataFrame, reason: str, attempts: int | None = None) -> None:
         out = df.withColumn("dlq_reason", F.lit(reason))
         if "delivery_attempts" not in df.columns:
@@ -257,6 +260,38 @@ class CdcPipeline:
             cutoff = now_ms - self.spec.delivery.tap_retention_seconds * 1000
             envelopes = envelopes.filter(F.col("ts_ms") >= cutoff)
         return self._publish(envelopes)
+
+    def enforce_table_retention(self, now_s: float) -> list[str]:
+        """Expire aged data from the sink and DLQ tables (D4 TTL: the
+        reference recreates the evolved sink table with a 3600 s
+        expiration, /root/reference/README.md:387-392, and the tap
+        subscription carries expiration_policy ttl,
+        /root/reference/terraform/main.tf:382-384). BigQuery expiration
+        is wall-clock age, so the parquet analog prunes appended
+        fragments by write time: each foreachBatch append is one
+        fragment, making file mtime the fragment's delivery time and
+        file-level deletion the time-partition drop. With a lakehouse
+        sink (Delta/Iceberg) this becomes DELETE WHERE / expire-
+        snapshots; nothing data-sized moves either way. No-op unless
+        ``delivery.table_ttl_seconds`` is set. Returns pruned paths."""
+        ttl = self.spec.delivery.table_ttl_seconds
+        pruned: list[str] = []
+        if ttl is None:
+            return pruned
+        cutoff = now_s - ttl
+        for root in (self.spec.sink_dir, self.spec.dlq_dir):
+            if not os.path.isdir(root):
+                continue
+            for name in sorted(os.listdir(root)):
+                path = os.path.join(root, name)
+                if (
+                    os.path.isfile(path)
+                    and not name.startswith(("_", "."))
+                    and os.path.getmtime(path) < cutoff
+                ):
+                    os.remove(path)
+                    pruned.append(path)
+        return pruned
 
     def prune_spool(self, now_s: float) -> list[str]:
         """Enforce source-side retention (T3): drop spool segments whose

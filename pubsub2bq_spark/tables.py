@@ -9,7 +9,10 @@ layer assumes single-file inputs.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +40,23 @@ SMALL_DIMS = ("region", "nation")
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Temp dir for operator-local spools/sinks, rooted under ONE
+    per-process directory that is removed at interpreter exit — so a
+    bench/test run can execute hundreds of temp-writing operators without
+    leaking data copies into /tmp across runs. Operators whose temp data
+    is large relative to their input should still rmtree eagerly."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        root = tempfile.mkdtemp(prefix="pubsub2bq_scratch_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_ROOT = root
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
 def normalize_events(df: DataFrame) -> DataFrame:

@@ -259,6 +259,58 @@ def test_retention_prunes_old_spool_segments(spark, tmp):
     assert p.prune_spool(now_s=now) == []  # idempotent
 
 
+def test_table_ttl_expires_sink_and_dlq_fragments(spark, tmp):
+    """D4 TTL: with delivery.table_ttl_seconds set (reference: evolved
+    sink table recreated with a 3600 s expiration, README.md:387-392),
+    the post-commit retention pass drops sink/DLQ fragments whose write
+    time aged past the TTL; fresh fragments survive and the sink stays
+    readable. Unset TTL (the default) never deletes anything."""
+    from pubsub2bq_spark.plans.pipeline_spec import DeliveryConfig
+
+    spec = make_spec(tmp, fx.SINK_SCHEMA_V1)
+    spec.delivery = DeliveryConfig(table_ttl_seconds=3600)
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    p = CdcPipeline(spark, spec)
+    p.run_available_now()
+    assert p.read_sink().count() == 3
+
+    # Age every current sink fragment past the TTL, then deliver a new
+    # batch: its post-commit pass must expire the old fragments while the
+    # new batch's rows survive.
+    data_files = [
+        os.path.join(spec.sink_dir, n)
+        for n in os.listdir(spec.sink_dir)
+        if not n.startswith(("_", "."))
+    ]
+    assert data_files
+    for path in data_files:
+        old = os.path.getmtime(path) - 4000
+        os.utime(path, (old, old))
+    fx.write_segment(spec.spool_dir, "001_insert995", fx.insert_995())
+    p.run_available_now()
+
+    remaining = sink_rows(p)
+    assert set(remaining) == {995}  # snapshot rows expired, new row live
+    for path in data_files:
+        assert not os.path.exists(path)
+    # Explicit pass is idempotent once nothing else has aged out.
+    assert p.enforce_table_retention(now_s=os.path.getmtime(
+        fx.write_segment(spec.spool_dir, "002_marker", [])
+    )) == []
+
+
+def test_table_ttl_unset_never_deletes(spark, tmp):
+    spec = make_spec(tmp, fx.SINK_SCHEMA_V1)
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    p = CdcPipeline(spark, spec)
+    p.run_available_now()
+    for n in os.listdir(spec.sink_dir):
+        path = os.path.join(spec.sink_dir, n)
+        os.utime(path, (1, 1))  # ancient
+    assert p.enforce_table_retention(now_s=os.path.getmtime(spec.sink_dir) + 1e9) == []
+    assert p.read_sink().count() == 3
+
+
 def test_raw_tap_respects_retention_window(spark, tmp):
     """S6 tap retention (main.tf:379, 1200s): with now_ms given, only
     messages inside the window are visible; without it, everything is

@@ -248,8 +248,8 @@ def test_python_udtf(spark):
 
 
 def test_python_stream_source_resumes_from_offset(spark, tmp_path):
-    """The custom streaming source's offset (consumed-segment count) must
-    survive a restart: a second run over the same checkpoint reads ONLY
+    """The custom streaming source's offset (segment-name high-water mark)
+    must survive a restart: a second run over the same checkpoint reads ONLY
     segments that arrived after the first run committed."""
     import os
 
@@ -284,4 +284,48 @@ def test_python_stream_source_resumes_from_offset(spark, tmp_path):
     run_once()
     out = spark.read.parquet(sink)
     assert out.count() == 4  # exactly one new row — no snapshot re-read
+    assert out.filter("op = 'c'").count() == 1
+
+
+def test_python_stream_source_survives_spool_prune(spark, tmp_path):
+    """Pruning consumed segments (retention enforcement) must not shift
+    the offset: the name-keyed high-water mark keeps the `> mark` slice
+    correct after a consumed prefix is deleted — a count-based offset
+    would re-read or skip segments here."""
+    import os
+
+    from pubsub2bq_spark.sources import cdc_fixtures as fx
+    from pubsub2bq_spark.sources.spool_datasource import (
+        register_spool_stream_source,
+    )
+
+    register_spool_stream_source(spark)
+    spool = str(tmp_path / "spool")
+    sink = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    os.makedirs(spool)
+    fx.write_segment(spool, "000_snapshot", fx.snapshot_events())
+
+    def run_once():
+        q = (
+            spark.readStream.format("cdcspoolstream")
+            .load(spool)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 3
+    # Retention prunes the already-consumed snapshot segment, then a new
+    # segment arrives. The restarted stream must emit ONLY the new rows.
+    os.remove(os.path.join(spool, "000_snapshot.json"))
+    fx.write_segment(spool, "001_insert995", fx.insert_995())
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == 4  # no snapshot replay, no skipped segment
     assert out.filter("op = 'c'").count() == 1
