@@ -37,7 +37,7 @@ SURVEY2_KEYS = frozenset({
     "table_ttl",
     # §2.4 delivery/state
     "latest_per_key", "watermark_window", "tumbling_agg", "sliding_agg",
-    "session_agg", "dedup", "stateful_running",
+    "session_agg", "dedup", "stateful_running", "ack_deadline",
     # §2.5 joins
     "join_inner", "join_outer", "join_full", "join_semi", "join_anti",
     "join_broadcast", "join_range", "join_cross", "join_asof",

@@ -256,6 +256,64 @@ def table_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ack_deadline",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('pulled',                     4),
+            ('redeliverable_in_deadline',  0),
+            ('redeliverable_post_deadline', 2),
+            ('redelivered_id_992',         1),
+            ('redelivered_id_995',         1)
+        ) AS t(metric, value)
+    """,
+    doc="Ack-deadline semantics on the inspection tap (S6/T3): the "
+        "reference's pull subscription leases messages for "
+        "ack_deadline_seconds = 60 (/root/reference/terraform/main.tf:"
+        "381) — unacked messages are redelivered after the lease, acked "
+        "ones are not. A pull session receives the 4-message fixture "
+        "log, acks two; a re-pull inside the deadline sees nothing "
+        "(leases live), a re-pull after it sees exactly the two unacked "
+        "messages.",
+    scale_notes="The ack ledger joins as a broadcast left-anti against "
+                "the pulled frame — delivery-queue-sized, never "
+                "data-sized. In Structured Streaming the micro-batch "
+                "commit IS the ack (this modeling exists for tap/pull "
+                "consumers outside the checkpointed pipeline); at 100 TB "
+                "the ledger is the broker's per-message state, not an "
+                "engine-side table.",
+)
+def ack_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _fresh_spec()
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    fx.write_segment(spec.spool_dir, "001_insert995", fx.insert_995())
+    p = CdcPipeline(spark, spec)
+
+    pulled = p.raw_tap_batch()  # 4 messages: r990, r991, r992, c995
+    t0 = 10_000_000  # lease time (ms)
+    acked = spark.createDataFrame(
+        [('{"id":990}',), ('{"id":991}',)], "ordering_key string"
+    )
+    in_deadline = p.tap_redeliverable(pulled, t0, acked, now_ms=t0 + 30_000)
+    post_deadline = p.tap_redeliverable(pulled, t0, acked, now_ms=t0 + 90_000)
+    counts = spark.createDataFrame(
+        [
+            ("pulled", pulled.count()),
+            ("redeliverable_in_deadline", in_deadline.count()),
+            ("redeliverable_post_deadline", post_deadline.count()),
+        ],
+        "metric string, value int",
+    )
+    redelivered = post_deadline.select(
+        F.concat(
+            F.lit("redelivered_id_"),
+            F.get_json_object("ordering_key", "$.id"),
+        ).alias("metric"),
+        F.lit(1).cast("int").alias("value"),
+    )
+    return counts.union(redelivered)
+
+
+@register(
     "backfill_union",
     oracle="""
         SELECT * FROM (VALUES

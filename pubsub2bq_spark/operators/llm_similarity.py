@@ -628,3 +628,146 @@ def refresh_rag_oracle() -> None:
 
 
 refresh_rag_oracle()
+
+
+# Product quantization: M subspaces x SUB dims; K centroids per subspace
+# taken from the K lowest vec_ids' subvectors (deterministic stand-in for
+# offline per-subspace k-means, same convention as ann_ivf's coarse cells).
+PQ_M = 8
+PQ_SUB = 8   # PQ_M * PQ_SUB == DIM
+PQ_K = 8
+PQ_TOPK = 10
+
+_PQ_SUBS = f"""
+    SELECT vec_id, t.m AS m,
+           list_slice(v, t.m * {PQ_SUB} + 1, t.m * {PQ_SUB} + {PQ_SUB}) AS sub
+    FROM v, unnest(range(0, {PQ_M})) AS t(m)
+"""
+
+
+@register(
+    "ann_pq",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cb AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {PQ_K}),
+        cbs AS (
+            SELECT vec_id AS cid, t.m AS m,
+                   list_slice(v, t.m * {PQ_SUB} + 1, t.m * {PQ_SUB} + {PQ_SUB}) AS csub
+            FROM cb, unnest(range(0, {PQ_M})) AS t(m)
+        ),
+        dbs AS ({_PQ_SUBS}),
+        dist0 AS (
+            SELECT d.vec_id, d.m, c.cid,
+                   list_dot_product(d.sub, d.sub)
+                   - 2 * list_dot_product(d.sub, c.csub)
+                   + list_dot_product(c.csub, c.csub) AS d2
+            FROM dbs d JOIN cbs c USING (m)
+        ),
+        codes AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                             ORDER BY d2 ASC, cid ASC) AS rn
+                FROM dist0
+            ) WHERE rn = 1
+        ),
+        recon AS (
+            SELECT k.vec_id, flatten(list(c.csub ORDER BY k.m)) AS r
+            FROM codes k JOIN cbs c ON k.m = c.m AND k.cid = c.cid
+            GROUP BY k.vec_id
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT q.query_id, r.vec_id,
+                   list_dot_product(q.qv, q.qv)
+                   - 2 * list_dot_product(q.qv, r.r)
+                   + list_dot_product(r.r, r.r) AS adc
+            FROM recon r CROSS JOIN q
+            WHERE r.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, round(adc, 6) AS adc_dist, rank FROM (
+            SELECT query_id, vec_id, adc,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adc ASC, vec_id ASC) AS INT)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= {PQ_TOPK}
+    """,
+    doc=f"Product-quantization ANN (Jegou et al., the memory-compression "
+        f"path): vectors split into {PQ_M} subspaces of {PQ_SUB} dims, each "
+        f"subvector coded as its nearest of {PQ_K} per-subspace centroids "
+        f"(deterministic codebook from the {PQ_K} lowest vec_ids, the "
+        "ann_ivf convention), queries ranked by asymmetric distance — "
+        "exact query vs reconstructed database vector. Computed via the "
+        "reconstruction identity sum_m ||q_m - c_code||^2 = ||q - "
+        "concat(c_code)||^2, which keeps the arithmetic a single "
+        "index-ordered fold (engine-exact) instead of a cross-subspace "
+        "float sum.",
+    scale_notes=f"PQ stores {PQ_M} single-byte codes per vector instead of "
+                f"{DIM} floats — ~32x memory — so the ADC scan reads codes, "
+                "not vectors; the codebook (M x K subvectors) broadcasts "
+                "anywhere. Production pairs this with IVF (probe cells, "
+                "then ADC within) and a per-query M x K lookup table "
+                "instead of reconstruction — algebraically the same "
+                "distance, O(M) adds per candidate. Codebooks k-means-"
+                "trained offline on a sample; encoding is one broadcast "
+                "join + per-subspace argmin, map-side.",
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    sub_arr = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> slice(v, m * {PQ_SUB} + 1, {PQ_SUB}))"
+    )
+    cbs = (
+        em.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.posexplode(sub_arr).alias("m", "csub"))
+    )
+    dbs = em.select("vec_id", F.posexplode(sub_arr).alias("m", "sub"))
+    d2 = (
+        _dot(F.col("sub"), F.col("sub"))
+        - 2 * _dot(F.col("sub"), F.col("csub"))
+        + _dot(F.col("csub"), F.col("csub"))
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    codes = (
+        dbs.join(F.broadcast(cbs), "m")
+        .select("vec_id", "m", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    recon = (
+        codes.join(F.broadcast(cbs), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.expr("transform(array_sort(collect_list(struct(m, csub))), s -> s.csub)")
+            ).alias("r")
+        )
+    )
+    q = em.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    adc = (
+        _dot(F.col("qv"), F.col("qv"))
+        - 2 * _dot(F.col("qv"), F.col("r"))
+        + _dot(F.col("r"), F.col("r"))
+    )
+    scored = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id", "vec_id", F.round("adc", 6).alias("adc_dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -563,3 +563,164 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("int").alias("pos_in_shard"),
     )
+
+
+# Temperature-mixture sampling: effective per-source counts ~ n^ALPHA
+# (UniMax/mT5-style domain rebalancing); 16-bit md5 buckets make the
+# per-document keep decision deterministic and engine-portable.
+MIX_ALPHA = 0.7
+MIX_BUCKETS = 65_536
+
+
+def _hash16_sql(expr: str) -> str:
+    """First 4 hex nibbles of md5(expr) as an integer in [0, 65536) —
+    nibble-by-strpos arithmetic, portable across Spark and DuckDB
+    (same construction as the count-min bucket hash)."""
+    nib = lambda k: (
+        f"(strpos('{_HEXDIGITS}', substr(md5(CAST({expr} AS VARCHAR)), {k}, 1)) - 1)"
+    )
+    return f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+
+
+def _hash16_spark(col) -> "F.Column":
+    h = F.md5(col.cast("string"))
+    nib = lambda k: F.instr(F.lit(_HEXDIGITS), F.substring(h, k, 1)) - 1
+    return (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)).cast("int")
+
+
+@register(
+    "mixture_temperature",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ),
+        rates AS (
+            SELECT source, n_docs,
+                   pow(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE)
+                       / n_docs, 1.0 - {MIX_ALPHA}) AS keep_rate
+            FROM counts
+        ),
+        kept AS (
+            SELECT d.source,
+                   CASE WHEN {_hash16_sql("d.doc_id")}
+                             < CAST(floor(r.keep_rate * {MIX_BUCKETS}) AS BIGINT)
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents d JOIN rates r USING (source)
+        )
+        SELECT r.source,
+               CAST(r.n_docs AS BIGINT) AS n_docs,
+               round(r.keep_rate, 6) AS keep_rate,
+               CAST(sum(k.keep) AS BIGINT) AS n_sampled
+        FROM rates r JOIN kept k ON r.source = k.source
+        GROUP BY r.source, r.n_docs, r.keep_rate
+        ORDER BY r.source
+    """,
+    doc=f"Temperature-based mixture rebalancing (UniMax/mT5-style): "
+        f"per-source keep rates (n_min/n_i)^(1-{MIX_ALPHA}) give effective "
+        f"counts proportional to n^{MIX_ALPHA} — big sources downsampled, "
+        "the smallest kept whole — then a deterministic 16-bit md5 bucket "
+        "per document decides membership. The domain-mixture step every "
+        "multi-source pretraining corpus runs before packing; "
+        "reproducible across reruns (no RNG), and the rate formula avoids "
+        "any cross-source float summation so the sampled counts are "
+        "engine-exact, not just close.",
+    scale_notes="Per-source counts are a classes-sized aggregate; rates "
+                "broadcast back; the keep decision is map-side md5 "
+                "arithmetic per row. Membership is a pure function of "
+                "(doc_id, source rate), so downstream stages recompute it "
+                "instead of materializing a sampled copy — at 100 TB the "
+                "mixture is a predicate, not a rewrite.",
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_docs",
+        F.pow(F.col("n_min").cast("double") / F.col("n_docs"), 1.0 - MIX_ALPHA).alias(
+            "keep_rate"
+        ),
+    )
+    kept = d.join(F.broadcast(rates), "source").select(
+        "source",
+        F.when(
+            _hash16_spark(F.col("doc_id"))
+            < F.floor(F.col("keep_rate") * MIX_BUCKETS).cast("bigint"),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.sum("keep").alias("n_sampled"))
+        .join(F.broadcast(rates), "source")
+        .select(
+            "source",
+            "n_docs",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            "n_sampled",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "shard_manifest",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, n_chars,
+                   strpos('{_HEXDIGITS}',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                       AS shard,
+                   {_hash16_sql("doc_id")} AS h16
+            FROM documents
+        )
+        SELECT CAST(shard AS INT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc,
+               CAST(sum(h16) AS BIGINT) AS content_checksum
+        FROM assigned
+        GROUP BY shard
+        ORDER BY shard
+    """,
+    doc="Shard manifest: the release artifact published next to a "
+        "training dataset — per shard (corpus_shuffle's md5 shard "
+        "assignment): document count, character volume, doc_id range, "
+        "and an order-independent integer checksum (sum of per-doc "
+        "16-bit md5 values). A reader validates its download against "
+        "the manifest; a writer diffing two manifests sees exactly "
+        "which shards changed between dataset versions.",
+    scale_notes="One shard-keyed aggregate over map-side-computed "
+                "columns; every metric partial-aggregates (count/sum/"
+                "min/max), so the shuffle carries shards x 6 values. "
+                "The checksum is integer summation — associative, "
+                "order-independent, engine-exact — the property that "
+                "makes manifest equality a byte comparison at any "
+                "parallelism.",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    h = F.md5(F.col("doc_id").cast("string"))
+    assigned = d.select(
+        "doc_id",
+        "n_chars",  # table-provided length column (same source the oracle reads)
+        (F.instr(F.lit(_HEXDIGITS), F.substring(h, 1, 1)) - 1)
+        .cast("int")
+        .alias("shard"),
+        _hash16_spark(F.col("doc_id")).alias("h16"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("h16").alias("content_checksum"),
+        )
+        .orderBy("shard")
+    )

@@ -261,6 +261,32 @@ class CdcPipeline:
             envelopes = envelopes.filter(F.col("ts_ms") >= cutoff)
         return self._publish(envelopes)
 
+    def tap_redeliverable(
+        self,
+        messages: DataFrame,
+        leased_at_ms: int,
+        acked_keys: DataFrame,
+        now_ms: int,
+    ) -> DataFrame:
+        """Ack-deadline modeling for the pull tap (S6/T3): the reference
+        subscription leases pulled messages for ack_deadline_seconds = 60
+        (/root/reference/terraform/main.tf:381) — a pulled message that is
+        not acked within its lease is redelivered on the next pull; an
+        acked message never is (it stays retained for replay, but leaves
+        the delivery queue). Given the pulled frame, its lease time, and
+        the acked ordering keys, returns what the NEXT pull at ``now_ms``
+        would deliver: nothing while every lease is still live, the
+        unacked remainder once leases expire."""
+        deadline_ms = self.spec.delivery.ack_deadline_seconds * 1000
+        unacked = messages.join(
+            F.broadcast(acked_keys.select("ordering_key")),
+            "ordering_key",
+            "left_anti",
+        )
+        if now_ms < leased_at_ms + deadline_ms:
+            return unacked.limit(0)  # leases live: nothing redeliverable yet
+        return unacked
+
     def enforce_table_retention(self, now_s: float) -> list[str]:
         """Expire aged data from the sink and DLQ tables (D4 TTL: the
         reference recreates the evolved sink table with a 3600 s

@@ -311,6 +311,22 @@ def test_table_ttl_unset_never_deletes(spark, tmp):
     assert p.read_sink().count() == 3
 
 
+def test_ack_deadline_redelivery(spark, tmp):
+    """S6/T3 ack deadline (main.tf:381, 60 s): a re-pull inside the lease
+    sees nothing; after the lease expires, exactly the unacked messages
+    come back; acked ones never do."""
+    spec = make_spec(tmp, fx.SINK_SCHEMA_V1)
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    p = CdcPipeline(spark, spec)
+    pulled = p.raw_tap_batch()
+    acked = spark.createDataFrame([('{"id":990}',)], "ordering_key string")
+    t0 = 5_000_000
+    assert p.tap_redeliverable(pulled, t0, acked, now_ms=t0 + 59_999).count() == 0
+    redelivered = p.tap_redeliverable(pulled, t0, acked, now_ms=t0 + 60_000)
+    keys = sorted(r["ordering_key"] for r in redelivered.collect())
+    assert keys == ['{"id":991}', '{"id":992}']
+
+
 def test_raw_tap_respects_retention_window(spark, tmp):
     """S6 tap retention (main.tf:379, 1200s): with now_ms given, only
     messages inside the window are visible; without it, everything is
