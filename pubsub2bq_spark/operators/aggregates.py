@@ -549,3 +549,148 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") >= F.col("exact_n")).alias("over_ok"),
         )
     )
+
+
+# Bloom filter: BL_BITS bits as BL_WORDS x 32-bit words carried in BIGINTs
+# (32-bit words keep every set-bit mask positive, dodging engine-specific
+# signed-shift edge cases at bit 63). BL_K hash positions per item from the
+# same portable md5-nibble arithmetic as the count-min buckets.
+BL_BITS = 1024
+BL_WORD = 32
+BL_WORDS = BL_BITS // BL_WORD
+BL_K = 3
+
+
+def _bl_pos_spark(seed, item):
+    """Portable md5-hex → bloom bit position in [0, BL_BITS)."""
+    h = F.md5(F.concat(F.lit("bl"), seed.cast("string"), F.lit(":"), item))
+
+    def pos(i: int):
+        return F.instr(F.lit(_CM_HEX), F.substring(h, i, 1)) - 1
+
+    return ((pos(1) * 4096 + pos(2) * 256 + pos(3) * 16 + pos(4)) % BL_BITS).cast(
+        "int"
+    )
+
+
+def _bl_pos_sql(seed_expr: str, item_expr: str) -> str:
+    h = f"md5('bl' || CAST({seed_expr} AS VARCHAR) || ':' || {item_expr})"
+    nib = lambda i: f"(strpos('{_CM_HEX}', substr({h}, {i}, 1)) - 1)"
+    return (
+        f"CAST((({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+        f" % {BL_BITS}) AS INT)"
+    )
+
+
+@register(
+    "bloom_membership",
+    oracle=f"""
+        WITH members AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS item FROM events
+        ),
+        bloom AS (
+            SELECT p // {BL_WORD} AS word,
+                   bit_or(CAST(1 AS BIGINT) << (p % {BL_WORD})) AS bits
+            FROM (
+                SELECT {_bl_pos_sql("t.j", "item")} AS p
+                FROM members, unnest(range(0, {BL_K})) AS t(j)
+            )
+            GROUP BY 1
+        ),
+        candidates AS (
+            SELECT item, 1 AS truth FROM members
+            UNION ALL
+            SELECT CAST(CAST(item AS BIGINT) + 1000000 AS VARCHAR), 0
+            FROM members
+        ),
+        probes AS (
+            SELECT c.item, c.truth, {_bl_pos_sql("t.j", "c.item")} AS p
+            FROM candidates c, unnest(range(0, {BL_K})) AS t(j)
+        ),
+        verdicts AS (
+            SELECT item, truth,
+                   min(CASE WHEN (b.bits & (CAST(1 AS BIGINT) << (p % {BL_WORD})))
+                                 <> 0
+                            THEN 1 ELSE 0 END) AS flagged
+            FROM probes JOIN bloom b ON b.word = p // {BL_WORD}
+            GROUP BY item, truth
+        )
+        SELECT CAST(truth AS INT) AS is_member,
+               count(*) AS n_probed,
+               CAST(sum(flagged) AS BIGINT) AS n_flagged,
+               round(sum(flagged) * 1.0 / count(*), 6) AS flag_rate
+        FROM verdicts
+        GROUP BY truth
+    """,
+    doc=f"Mergeable Bloom-filter membership: distinct event users hashed "
+        f"into a {BL_BITS}-bit filter ({BL_WORDS} x {BL_WORD}-bit integer "
+        f"words built with bit_or aggregation, {BL_K} probes per item), "
+        "then a candidate set of all true members plus an equal-sized "
+        "known-absent set is tested. Every true member must flag (Bloom "
+        "filters cannot false-negative — the oracle proves flag_rate 1.0 "
+        "for members) and the absent set's flag_rate IS the measured "
+        "false-positive rate. The membership twin of hll (distinct) and "
+        "count-min (frequency): the pre-join existence gate.",
+    scale_notes="The filter is integer words built by bit_or — "
+                "commutative, so per-partition partials merge exactly and "
+                "per-day/per-shard blooms union by OR-ing word rows "
+                "(KBs regardless of corpus size). At 100 TB the built "
+                "filter broadcasts as a scan-side pre-filter (the "
+                "engine-level runtime-filter pattern) to skip shuffle "
+                "rows that cannot join; sizing follows m/n bits per key "
+                "at the target FP rate.",
+)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    members = e.select(
+        F.col("user_id").cast("string").alias("item")
+    ).distinct().localCheckpoint()  # one distinct pass feeds build AND probes
+    seeds = F.explode(F.array(*[F.lit(j) for j in range(BL_K)])).alias("j")
+    bloom = (
+        members.select("item", seeds)
+        .select(_bl_pos_spark(F.col("j"), F.col("item")).alias("p"))
+        .select(
+            (F.col("p") / BL_WORD).cast("int").alias("word"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), p % {BL_WORD})").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    candidates = members.select("item", F.lit(1).alias("truth")).unionAll(
+        members.select(
+            (F.col("item").cast("bigint") + 1_000_000).cast("string").alias("item"),
+            F.lit(0).alias("truth"),
+        )
+    )
+    probes = candidates.select("item", "truth", seeds).select(
+        "item", "truth", _bl_pos_spark(F.col("j"), F.col("item")).alias("p")
+    )
+    verdicts = (
+        probes.withColumn("word", (F.col("p") / BL_WORD).cast("int"))
+        .join(F.broadcast(bloom), "word")
+        .select(
+            "item",
+            "truth",
+            F.when(
+                F.col("bits").bitwiseAND(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), p % {BL_WORD})")
+                )
+                != 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("item", "truth")
+        .agg(F.min("hit").alias("flagged"))
+    )
+    return verdicts.groupBy("truth").agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("flagged").alias("n_flagged"),
+        F.round(F.sum("flagged") / F.count(F.lit(1)), 6).alias("flag_rate"),
+    ).select(
+        F.col("truth").cast("int").alias("is_member"),
+        "n_probed",
+        "n_flagged",
+        "flag_rate",
+    )

@@ -578,6 +578,72 @@ def asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "state_inspect",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_total
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="State-store inspection (Spark 4 statestore data source): run a "
+        "stateful streaming aggregation over the events stream, then read "
+        "the aggregation STATE back out of the checkpoint with "
+        "spark.read.format('statestore') — the operator surface for "
+        "answering 'what does the running query currently believe' "
+        "without touching its sink. After AvailableNow drains the source, "
+        "the state must equal the batch aggregate, which is exactly what "
+        "the oracle asserts. Totals accumulate as integer cents so the "
+        "state is summation-order-independent and hash-checkable.",
+    scale_notes="The state read is partition-parallel over the HDFS-"
+                "backed store files (one split per store partition) and "
+                "never touches the source data — state size is keyed "
+                "cardinality, not stream volume. This is the debugging/"
+                "monitoring path for production stateful pipelines "
+                "(inspect skew across state partitions, find hot keys, "
+                "validate migrations) and it composes with "
+                "snapshotStartBatchId time travel over retained "
+                "checkpoints.",
+)
+def state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pubsub2bq_spark.tables import normalize_events, scratch_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents_total"),
+    )
+    cp = os.path.join(scratch_dir("stateq_"), "cp")
+    sink = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(cp)
+    # State value fields carry the aggregate FUNCTION names (count, sum),
+    # not the query aliases — the store schema predates the output projection.
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.col("value.sum").alias("cents_total"),
+    )
+
+
+@register(
     "stream_observe",
     oracle="""
         SELECT count(*) AS n_rows,

@@ -632,7 +632,10 @@ def _hash16_spark(col) -> "F.Column":
                 "mixture is a predicate, not a rewrite.",
 )
 def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    # No fan_out: the per-row work is one md5 — cheaper than the
+    # round-robin exchange it would ride in on (and `d` has two consumers,
+    # which would double the repartition).
+    d = load(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     n_min = counts.agg(F.min("n_docs").alias("n_min"))
     rates = counts.crossJoin(F.broadcast(n_min)).select(
@@ -703,7 +706,7 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "parallelism.",
 )
 def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    d = load(spark, sf_dir, "documents")  # md5-only per-row work: no fan_out
     h = F.md5(F.col("doc_id").cast("string"))
     assigned = d.select(
         "doc_id",

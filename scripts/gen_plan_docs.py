@@ -37,6 +37,10 @@ PLAN_KEYS = [
     "tpch_q13",
     "tpch_q17",
     "tpch_q21",
+    "ann_pq",
+    "bloom_membership",
+    "mixture_temperature",
+    "shard_manifest",
     "contamination_check",
     "pii_scrub",
     "repetition_filter",
