@@ -28,7 +28,7 @@ SURVEY2_KEYS = frozenset({
     # §2.1 sources/sinks
     "cdc_source", "include_filter", "schema_validate", "sink_append",
     "dead_letter", "raw_tap", "parquet_load", "backfill_union",
-    "python_datasource",
+    "python_datasource", "python_stream_source",
     # §2.2 projection/filter
     "unwrap", "deleted_rewrite", "schema_project", "null_fill",
     "scan_all", "project_compute", "filter_pred",
@@ -82,18 +82,22 @@ def _driver_green_keys() -> set[str]:
 def _priority_order(keys: list[str]) -> list[str]:
     """Order keys so the driver's capped correctness run spends its budget
     where evidence is missing: (0) SURVEY §2 keys with no driver-green row
-    yet, (1) other un-evidenced keys with an oracle, (2) un-evidenced
-    rows-only keys, (3) already-green keys (rotate to the back — their
-    evidence stands from the round that produced it). Stable within tiers."""
+    yet, (1) the un-evidenced TPC-H suite (the composed-workload backbone
+    — many operators compose per query, so each row evidences the most),
+    (2) other un-evidenced keys with an oracle, (3) un-evidenced rows-only
+    keys, (4) already-green keys (rotate to the back — their evidence
+    stands from the round that produced it). Stable within tiers."""
     green = _driver_green_keys()
     reg = all_queries()
 
     def tier(key: str) -> int:
         if key in green:
-            return 3
+            return 4
         if key in SURVEY2_KEYS:
             return 0
-        return 1 if reg[key].oracle is not None else 2
+        if key.startswith("tpch_"):
+            return 1
+        return 2 if reg[key].oracle is not None else 3
 
     return sorted(keys, key=tier)
 

@@ -92,3 +92,74 @@ def sql_script_proc(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "sql_udf",
+    oracle="""
+        WITH rates AS (
+            SELECT * FROM (VALUES ('A', 0.05), ('N', 0.02), ('R', 0.08))
+                AS t(l_returnflag, audit_rate)
+        ),
+        net AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax) * 100) AS BIGINT) AS net_cents
+            FROM lineitem
+        )
+        SELECT n.l_returnflag,
+               count(*) AS n_items,
+               CAST(sum(n.net_cents) AS BIGINT) AS net_cents_total,
+               r.audit_rate
+        FROM net n JOIN rates r USING (l_returnflag)
+        GROUP BY n.l_returnflag, r.audit_rate
+        ORDER BY n.l_returnflag
+    """,
+    doc="SQL-defined UDFs (Spark 4.1 CREATE FUNCTION ... RETURN): a "
+        "scalar SQL UDF computes per-item net price in integer cents and "
+        "a table-valued SQL UDF serves per-flag audit rates, both "
+        "invoked from one query over lineitem — the catalog-resident, "
+        "engine-planned function tier below Python UDFs (the reference's "
+        "routine surface, sql/sp_demo_cleanroom.sql, minus the "
+        "procedural wrapper). Oracle inlines both bodies, proving the "
+        "UDF layer adds no semantic drift.",
+    scale_notes="SQL UDF bodies INLINE into the calling plan — Catalyst "
+                "sees the expression, not a black box, so codegen, "
+                "pushdown, and constant folding all apply; zero "
+                "serialization boundary (the reason to prefer them over "
+                "any Python tier when the logic is expressible). The "
+                "table UDF here is constants; a parameterized body over "
+                "a real table plans like a view with pushed predicates.",
+)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_cents(
+            ep DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(floor(ep * (1 - disc) * (1 + tax) * 100) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION audit_rates()
+        RETURNS TABLE (l_returnflag STRING, audit_rate DOUBLE)
+        RETURN SELECT * FROM VALUES ('A', 0.05), ('N', 0.02), ('R', 0.08)
+                   AS t(l_returnflag, audit_rate)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l.l_returnflag,
+               count(*) AS n_items,
+               sum(net_cents(l.l_extendedprice, l.l_discount, l.l_tax))
+                   AS net_cents_total,
+               r.audit_rate
+        FROM lineitem l JOIN audit_rates() r USING (l_returnflag)
+        GROUP BY l.l_returnflag, r.audit_rate
+        ORDER BY l.l_returnflag
+        """
+    )

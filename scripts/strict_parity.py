@@ -15,11 +15,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
-
-import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,64 +25,10 @@ from pubsub2bq_spark.session import get_spark
 from tests.oracle_harness import duckdb_conn
 
 
-def _cell(v) -> str:
-    """Canonical string for one cell — exact, dtype-class sensitive."""
-    if v is None:
-        return "\0null"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "\0null"
-        return f"f:{v!r}"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, (int,)):
-        return f"i:{v}"
-    if isinstance(v, bytes):
-        return f"x:{v.hex()}"
-    if isinstance(v, pd.Timestamp):
-        ts = v
-        if ts.tzinfo is not None:
-            ts = ts.tz_convert("UTC").tz_localize(None)
-        return f"t:{ts.isoformat()}"
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}={_cell(x)}" for k, x in sorted(v.items())) + "}"
-    # pandas NA / NaT
-    try:
-        if pd.isna(v):
-            return "\0null"
-    except (TypeError, ValueError):
-        pass
-    # numpy scalar ints/floats
-    if hasattr(v, "item"):
-        return _cell(v.item())
-    return f"s:{v}"
+def strict_compare(spark_pdf, oracle_pdf):
+    from tests.oracle_harness import strict_compare as _sc
 
-
-def canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
-    cols = sorted(df.columns)
-    rows = [
-        tuple(_cell(df[c].iloc[i]) for c in cols) for i in range(len(df))
-    ]
-    rows.sort()
-    return rows
-
-
-def strict_compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | None:
-    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
-        return f"columns spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
-    if len(spark_pdf) != len(oracle_pdf):
-        return f"rows spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
-    a, b = canon_rows(spark_pdf), canon_rows(oracle_pdf)
-    cols = sorted(spark_pdf.columns)
-    for i, (ra, rb) in enumerate(zip(a, b)):
-        if ra != rb:
-            detail = "; ".join(
-                f"{c}: spark={x} oracle={y}" for c, x, y in zip(cols, ra, rb) if x != y
-            )
-            return f"first diff at sorted-row {i}: {detail}"
-    return None
+    return _sc(spark_pdf, oracle_pdf)
 
 
 def main() -> int:
