@@ -187,6 +187,26 @@ class TestLshQuality:
         stub, refined = recall("ann_ivf"), recall("ann_ivf_kmeans")
         assert refined >= stub + 0.1, f"no recall lift: {stub:.2f} → {refined:.2f}"
 
+    def test_pq_recall_nontrivial(self, spark):
+        """ann_pq (untrained 16x4 codebooks over unit vectors) must beat
+        chance (10/499 ≈ 0.02) by an order of magnitude — the measured
+        floor of the 32x-compressed search path (0.36 at sf0.01; k-means
+        codebook refinement is the production lift)."""
+        from pubsub2bq_spark.registry import all_queries
+
+        qs = all_queries()
+        sf = "/root/testdata/sf0.01"
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in qs["similarity_topk"].spark(spark, sf).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in qs["ann_pq"].spark(spark, sf).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.2, f"PQ recall below floor: {recall:.2f}"
+
     def test_minhash_candidates_are_similar(self, spark):
         """MinHash-LSH candidates should overwhelmingly be pairs with real
         token overlap (precision sanity)."""
