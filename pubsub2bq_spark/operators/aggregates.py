@@ -609,10 +609,11 @@ def _bl_pos_sql(seed_expr: str, item_expr: str) -> str:
         ),
         verdicts AS (
             SELECT item, truth,
-                   min(CASE WHEN (b.bits & (CAST(1 AS BIGINT) << (p % {BL_WORD})))
+                   min(CASE WHEN (coalesce(b.bits, 0)
+                                  & (CAST(1 AS BIGINT) << (p % {BL_WORD})))
                                  <> 0
                             THEN 1 ELSE 0 END) AS flagged
-            FROM probes JOIN bloom b ON b.word = p // {BL_WORD}
+            FROM probes LEFT JOIN bloom b ON b.word = p // {BL_WORD}
             GROUP BY item, truth
         )
         SELECT CAST(truth AS INT) AS is_member,
@@ -667,12 +668,14 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verdicts = (
         probes.withColumn("word", (F.col("p") / BL_WORD).cast("int"))
-        .join(F.broadcast(bloom), "word")
+        # LEFT join: a probe landing in a word with no set bits is a MISS,
+        # not a dropped row — an inner join would misreport absent items.
+        .join(F.broadcast(bloom), "word", "left")
         .select(
             "item",
             "truth",
             F.when(
-                F.col("bits").bitwiseAND(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
                     F.expr(f"shiftleft(CAST(1 AS BIGINT), p % {BL_WORD})")
                 )
                 != 0,

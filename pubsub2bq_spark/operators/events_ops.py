@@ -695,10 +695,13 @@ def stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     progresses = q.recentProgress
-    assert len(progresses) < progress_cap, (
-        f"{len(progresses)} progress events hit the {progress_cap} buffer cap; "
-        "totals would undercount"
-    )
+    # Explicit raise, not assert: assert is stripped under `python -O`,
+    # which would revert to silently undercounting the observed totals.
+    if len(progresses) >= progress_cap:
+        raise RuntimeError(
+            f"{len(progresses)} progress events hit the {progress_cap} "
+            "buffer cap; totals would undercount"
+        )
     totals = {"n_rows": 0, "n_purchase": 0, "sum_value": 0.0}
     for progress in progresses:
         m = (progress.get("observedMetrics") or {}).get("delivery")

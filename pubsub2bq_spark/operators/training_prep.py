@@ -603,7 +603,8 @@ def _hash16_spark(col) -> "F.Column":
         kept AS (
             SELECT d.source,
                    CASE WHEN {_hash16_sql("d.doc_id")}
-                             < CAST(floor(r.keep_rate * {MIX_BUCKETS}) AS BIGINT)
+                             < CAST(floor(round(r.keep_rate * {MIX_BUCKETS}, 6))
+                                    AS BIGINT)
                         THEN 1 ELSE 0 END AS keep
             FROM documents d JOIN rates r USING (source)
         )
@@ -648,8 +649,12 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = d.join(F.broadcast(rates), "source").select(
         "source",
         F.when(
+            # round() before floor(): pow() can differ by 1 ulp between
+            # JVM and libm, and this float feeds an integer decision —
+            # rounding the product to 6 decimals makes the threshold
+            # boundary-safe in both engines.
             _hash16_spark(F.col("doc_id"))
-            < F.floor(F.col("keep_rate") * MIX_BUCKETS).cast("bigint"),
+            < F.floor(F.round(F.col("keep_rate") * MIX_BUCKETS, 6)).cast("bigint"),
             1,
         )
         .otherwise(0)

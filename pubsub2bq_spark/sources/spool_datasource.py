@@ -145,9 +145,12 @@ def _build_stream_source():
             """High-water mark from a new- or legacy-format offset."""
             if "hwm" in offset:
                 return offset["hwm"]
-            # Legacy count offset: only sound on a never-pruned spool
-            # (the only kind that can carry one).
-            k = offset.get("n", 0)
+            # Legacy count offset: only sound on a never-pruned spool.
+            # A pre-upgrade checkpoint over a spool pruned *after* the
+            # upgrade can still carry one with k > len(files) — clamp to
+            # the newest segment rather than IndexError every micro-batch
+            # (the mark is re-emitted name-keyed immediately after).
+            k = min(offset.get("n", 0), len(files))
             return files[k - 1] if k else ""
 
         def _files(self):
