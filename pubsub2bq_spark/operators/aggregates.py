@@ -408,26 +408,76 @@ def hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY q_bin, w_bin
         ORDER BY q_bin, w_bin
     """,
-    doc="ML feature binning: decile (equal-frequency, ntile with a total "
-        "order) and equal-width buckets of order value in one pass, with "
+    doc="ML feature binning: decile (equal-frequency, exact ntile "
+        "semantics over the total order (o_totalprice, o_orderkey)) and "
+        "equal-width buckets of order value in one pass, with "
         "per-(bin,bin) counts and value ranges — the discretization step "
         "of a feature-engineering pipeline.",
-    scale_notes="ntile over a global ORDER BY is a single-partition sort "
-                "— fine for the oracle-exact demo, but the 100 TB path "
-                "is approx quantile BOUNDARIES (percentile_approx / "
-                "QuantileDiscretizer) computed once and applied map-side; "
-                "the equal-width bin shows that shape: pure per-row "
-                "arithmetic, no shuffle until the final bin-cardinality "
-                "aggregate.",
+    scale_notes="Exact ntile WITHOUT a global single-partition sort: "
+                "approx-percentile range boundaries (a KB-sized driver "
+                "artifact, the QuantileDiscretizer pattern) split rows "
+                "into value ranges that preserve the global order; each "
+                "range ranks locally in parallel and a 32-row broadcast "
+                "of cumulative range counts converts local ranks to "
+                "exact global ranks — the negative_sample two-phase "
+                "trick, here over a value range instead of a hash "
+                "nibble so the concatenated order equals the oracle's "
+                "ORDER BY. The ntile bucket is then closed-form "
+                "arithmetic on the global rank. At 100 TB: widen the "
+                "range count with the cluster; every stage is either "
+                "map-side or a bounded-size aggregate.",
 )
 def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    binned = o.select(
-        F.ntile(10).over(w).alias("q_bin"),
-        F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("w_bin"),
+    N_RANGES = 32
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # Phase 0: approximate range boundaries (31 doubles — a bounded
+    # artifact, not a data collect). Ties on a boundary value all land on
+    # the same side, so range order composes to the exact global order.
+    pct = F.percentile_approx(
+        "o_totalprice", [i / N_RANGES for i in range(1, N_RANGES)], 10000
+    ).alias("bs")
+    cuts = o.agg(pct).first()["bs"]  # scalar probe on an aggregate
+    gid = sum(
+        (F.col("o_totalprice") >= F.lit(float(b))).cast("int") for b in cuts
+    ).alias("gid")
+    # Phase 1: rank within each value range (parallel windows).
+    ranked = o.select("o_orderkey", "o_totalprice", gid).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("gid").orderBy("o_totalprice", "o_orderkey")
+        ),
+    )
+    # Phase 2: cumulative offsets over the N_RANGES-row count relation —
+    # a broadcast triangular self-join instead of a global window, so the
+    # plan carries no single-partition WindowExec at all.
+    counts = ranked.groupBy("gid").agg(F.count(F.lit(1)).alias("cnt"))
+    prior = counts.select(
+        F.col("gid").alias("pgid"), F.col("cnt").alias("pcnt")
+    )
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("pgid") < F.col("gid"), "left")
+        .groupBy("gid")
+        .agg(F.coalesce(F.sum("pcnt"), F.lit(0)).alias("offset"))
+    )
+    n_total = ranked.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    # Exact ntile(10) from the 0-based global rank: the first (N mod 10)
+    # buckets hold ceil(N/10) rows, the rest floor(N/10). Integer `div`
+    # keeps the bucket arithmetic exact (no double rounding).
+    with_idx = (
+        ranked.join(F.broadcast(offsets), "gid")
+        .select("o_totalprice", (F.col("offset") + F.col("rn") - 1).alias("idx"))
+        .crossJoin(F.broadcast(n_total))
+    )
+    binned = with_idx.selectExpr(
+        """CAST(CASE WHEN idx < (n_total % 10) * (n_total div 10 + 1)
+                     THEN idx div (n_total div 10 + 1)
+                     ELSE (n_total % 10)
+                          + (idx - (n_total % 10) * (n_total div 10 + 1))
+                            div greatest(n_total div 10, 1L)
+                END + 1 AS INT) AS q_bin""",
+        "CAST(floor(o_totalprice / 50000.0) AS INT) AS w_bin",
         "o_totalprice",
     )
     return (
