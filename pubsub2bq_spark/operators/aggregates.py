@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from pubsub2bq_spark.functions.privacy import threshold_gated_agg
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import load
+from pubsub2bq_spark.tables import load, materialize
 
 
 @register(
@@ -357,16 +357,14 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "only to verify the bound — production drops it.",
 )
 def hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pubsub2bq_spark.tables import load as _load
-
-    e = _load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events")
     # day-cardinality with KB sketches — materialized for its two
     # consumers (per-day rows, merged estimate); the exact-total twin
     # below is the only other fact scan and production drops it
     daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.expr("hll_sketch_agg(user_id)").alias("sk"),
-    ).localCheckpoint()
+    ).transform(materialize)
     tol = lambda est, exact: (  # noqa: E731
         F.abs(est - exact) <= F.greatest(0.05 * exact, F.lit(5.0))
     )
@@ -575,7 +573,7 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("string").alias("item"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()  # one fact scan feeds sketch build AND exact twin
+        .transform(materialize)  # one fact scan feeds sketch build AND exact twin
     )
     seeds = F.array(*[F.lit(i) for i in range(CM_DEPTH)])
     with_bucket = per_user_day.select(
@@ -695,7 +693,7 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     members = e.select(
         F.col("user_id").cast("string").alias("item")
-    ).distinct().localCheckpoint()  # one distinct pass feeds build AND probes
+    ).distinct().transform(materialize)  # one distinct pass feeds build AND probes
     seeds = F.explode(F.array(*[F.lit(j) for j in range(BL_K)])).alias("j")
     bloom = (
         members.select("item", seeds)

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import load
+from pubsub2bq_spark.tables import load, materialize
 
 SESSION_GAP_US = 1800 * 1_000_000  # 30 min in µs
 
@@ -117,14 +117,14 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("t_view")
-    ).localCheckpoint()
+    ).transform(materialize)
     c = (
         e.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import load, scratch_dir, table_path
+from pubsub2bq_spark.tables import load, materialize, scratch_dir, table_path
 
 
 @register(
@@ -466,7 +466,7 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return read_upsert_state(spark, os.path.join(tmp, "state")).select(
             "event_id", "user_id", "ts", "event_type",
             F.round("value", 4).alias("value"),
-        ).localCheckpoint()
+        ).transform(materialize)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -796,7 +796,7 @@ def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("total"), 4).alias("total"),
                 F.sum("n_audit").alias("n_audit"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
     finally:
         # The log sink holds a full copy of the input; leaking it per

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import load
+from pubsub2bq_spark.tables import load, materialize
 
 
 @register(
@@ -247,7 +247,7 @@ def bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
-    ).localCheckpoint()  # selective slice, read by bucket-build AND exact join
+    ).transform(materialize)  # selective slice, read by bucket-build AND exact join
     buckets = sel.select(
         F.pmod(F.xxhash64("o_orderkey"), F.lit(BLOOM_BITS)).alias("bk")
     ).distinct()

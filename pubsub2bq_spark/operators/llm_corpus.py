@@ -21,7 +21,7 @@ from pubsub2bq_spark.operators.llm_text import (
     fingerprint_sketch,
 )
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import fan_out, load
+from pubsub2bq_spark.tables import fan_out, load, materialize
 
 # DuckDB twin of llm_text.fingerprint_sketch — shared by the oracles
 # below so the sketch definition can't drift between operators.
@@ -87,7 +87,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the train and test consumers.
     tagged = fingerprint_sketch(d).select(
         "doc_id", "fingerprint", _split_col().alias("split")
-    ).localCheckpoint()
+    ).transform(materialize)
     train_fp = (
         tagged.filter(F.col("split") == "train")
         .groupBy("fingerprint")

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import fan_out, load
+from pubsub2bq_spark.tables import fan_out, load, materialize
 
 N_MINHASH = 8          # minhash signature length
 LSH_BANDS = 4          # bands of 2 rows each
@@ -93,7 +93,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
         F.array_distinct(_tokens(F.col("text"))).alias("tok"),
-    ).localCheckpoint()  # both self-join sides read one tokenization pass
+    ).transform(materialize)  # both self-join sides read one tokenization pass
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok"))).cast("double")
     union = F.size(F.array_distinct(F.concat(F.col("a.tok"), F.col("b.tok"))))
@@ -224,7 +224,7 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     melted = banded.select(
         "doc_id",
         F.explode(F.array(*[F.col(f"band{j}") for j in range(LSH_BANDS)])).alias("bk"),
-    ).localCheckpoint()
+    ).transform(materialize)
     a, b = melted.alias("a"), melted.alias("b")
     return (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -380,7 +380,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.expr("((CASE WHEN k < 4 THEN lo ELSE hi END) >> (8 * (k % 4))) & 255")
         .alias("bv"),
-    ).localCheckpoint()  # one fingerprint pass feeds both join sides
+    ).transform(materialize)  # one fingerprint pass feeds both join sides
     a, b = melted.alias("a"), melted.alias("b")
     ham = F.expr("bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)")
     return (
@@ -446,12 +446,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).transform(materialize)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     def propagate(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
@@ -470,7 +470,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shallow, and the localCheckpoint + convergence action dominate the
         # per-round cost — doubling the hop count halves the rounds without
         # changing the fixpoint.
-        labels = propagate(propagate(labels)).localCheckpoint()
+        labels = propagate(propagate(labels)).transform(materialize)
         # Min-label mass is strictly decreasing until the fixpoint.
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
@@ -667,7 +667,7 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") / 50).cast("bigint").alias("band"),
         F.substring("text", 1, LEV_PREFIX).alias("head"),
-    ).localCheckpoint()
+    ).transform(materialize)
     a, b2 = b.alias("a"), b.alias("b2")
     lev = F.levenshtein(F.col("a.head"), F.col("b2.head"))
     return (

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import fan_out, load
+from pubsub2bq_spark.tables import fan_out, load, materialize
 
 DIM = 64
 N_PLANES = 8       # embedding_dedup bucket floor (256) — tight blocking
@@ -309,7 +309,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "cid", _cosine(F.col("v"), F.col("cv")).alias("cos_c"))
         .withColumn("rn", F.row_number().over(w_cell))
         .filter(F.col("rn") <= N_PROBE)
-        .localCheckpoint()
+        .transform(materialize)
     )
     asgn = dist.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
     probes = (
@@ -363,7 +363,7 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_planes = planes_for_corpus(corpus.count())
     em = fan_out(corpus, spark).select(
         "vec_id", _dvec("embedding").alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes)).localCheckpoint()
+    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes)).transform(materialize)
     # ^ one bucketing pass (n_planes dot products/vector) feeds both
     # self-join sides instead of recomputing per side.
     a, b = em.alias("a"), em.alias("b")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import fan_out, load
+from pubsub2bq_spark.tables import fan_out, load, materialize
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
 # language ID. Deliberately small + deterministic (no external models).
@@ -396,7 +396,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it once or Spark re-runs the explode+count per consumer
     # (plan audit: 4 document scans without this, 1 with).
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt")) \
-        .localCheckpoint()
+        .transform(materialize)
     dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("doc_len"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("n_docs"))
     # corpus size from the checkpointed relation — no extra table scan
@@ -460,7 +460,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # vocabulary-cardinality — materialized so its two consumers (the
     # scalar total and the scoring join) don't each re-run the explode
-    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).transform(materialize)
     tot = freq.agg(F.sum("cnt").alias("total"))
     return (
         words.join(freq, "word")

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from pubsub2bq_spark.operators.llm_similarity import DIM, _dot, _dvec
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import fan_out, load
+from pubsub2bq_spark.tables import fan_out, load, materialize
 
 K_CLUSTERS = 8
 # Truncated-EWMA parameters: weight (1-EWMA_ALPHA)^age over the most
@@ -129,7 +129,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         fan_out(load(spark, sf_dir, "embeddings"), spark)
         .select("vec_id", _dvec("embedding").alias("v"))
-        .localCheckpoint()  # both assignment rounds read one decode pass
+        .transform(materialize)  # both assignment rounds read one decode pass
     )
     c0 = (
         v.orderBy("vec_id")
@@ -338,16 +338,16 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
-        .localCheckpoint()  # reused every iteration; edge build runs once
+        .transform(materialize)  # reused every iteration; edge build runs once
     )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow")).transform(materialize)
     nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
     nrow = nation.agg(F.count(F.lit(1)).cast("double").alias("nn"))
 
     pr = (
         nodes.crossJoin(F.broadcast(nrow))
         .select("node", (F.lit(1.0) / F.col("nn")).alias("pr"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     for _ in range(PAGERANK_ITERS):
         contrib = (
@@ -378,7 +378,7 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint()  # truncate per-round lineage (25 rows)
+            .transform(materialize)  # truncate per-round lineage (25 rows)
         )
     return pr.join(nodes, "node").select("n_name", F.round("pr", 6).alias("pagerank"))
 
@@ -500,7 +500,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("b"),
         )
         .distinct()
-        .localCheckpoint()  # tiny (≤ |nations|²); feeds three join sides
+        .transform(materialize)  # tiny (≤ |nations|²); feeds three join sides
     )
     e1 = und
     e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
@@ -609,19 +609,19 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
-        .localCheckpoint()  # edge build runs once; every round reuses it
+        .transform(materialize)  # edge build runs once; every round reuses it
     )
     avg_w = edges.agg(F.avg("w").alias("aw"))
     kept = (
         edges.join(F.broadcast(avg_w))
         .filter(F.col("w") >= BFS_EDGE_FRAC * F.col("aw"))
         .select("src", "dst")
-        .localCheckpoint()
+        .transform(materialize)
     )
     dist = nation.select(
         F.col("n_nationkey").alias("node"),
         F.when(F.col("n_nationkey") == BFS_SOURCE, 0).alias("dist"),
-    ).localCheckpoint()
+    ).transform(materialize)
     for _ in range(BFS_ROUNDS):
         cand = (
             kept.join(
@@ -641,7 +641,7 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("cd").isNull(), F.col("dist"))
             .otherwise(F.least("dist", "cd"))
             .alias("dist"),
-        ).localCheckpoint()  # 25-row vector; truncate per-round lineage
+        ).transform(materialize)  # 25-row vector; truncate per-round lineage
     return (
         dist.filter(F.col("dist").isNotNull())
         .join(
@@ -723,7 +723,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         fan_out(load(spark, sf_dir, "embeddings"), spark)
         .select("vec_id", _dvec("embedding").alias("v"))
-        .localCheckpoint()  # feeds both Lloyd rounds + the search pass
+        .transform(materialize)  # feeds both Lloyd rounds + the search pass
     )
     c0 = (
         v.orderBy("vec_id")
@@ -735,7 +735,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("c"),
         )
     )
-    cents = _recompute(_assign(v, _recompute(_assign(v, c0)))).localCheckpoint()
+    cents = _recompute(_assign(v, _recompute(_assign(v, c0)))).transform(materialize)
     w_cell = Window.partitionBy("vec_id").orderBy(
         F.col("dist").asc(), F.col("cid").asc()
     )
@@ -744,7 +744,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "cid", _sqdist(F.col("v"), F.col("c")).alias("dist"))
         .withColumn("rn", F.row_number().over(w_cell))
         .filter(F.col("rn") <= IVFK_PROBE)
-        .localCheckpoint()  # the index build; feeds assignment AND probes
+        .transform(materialize)  # the index build; feeds assignment AND probes
     )
     asgn = dist.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
     probes = dist.filter(F.col("vec_id") % 100 == 0).select(
@@ -861,14 +861,14 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
-        .localCheckpoint()  # built once; the recursion reuses the result
+        .transform(materialize)  # built once; the recursion reuses the result
     )
     avg_w = edges.agg(F.avg("w").alias("aw"))
     kept = (
         edges.join(F.broadcast(avg_w))
         .filter(F.col("w") >= BFS_EDGE_FRAC * F.col("aw"))
         .select("src", "dst")
-        .localCheckpoint()
+        .transform(materialize)
     )
     kept.createOrReplaceTempView("kept_edges")
     return spark.sql(_RECURSIVE_STEP_SQL)

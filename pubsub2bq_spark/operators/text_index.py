@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import fan_out, load
+from pubsub2bq_spark.tables import fan_out, load, materialize
 
 POSTING_SAMPLE = 20  # doc ids retained per term (lowest-id sample)
 PMI_MIN_DF = 20      # vocabulary floor for pair expansion
@@ -117,7 +117,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "band or add per-doc top-k-by-tf truncation.",
 )
 def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wd = _word_doc(spark, sf_dir).localCheckpoint()  # feeds vocab + both join sides
+    wd = _word_doc(spark, sf_dir).transform(materialize)  # feeds vocab + both join sides
     n_docs = (
         load(spark, sf_dir, "documents")
         .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -220,7 +220,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("t", F.col("i")).alias("w1"),
             F.element_at("t", F.col("i") + 1).alias("w2"),
         )
-        .localCheckpoint()  # one tokenization feeds three consumers
+        .transform(materialize)  # one tokenization feeds three consumers
     )
     pc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     hc = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

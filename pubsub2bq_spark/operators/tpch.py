@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import load
+from pubsub2bq_spark.tables import load, materialize
 
 
 def _ts(s: str):
@@ -359,7 +359,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("part_value"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     threshold = supplied.agg((F.sum("part_value") * 0.001).alias("threshold"))
     return (
@@ -525,7 +525,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "total_revenue"
         )
-    ).localCheckpoint()
+    ).transform(materialize)
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         s.join(F.broadcast(revenue), F.col("s_suppkey") == F.col("supplier_no"))

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import fan_out, load
+from pubsub2bq_spark.tables import fan_out, load, materialize
 
 # Context-window chunking: 64-token chunks advancing 48 tokens → 16-token
 # overlap, the standard "sliding window with overlap" pretraining layout.
@@ -179,7 +179,7 @@ def dup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         toks.select("doc_id", "t", F.explode(starts).alias("i"))
         .select("doc_id", gram.alias("gram"))
-        .localCheckpoint()  # one tokenization pass feeds both consumers
+        .transform(materialize)  # one tokenization pass feeds both consumers
     )
     dup = (
         grams.groupBy("gram")
@@ -364,7 +364,7 @@ def negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = (
         ranked.join(F.broadcast(offsets), "nib")
         .select("doc_id", (F.col("offset") + F.col("rn") - 1).alias("idx"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     n_total = idx.agg(F.count(F.lit(1)).alias("n_total"))
     anchors = (

@@ -76,6 +76,43 @@ def normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark size conf ('134217728', '128MB', '4m') to bytes."""
+    s = conf_val.strip().lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    return int(float(s) * mult)
+
+
+def _estimated_scan_partitions(df: DataFrame, spark: SparkSession) -> int | None:
+    """Estimate a scan-rooted frame's partition count from its input files
+    using Spark's own split-packing heuristic (maxPartitionBytes +
+    openCostInBytes), WITHOUT converting the plan to an RDD. Returns None
+    when the files aren't locally stat-able (non-file scheme) — callers
+    fall back to the RDD probe."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        if not uri.startswith("file:"):
+            return None
+        path = uri[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    max_pb = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = _size_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    packed = total + open_cost * len(files)
+    return max(1, -(-packed // max_pb))
+
+
 def fan_out(df: DataFrame, spark: SparkSession, target: int | None = None) -> DataFrame:
     """Spread a CPU-dense per-row stage across all cores.
 
@@ -87,11 +124,57 @@ def fan_out(df: DataFrame, spark: SparkSession, target: int | None = None) -> Da
     return the frame untouched. At 100 TB the scan already has thousands of
     splits, so this is a structural no-op there — the shuffle only ever
     moves a sub-core-count amount of data.
+
+    Callers pass scan-rooted frames (load + projection), so the partition
+    probe is a file-bytes estimate of Spark's split packing — no plan-to-RDD
+    conversion; frames whose files can't be stat-ed fall back to the RDD
+    probe.
     """
     target = target or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _estimated_scan_partitions(df, spark)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Reliability-tiered materialization for frames that are consumed more
+    than once (both sides of a self-join, loop-carried state in iterative
+    algorithms). Tier via env ``SPARK_GRAFT_MATERIALIZE``:
+
+    * ``local`` (default) — ``localCheckpoint()``: executor-memory blocks,
+      truncated lineage. Right for local[N] and benchmarks, but the blocks
+      are NOT recomputable after executor loss, so on a cluster with
+      dynamic allocation or spot nodes an iterative job can die mid-flight.
+    * ``reliable`` — ``persist(DISK_ONLY)`` plus, when a checkpoint dir is
+      configured (``sc.setCheckpointDir`` to HDFS/object storage), a
+      reliable ``checkpoint()``: survives executor loss, the 1000-executor
+      setting. DISK_ONLY (not MEMORY_AND_DISK) because these frames are
+      reused a handful of times, not scanned hot — don't evict the shuffle
+      cache for them.
+
+    Returns an eagerly-materialized frame either way, so call sites keep
+    localCheckpoint's "compute once, reuse everywhere" contract.
+    """
+    tier = os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+    if tier == "local":
+        return df.localCheckpoint()
+    if tier != "reliable":
+        raise ValueError(
+            f"SPARK_GRAFT_MATERIALIZE={tier!r}: expected 'local' or 'reliable'"
+        )
+    from pyspark import StorageLevel
+
+    sc = df.sparkSession.sparkContext
+    persisted = df.persist(StorageLevel.DISK_ONLY)
+    if sc.getCheckpointDir() is not None:
+        # persist-before-checkpoint: the checkpoint job reads the persisted
+        # blocks instead of recomputing the lineage a second time.
+        return persisted.checkpoint(eager=True)
+    persisted.count()  # JVM-side action: force materialization eagerly
+    return persisted
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -302,3 +302,64 @@ def test_no_driver_side_data_materialization():
                 if ".first()" in line and ".agg(" not in line:
                     offenders.append(f"{path}:{i}: bare .first(): {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+class TestMaterializeTiers:
+    """materialize() is the single reliability switch for every reused
+    frame (VERDICT r3 #4): local tier = localCheckpoint; reliable tier =
+    DISK_ONLY persist (+ reliable checkpoint when a checkpoint dir is
+    set). Both must return the same rows eagerly."""
+
+    def _frame(self, spark):
+        return spark.range(0, 100).withColumnRenamed("id", "v")
+
+    def test_local_tier_truncates_lineage(self, spark, monkeypatch):
+        from pubsub2bq_spark.tables import materialize
+
+        monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE", raising=False)
+        out = materialize(self._frame(spark))
+        assert out.count() == 100
+        # localCheckpoint truncates lineage: the plan is an RDD scan now
+        assert "Range" not in out._jdf.queryExecution().optimizedPlan().toString()
+
+    def test_reliable_tier_without_checkpoint_dir(self, spark, monkeypatch):
+        from pyspark import StorageLevel
+
+        from pubsub2bq_spark.tables import materialize
+
+        monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
+        out = materialize(self._frame(spark))
+        assert out.count() == 100
+        assert out.storageLevel == StorageLevel.DISK_ONLY
+        out.unpersist()
+
+    def test_reliable_tier_with_checkpoint_dir(self, spark, monkeypatch, tmp_path):
+        from pubsub2bq_spark.tables import materialize
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
+        out = materialize(self._frame(spark))
+        assert out.count() == 100
+        assert out.agg({"v": "sum"}).first()[0] == 4950
+
+    def test_bad_tier_rejected(self, spark, monkeypatch):
+        import pytest as _pytest
+
+        from pubsub2bq_spark.tables import materialize
+
+        monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "nope")
+        with _pytest.raises(ValueError):
+            materialize(self._frame(spark))
+
+
+def test_fan_out_estimates_without_rdd_probe(spark):
+    """fan_out sizes scan-rooted frames from file bytes (Spark's own
+    split-packing heuristic) — a tiny parquet must repartition up, and the
+    estimate path must agree with the RDD probe's fan-out decision."""
+    from pubsub2bq_spark.tables import _estimated_scan_partitions, fan_out, load
+
+    df = load(spark, "/root/testdata/sf0.001", "documents")
+    est = _estimated_scan_partitions(df, spark)
+    assert est is not None and est < spark.sparkContext.defaultParallelism
+    spread = fan_out(df, spark)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
