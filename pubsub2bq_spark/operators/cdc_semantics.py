@@ -238,3 +238,118 @@ def schema_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 2 == 0, "r1").otherwise("r2").alias("revision_id"),
     )
     return reg.parse(wire, data_col="data", revision_col="revision_id")
+
+
+AVRO_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+AVRO_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("id", T.IntegerType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("zipcode", T.IntegerType()),
+        T.StructField("deleted", T.StringType()),
+        T.StructField("is_corrupt", T.BooleanType()),
+    ]
+)
+
+
+def _avro_encode_batches(batches):
+    """Arrow-batched encode: (event_id, id, first_name, ..., __deleted)
+    → (event_id, data BINARY) — one Avro binary record per row."""
+    import pandas as pd
+
+    from pubsub2bq_spark.functions.avro_codec import TOPIC_FIELDS, encode_record
+
+    names = [n for n, _ in TOPIC_FIELDS]
+    for pdf in batches:
+        recs = pdf[names].to_dict("records")
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "data": [encode_record(r) for r in recs],
+            }
+        )
+
+
+def _avro_decode_batches(batches):
+    """Arrow-batched decode+validate: corrupt wire bytes (truncation,
+    trailing garbage, overlong varints) go down the dead-letter flag, the
+    rest unwrap to typed columns."""
+    import pandas as pd
+
+    from pubsub2bq_spark.functions.avro_codec import decode_record
+
+    for pdf in batches:
+        rows = []
+        for eid, data in zip(pdf["event_id"], pdf["data"]):
+            try:
+                rec = decode_record(bytes(data))
+                rows.append(
+                    (eid, rec["id"], rec["email"], rec["zipcode"],
+                     rec["__deleted"], False)
+                )
+            except (ValueError, UnicodeDecodeError):
+                rows.append((eid, None, None, None, None, True))
+        yield pd.DataFrame(
+            rows,
+            columns=["event_id", "id", "email", "zipcode", "deleted", "is_corrupt"],
+        )
+
+
+@register(
+    "avro_validate",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN event_id % 10 = 0 THEN NULL
+                    ELSE CAST(event_id % 2147483647 AS INTEGER) END AS id,
+               CASE WHEN event_id % 10 = 0 THEN NULL
+                    ELSE 'u' || CAST(user_id AS VARCHAR) || '@example.com'
+                    END AS email,
+               CASE WHEN event_id % 10 = 0 THEN NULL
+                    ELSE CAST(user_id % 100000 AS INTEGER) END AS zipcode,
+               CASE WHEN event_id % 10 = 0 THEN NULL ELSE 'false' END AS deleted,
+               (event_id % 10 = 0) AS is_corrupt
+        FROM events
+    """,
+    doc="Avro wire-format validation — the schema-language twin of "
+        "schema_validate: rows are Avro-binary ENCODED (zig-zag varints + "
+        "length-prefixed strings, the reference's declared topic schema, "
+        "/root/reference/terraform/main.tf:358-374), every 10th record is "
+        "truncated on the wire, then a decode kernel splits valid rows "
+        "from corrupt ones exactly like the JSON leg's dead-letter path.",
+    scale_notes="Both codec hops are mapInPandas over Arrow batches — "
+                "bytes cross the Python boundary once per batch. On a "
+                "real deployment only the decode leg exists (the producer "
+                "encodes); with the spark-avro jar present, from_avro "
+                "replaces the Python kernel JVM-side with the same "
+                "split-corrupt contract.",
+)
+def avro_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    rec = e.select(
+        "event_id",
+        (F.col("event_id") % 2147483647).cast("int").alias("id"),
+        F.concat(F.lit("fn_"), F.col("user_id")).alias("first_name"),
+        F.concat(F.lit("ln_"), F.col("user_id")).alias("last_name"),
+        F.concat(F.lit("u"), F.col("user_id"), F.lit("@example.com")).alias("email"),
+        (F.col("user_id") % 100000).cast("int").alias("zipcode"),
+        F.concat(F.lit("city_"), F.col("user_id") % 50).alias("city"),
+        F.concat(F.lit("C"), F.col("user_id") % 10).alias("country"),
+        F.lit("false").alias("__deleted"),
+    )
+    encoded = rec.mapInPandas(_avro_encode_batches, AVRO_WIRE_SCHEMA)
+    # Wire corruption happens JVM-side: every 10th record truncated to its
+    # first 3 bytes (mid-varint / mid-string — decode_record must raise).
+    wire = encoded.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 10 == 0, F.expr("substring(data, 1, 3)")
+        ).otherwise(F.col("data")).alias("data"),
+    )
+    return wire.mapInPandas(_avro_decode_batches, AVRO_DECODED_SCHEMA)

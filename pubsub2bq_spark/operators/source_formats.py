@@ -227,3 +227,66 @@ def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_ms").alias("last_ts"),
         )
     )
+
+
+@register(
+    "stream_replay",
+    oracle="""
+        SELECT op, count(*) AS n, min(ts_ms) AS first_ts
+        FROM (VALUES ('c', 3000), ('d', 4000)) AS t(op, ts_ms)
+        GROUP BY op
+    """,
+    doc="Seek-to-offset REPLAY (the reference subscription UI's REPLAY "
+        "button, /root/reference/README.md:281-296): a first streaming "
+        "pass drains the whole spool and commits its checkpoint; a second "
+        "attach point with .option('replayFrom', <segment mark>) then "
+        "RE-DELIVERS everything past that mark — insert995 + delete990 — "
+        "without touching the first checkpoint. The startAt=latest twin "
+        "is the PURGE (seek-to-now) button.",
+    scale_notes="Replay is an offset initialization, not a data copy: the "
+                "spool (= retained topic backlog) is the only storage, "
+                "and any number of attach points can re-read it at "
+                "file-source parallelism. Same recovery story as "
+                "readBetweenOffsets — both are just mark arithmetic.",
+)
+def stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pubsub2bq_spark.sources import cdc_fixtures as fx
+    from pubsub2bq_spark.sources.spool_datasource import (
+        register_spool_stream_source,
+    )
+
+    register_spool_stream_source(spark)
+    spool = scratch_dir("pyds_replay_")
+    fx.write_segment(spool, "000_snapshot", fx.snapshot_events())
+    fx.write_segment(spool, "001_noise", fx.noise_other_table())
+    fx.write_segment(spool, "002_insert994", fx.insert_994_with_phone())
+    fx.write_segment(spool, "003_insert995", fx.insert_995())
+    fx.write_segment(spool, "004_delete990", fx.delete_990())
+
+    def drain(reader, name_prefix: str):
+        sink = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+        q = (
+            reader.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir(f"{name_prefix}_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink)
+
+    # First consumer: full drain, checkpoint committed and left intact.
+    drain(spark.readStream.format("cdcspoolstream").load(spool), "first")
+    # REPLAY: new attach point seeks past segment 002 and re-delivers.
+    replayed = drain(
+        spark.readStream.format("cdcspoolstream")
+        .option("replayFrom", "002_insert994.json")
+        .load(spool),
+        "replay",
+    )
+    return replayed.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"), F.min("ts_ms").alias("first_ts")
+    )

@@ -137,8 +137,30 @@ def _build_stream_source():
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("cdcspoolstream requires a path: .load(spool_dir)")
+            # Seek controls — the engine-native mirror of the reference
+            # UI's REPLAY / PURGE subscription buttons
+            # (/root/reference/README.md:281-296, images/schemaerror.png):
+            #   replayFrom=<segment name> — start past that mark
+            #     (exclusive; '' replays the whole retained spool), the
+            #     seek-to-offset REPLAY. Re-delivery needs no checkpoint
+            #     surgery: a new attach point simply initializes here.
+            #   startAt=latest — skip the backlog entirely (PURGE /
+            #     seek-to-now); startAt=earliest is the default.
+            self.replay_from = options.get("replayFrom")
+            self.start_at = options.get("startAt", "earliest")
+            if self.start_at not in ("earliest", "latest"):
+                raise ValueError(
+                    f"startAt={self.start_at!r}: expected 'earliest' or 'latest'"
+                )
+            if self.replay_from is not None and self.start_at != "earliest":
+                raise ValueError("replayFrom and startAt=latest are exclusive")
 
         def initialOffset(self):
+            if self.replay_from is not None:
+                return {"hwm": self.replay_from}
+            if self.start_at == "latest":
+                files = self._files()
+                return {"hwm": files[-1] if files else ""}
             return {"hwm": ""}
 
         def _mark(self, offset, files):

@@ -341,3 +341,74 @@ def test_raw_tap_respects_retention_window(spark, tmp):
     window_ms = spec.delivery.tap_retention_seconds * 1000
     recent = p.raw_tap_batch(now_ms=10_000_000 + window_ms)
     assert recent.count() == 1
+
+
+class TestAvroCodecGolden:
+    """Spec-faithfulness goldens for the pure-Python Avro binary codec
+    (functions/avro_codec.py) — the wire twin of the JSON schema leg."""
+
+    def _rec(self, **over):
+        rec = {
+            "id": 7, "first_name": "ada", "last_name": "lovelace",
+            "email": "ada@example.com", "zipcode": 12345,
+            "city": "london", "country": "UK", "__deleted": "false",
+        }
+        rec.update(over)
+        return rec
+
+    def test_round_trip_identity(self):
+        from pubsub2bq_spark.functions.avro_codec import decode_record, encode_record
+
+        rec = self._rec()
+        assert decode_record(encode_record(rec)) == rec
+
+    def test_zigzag_known_bytes(self):
+        """Avro spec examples: 0→00, -1→01, 1→02, -64→7f, 64→80 01."""
+        from pubsub2bq_spark.functions.avro_codec import encode_long
+
+        for n, expect in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                          (-64, b"\x7f"), (64, b"\x80\x01")]:
+            out = bytearray()
+            encode_long(n, out)
+            assert bytes(out) == expect, n
+
+    def test_negative_and_large_ints_round_trip(self):
+        from pubsub2bq_spark.functions.avro_codec import decode_long, encode_long
+
+        for n in [-1, -2**31, 2**31 - 1, 2**62, -2**62, 0]:
+            out = bytearray()
+            encode_long(n, out)
+            got, pos = decode_long(bytes(out), 0)
+            assert got == n and pos == len(out)
+
+    def test_truncation_raises(self):
+        import pytest
+
+        from pubsub2bq_spark.functions.avro_codec import decode_record, encode_record
+
+        full = encode_record(self._rec())
+        for cut in (1, 3, len(full) // 2, len(full) - 1):
+            with pytest.raises(ValueError):
+                decode_record(full[:cut])
+
+    def test_trailing_bytes_raise(self):
+        import pytest
+
+        from pubsub2bq_spark.functions.avro_codec import decode_record, encode_record
+
+        with pytest.raises(ValueError):
+            decode_record(encode_record(self._rec()) + b"\x00")
+
+    def test_unicode_strings_survive(self):
+        from pubsub2bq_spark.functions.avro_codec import decode_record, encode_record
+
+        rec = self._rec(first_name="Grüße", city="東京")
+        assert decode_record(encode_record(rec)) == rec
+
+    def test_overlong_varint_raises(self):
+        import pytest
+
+        from pubsub2bq_spark.functions.avro_codec import decode_long
+
+        with pytest.raises(ValueError):
+            decode_long(b"\x80" * 11 + b"\x01", 0)

@@ -329,3 +329,108 @@ def test_python_stream_source_survives_spool_prune(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 4  # no snapshot replay, no skipped segment
     assert out.filter("op = 'c'").count() == 1
+
+
+def test_spool_replay_from_offset_without_checkpoint_surgery(spark, tmp_path):
+    """REPLAY semantics (the reference subscription UI): after a consumer
+    drains the spool and commits its checkpoint, a new attach point with
+    replayFrom=<mark> re-delivers everything past the mark — the first
+    checkpoint is never touched, and re-running the FIRST query afterwards
+    still delivers nothing new (its offsets are intact)."""
+    import os
+
+    from pubsub2bq_spark.sources import cdc_fixtures as fx
+    from pubsub2bq_spark.sources.spool_datasource import (
+        register_spool_stream_source,
+    )
+
+    register_spool_stream_source(spark)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    fx.write_segment(spool, "000_snapshot", fx.snapshot_events())
+    fx.write_segment(spool, "001_insert995", fx.insert_995())
+    fx.write_segment(spool, "002_delete990", fx.delete_990())
+
+    def drain(reader, tag):
+        q = (
+            reader.writeStream.format("parquet")
+            .option("path", str(tmp_path / f"{tag}_sink"))
+            .option("checkpointLocation", str(tmp_path / f"{tag}_cp"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(tmp_path / f"{tag}_sink"))
+
+    # First consumer drains everything (3 snapshot + 1 insert + 1 delete).
+    first = drain(spark.readStream.format("cdcspoolstream").load(spool), "a")
+    assert first.count() == 5
+    ckpt_mtime = os.path.getmtime(str(tmp_path / "a_cp"))
+
+    # Replay past segment 000: re-delivers exactly the 2 later segments.
+    replayed = drain(
+        spark.readStream.format("cdcspoolstream")
+        .option("replayFrom", "000_snapshot.json")
+        .load(spool),
+        "b",
+    )
+    assert replayed.count() == 2
+    assert {r.op for r in replayed.select("op").distinct().toLocalIterator()} == {"c", "d"}
+
+    # replayFrom='' replays the full retained spool.
+    full = drain(
+        spark.readStream.format("cdcspoolstream")
+        .option("replayFrom", "")
+        .load(spool),
+        "c",
+    )
+    assert full.count() == 5
+
+    # The first consumer's checkpoint was untouched: re-running it
+    # delivers nothing new.
+    again = drain(spark.readStream.format("cdcspoolstream").load(spool), "a")
+    assert again.count() == 5
+    assert os.path.isdir(str(tmp_path / "a_cp"))
+    assert ckpt_mtime <= os.path.getmtime(str(tmp_path / "a_cp"))
+
+
+def test_spool_start_at_latest_skips_backlog(spark, tmp_path):
+    """PURGE / seek-to-now: startAt=latest initializes at the current
+    high-water mark — the backlog is skipped, only post-attach segments
+    deliver."""
+    import os
+
+    from pubsub2bq_spark.sources import cdc_fixtures as fx
+    from pubsub2bq_spark.sources.spool_datasource import (
+        register_spool_stream_source,
+    )
+
+    register_spool_stream_source(spark)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    fx.write_segment(spool, "000_snapshot", fx.snapshot_events())
+
+    def drain(tag):
+        q = (
+            spark.readStream.format("cdcspoolstream")
+            .option("startAt", "latest")
+            .load(spool)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("first")  # backlog (3 snapshot rows) skipped
+    sink = str(tmp_path / "sink")
+    n0 = spark.read.parquet(sink).count() if os.path.exists(sink) else 0
+    assert n0 == 0 or spark.read.parquet(sink).count() == 0
+    fx.write_segment(spool, "001_insert995", fx.insert_995())
+    drain("second")
+    out = spark.read.parquet(sink)
+    assert out.count() == 1
+    assert out.first().op == "c"
