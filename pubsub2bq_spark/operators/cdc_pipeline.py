@@ -534,3 +534,92 @@ def cdc_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__deleted",
         "ingest_region",
     )
+
+
+def _derby_url(spark: SparkSession, db_dir: str) -> str:
+    """Embedded-Derby JDBC URL; quiets derby.log into scratch space (the
+    property is read once at engine boot, so set it before the first
+    connection)."""
+    spark.sparkContext._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", os.path.join(db_dir, "derby.log")
+    )
+    return f"jdbc:derby:{os.path.join(db_dir, 'db')};create=true"
+
+
+@register(
+    "jdbc_snapshot_union",
+    oracle="""
+        SELECT * FROM (VALUES
+            (990, 'Tom',   'true'),
+            (991, 'Phil',  'false'),
+            (992, 'Ted',   'false'),
+            (994, 'Vijay', 'false'),
+            (995, 'Anna',  'false')
+        ) AS t(id, first_name, __deleted)
+    """,
+    doc="The JDBC leg of Datastream-style backfill (S1/S8 — "
+        "backfill_union covers the parquet leg): the source table's "
+        "initial snapshot is READ THROUGH spark.read.jdbc from an "
+        "embedded Derby database (the in-container stand-in for the "
+        "reference's MySQL, /root/reference/terraform/datastream.sh:"
+        "111-119), range-partitioned on the primary key, then unioned "
+        "with the CDC change stream and resolved last-writer-wins.",
+    scale_notes="The snapshot read uses partitionColumn/numPartitions — "
+                "Spark issues one ranged query per partition, which is "
+                "exactly how a 100 TB MySQL backfill parallelizes "
+                "(Datastream's ranged chunks). The union+resolve is the "
+                "same single key shuffle as backfill_union; the database "
+                "is only touched by the ranged SELECTs.",
+)
+def jdbc_snapshot_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    spec = _fresh_spec()
+    db_dir = scratch_dir("derby_")
+    url = _derby_url(spark, db_dir)
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    # Seed the "MySQL" table (id, first_name, deleted flag at snapshot time).
+    seed = spark.createDataFrame(
+        [(r["id"], r["first_name"], "false") for r in fx.SEED_PEOPLE],
+        "id bigint, first_name string, __deleted string",
+    )
+    (
+        seed.write.format("jdbc")
+        .option("url", url)
+        .option("driver", driver)
+        .option("dbtable", "people_snapshot")
+        .mode("overwrite")
+        .save()
+    )
+
+    # CDC catch-up arriving after the snapshot.
+    fx.write_segment(spec.spool_dir, "000_insert994", fx.insert_994_with_phone())
+    fx.write_segment(spec.spool_dir, "001_insert995", fx.insert_995())
+    fx.write_segment(spec.spool_dir, "002_delete990", fx.delete_990())
+    p = CdcPipeline(spark, spec)
+    p.run_available_now()
+
+    # Ranged-parallel JDBC snapshot read — the backfill chunking pattern.
+    snapshot = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", driver)
+        .option("dbtable", "people_snapshot")
+        .option("partitionColumn", "id")
+        .option("lowerBound", "990")
+        .option("upperBound", "996")
+        .option("numPartitions", "2")
+        .load()
+        .select("id", "first_name", "__deleted", F.lit(0).alias("ts_ms"))
+    )
+    stream_log = p.read_sink().select(
+        "id", "first_name", "__deleted", F.lit(1).alias("ts_ms")
+    )
+    merged = snapshot.unionByName(stream_log)
+    w = Window.partitionBy("id").orderBy(F.col("ts_ms").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "first_name", "__deleted")
+    )

@@ -434,3 +434,28 @@ def test_spool_start_at_latest_skips_backlog(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 1
     assert out.first().op == "c"
+
+
+def test_jdbc_snapshot_leg_is_ranged_parallel(spark, tmp_path):
+    """The Derby-backed JDBC snapshot must be a real ranged-parallel read:
+    numPartitions ranged chunks on the key column (the Datastream backfill
+    pattern), values round-tripping exactly."""
+    from pubsub2bq_spark.operators.cdc_pipeline import _derby_url
+
+    url = _derby_url(spark, str(tmp_path))
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    seed = spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(100)], "id bigint, name string"
+    )
+    (seed.write.format("jdbc").option("url", url).option("driver", driver)
+     .option("dbtable", "t").mode("overwrite").save())
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("driver", driver).option("dbtable", "t")
+        .option("partitionColumn", "id").option("lowerBound", "0")
+        .option("upperBound", "100").option("numPartitions", "4")
+        .load()
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+    assert back.agg({"id": "sum"}).first()[0] == 4950
