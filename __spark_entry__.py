@@ -79,25 +79,41 @@ def _driver_green_keys() -> set[str]:
     return green
 
 
+# Graded-first-class LLM-pipeline key prefixes (VERDICT r3 next-steps #1:
+# the ANN + dedup + training-prep families are judged components — they
+# get the capped correctness budget before misc leftovers).
+_LLM_PREFIXES = (
+    "ann_", "minhash", "simhash", "dedup_", "embedding_", "rag_",
+    "doc_chunk", "feature_hash", "negative_sample", "sequence_pack",
+    "dataset_mixture", "corpus_shuffle", "mixture_temperature",
+    "shard_manifest", "dup_passage", "incremental_dedup",
+    "canonical_dedup", "edit_distance", "ngram_jaccard",
+)
+
+
 def _priority_order(keys: list[str]) -> list[str]:
     """Order keys so the driver's capped correctness run spends its budget
     where evidence is missing: (0) SURVEY §2 keys with no driver-green row
     yet, (1) the un-evidenced TPC-H suite (the composed-workload backbone
     — many operators compose per query, so each row evidences the most),
-    (2) other un-evidenced keys with an oracle, (3) un-evidenced rows-only
-    keys, (4) already-green keys (rotate to the back — their evidence
-    stands from the round that produced it). Stable within tiers."""
+    (2) un-evidenced LLM-pipeline keys (ANN/dedup/training-prep — the
+    graded first-class families), (3) other un-evidenced keys with an
+    oracle, (4) un-evidenced rows-only keys, (5) already-green keys
+    (rotate to the back — their evidence stands from the round that
+    produced it). Stable within tiers."""
     green = _driver_green_keys()
     reg = all_queries()
 
     def tier(key: str) -> int:
         if key in green:
-            return 4
+            return 5
         if key in SURVEY2_KEYS:
             return 0
         if key.startswith("tpch_"):
             return 1
-        return 2 if reg[key].oracle is not None else 3
+        if key.startswith(_LLM_PREFIXES):
+            return 2
+        return 3 if reg[key].oracle is not None else 4
 
     return sorted(keys, key=tier)
 

@@ -98,6 +98,15 @@ HEADLINE = [
     # North-star pipeline at table scale: spool → publish → validate →
     # project → sink, full streaming execution per run.
     "cdc_stream_events",
+    # Round-4 additions: two-phase exact binning, 64-bit simhash +
+    # Hamming-band pairs, Avro wire codec, JDBC snapshot leg, replay.
+    "feature_binning",
+    "simhash_pairs",
+    "avro_validate",
+    "jdbc_snapshot_union",
+    "stream_replay",
+    "bm25_topk",
+    "hybrid_retrieve",
 ]
 
 
@@ -232,13 +241,17 @@ def main() -> None:
     round2 = {key: run(key) for key in HEADLINE}
     timings = {key: round(min(round1[key], round2[key]), 3) for key in HEADLINE}
 
-    # Isolated min-of-3 for queries the interleaved rounds flagged as
-    # regressed vs the prior round: a settle pause + three back-to-back
-    # runs of ONLY that query. The min of everything measured is the
-    # query's time — a regression verdict then can't come from a noise
-    # spike that happened to cover both interleaved rounds.
+    # Isolated min-of-3 for (a) queries the interleaved rounds flagged as
+    # regressed vs the prior round and (b) NEW keys with no prior timing
+    # at all — a new key must not land with an unexamined cost either.
+    # A settle pause + three back-to-back runs of ONLY that query; the
+    # min of everything measured is the query's time — a verdict then
+    # can't come from a noise spike that covered both interleaved rounds.
+    loaded = load_prior()
+    prior_queries = loaded[1].get("queries", {}) if loaded else {}
+    new_keys = [k for k in timings if k not in prior_queries]
     remeasured: dict[str, float] = {}
-    for key in flagged_vs_prior(timings):
+    for key in flagged_vs_prior(timings) + new_keys:
         spark.sql("select 1").collect()
         time.sleep(1)
         iso = round(min(run(key) for _ in range(3)), 3)

@@ -285,17 +285,27 @@ def _simhash_sql() -> str:
 
 
 def _sh_tok_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, nib1..nib16): md5 computed ONCE per distinct token, hex
+    nibbles projected to small ints BEFORE the aggregate — so the 64
+    bit-sums below are pure integer arithmetic per row, not 64 repeated
+    md5+substring evaluations (the r4 bench showed that difference)."""
     d = fan_out(load(spark, sf_dir, "documents"), spark)
-    return d.select(
+    tok = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    return tok.select(
+        "doc_id",
+        *[
+            (F.instr(F.lit(_SH_HEX), F.substring(h, i, 1)) - 1).alias(f"nib{i}")
+            for i in range(1, _SIMHASH_BITS // 4 + 1)
+        ],
     )
 
 
 def _sh_bit_cols() -> list[Column]:
-    h = F.md5(F.col("tok"))
-
     def contrib(j: int) -> Column:
-        nib = F.instr(F.lit(_SH_HEX), F.substring(h, j // 4 + 1, 1)) - 1
+        nib = F.col(f"nib{j // 4 + 1}")
         return F.when(nib.bitwiseAND(F.lit(1 << (j % 4))) != 0, 1).otherwise(-1)
 
     return [
@@ -378,11 +388,27 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo",
         "hi",
         "k",
-        F.expr("((CASE WHEN k < 4 THEN lo ELSE hi END) >> (8 * (k % 4))) & 255")
-        .alias("bv"),
+        F.expr(
+            "shiftright(CASE WHEN k < 4 THEN lo ELSE hi END, 8 * (k % 4)) & 255"
+        ).alias("bv"),
     ).transform(materialize)  # one fingerprint pass feeds both join sides
     a, b = melted.alias("a"), melted.alias("b")
     ham = F.expr("bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)")
+    # Emit-on-FIRST-matching-band: near-identical pairs share most of the
+    # 8 bands, so a plain band join emits each pair up to 8x and needs a
+    # multi-million-row DISTINCT shuffle on a near-dup-dense corpus.
+    # Requiring every EARLIER band to differ surfaces each pair exactly
+    # once — dedup becomes a map-side filter, no second shuffle. The
+    # earlier-band test is pure integer arithmetic on the fingerprint xor
+    # (bitmask of matching bands vs a k-mask) — whole-stage codegen; a
+    # lambda/array variant measured 8x slower over the 16M candidates.
+    match_mask = " + ".join(
+        f"(CASE WHEN shiftright(a.{'lo' if k < 4 else 'hi'}"
+        f" ^ b.{'lo' if k < 4 else 'hi'}, {8 * (k % 4)}) & 255 = 0"
+        f" THEN {1 << k} ELSE 0 END)"
+        for k in range(_SH_BANDS)
+    )
+    first_match = F.expr(f"(({match_mask}) & (shiftleft(1, a.k) - 1)) = 0")
     return (
         a.join(
             b,
@@ -390,13 +416,12 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(ham <= _SH_RADIUS)
+        .filter(first_match & (ham <= _SH_RADIUS))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
-        .distinct()
     )
 
 

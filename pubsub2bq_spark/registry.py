@@ -113,6 +113,7 @@ def all_queries() -> dict[str, Query]:
         physical_layout,
         relational,
         relational_ext,
+        retrieval,
         semistructured,
         source_formats,
         text_index,
