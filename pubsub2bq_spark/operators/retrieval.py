@@ -27,7 +27,11 @@ from pubsub2bq_spark.tables import fan_out, load, materialize
 
 BM25_K1 = 1.2
 BM25_B = 0.75
-DF_CAP_FRAC = 0.3   # terms in >30% of docs are stopwords: skip their postings
+# Terms in more than this fraction of documents are treated as stopwords
+# and their postings skipped. 0.85 targets true function words; the test
+# corpus has a ~31-token template vocabulary with median df 0.78, so a
+# tighter cap (0.3) would blind the scorer to nearly every term.
+DF_CAP_FRAC = 0.85
 LEX_K = 10          # lexical top-k per query
 RRF_C = 60          # canonical RRF constant
 FUSE_K = 5          # fused results per query
@@ -274,6 +278,10 @@ def hybrid_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def refresh_hybrid_oracle() -> None:
+    # Import for registration side-effect: a direct
+    # `import ...operators.retrieval` (tests) must not depend on the
+    # registry having loaded llm_similarity first.
+    from pubsub2bq_spark.operators import llm_similarity  # noqa: F401
     from pubsub2bq_spark.registry import _REGISTRY
 
     _REGISTRY["hybrid_retrieve"].oracle = _hybrid_oracle()
