@@ -83,10 +83,17 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     top = counts.orderBy(F.col("freq").desc(), "word").limit(TOP_K)
-    # Rank window runs on the already-limited TOP_K-row relation.
-    w = Window.orderBy(F.col("freq").desc(), "word")
-    return top.select(
-        F.row_number().over(w).cast("int").alias("rk"), "word", "freq"
+    # Rank over the TOP_K-row relation via broadcast triangular self-join
+    # (rk = 1 + strictly-better rows) — no single-partition WindowExec.
+    prior = top.select(F.col("word").alias("pw"), F.col("freq").alias("pf"))
+    better = (F.col("pf") > F.col("freq")) | (
+        (F.col("pf") == F.col("freq")) & (F.col("pw") < F.col("word"))
+    )
+    return (
+        top.join(F.broadcast(prior), better, "left")
+        .groupBy("word", "freq")
+        .agg((F.count("pw") + 1).cast("int").alias("rk"))
+        .select("rk", "word", "freq")
     )
 
 

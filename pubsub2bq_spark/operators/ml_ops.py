@@ -52,6 +52,25 @@ _KMEANS_RECOMPUTE_SQL = """
 """
 
 
+def _init_centroids(v: DataFrame, k: int) -> DataFrame:
+    """(cid, c) for the k lowest vec_ids: deterministic centroid init.
+    The 0-based cid comes from a broadcast triangular self-join over the
+    k-row limited relation (cid = count of smaller vec_ids) instead of a
+    global row_number window — same result, no single-partition
+    WindowExec in the plan."""
+    head = v.orderBy("vec_id").limit(k)
+    prior = head.select(F.col("vec_id").alias("pid"))
+    ids = (
+        head.select("vec_id")
+        .join(F.broadcast(prior), F.col("pid") < F.col("vec_id"), "left")
+        .groupBy("vec_id")
+        .agg(F.count("pid").cast("int").alias("cid"))
+    )
+    return head.join(F.broadcast(ids), "vec_id").select(
+        "cid", F.col("v").alias("c")
+    )
+
+
 def _sqdist(a, b):
     """|a|^2 - 2 a.b + |b|^2 — same three-fold formula as the oracle."""
     return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
@@ -131,16 +150,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _dvec("embedding").alias("v"))
         .transform(materialize)  # both assignment rounds read one decode pass
     )
-    c0 = (
-        v.orderBy("vec_id")
-        .limit(K_CLUSTERS)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
-            .cast("int")
-            .alias("cid"),
-            F.col("v").alias("c"),
-        )
-    )
+    c0 = _init_centroids(v, K_CLUSTERS)
     a2 = _assign(v, _recompute(_assign(v, c0)))
     final = (
         a2.select("cid", F.posexplode("v").alias("dim", "val"))
@@ -725,16 +735,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _dvec("embedding").alias("v"))
         .transform(materialize)  # feeds both Lloyd rounds + the search pass
     )
-    c0 = (
-        v.orderBy("vec_id")
-        .limit(IVFK_CELLS)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
-            .cast("int")
-            .alias("cid"),
-            F.col("v").alias("c"),
-        )
-    )
+    c0 = _init_centroids(v, IVFK_CELLS)
     cents = _recompute(_assign(v, _recompute(_assign(v, c0)))).transform(materialize)
     w_cell = Window.partitionBy("vec_id").orderBy(
         F.col("dist").asc(), F.col("cid").asc()

@@ -345,21 +345,15 @@ def negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("nib").orderBy("doc_id")
     )
     ranked = d.select("doc_id", nib.alias("nib")).withColumn("rn", within)
+    # Cumulative offsets over the 16-row group-count relation via a
+    # broadcast triangular self-join — not a global window, so the plan
+    # carries no single-partition WindowExec at any scale.
+    counts = ranked.groupBy("nib").agg(F.count(F.lit(1)).alias("cnt"))
+    prior = counts.select(F.col("nib").alias("pnib"), F.col("cnt").alias("pcnt"))
     offsets = (
-        ranked.groupBy("nib")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("cnt").over(
-                    Window.orderBy("nib").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("nib", "offset")
+        counts.join(F.broadcast(prior), F.col("pnib") < F.col("nib"), "left")
+        .groupBy("nib")
+        .agg(F.coalesce(F.sum("pcnt"), F.lit(0)).alias("offset"))
     )
     idx = (
         ranked.join(F.broadcast(offsets), "nib")
