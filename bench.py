@@ -107,6 +107,8 @@ HEADLINE = [
     "stream_replay",
     "bm25_topk",
     "hybrid_retrieve",
+    "bpe_merges",
+    "span_corruption",
 ]
 
 

@@ -726,3 +726,185 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+BPE_TOP_K = 20
+
+
+@register(
+    "bpe_merges",
+    oracle=f"""
+        WITH words AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS word
+            FROM documents
+        ),
+        wc AS (
+            SELECT word, count(*) AS n FROM words GROUP BY word
+        ),
+        pairs AS (
+            SELECT substr(word, CAST(t.i AS INT), 2) AS pair, sum(n) AS cnt
+            FROM wc, unnest(range(1, length(word))) AS t(i)
+            WHERE length(word) >= 2
+            GROUP BY 1
+        ),
+        top AS (
+            SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pairs
+            ORDER BY cnt DESC, pair ASC LIMIT {BPE_TOP_K}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INT)
+                   AS rk,
+               pair, cnt
+        FROM top
+    """,
+    doc=f"BPE merge-candidate counting (the first tokenizer-training "
+        f"step): adjacent character pairs inside every corpus word, "
+        "weighted by word frequency, ranked — the pair a byte-pair "
+        f"encoder would merge first is rank 1. Top-{BPE_TOP_K} with "
+        "(count desc, pair) tiebreak.",
+    scale_notes="Word counts absorb corpus size FIRST (the vocab-sized "
+                "relation is what explodes into pairs — each unique word "
+                "once, not each occurrence), pair counting is one "
+                "vocab-keyed shuffle, and top-k plans as "
+                "TakeOrderedAndProject. Iterating merges = re-running "
+                "over a re-segmented vocab table; each round is this "
+                "same bounded-relation job, which is exactly how "
+                "SentencePiece-style trainers scale out.",
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    words = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+            "word",
+        )
+        .select(F.expr("substr(word, i, 2)").alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(BPE_TOP_K)
+    # Rank via broadcast triangular self-join over the K-row relation —
+    # no single-partition window.
+    prior = top.select(F.col("pair").alias("pp"), F.col("cnt").alias("pc"))
+    better = (F.col("pc") > F.col("cnt")) | (
+        (F.col("pc") == F.col("cnt")) & (F.col("pp") < F.col("pair"))
+    )
+    return (
+        top.join(F.broadcast(prior), better, "left")
+        .groupBy("pair", "cnt")
+        .agg((F.count("pp") + 1).cast("int").alias("rk"))
+        .select("rk", "pair", "cnt")
+    )
+
+
+SPAN_NOISE = 0.15  # target masked-token fraction (T5 default)
+
+
+@register(
+    "span_corruption",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, CAST(t.pos AS BIGINT) AS pos
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), unnest(range(1, len(toks) + 1)) AS t(pos)
+        ),
+        masked AS (
+            SELECT doc_id, pos,
+                   CASE WHEN {_hash16_sql("doc_id || ':' || pos")}
+                             < CAST({SPAN_NOISE} * 65536 AS BIGINT)
+                        THEN 1 ELSE 0 END AS m
+            FROM tok
+        ),
+        spans AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM masked WHERE m = 1
+        )
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               coalesce(max(s.n_masked), 0) AS n_masked,
+               coalesce(max(s.n_spans), 0) AS n_spans,
+               round(coalesce(max(s.n_masked), 0) * 1.0 / count(*), 6)
+                   AS mask_rate
+        FROM tok t
+        LEFT JOIN (
+            SELECT doc_id, count(*) AS n_masked,
+                   count(DISTINCT grp) AS n_spans
+            FROM spans GROUP BY doc_id
+        ) s USING (doc_id)
+        GROUP BY t.doc_id
+    """,
+    doc=f"T5-style span corruption accounting: each token masked with "
+        f"deterministic probability {SPAN_NOISE} (16-bit md5 bucket of "
+        "(doc_id, position) — reproducible across runs and engines), "
+        "adjacent masked tokens merge into spans (gaps-and-islands), and "
+        "every document reports token/mask/span counts and its realized "
+        "mask rate — the stats a span-corruption objective needs to "
+        "build sentinel targets.",
+    scale_notes="Everything is per-document: the mask decision is "
+                "map-side md5 arithmetic, span grouping is a "
+                "doc-partitioned window (never global), and the output "
+                "is one row per doc. The actual sentinel-token rewrite "
+                "is a map-side list fold over the same mask column; at "
+                "100 TB this plan's only shuffle is the doc-keyed "
+                "aggregation the pipeline already pays.",
+)
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    masked = tok.select(
+        "doc_id",
+        "pos",
+        F.when(
+            _hash16_spark(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("pos"))
+            )
+            < int(SPAN_NOISE * 65536),
+            1,
+        )
+        .otherwise(0)
+        .alias("m"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        masked.filter(F.col("m") == 1)
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_masked"),
+            F.countDistinct("grp").alias("n_spans"),
+        )
+    )
+    return (
+        masked.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.round(
+                F.coalesce("n_masked", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("mask_rate"),
+        )
+    )
