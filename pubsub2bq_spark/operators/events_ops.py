@@ -492,7 +492,8 @@ def _latest_state_version(state_root: str) -> str | None:
 
 def read_upsert_state(spark: SparkSession, state_root: str) -> DataFrame:
     path = _latest_state_version(state_root)
-    assert path is not None, "no committed upsert state"
+    if path is None:  # explicit raise — assert is stripped under python -O
+        raise RuntimeError(f"no committed upsert state under {state_root}")
     return spark.read.parquet(path)
 
 
