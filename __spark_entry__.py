@@ -74,7 +74,15 @@ def _driver_green_keys() -> set[str]:
         except (OSError, ValueError):
             continue
         for key, row in rows.items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                green.add(key)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows", 0) >= 0:
+                # Rows-only-by-design keys (binary payloads with no SQL
+                # oracle) can never hash-match; a recorded rows-only run
+                # IS their terminal evidence — don't burn a rotation slot
+                # re-proving it every round.
                 green.add(key)
     return green
 

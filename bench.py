@@ -109,6 +109,7 @@ HEADLINE = [
     "hybrid_retrieve",
     "bpe_merges",
     "span_corruption",
+    "transform_with_state",
 ]
 
 

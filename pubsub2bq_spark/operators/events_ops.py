@@ -803,3 +803,94 @@ def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The log sink holds a full copy of the input; leaking it per
         # bench iteration fills /tmp at sf0.1+.
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "transform_with_state",
+    # Every emitted metric is monotone per user (counts grow, max rises),
+    # so each user's last update-mode row equals the one-shot batch
+    # aggregate no matter how the file source batches the input — the
+    # same associativity contract stream_upsert pins, now for the typed
+    # multi-variable state API.
+    oracle="""
+        SELECT user_id,
+               count(DISTINCT event_type) AS n_event_types,
+               count(*) AS total_events,
+               round(max(value), 4) AS max_value
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Arbitrary stateful streaming on the Spark 4 transformWithState "
+        "API (T8 successor surface): a StatefulProcessor with a typed "
+        "ValueState (running count + max) AND a MapState (per-event-type "
+        "counts) per user — the multi-variable layout that "
+        "applyInPandasWithState (stateful_running) must pack into one "
+        "tuple. Input is spooled into 3 files and streamed with "
+        "maxFilesPerTrigger=1 so state genuinely carries across "
+        "micro-batches. See streaming/stateful.py:UserProfileProcessor. "
+        "Gated on transformWithState's protobuf dependency (absent in "
+        "this container): without it, the applyInPandasWithState twin "
+        "computes the identical contract (same oracle checks both).",
+    scale_notes="Requires the RocksDB state store (set per-query here): "
+                "state lives off-heap and spills to disk, so per-key "
+                "state is bounded by disk not executor memory — the "
+                "100 TB-stream configuration. State is O(#event_types) "
+                "per user; production adds per-variable TTL "
+                "(getValueState(ttlDurationMs=…)) for idle-key eviction.",
+)
+def transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pubsub2bq_spark.streaming.stateful import (
+        transform_with_state_available,
+        user_profile_stats,
+    )
+
+    tmp = scratch_dir("tws_")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        spool = os.path.join(tmp, "spool")
+        load(spark, sf_dir, "events").repartition(3).write.parquet(spool)
+        if transform_with_state_available():
+            # transformWithState only runs on the RocksDB state store;
+            # the fallback twin keeps the session default (HDFS-backed).
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        stream = (
+            spark.readStream.schema(spark.read.parquet(spool).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(spool)
+        )
+        sink = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            user_profile_stats(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        snap = spark.table(sink)
+        # Update mode appends one row per (user, batch); the final state
+        # is the row with the highest (monotone) total_events.
+        return snap.groupBy("user_id").agg(
+            F.max_by("n_event_types", "total_events").alias("n_event_types"),
+            F.max("total_events").alias("total_events"),
+            F.max_by("max_value", "total_events").alias("max_value"),
+        ).transform(materialize)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        shutil.rmtree(tmp, ignore_errors=True)

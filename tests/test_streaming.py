@@ -182,6 +182,43 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     assert per_batch == [(1, 3, 10.0), (2, 2, 4.0)]
 
 
+def test_transform_with_state_profile_across_batches(spark, tmp_path):
+    """T8 successor surface: the typed-state per-user profile (value +
+    map state) carries across micro-batches — new event types grow the
+    distinct count, the running max only rises. Runs the real
+    transformWithState path when protobuf is importable, else the
+    applyInPandasWithState twin with the identical contract."""
+    from pubsub2bq_spark.streaming.stateful import user_profile_stats
+
+    schema = T.StructType(
+        EVENT_SCHEMA.fields + [T.StructField("event_type", T.StringType())]
+    )
+    src = str(tmp_path / "src")
+    write_events(src, "b0", [
+        {"event_id": 1, "user_id": 10, "ts": "2024-01-01T00:00:00",
+         "value": 1.5, "event_type": "view"},
+        {"event_id": 2, "user_id": 10, "ts": "2024-01-01T00:01:00",
+         "value": 9.0, "event_type": "view"},
+    ], mtime=1_000)
+    write_events(src, "b1", [
+        {"event_id": 3, "user_id": 10, "ts": "2024-01-01T00:05:00",
+         "value": 6.0, "event_type": "click"},
+    ], mtime=2_000)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    name = run_to_memory(user_profile_stats(stream), "update")
+    per_batch = sorted(
+        (r["total_events"], r["n_event_types"], r["max_value"])
+        for r in spark.table(name).collect()
+    )
+    # batch 0: 2 views, max 9.0; batch 1: +1 click carried on top —
+    # 3 events over 2 types, max unchanged (6.0 < 9.0 must not lower it).
+    assert per_batch == [(2, 1, 9.0), (3, 2, 9.0)]
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """T5: a row older than the committed watermark is dropped from the
     aggregation.
