@@ -110,6 +110,7 @@ HEADLINE = [
     "bpe_merges",
     "span_corruption",
     "transform_with_state",
+    "kmeans_parallel_init",
 ]
 
 

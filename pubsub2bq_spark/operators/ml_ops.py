@@ -137,8 +137,9 @@ def _recompute(assigned: DataFrame) -> DataFrame:
                 "DIM centroids against the corpus scan (no corpus "
                 "shuffle for assignment) + one (cid, dim)-keyed avg "
                 "shuffle whose output is K rows. Rounds scale linearly "
-                "in corpus size; at 100 TB use k-means|| sampling for "
-                "init and localCheckpoint the corpus between rounds "
+                "in corpus size; at 100 TB seed with kmeans_parallel_init "
+                "(k-means||, implemented below) and materialize the "
+                "corpus between rounds "
                 "(done here) so each round re-reads columnar cache, not "
                 "lineage. Final stats reuse the assignment pass's "
                 "exploded aggregation — counts and centroid sums come "
@@ -161,6 +162,169 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_members"),
         F.round(F.sum("m"), 4).alias("centroid_sum"),
     ).select(F.col("cid").alias("cluster_id"), "n_members", "centroid_sum")
+
+
+# --- k-means|| (parallel oversampling init; Bahmani et al., VLDB 2012) ----
+# The scalable replacement for sequential k-means++ seeding that
+# kmeans_lloyd's scale note promises: each of R rounds samples ~L points
+# with probability proportional to their squared distance from the
+# current candidate set, so seeding costs R full scans instead of K
+# sequential ones. Determinism contract: the sampling decision is pure
+# INTEGER arithmetic — u16(md5(vec_id:round)) * phi < L * d2i * 2^16 —
+# where d2i is the distance scaled to a bigint and phi its exact bigint
+# sum, so Spark and the oracle pick byte-identical candidate sets (no
+# float threshold can ulp-flip, the mixture_temperature lesson).
+KPP_K = 16          # centers to emit (matches IVFK_CELLS)
+KPP_L = 32          # oversampling factor per round (2*K)
+KPP_ROUNDS = 2
+KPP_SCALE = 1_000_000  # d2 in [0,4] on unit vectors → d2i ≤ 4e6 (no overflow)
+_KPP_HEX = "0123456789abcdef"
+
+
+def _kpp_u16(s) -> F.Column:
+    """First 16 bits of md5(s) as a bigint in [0, 65536) — nibble
+    polynomial, byte-identical to the oracle's strpos arithmetic."""
+    h = F.md5(s)
+    return sum(
+        (F.instr(F.lit(_KPP_HEX), F.substring(h, i, 1)) - 1).cast("bigint")
+        * F.lit(16 ** (4 - i))
+        for i in range(1, 5)
+    )
+
+
+def _kpp_u16_sql(expr: str) -> str:
+    return " + ".join(
+        f"(strpos('{_KPP_HEX}', substr(md5({expr}), {i}, 1)) - 1) * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+
+
+def _kpp_round_sql(r: int, cent: str) -> str:
+    u16 = _kpp_u16_sql(f"CAST(d.vec_id AS VARCHAR) || ':{r}'")
+    return f"""
+        d{r} AS (
+            SELECT a.vec_id,
+                   CAST(round(min({_SQDIST_SQL}) * {KPP_SCALE}, 0) AS BIGINT) AS d2i
+            FROM v a CROSS JOIN {cent} c GROUP BY a.vec_id
+        ),
+        p{r} AS (SELECT CAST(sum(d2i) AS BIGINT) AS phi FROM d{r}),
+        s{r} AS (
+            SELECT d.vec_id FROM d{r} d, p{r}
+            WHERE ({u16}) * phi < {KPP_L} * d.d2i * 65536
+        ),
+        c{r} AS (
+            SELECT * FROM {cent}
+            UNION ALL
+            SELECT v.vec_id AS cid_v, v.v AS c FROM v JOIN s{r} USING (vec_id)
+        )
+    """
+
+
+@register(
+    "kmeans_parallel_init",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cid_v, v AS c FROM v ORDER BY vec_id LIMIT 1
+        ),
+        {_kpp_round_sql(1, "c0")},
+        {_kpp_round_sql(2, "c1")},
+        asgn AS (
+            SELECT vec_id, cid_v FROM (
+                SELECT a.vec_id, c.cid_v,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_SQDIST_SQL} ASC, c.cid_v ASC) AS rn
+                FROM v a CROSS JOIN c2 c
+            ) WHERE rn = 1
+        ),
+        w AS (SELECT cid_v, count(*) AS weight FROM asgn GROUP BY cid_v)
+        SELECT CAST(rn - 1 AS INT) AS rank, cid_v AS vec_id, weight
+        FROM (
+            SELECT cid_v, weight,
+                   row_number() OVER (ORDER BY weight DESC, cid_v ASC) AS rn
+            FROM w
+        )
+        WHERE rn <= {KPP_K}
+    """,
+    doc=f"k-means|| parallel seeding (Bahmani et al., VLDB'12): "
+        f"{KPP_ROUNDS} oversampling rounds select ~{KPP_L} points each "
+        "with probability ∝ squared distance to the running candidate "
+        f"set, then candidates are weighted by assignment count and the "
+        f"top-{KPP_K} emitted as the initial centers — the scalable "
+        "init kmeans_lloyd's scale note defers to, now implemented. "
+        "Sampling is exact integer arithmetic on a 16-bit md5 slice so "
+        "the candidate set is byte-identical on both engines.",
+    scale_notes=f"Each round is one scan: distances against a broadcast "
+                "candidate set (≤ "
+                f"{1 + KPP_L * KPP_ROUNDS + KPP_L} rows), a 1-row phi "
+                "aggregate broadcast back, and a map-side integer filter "
+                "— no shuffle touches the corpus beyond the per-vec_id "
+                "min. The final weighted top-K ranks a bounded relation "
+                "via broadcast triangular join (no single-partition "
+                "window). At petabyte scale phi exceeds int64 headroom "
+                "with this SCALE; widen to DECIMAL(38,0) sums — the "
+                "comparison stays integer-exact.",
+)
+def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        fan_out(load(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .transform(materialize)  # every round re-reads one decode pass
+    )
+    cand = v.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("cid_v"), F.col("v").alias("c")
+    )
+    for r in range(1, KPP_ROUNDS + 1):
+        cand = cand.transform(materialize)  # loop-carried, broadcast-sized
+        d = (
+            v.crossJoin(F.broadcast(cand))
+            .groupBy("vec_id")
+            .agg(
+                F.round(F.min(_sqdist(F.col("v"), F.col("c"))) * KPP_SCALE, 0)
+                .cast("bigint")
+                .alias("d2i")
+            )
+        )
+        phi = d.agg(F.sum("d2i").alias("phi"))
+        u16 = _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(f":{r}")))
+        sel = (
+            d.join(F.broadcast(phi))
+            .filter(u16 * F.col("phi") < F.lit(KPP_L) * F.col("d2i") * F.lit(65536))
+            .select("vec_id")
+        )
+        cand = cand.unionByName(
+            v.join(F.broadcast(sel), "vec_id").select(
+                F.col("vec_id").alias("cid_v"), F.col("v").alias("c")
+            )
+        )
+    cand = cand.transform(materialize)  # assignment reads it once per task
+    w_asgn = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cid_v").asc()
+    )
+    asgn = (
+        v.crossJoin(F.broadcast(cand))
+        .select("vec_id", "cid_v", _sqdist(F.col("v"), F.col("c")).alias("dist"))
+        .withColumn("rn", F.row_number().over(w_asgn))
+        .filter(F.col("rn") == 1)
+    )
+    w = asgn.groupBy("cid_v").agg(F.count(F.lit(1)).alias("weight"))
+    other = w.select(F.col("cid_v").alias("o_id"), F.col("weight").alias("o_w"))
+    ranked = (
+        w.join(
+            F.broadcast(other),
+            (F.col("o_w") > F.col("weight"))
+            | ((F.col("o_w") == F.col("weight")) & (F.col("o_id") < F.col("cid_v"))),
+            "left",
+        )
+        .groupBy("cid_v", "weight")
+        .agg(F.count("o_id").cast("int").alias("rank"))
+    )
+    return ranked.filter(F.col("rank") < KPP_K).select(
+        "rank", F.col("cid_v").alias("vec_id"), "weight"
+    )
 
 
 @register(
@@ -722,7 +886,8 @@ _IVFK_COS_SQL = (
                 "broadcast-size table, assignment is broadcast-join + "
                 "windowed argmin, search shuffles on cell id — the Lloyd "
                 "rounds only change WHICH K x DIM literals get broadcast. "
-                "At 100 TB the refinement runs on a sample (k-means||), "
+                "At 100 TB the refinement seeds from kmeans_parallel_init "
+                "(k-means||, implemented above), "
                 "is persisted with the index, and amortizes over every "
                 "query; cell sizes also even out vs the stub (bounded "
                 "per-cell scan work), which matters as much as recall.",

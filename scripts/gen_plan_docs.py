@@ -91,6 +91,15 @@ PLAN_KEYS = [
     "canonical_dedup",
     "dataset_card",
     "rolling_corr",
+    # Round-4 batch additions (streaming r4 keys — stream_replay,
+    # transform_with_state — are plan-asserted in tests/test_streaming.py).
+    "feature_binning",
+    "simhash_pairs",
+    "bm25_topk",
+    "hybrid_retrieve",
+    "avro_validate",
+    "jdbc_snapshot_union",
+    "kmeans_parallel_init",
 ]
 
 
