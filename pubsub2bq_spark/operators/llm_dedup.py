@@ -285,10 +285,11 @@ def _simhash_sql() -> str:
 
 
 def _sh_tok_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, nib1..nib16): md5 computed ONCE per distinct token, hex
-    nibbles projected to small ints BEFORE the aggregate — so the 64
-    bit-sums below are pure integer arithmetic per row, not 64 repeated
-    md5+substring evaluations (the r4 bench showed that difference)."""
+    """(doc_id, w0, w1): md5 computed ONCE per distinct token and its 16
+    hex digits packed into two 32-bit words with TWO conv() calls — the
+    64 bit-sums below are then branch-free shift/mask arithmetic per
+    row. (Earlier variants: 64 repeated md5+substring evaluations, then
+    16 per-nibble instr() probes — each bench-measurably slower.)"""
     d = fan_out(load(spark, sf_dir, "documents"), spark)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
@@ -296,22 +297,38 @@ def _sh_tok_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.col("tok"))
     return tok.select(
         "doc_id",
-        *[
-            (F.instr(F.lit(_SH_HEX), F.substring(h, i, 1)) - 1).alias(f"nib{i}")
-            for i in range(1, _SIMHASH_BITS // 4 + 1)
-        ],
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("w0"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("w1"),
     )
 
 
-def _sh_bit_cols() -> list[Column]:
-    def contrib(j: int) -> Column:
-        nib = F.col(f"nib{j // 4 + 1}")
-        return F.when(nib.bitwiseAND(F.lit(1 << (j % 4))) != 0, 1).otherwise(-1)
+def _sh_bitval(j: int) -> Column:
+    """Bit (j%4) of hex nibble (j//4 + 1) out of the packed words: hex
+    digit i is the (8-i)th nibble of w0 (digits 1-8) / (16-i)th of w1
+    (digits 9-16) — most-significant digit first, matching substr()."""
+    i = j // 4 + 1
+    w = F.col("w0") if i <= 8 else F.col("w1")
+    shift = 4 * ((8 if i <= 8 else 16) - i) + (j % 4)
+    return F.shiftright(w, shift).bitwiseAND(F.lit(1))
 
-    return [
-        F.when(F.sum(contrib(j)) > 0, 1).otherwise(0).alias(f"b{j}")
-        for j in range(_SIMHASH_BITS)
-    ]
+
+def _sh_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b0..b63): majority-vote fingerprint bits. The aggregate
+    carries 64 branch-free bit sums + one count; the sign-of-sums vote
+    sum(±1) > 0 is applied after as 2*s > n (identical majority)."""
+    sums = [F.sum(_sh_bitval(j)).alias(f"s{j}") for j in range(_SIMHASH_BITS)]
+    agg = (
+        _sh_tok_spark(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(*sums, F.count(F.lit(1)).alias("ntok"))
+    )
+    return agg.select(
+        "doc_id",
+        *[
+            F.when(2 * F.col(f"s{j}") > F.col("ntok"), 1).otherwise(0).alias(f"b{j}")
+            for j in range(_SIMHASH_BITS)
+        ],
+    )
 
 
 @register(
@@ -330,7 +347,7 @@ def _sh_bit_cols() -> list[Column]:
                 "recall instead of raw collisions.",
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bits = _sh_tok_spark(spark, sf_dir).groupBy("doc_id").agg(*_sh_bit_cols())
+    bits = _sh_bits(spark, sf_dir)
     return bits.select(
         "doc_id",
         F.concat(
@@ -372,7 +389,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "band masks instead of equal 16-bit fingerprints.",
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bits = _sh_tok_spark(spark, sf_dir).groupBy("doc_id").agg(*_sh_bit_cols())
+    bits = _sh_bits(spark, sf_dir)
     lo = sum(F.col(f"b{j}").cast("bigint") * F.lit(1 << j) for j in range(32))
     hi = sum(
         F.col(f"b{j}").cast("bigint") * F.lit(1 << (j - 32)) for j in range(32, 64)
