@@ -115,3 +115,56 @@ class TestPrivacyProperty:
         for g, u in rows:
             truth.setdefault(g, set()).add(u)
         assert emitted == {g for g, units in truth.items() if len(units) >= threshold}
+
+
+class TestAvroCodecProperties:
+    """Adversarial shapes for the pure-Python Avro wire codec
+    (functions/avro_codec.py): arbitrary unicode + int32 payloads must
+    round-trip bit-exactly, and arbitrary byte garbage must either
+    decode cleanly or raise ValueError — never hang, loop, or emit a
+    half-parsed record silently."""
+
+    _avro_strings = st.text(max_size=40)  # any unicode, incl. '' and emoji
+    _avro_ints = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+    @given(
+        id_=_avro_ints, zipcode=_avro_ints,
+        first=_avro_strings, last=_avro_strings, email=_avro_strings,
+        city=_avro_strings, country=_avro_strings, deleted=_avro_strings,
+    )
+    @settings(**{**SETTINGS, "max_examples": 60})
+    def test_record_round_trip(self, id_, zipcode, first, last, email,
+                               city, country, deleted):
+        from pubsub2bq_spark.functions.avro_codec import (
+            decode_record,
+            encode_record,
+        )
+
+        rec = {
+            "id": id_, "first_name": first, "last_name": last,
+            "email": email, "zipcode": zipcode, "city": city,
+            "country": country, "__deleted": deleted,
+        }
+        assert decode_record(encode_record(rec)) == rec
+
+    @given(garbage=st.binary(max_size=64))
+    @settings(**{**SETTINGS, "max_examples": 120})
+    def test_garbage_never_crashes_uncontrolled(self, garbage):
+        from pubsub2bq_spark.functions.avro_codec import decode_record
+
+        try:
+            decode_record(garbage)
+        except ValueError:
+            # The one allowed failure mode (UnicodeDecodeError — bad UTF-8
+            # inside a declared string span — is a ValueError subclass).
+            pass
+
+    @given(n=st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    @settings(**{**SETTINGS, "max_examples": 80})
+    def test_long_round_trip_full_64bit_range(self, n):
+        from pubsub2bq_spark.functions.avro_codec import decode_long, encode_long
+
+        out = bytearray()
+        encode_long(n, out)
+        got, pos = decode_long(bytes(out), 0)
+        assert got == n and pos == len(out)
