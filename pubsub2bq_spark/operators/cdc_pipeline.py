@@ -623,3 +623,71 @@ def jdbc_snapshot_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("id", "first_name", "__deleted")
     )
+
+
+@register(
+    "retry_backoff",
+    # With minimum_backoff=60s doubling per attempt and max 5 attempts,
+    # the 600s default maximum_backoff never binds (60*2^3 = 480 < 600),
+    # so cumulative wait before attempt n is exactly 60*(2^(n-1) - 1) —
+    # closed-form integer arithmetic, identical in both engines.
+    oracle="""
+        SELECT event_id,
+               CAST(attempt AS INT) AS attempt,
+               CAST(CASE WHEN attempt = 1 THEN 0
+                         ELSE 60 * (1 << (attempt - 2)) END AS INT)
+                   AS backoff_s,
+               make_timestamp(epoch_us(ts)
+                   + 60 * ((1 << (attempt - 1)) - 1) * 1000000)
+                   AS redeliver_ts,
+               attempt = 5 AS dead_lettered
+        FROM (
+            SELECT event_id, ts, unnest(range(1, 6)) AS attempt
+            FROM events
+            WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = 'f'
+        )
+    """,
+    doc="Retry-policy backoff schedule (S5 companion): for every nacked "
+        "message (deterministic 1/16 md5 bucket), the full exponential "
+        "redelivery timeline under the reference's retry_policy "
+        "(minimum_backoff 60s, dead_letter after max_delivery_attempts "
+        "5, /root/reference/terraform/main.tf:402-409; constants shared "
+        "with plans/pipeline_spec.RetryPolicy). The 600s default "
+        "maximum_backoff never binds within 5 attempts, so the "
+        "cumulative wait is the exact closed form 60*(2^(n-1)-1).",
+    scale_notes="Pure projection: md5-bucket filter pushes to the scan, "
+                "the 5-attempt explode is a constant fan-out, and every "
+                "timestamp is integer micros arithmetic — map-only, no "
+                "shuffle, whole-stage codegen end to end. The broker "
+                "owns this state in production; the analog exists so "
+                "DLQ latency/timeline queries have an engine-side twin.",
+)
+def retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.tables import load
+
+    policy = RetryPolicy()
+    min_backoff = int(policy.backoff_seconds)
+    nacked = load(spark, sf_dir, "events").filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "f"
+    )
+    att = nacked.select(
+        "event_id",
+        "ts",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(policy.max_attempts))
+        ).alias("attempt"),
+    )
+    # F.shiftleft needs a literal bit count; the SQL form takes a column.
+    cum_s = F.lit(min_backoff) * (F.expr("shiftleft(1, attempt - 1)") - 1)
+    return att.select(
+        "event_id",
+        F.col("attempt").cast("int").alias("attempt"),
+        F.when(F.col("attempt") == 1, 0)
+        .otherwise(F.lit(min_backoff) * F.expr("shiftleft(1, attempt - 2)"))
+        .cast("int")
+        .alias("backoff_s"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + cum_s.cast("bigint") * 1_000_000
+        ).alias("redeliver_ts"),
+        (F.col("attempt") == policy.max_attempts).alias("dead_lettered"),
+    )
