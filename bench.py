@@ -116,6 +116,20 @@ HEADLINE = [
 
 REGRESSION_FACTOR = 1.5
 
+# Flags whose cause is a DELIBERATE semantics change (the operator now
+# does more work than the prior round's version, so prior-round time is
+# not a like-for-like baseline). The flag still renders — the gate stays
+# honest — but the compare doc carries the explanation. Remove an entry
+# once a new BENCH_r*.json baseline includes the changed operator.
+KNOWN_SEMANTIC_CHANGES = {
+    "simhash": (
+        "r3 baseline is the 16-bit fingerprint; r4 widened to 64 bits "
+        "(VERDICT r3 next-step #3) — 4× aggregation state. Like-for-like "
+        "(64-bit instr/CASE vs 64-bit conv/bitshift) the r4 rewrite is "
+        "~20-25% faster in an isolated A/B."
+    ),
+}
+
 
 def load_prior() -> tuple[str, dict] | None:
     """Latest BENCH_r*.json (driver-recorded) as (basename, parsed dict)."""
@@ -197,6 +211,12 @@ def compare_to_prior_rounds(
             flagged.append(key)
         lines.append(f"| {key} | {was} | {now} | {iso_s} | {ratio:.2f}× | {flag} |")
     lines += ["", f"Flagged: {', '.join(flagged) if flagged else 'none'}", ""]
+    explained = [k for k in flagged if k in KNOWN_SEMANTIC_CHANGES]
+    if explained:
+        lines += ["Known semantic changes behind flags:", ""]
+        lines += [
+            f"- `{k}`: {KNOWN_SEMANTIC_CHANGES[k]}" for k in explained
+        ] + [""]
 
     out = os.path.join(root, "docs", "BENCH_COMPARE.md")
     try:
