@@ -787,3 +787,138 @@ def canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_raw_variants") > 1).alias("caught_by_canon"),
         )
     )
+
+
+@register(
+    "minhash_recall",
+    # Quality harness for the dedup family — the ann_recall analog.
+    # MinHash estimates SHINGLE-set Jaccard (sequence similarity), so
+    # recall is measured against exact shingle-Jaccard truth (> 0.5,
+    # blocked so truth stays near-linear); measuring it against
+    # token-SET similarity would conflate two different notions —
+    # template docs share vocabulary with near-zero shingle overlap.
+    # Precision uses the pipeline's own verification contract
+    # (token-set Jaccard > 0.6, as in minhash_verified).
+    oracle=_minhash_sig_sql()
+    + """
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bk FROM banded) a
+            JOIN (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bk FROM banded) b
+              ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        tokset AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        shset AS (
+            SELECT t.doc_id, d.lang, d.source, d.n_chars,
+                   list_distinct({shingles}) AS sh
+            FROM toks t JOIN documents d USING (doc_id)
+        ),
+        struth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM shset a JOIN shset b
+              ON a.lang = b.lang AND a.source = b.source
+             AND (a.n_chars // 100) = (b.n_chars // 100)
+             AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) > 0.5
+        ),
+        ver AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN tokset ta ON ta.doc_id = c.doc_a
+            JOIN tokset tb ON tb.doc_id = c.doc_b
+            WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+                  / len(list_distinct(list_concat(ta.tok, tb.tok))) > 0.6
+        ),
+        hit AS (
+            SELECT t.doc_a FROM struth t
+            JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        ),
+        counts AS (
+            SELECT (SELECT count(*) FROM cand)   AS n_cand,
+                   (SELECT count(*) FROM ver)    AS n_verified,
+                   (SELECT count(*) FROM struth) AS n_truth_seq,
+                   (SELECT count(*) FROM hit)    AS n_hit_seq
+        )
+        SELECT n_cand, n_verified, n_truth_seq, n_hit_seq,
+               round(CAST(n_verified AS DOUBLE) / nullif(n_cand, 0), 4)
+                   AS precision_true,
+               round(CAST(n_hit_seq AS DOUBLE) / nullif(n_truth_seq, 0), 4)
+                   AS recall_seq
+        FROM counts
+    """.format(shingles=_SHINGLES_SQL.replace("tok", "t.tok")),
+    doc="Dedup candidate-quality harness (the ann_recall analog for the "
+        "dedup family): one monitoring row — banded-LSH candidate count, "
+        "the fraction surviving exact token-set Jaccard verification "
+        "(precision of the LSH stage under the pipeline's own contract), "
+        "and recall against exact SHINGLE-Jaccard truth (> 0.5, "
+        "blocked), the quantity MinHash actually estimates. Measuring "
+        "recall against token-SET similarity instead would conflate "
+        "sequence and bag-of-words notions: template docs share "
+        "vocabulary with near-zero shingle overlap and belong to "
+        "ngram_jaccard's catchment, not LSH's.",
+    scale_notes="Every relation here is candidate-volume-sized or "
+                "blocked, never corpus-quadratic: shingle truth reuses "
+                "ngram_jaccard's blocked-join shape, verification joins "
+                "token sets by doc_id onto the candidate list, and the "
+                "output is one row of counters — the shape of a dedup "
+                "pipeline's continuous quality monitor at 100 TB.",
+)
+def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = minhash_lsh(spark, sf_dir).transform(materialize)  # 3 consumers
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
+        _tokens(F.col("text")).alias("tok"),
+    )
+    shset = toks.select(
+        "doc_id", "lang", "source", "len_band",
+        F.array_distinct(_shingles(F.col("tok"))).alias("sh"),
+    ).transform(materialize)  # both truth self-join sides, one shingle pass
+    sa, sb = shset.alias("a"), shset.alias("b")
+    s_inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    s_union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
+    struth = sa.join(
+        sb,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.len_band") == F.col("b.len_band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).filter(s_inter / s_union > 0.5).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    tokset = toks.select(
+        "doc_id", F.array_distinct(F.col("tok")).alias("tokd")
+    )
+    ta = tokset.select(F.col("doc_id").alias("doc_a"), F.col("tokd").alias("tok_a"))
+    tb = tokset.select(F.col("doc_id").alias("doc_b"), F.col("tokd").alias("tok_b"))
+    t_inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b"))).cast("double")
+    t_union = F.size(F.array_distinct(F.concat(F.col("tok_a"), F.col("tok_b"))))
+    ver = cand.join(ta, "doc_a").join(tb, "doc_b").filter(t_inter / t_union > 0.6)
+    hit = struth.join(cand, ["doc_a", "doc_b"])
+    counts = (
+        cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified")))
+        .crossJoin(struth.agg(F.count(F.lit(1)).alias("n_truth_seq")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit_seq")))
+    )
+    return counts.select(
+        "n_cand",
+        "n_verified",
+        "n_truth_seq",
+        "n_hit_seq",
+        F.expr(
+            "round(CAST(n_verified AS DOUBLE) / nullif(n_cand, 0), 4)"
+        ).alias("precision_true"),
+        F.expr(
+            "round(CAST(n_hit_seq AS DOUBLE) / nullif(n_truth_seq, 0), 4)"
+        ).alias("recall_seq"),
+    )
