@@ -156,3 +156,72 @@ class TestAsofSnapshot:
         }
         got = {(r.user_id, r.event_id) for r in snap_rows}
         assert got == expected
+
+
+class TestKmeansParallelInit:
+    def test_invariants(self, spark):
+        """k-means|| output: dense unique ranks, positive weights that
+        partition the corpus, and every center is a real vector id."""
+        from pubsub2bq_spark.operators.ml_ops import KPP_K, kmeans_parallel_init
+        from pubsub2bq_spark.tables import load
+
+        rows = kmeans_parallel_init(spark, SF_SMOKE).collect()
+        n_vecs = load(spark, SF_SMOKE, "embeddings").count()
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(len(rows))) and len(rows) <= KPP_K
+        assert all(r.weight > 0 for r in rows)
+        # weights of the TOP-K candidates cannot exceed the corpus; the
+        # full candidate set's weights partition it exactly.
+        assert sum(r.weight for r in rows) <= n_vecs
+        vec_ids = {
+            r.vec_id for r in load(spark, SF_SMOKE, "embeddings").collect()
+        }
+        assert all(r.vec_id in vec_ids for r in rows)
+        # weights are ranked non-increasing (ties broken by vec_id asc)
+        ws = [r.weight for r in sorted(rows, key=lambda r: r.rank)]
+        assert ws == sorted(ws, reverse=True)
+
+
+class TestRetryBackoff:
+    def test_timeline_shape(self, spark):
+        """Every nacked message gets exactly max_attempts rows; delays
+        double from minimum_backoff and never reach the 600s cap, so the
+        closed-form cumulative schedule is exact."""
+        from pubsub2bq_spark.operators.cdc_pipeline import retry_backoff
+        from pubsub2bq_spark.plans.pipeline_spec import RetryPolicy
+
+        policy = RetryPolicy()
+        rows = retry_backoff(spark, SF_SMOKE).collect()
+        assert rows
+        by_msg: dict = {}
+        for r in rows:
+            by_msg.setdefault(r.event_id, []).append(r)
+        for msg_rows in by_msg.values():
+            msg_rows.sort(key=lambda r: r.attempt)
+            assert [r.attempt for r in msg_rows] == list(
+                range(1, policy.max_attempts + 1)
+            )
+            backoffs = [r.backoff_s for r in msg_rows]
+            assert backoffs[0] == 0
+            assert backoffs[1:] == [60, 120, 240, 480]
+            assert max(backoffs) < 600  # default maximum_backoff never binds
+            times = [r.redeliver_ts for r in msg_rows]
+            assert times == sorted(times)  # strictly later redeliveries
+            assert [r.dead_lettered for r in msg_rows] == [
+                False, False, False, False, True,
+            ]
+
+
+class TestMinhashRecallHarness:
+    def test_metric_bounds(self, spark):
+        """The quality counters are internally consistent: verified and
+        hits are subsets, ratios live in [0, 1]."""
+        from pubsub2bq_spark.operators.llm_dedup import minhash_recall
+
+        row = minhash_recall(spark, SF_SMOKE).collect()[0]
+        assert 0 <= row.n_verified <= row.n_cand
+        assert 0 <= row.n_hit_seq <= row.n_truth_seq
+        if row.n_cand:
+            assert 0.0 <= row.precision_true <= 1.0
+        if row.n_truth_seq:
+            assert 0.0 <= row.recall_seq <= 1.0
