@@ -301,6 +301,14 @@ def test_no_driver_side_data_materialization():
                     offenders.append(f"{path}:{i}: {line.strip()}")
                 if ".first()" in line and ".agg(" not in line:
                     offenders.append(f"{path}:{i}: bare .first(): {line.strip()}")
+                # A window built as Window.orderBy(...) has no partitioning
+                # — Spark moves ALL rows to one partition (the r4 purge;
+                # bounded-relation ranks use broadcast triangular joins
+                # instead). Window.partitionBy(...).orderBy(...) is fine.
+                if re.search(r"\bWindow\.orderBy\(", line):
+                    offenders.append(
+                        f"{path}:{i}: single-partition window: {line.strip()}"
+                    )
     assert not offenders, "\n".join(offenders)
 
 
