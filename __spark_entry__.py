@@ -64,7 +64,14 @@ SURVEY2_KEYS = frozenset({
 
 
 def _driver_green_keys() -> set[str]:
-    """Keys with a hash-matched row in any prior round's CORRECTNESS file."""
+    """Keys whose driver evidence is terminal: a hash-matched row in any
+    prior round's CORRECTNESS file, or — for keys that STILL have no
+    oracle in the current registry — a recorded rows-only run (they can
+    never hash-match, so that run is all the evidence the driver can
+    produce; don't burn a rotation slot re-proving it every round). A
+    stale no_oracle row for a key that has since GAINED an oracle does
+    NOT count — the new oracle needs a fresh driver run."""
+    reg = all_queries()
     root = os.path.dirname(os.path.abspath(__file__))
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -78,11 +85,11 @@ def _driver_green_keys() -> set[str]:
                 continue
             if row.get("hash_match") is True:
                 green.add(key)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows", 0) >= 0:
-                # Rows-only-by-design keys (binary payloads with no SQL
-                # oracle) can never hash-match; a recorded rows-only run
-                # IS their terminal evidence — don't burn a rotation slot
-                # re-proving it every round.
+            elif (
+                row.get("err") == "no_oracle"
+                and key in reg
+                and reg[key].oracle is None
+            ):
                 green.add(key)
     return green
 

@@ -878,7 +878,7 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
         _tokens(F.col("text")).alias("tok"),
-    )
+    ).transform(materialize)  # shset + both ver-join sides: one tokenize pass
     shset = toks.select(
         "doc_id", "lang", "source", "len_band",
         F.array_distinct(_shingles(F.col("tok"))).alias("sh"),

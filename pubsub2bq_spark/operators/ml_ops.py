@@ -310,7 +310,13 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_asgn))
         .filter(F.col("rn") == 1)
     )
-    w = asgn.groupBy("cid_v").agg(F.count(F.lit(1)).alias("weight"))
+    # Materialize the ≤~65-row weight relation: w and other are two
+    # branches of the same plan rooted at the corpus-scale assignment —
+    # without this the crossJoin + window pass runs twice (once for the
+    # broadcast side).
+    w = asgn.groupBy("cid_v").agg(F.count(F.lit(1)).alias("weight")).transform(
+        materialize
+    )
     other = w.select(F.col("cid_v").alias("o_id"), F.col("weight").alias("o_w"))
     ranked = (
         w.join(

@@ -21,10 +21,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
+from pubsub2bq_spark.tables import TABLE_NAMES as TABLES  # noqa: E402
 
 
 def main() -> int:

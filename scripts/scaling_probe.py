@@ -37,13 +37,23 @@ from pubsub2bq_spark.registry import all_queries  # noqa: E402
 from pubsub2bq_spark.session import get_spark  # noqa: E402
 from pubsub2bq_spark.tables import TABLE_NAMES, load, table_path  # noqa: E402
 
-# (table, [key columns to offset per replica]) — offsets keep replica key
-# spaces disjoint so per-key group sizes and join fanouts stay constant.
+# (table, {column: key_space}) — offsets keep replica key spaces disjoint
+# so per-key group sizes and join fanouts stay constant. Columns sharing a
+# key space (orders.o_custkey ⊆ customer.c_custkey) MUST use one shared
+# offset width or replica-i FKs would point at the wrong replica's rows.
 FACTS = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "events": ["event_id", "user_id"],
+    "lineitem": {"l_orderkey": "orderkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "customer": {"c_custkey": "custkey"},
+    "events": {"event_id": "eventid", "user_id": "userid"},
+}
+# key_space -> (owner table, owner column): the width of a key space is
+# max(owner column) + 1, shared by every referencing column.
+KEY_SPACE_OWNER = {
+    "orderkey": ("orders", "o_orderkey"),
+    "custkey": ("customer", "c_custkey"),
+    "eventid": ("events", "event_id"),
+    "userid": ("events", "user_id"),
 }
 
 # Representative plan shapes; every one driver-green at base scale.
@@ -63,31 +73,49 @@ PROBE_KEYS = [
 ]
 
 
+def _key_space_widths(spark, base_sf: str) -> dict[str, int]:
+    """One offset width per key SPACE, from its owner table — every
+    column referencing the space uses the same width, so replica-i FKs
+    land on replica-i rows by construction (not by the coincidence of
+    per-table maxima lining up)."""
+    widths = {}
+    for space, (table, col) in KEY_SPACE_OWNER.items():
+        widths[space] = (
+            int(load(spark, base_sf, table).agg(F.max(col)).collect()[0][0]) + 1
+        )
+    return widths
+
+
 def build_scaled(spark, base_sf: str, scale: int, root: str) -> str:
     out = os.path.join(root, f"x{scale}")
-    if os.path.isdir(out):
-        return out  # reuse across reruns of the probe
+    done = os.path.join(out, "_COMPLETE")
+    if os.path.exists(done):
+        if open(done).read().strip() == base_sf:
+            return out  # fully-built from the same base — reuse
+        shutil.rmtree(out)  # built from a DIFFERENT base sf — rebuild
+    elif os.path.isdir(out):
+        shutil.rmtree(out)  # partial build from a crashed run — rebuild
     os.makedirs(out, exist_ok=True)
+    widths = _key_space_widths(spark, base_sf)
     for t in TABLE_NAMES:
         dst = os.path.join(out, f"{t}.parquet")
         if t not in FACTS or scale == 1:
             os.symlink(table_path(base_sf, t), dst)
             continue
         base = load(spark, base_sf, t)
-        offsets = {
-            c: int(base.agg(F.max(c)).collect()[0][0]) + 1 for c in FACTS[t]
-        }
         parts = []
         for i in range(scale):
             rep = base
-            for c, width in offsets.items():
-                rep = rep.withColumn(c, F.col(c) + F.lit(i * width))
+            for c, space in FACTS[t].items():
+                rep = rep.withColumn(c, F.col(c) + F.lit(i * widths[space]))
             parts.append(rep)
         scaled = parts[0]
         for p in parts[1:]:
             scaled = scaled.unionByName(p)
         # one flat parquet dir per table, like the source layout
         scaled.write.mode("overwrite").parquet(dst)
+    with open(done, "w") as f:  # marker written LAST — reuse gate above
+        f.write(base_sf)
     return out
 
 
@@ -130,8 +158,9 @@ def main() -> int:
         f"replicated with disjoint key offsets at {', '.join(f'{s}x' for s in dirs)}; "
         "dimensions shared unscaled. Join fanout and per-key group sizes are "
         "constant by construction, so volume is the only thing that grows. "
-        "`exponent` = log2(t_max/t_1x) / "
-        f"log2({smax}). How to read it: a plan whose cost is linear in "
+        f"`exponent` = log2(t_{smax}x/t_{smin}x) / log2({smax}/{smin}) "
+        "(fitted between the smallest and largest measured scales). "
+        "How to read it: a plan whose cost is linear in "
         "volume shows exponent <= 1 here — usually well below, because at "
         "1x the 32 cores are underutilized and ~0.2-0.5s of fixed "
         "planning/dispatch overhead dominates, so extra volume is first "
