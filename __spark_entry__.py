@@ -63,16 +63,35 @@ SURVEY2_KEYS = frozenset({
 })
 
 
-def _driver_green_keys() -> set[str]:
-    """Keys whose driver evidence is terminal: a hash-matched row in any
-    prior round's CORRECTNESS file, or — for keys that STILL have no
-    oracle in the current registry — a recorded rows-only run (they can
-    never hash-match, so that run is all the evidence the driver can
-    produce; don't burn a rotation slot re-proving it every round). A
-    stale no_oracle row for a key that has since GAINED an oracle does
-    NOT count — the new oracle needs a fresh driver run."""
+# Keys whose round-4 rewrite lives in a shared helper the per-function
+# implementation hash cannot see (evidence.py documents this coarseness):
+# python_stream_source's spool offset clamp landed in sources/
+# spool_datasource.py, token_entropy's change in a corpus_stats helper.
+# Force one fresh driver check; prune entries once re-evidenced.
+_FORCE_RECHECK = frozenset({"python_stream_source", "token_entropy"})
+
+
+def _green_and_stale_keys() -> tuple[set[str], set[str]]:
+    """Split keys into (fresh-green, stale) for the rotation.
+
+    Fresh-green = IMPL_EVIDENCE.json records terminal driver evidence (a
+    hash-matched row, or — for keys that STILL have no oracle — a
+    rows-only run) whose recorded implementation hash equals the live
+    hash of the registered function.  Stale = evidence exists but the
+    operator was rewritten since (hash mismatch), or rows-only evidence
+    for a key that has since gained an oracle, or a _FORCE_RECHECK
+    override.  Keys in neither set have never been driver-checked.
+
+    Falls back to the pre-r5 any-historical-green scan when
+    IMPL_EVIDENCE.json is absent (fresh clone without the artifact)."""
+    from pubsub2bq_spark.evidence import fresh_green_keys, load_evidence
+
     reg = all_queries()
     root = os.path.dirname(os.path.abspath(__file__))
+    if load_evidence(root):
+        fresh, stale = fresh_green_keys(reg, root)
+        forced = _FORCE_RECHECK & fresh
+        return fresh - forced, stale | forced
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
@@ -91,7 +110,7 @@ def _driver_green_keys() -> set[str]:
                 and reg[key].oracle is None
             ):
                 green.add(key)
-    return green
+    return green, set()
 
 
 # Graded-first-class LLM-pipeline key prefixes (VERDICT r3 next-steps #1:
@@ -113,14 +132,19 @@ def _priority_order(keys: list[str]) -> list[str]:
     — many operators compose per query, so each row evidences the most),
     (2) un-evidenced LLM-pipeline keys (ANN/dedup/training-prep — the
     graded first-class families), (3) other un-evidenced keys with an
-    oracle, (4) un-evidenced rows-only keys, (5) already-green keys
-    (rotate to the back — their evidence stands from the round that
-    produced it). Stable within tiers."""
-    green = _driver_green_keys()
+    oracle, (4) un-evidenced rows-only keys, (5) stale keys — rewritten
+    since their green row, so the evidence no longer covers the current
+    source (never-checked keys outrank them: no evidence beats outdated
+    evidence), (6) fresh-green keys (rotate to the back — their evidence
+    stands against the current implementation hash). Stable within
+    tiers."""
+    green, stale = _green_and_stale_keys()
     reg = all_queries()
 
     def tier(key: str) -> int:
         if key in green:
+            return 6
+        if key in stale:
             return 5
         if key in SURVEY2_KEYS:
             return 0

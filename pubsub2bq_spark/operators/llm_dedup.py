@@ -70,13 +70,14 @@ def text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard
+                     / nullif(len(list_distinct(list_concat(a.tok, b.tok))), 0),
+                     6) AS jaccard
         FROM toks a JOIN toks b
           ON a.lang = b.lang AND a.source = b.source
          AND (a.n_chars // 100) = (b.n_chars // 100)
          AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.tok, b.tok))) > 0.6
+              / nullif(len(list_distinct(list_concat(a.tok, b.tok))), 0) > 0.6
     """,
     doc="Token-set Jaccard near-dup with blocking on (lang, source, "
         "100-char length band); emits pairs with similarity > 0.6.",
@@ -97,7 +98,10 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok"))).cast("double")
     union = F.size(F.array_distinct(F.concat(F.col("a.tok"), F.col("b.tok"))))
-    jac = inter / union
+    # nullif guard (ADVICE r4): two letter-free docs in one block give
+    # 0/0 — Spark yields NULL (pair dropped) but DuckDB IEEE float ops
+    # can yield NaN/inf; nullif on BOTH sides pins the semantics.
+    jac = inter / F.nullif(union.cast("double"), F.lit(0.0))
     return (
         a.join(
             b,
@@ -543,12 +547,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c.doc_a, c.doc_b,
                round(CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
-                     / len(list_distinct(list_concat(ta.tok, tb.tok))), 6) AS jaccard
+                     / nullif(len(list_distinct(list_concat(ta.tok, tb.tok))), 0),
+                     6) AS jaccard
         FROM cand c
         JOIN tokset ta ON ta.doc_id = c.doc_a
         JOIN tokset tb ON tb.doc_id = c.doc_b
         WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
-              / len(list_distinct(list_concat(ta.tok, tb.tok))) > 0.6
+              / nullif(len(list_distinct(list_concat(ta.tok, tb.tok))), 0) > 0.6
     """,
     doc="THE production dedup pipeline, composed end-to-end: MinHash-LSH "
         "candidate generation (cheap, recall-oriented) followed by exact "
@@ -569,7 +574,11 @@ def minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b"))).cast("double")
-    union = F.size(F.array_distinct(F.concat(F.col("tok_a"), F.col("tok_b"))))
+    # nullif guard (ADVICE r4): pins 0/0 to NULL on both engines.
+    union = F.nullif(
+        F.size(F.array_distinct(F.concat(F.col("tok_a"), F.col("tok_b")))).cast("double"),
+        F.lit(0.0),
+    )
     jac = inter / union
     return (
         cand.join(a, "doc_a")
@@ -825,7 +834,7 @@ def canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND (a.n_chars // 100) = (b.n_chars // 100)
              AND a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.sh, b.sh))) > 0.5
+                  / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) > 0.5
         ),
         ver AS (
             SELECT c.doc_a, c.doc_b
@@ -833,7 +842,7 @@ def canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN tokset ta ON ta.doc_id = c.doc_a
             JOIN tokset tb ON tb.doc_id = c.doc_b
             WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
-                  / len(list_distinct(list_concat(ta.tok, tb.tok))) > 0.6
+                  / nullif(len(list_distinct(list_concat(ta.tok, tb.tok))), 0) > 0.6
         ),
         hit AS (
             SELECT t.doc_a FROM struth t
@@ -885,7 +894,13 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(materialize)  # both truth self-join sides, one shingle pass
     sa, sb = shset.alias("a"), shset.alias("b")
     s_inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    s_union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
+    # nullif guards here and below (ADVICE r4): 0/0 on letter-free doc
+    # pairs is NULL on Spark but NaN/inf on DuckDB; nullif on both sides
+    # pins both engines to NULL → pair excluded.
+    s_union = F.nullif(
+        F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh")))).cast("double"),
+        F.lit(0.0),
+    )
     struth = sa.join(
         sb,
         (F.col("a.lang") == F.col("b.lang"))
@@ -901,7 +916,10 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta = tokset.select(F.col("doc_id").alias("doc_a"), F.col("tokd").alias("tok_a"))
     tb = tokset.select(F.col("doc_id").alias("doc_b"), F.col("tokd").alias("tok_b"))
     t_inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b"))).cast("double")
-    t_union = F.size(F.array_distinct(F.concat(F.col("tok_a"), F.col("tok_b"))))
+    t_union = F.nullif(
+        F.size(F.array_distinct(F.concat(F.col("tok_a"), F.col("tok_b")))).cast("double"),
+        F.lit(0.0),
+    )
     ver = cand.join(ta, "doc_a").join(tb, "doc_b").filter(t_inter / t_union > 0.6)
     hit = struth.join(cand, ["doc_a", "doc_b"])
     counts = (

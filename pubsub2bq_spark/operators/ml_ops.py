@@ -287,6 +287,10 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("d2i")
             )
+            # d feeds both the phi aggregate and the sampling filter;
+            # without this the corpus-wide distance pass runs twice per
+            # round (ADVICE r4) — materialized, each round is one scan.
+            .transform(materialize)
         )
         phi = d.agg(F.sum("d2i").alias("phi"))
         u16 = _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(f":{r}")))

@@ -1,0 +1,149 @@
+"""Build / refresh IMPL_EVIDENCE.json from git history (run at round start).
+
+For every registry key, find the LATEST round whose CORRECTNESS_rN.json has
+terminal driver evidence (a hash-matched row, or a rows-only ``no_oracle``
+row), then compute the operator's implementation hash *as of the git commit
+that added that round's file* — the driver runs against the round-final
+tree, so that commit's source is exactly what the green row proved.  The
+historic source is extracted without importing old code: ``git show`` the
+module blob, ``ast``-parse it, and slice the registered function's lines
+including its decorators (byte-identical to what ``inspect.getsource``
+returns for the live function, which is how evidence.live_impl_hash hashes
+the current side of the comparison).
+
+Usage:
+    python scripts/impl_evidence.py            # rewrite IMPL_EVIDENCE.json
+    python scripts/impl_evidence.py --check    # verify file is up to date
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import inspect
+import json
+import os
+import re
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pubsub2bq_spark.evidence import (  # noqa: E402
+    EVIDENCE_FILE,
+    impl_hash_of_source,
+    unwrap_registered,
+)
+from pubsub2bq_spark.registry import all_queries  # noqa: E402
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", ROOT, *args], check=True, capture_output=True, text=True
+    ).stdout
+
+
+def round_commits() -> dict[int, str]:
+    """{round_number: sha of the commit that added CORRECTNESS_rN.json}."""
+    out: dict[int, str] = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        rel = os.path.basename(path)
+        m = re.search(r"r(\d+)\.json$", rel)
+        if not m:
+            continue
+        sha = _git("log", "--diff-filter=A", "--format=%H", "--", rel).split()
+        if sha:
+            out[int(m.group(1))] = sha[-1]  # oldest add wins if re-added
+    return out
+
+
+def latest_green_rounds() -> dict[str, tuple[int, str]]:
+    """{key: (round, kind)} for the newest terminal row per key."""
+    best: dict[str, tuple[int, str]] = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                best[key] = (rnd, "hash")
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                # rows-only evidence; don't demote an existing same-round hash row
+                if best.get(key, (0, ""))[0] < rnd:
+                    best[key] = (rnd, "rows_only")
+    return best
+
+
+def source_at_commit(commit: str, relpath: str, fn_name: str) -> str | None:
+    """The function's source (decorators included) at a historic commit."""
+    try:
+        blob = _git("show", f"{commit}:{relpath}")
+    except subprocess.CalledProcessError:
+        return None
+    try:
+        tree = ast.parse(blob)
+    except SyntaxError:
+        return None
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and node.name == fn_name:
+            start = min([node.lineno] + [d.lineno for d in node.decorator_list])
+            lines = blob.splitlines()
+            return "\n".join(lines[start - 1 : node.end_lineno])
+    return None
+
+
+def build_evidence() -> dict[str, dict]:
+    reg = all_queries()
+    commits = round_commits()
+    greens = latest_green_rounds()
+    evidence: dict[str, dict] = {}
+    missing: list[str] = []
+    for key, (rnd, kind) in sorted(greens.items()):
+        if key not in reg or rnd not in commits:
+            continue
+        fn = unwrap_registered(reg[key].spark)
+        relpath = os.path.relpath(inspect.getsourcefile(fn), ROOT)
+        src = source_at_commit(commits[rnd], relpath, fn.__name__)
+        if src is None:
+            # fn moved files or was renamed since its green round — by
+            # definition the implementation changed, so record no hash:
+            # the key will read as stale and re-rotate forward.
+            missing.append(f"{key} (r{rnd}: {fn.__name__} not in {relpath})")
+            evidence[key] = {"round": rnd, "kind": kind, "hash": None}
+            continue
+        evidence[key] = {"round": rnd, "kind": kind, "hash": impl_hash_of_source(src)}
+    if missing:
+        print(f"[impl_evidence] {len(missing)} keys unresolvable at their green commit "
+              f"(recorded as stale): {missing}", file=sys.stderr)
+    return evidence
+
+
+def main() -> int:
+    evidence = build_evidence()
+    path = os.path.join(ROOT, EVIDENCE_FILE)
+    rendered = json.dumps(evidence, indent=1, sort_keys=True) + "\n"
+    if "--check" in sys.argv:
+        try:
+            with open(path) as f:
+                current = f.read()
+        except OSError:
+            current = ""
+        if current != rendered:
+            print("IMPL_EVIDENCE.json is stale — rerun scripts/impl_evidence.py")
+            return 1
+        print("IMPL_EVIDENCE.json up to date")
+        return 0
+    with open(path, "w") as f:
+        f.write(rendered)
+    print(f"wrote {path}: {len(evidence)} keys")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,133 @@
+"""Staleness-aware driver-rotation evidence (VERDICT r4 #2, ADVICE r4 #3).
+
+A CORRECTNESS green row is terminal only while the operator's source is
+unchanged; a rewrite must re-prioritize the key in the driver rotation."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from pubsub2bq_spark.evidence import (
+    fresh_green_keys,
+    impl_hash_of_source,
+    live_impl_hash,
+    load_evidence,
+    unwrap_registered,
+)
+
+
+class _FakeQuery:
+    def __init__(self, fn, oracle=None):
+        self.spark = fn
+        self.oracle = oracle
+
+
+def _probe_v1(spark, sf_dir):
+    return 1
+
+
+def _probe_v2(spark, sf_dir):
+    return 2  # a different body → a different implementation hash
+
+
+def _write_evidence(tmp_path, mapping):
+    (tmp_path / "IMPL_EVIDENCE.json").write_text(json.dumps(mapping))
+
+
+def test_matching_hash_is_fresh(tmp_path):
+    reg = {"probe": _FakeQuery(_probe_v1, oracle="SELECT 1")}
+    _write_evidence(
+        tmp_path, {"probe": {"round": 4, "kind": "hash", "hash": live_impl_hash(_probe_v1)}}
+    )
+    fresh, stale = fresh_green_keys(reg, str(tmp_path))
+    assert fresh == {"probe"} and stale == set()
+
+
+def test_rewritten_fn_goes_stale(tmp_path):
+    """The verdict's done-criterion: registering a changed fn body for a
+    green key moves it back into the priority tiers."""
+    reg = {"probe": _FakeQuery(_probe_v2, oracle="SELECT 1")}
+    _write_evidence(
+        tmp_path, {"probe": {"round": 4, "kind": "hash", "hash": live_impl_hash(_probe_v1)}}
+    )
+    fresh, stale = fresh_green_keys(reg, str(tmp_path))
+    assert fresh == set() and stale == {"probe"}
+
+
+def test_rows_only_evidence_dies_when_oracle_gained(tmp_path):
+    reg = {"probe": _FakeQuery(_probe_v1, oracle="SELECT 1")}
+    _write_evidence(
+        tmp_path, {"probe": {"round": 3, "kind": "rows_only", "hash": live_impl_hash(_probe_v1)}}
+    )
+    fresh, stale = fresh_green_keys(reg, str(tmp_path))
+    assert stale == {"probe"}
+
+
+def test_rows_only_evidence_stale_on_rewrite(tmp_path):
+    """ADVICE r4 #3: a rows-only key rewritten after its recorded run must
+    re-enter the rotation even though it can never hash-match."""
+    reg = {"probe": _FakeQuery(_probe_v2, oracle=None)}
+    _write_evidence(
+        tmp_path, {"probe": {"round": 3, "kind": "rows_only", "hash": live_impl_hash(_probe_v1)}}
+    )
+    fresh, stale = fresh_green_keys(reg, str(tmp_path))
+    assert fresh == set() and stale == {"probe"}
+
+
+def test_null_hash_is_stale(tmp_path):
+    # backfill records hash=None when the fn moved files since its green round
+    reg = {"probe": _FakeQuery(_probe_v1, oracle=None)}
+    _write_evidence(tmp_path, {"probe": {"round": 2, "kind": "hash", "hash": None}})
+    fresh, stale = fresh_green_keys(reg, str(tmp_path))
+    assert stale == {"probe"}
+
+
+def test_missing_file_returns_empty(tmp_path):
+    assert load_evidence(str(tmp_path)) == {}
+
+
+def test_priority_order_tiers():
+    """Against the real registry + committed IMPL_EVIDENCE.json: every
+    never-checked key sorts before every stale key, which sorts before
+    every fresh-green key."""
+    import __spark_entry__ as e
+
+    green, stale = e._green_and_stale_keys()
+    order = e._priority_order(list(e.all_queries()))
+    pos = {k: i for i, k in enumerate(order)}
+    never = set(order) - green - stale
+    if never and stale:
+        assert max(pos[k] for k in never) < min(pos[k] for k in stale)
+    if stale and green:
+        assert max(pos[k] for k in stale) < min(pos[k] for k in green)
+
+
+def test_force_recheck_keys_rotate_forward():
+    import __spark_entry__ as e
+
+    green, stale = e._green_and_stale_keys()
+    for key in e._FORCE_RECHECK:
+        assert key not in green
+
+
+def test_evidence_file_current_vs_git():
+    """IMPL_EVIDENCE.json must match a recomputation from git history —
+    guards hand-edits and forgotten regeneration after a round lands."""
+    import __spark_entry__ as e  # noqa: F401  (repo root on sys.path)
+
+    proc = subprocess.run(
+        [sys.executable, "scripts/impl_evidence.py", "--check"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_live_hash_includes_decorators():
+    src = unwrap_registered(_probe_v1)
+    assert live_impl_hash(_probe_v1) == impl_hash_of_source(
+        "def _probe_v1(spark, sf_dir):\n    return 1"
+    )
