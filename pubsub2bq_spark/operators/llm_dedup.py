@@ -183,6 +183,63 @@ def _minhash_sig_sql() -> str:
     """
 
 
+# Hot-bucket salting for the band self-joins (VERDICT r4 #5): a bucket
+# with B members emits B^2 pairs through ONE reducer when the shuffle key
+# is the band value alone — a degenerate block (thousands of identical
+# docs) serializes the whole operator. Buckets above _HOT_BUCKET_T split
+# fragment-replicate style: the probe side keeps its doc-hash salt, the
+# build side replicates across all _N_BAND_SALT salts, and the join key
+# becomes (band, salt) — per-reducer work drops to B*(B/S), output
+# identical (same pairs, each exactly once). Mirrors skew_salted_join
+# (joins.py), specialized to the a.doc_id < b.doc_id self-join shape.
+_HOT_BUCKET_T = 64   # bucket members before salting kicks in
+_N_BAND_SALT = 8
+
+
+def _salted_self_join(melted: DataFrame, keys: list[str]) -> DataFrame:
+    """Within-bucket pair generation: self-join `melted` on equal `keys`
+    with doc_id_a < doc_id_b, hot buckets salted. Returns every column of
+    `melted` twice, suffixed _a / _b. Result-identical to the plain
+    self-join — salting only re-keys the shuffle.
+
+    The hot-bucket list is broadcast: by construction it holds at most
+    |melted| / _HOT_BUCKET_T rows and true skew means FEW hot keys; a
+    corpus where most buckets exceed T needs a higher T (or band width),
+    not a bigger broadcast."""
+    cols = list(melted.columns)
+
+    counts = melted.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    hot = counts.filter(F.col("n") > _HOT_BUCKET_T).drop("n").transform(materialize)
+
+    def paired(a_df: DataFrame, b_df: DataFrame, extra) -> DataFrame:
+        a, b = a_df.alias("a"), b_df.alias("b")
+        cond = F.col("a.doc_id") < F.col("b.doc_id")
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        sel = [F.col(f"a.{c}").alias(f"{c}_a") for c in cols] + [
+            F.col(f"b.{c}").alias(f"{c}_b") for c in cols
+        ]
+        return a.join(b, cond & extra).select(*sel)
+
+    # Adaptive fast path (the dedup_clusters convergence-probe pattern):
+    # `hot` is materialized and bounded, so a one-row scalar probe is
+    # free — with no hot bucket, skip the split entirely and run ONE
+    # band join instead of two (measured ~2x on the no-skew corpus).
+    if hot.agg(F.count(F.lit(1))).first()[0] == 0:
+        return paired(melted, melted, F.lit(True))
+
+    cold = melted.join(F.broadcast(hot), keys, "left_anti")
+    hotm = melted.join(F.broadcast(hot), keys, "left_semi").withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(_N_BAND_SALT)).cast("int")
+    )
+    rep = hotm.withColumn(
+        "_sj", F.explode(F.array(*[F.lit(s) for s in range(_N_BAND_SALT)]))
+    )
+    return paired(cold, cold, F.lit(True)).unionByName(
+        paired(rep, hotm, F.col("a._sj") == F.col("b._salt"))
+    )
+
+
 @register(
     "minhash_lsh",
     oracle=_minhash_sig_sql()
@@ -197,7 +254,9 @@ def _minhash_sig_sql() -> str:
         "full band collides.",
     scale_notes="THE scalable near-dup design: signatures are fixed-size "
                 "(shuffle moves 8 hashes/doc, not text), the band join is an "
-                "equi-join on the band key, and hot buckets can be salted. "
+                "equi-join on the band key, and buckets over "
+                f"{_HOT_BUCKET_T} members are fragment-replicate salted "
+                "(_salted_self_join) so no reducer owns a whole hot band. "
                 "Candidate pairs then go through ngram_jaccard-style "
                 "verification.",
 )
@@ -229,10 +288,9 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array(*[F.col(f"band{j}") for j in range(LSH_BANDS)])).alias("bk"),
     ).transform(materialize)
-    a, b = melted.alias("a"), melted.alias("b")
     return (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _salted_self_join(melted, ["bk"])
+        .select(F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
         .distinct()
     )
 
@@ -385,9 +443,10 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and the exact distance filter (bit_count of xor on the packed "
         "halves) prunes band coincidences.",
     scale_notes="The melt emits 8 rows/doc of (band_idx, band_val, two "
-                "bigints); the self-join shuffles on the band key only. "
-                "Hot bands (e.g. all-zero fingerprints from tiny docs) "
-                "salt like any skewed equi-join. The distance check is "
+                "bigints); the self-join shuffles on the band key, and "
+                "hot bands (e.g. all-zero fingerprints from tiny docs) "
+                f"over {_HOT_BUCKET_T} members are fragment-replicate "
+                "salted (_salted_self_join). The distance check is "
                 "two xor+popcounts — whole-stage codegen, no UDF. This "
                 "is the clustering VERDICT r3 asked for: re-grouping on "
                 "band masks instead of equal 16-bit fingerprints.",
@@ -413,8 +472,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shiftright(CASE WHEN k < 4 THEN lo ELSE hi END, 8 * (k % 4)) & 255"
         ).alias("bv"),
     ).transform(materialize)  # one fingerprint pass feeds both join sides
-    a, b = melted.alias("a"), melted.alias("b")
-    ham = F.expr("bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)")
+    pairs = _salted_self_join(melted, ["k", "bv"])
+    ham = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
     # Emit-on-FIRST-matching-band: near-identical pairs share most of the
     # 8 bands, so a plain band join emits each pair up to 8x and needs a
     # multi-million-row DISTINCT shuffle on a near-dup-dense corpus.
@@ -424,23 +483,17 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bitmask of matching bands vs a k-mask) — whole-stage codegen; a
     # lambda/array variant measured 8x slower over the 16M candidates.
     match_mask = " + ".join(
-        f"(CASE WHEN shiftright(a.{'lo' if k < 4 else 'hi'}"
-        f" ^ b.{'lo' if k < 4 else 'hi'}, {8 * (k % 4)}) & 255 = 0"
+        f"(CASE WHEN shiftright({'lo' if k < 4 else 'hi'}_a"
+        f" ^ {'lo' if k < 4 else 'hi'}_b, {8 * (k % 4)}) & 255 = 0"
         f" THEN {1 << k} ELSE 0 END)"
         for k in range(_SH_BANDS)
     )
-    first_match = F.expr(f"(({match_mask}) & (shiftleft(1, a.k) - 1)) = 0")
+    first_match = F.expr(f"(({match_mask}) & (shiftleft(1, k_a) - 1)) = 0")
     return (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(first_match & (ham <= _SH_RADIUS))
+        pairs.filter(first_match & (ham <= _SH_RADIUS))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
     )

@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pubsub2bq_spark.registry import all_queries  # noqa: E402
 
 
-def main() -> None:
+def render() -> str:
     qs = all_queries()
     lines = [
         "# Operator inventory (generated — do not edit)",
@@ -38,11 +38,34 @@ def main() -> None:
             lines.append("")
             lines.append(f"**At 100 TB:** {notes}")
         lines.append("")
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "docs", "OPERATORS.md")
-    with open(out, "w") as f:
-        f.write("\n".join(lines))
-    print(f"wrote {out}: {len(qs)} operators")
+    return "\n".join(lines)
+
+
+def out_path() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "OPERATORS.md")
+
+
+def main() -> None:
+    rendered = render()
+    with open(out_path(), "w") as f:
+        f.write(rendered)
+    print(f"wrote {out_path()}")
+
+
+def check() -> int:
+    """Exit 1 when docs/OPERATORS.md is stale vs the live registry —
+    the doc-drift gate (VERDICT r4 #6), run by tests/test_units.py."""
+    try:
+        with open(out_path()) as f:
+            current = f.read()
+    except OSError:
+        current = ""
+    if current != render():
+        print("docs/OPERATORS.md is stale — rerun scripts/gen_operator_docs.py")
+        return 1
+    print("docs/OPERATORS.md up to date")
+    return 0
 
 
 def survey_key_section() -> str:
@@ -68,5 +91,7 @@ def survey_key_section() -> str:
 if __name__ == "__main__":
     if "--survey-keys" in sys.argv:
         print(survey_key_section())
+    elif "--check" in sys.argv:
+        raise SystemExit(check())
     else:
         main()

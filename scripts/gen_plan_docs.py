@@ -86,6 +86,11 @@ PLAN_KEYS = [
     "corpus_shuffle",
     "ann_ivf_kmeans",
     "rag_retrieve",
+    "bm25_topk",
+    "hybrid_retrieve",
+    "simhash_pairs",
+    "dedup_clusters",
+    "kmeans_parallel_init",
     "recursive_cte",
     "markov_transitions",
     "canonical_dedup",

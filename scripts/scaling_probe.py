@@ -10,10 +10,21 @@ log2(t_max/t_1) / log2(scale_max): ~1.0 = linear (what a shuffle-
 disciplined plan should show on fixed cores), >>1 = a plan that will
 not survive a 100x scale-up.
 
-Text/dedup operators are deliberately excluded: replicating documents
-multiplies the near-duplicate density itself, so their cost would grow
-with the (synthetic) answer size, not the engine — the wrong thing to
-measure.
+Text tables are replicated with a per-replica TOKEN TAG (every
+alphabetic run gets a two-letter replica prefix) in addition to the
+doc_id offset: replicating identical text would multiply near-duplicate
+density itself, so band-join cost would grow with the (synthetic)
+answer size, not the engine. Tagged replicas keep per-replica token /
+shingle / fingerprint statistics identical while making cross-replica
+collisions vanish — bucket sizes, posting-list depths and dup-cluster
+sizes stay constant and volume is again the only thing that grows.
+`embeddings` replicates by vec_id offset with vectors unchanged.
+
+ann_ivf's raw exponent is expected ~2 BY CONSTRUCTION at fixed probe
+constants: the query set (vec_id % 100 = 0) grows with the corpus AND
+per-cell density grows (N_CELLS fixed at test scale; production scales
+cells with corpus). The table therefore also reports a per-query
+exponent (time / scale) for it — that is the engine number.
 
 Usage:
     python scripts/scaling_probe.py [--scales 1 2 4 8] [--reps 2]
@@ -46,6 +57,8 @@ FACTS = {
     "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
     "customer": {"c_custkey": "custkey"},
     "events": {"event_id": "eventid", "user_id": "userid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
 }
 # key_space -> (owner table, owner column): the width of a key space is
 # max(owner column) + 1, shared by every referencing column.
@@ -54,7 +67,27 @@ KEY_SPACE_OWNER = {
     "custkey": ("customer", "c_custkey"),
     "eventid": ("events", "event_id"),
     "userid": ("events", "user_id"),
+    "docid": ("documents", "doc_id"),
+    "vecid": ("embeddings", "vec_id"),
 }
+
+
+def _replica_tag(i: int) -> str:
+    """Two lowercase letters, distinct per replica — lowercase so the
+    [^a-z]+ tokenizers keep tagged runs as single tokens."""
+    return chr(97 + i // 26) + chr(97 + i % 26)
+
+
+def _perturb(table: str, rep, i: int):
+    """Per-replica value perturbation beyond key offsets: tag every
+    alphabetic run in documents.text so replicas share no tokens,
+    shingles, fingerprints or posting terms (see module docstring)."""
+    if table == "documents":
+        rep = rep.withColumn(
+            "text", F.regexp_replace("text", "([a-z]+)", _replica_tag(i) + "$1")
+        )
+        rep = rep.withColumn("n_chars", F.length("text"))
+    return rep
 
 # Representative plan shapes; every one driver-green at base scale.
 PROBE_KEYS = [
@@ -70,7 +103,19 @@ PROBE_KEYS = [
     "sessionize",      # gaps-and-islands
     "feature_binning", # two-phase exact global deciles
     "skew_salted_agg", # salted aggregation
+    # documents/embeddings family (VERDICT r4 #3): the graded LLM
+    # components most likely to hide a quadratic (band-bucket blowup,
+    # hot posting lists, all-pairs fallbacks).
+    "minhash_lsh",     # banded signature self-join (salted hot buckets)
+    "simhash_pairs",   # 8x8-bit band join + Hamming filter (salted)
+    "dedup_clusters",  # label propagation over LSH candidate edges
+    "bm25_topk",       # posting-list join with df stopword cap
+    "ann_ivf",         # cell-probed ANN (see per-query note above)
 ]
+
+# Keys whose WORK grows with scale on both axes by construction (query
+# count x corpus density); report time/scale as the per-query exponent.
+QUERY_SCALED = {"ann_ivf"}
 
 
 def _key_space_widths(spark, base_sf: str) -> dict[str, int]:
@@ -86,20 +131,29 @@ def _key_space_widths(spark, base_sf: str) -> dict[str, int]:
     return widths
 
 
+# Bump when FACTS / perturbation rules change: stale kept builds from an
+# older builder must NOT be reused (they'd silently probe unscaled
+# tables — exactly what happened when documents joined FACTS).
+BUILD_VERSION = "v2-textfacts"
+
+
 def build_scaled(spark, base_sf: str, scale: int, root: str) -> str:
     out = os.path.join(root, f"x{scale}")
     done = os.path.join(out, "_COMPLETE")
+    marker = f"{base_sf}|{BUILD_VERSION}"
     if os.path.exists(done):
-        if open(done).read().strip() == base_sf:
-            return out  # fully-built from the same base — reuse
-        shutil.rmtree(out)  # built from a DIFFERENT base sf — rebuild
+        if open(done).read().strip() == marker:
+            return out  # fully-built from the same base + builder — reuse
+        shutil.rmtree(out)  # different base sf or builder version — rebuild
     elif os.path.isdir(out):
         shutil.rmtree(out)  # partial build from a crashed run — rebuild
     os.makedirs(out, exist_ok=True)
     widths = _key_space_widths(spark, base_sf)
     for t in TABLE_NAMES:
         dst = os.path.join(out, f"{t}.parquet")
-        if t not in FACTS or scale == 1:
+        # documents is value-perturbed even at 1x so every scale compares
+        # tagged text against tagged text (same per-token cost).
+        if t not in FACTS or (scale == 1 and t != "documents"):
             os.symlink(table_path(base_sf, t), dst)
             continue
         base = load(spark, base_sf, t)
@@ -108,14 +162,14 @@ def build_scaled(spark, base_sf: str, scale: int, root: str) -> str:
             rep = base
             for c, space in FACTS[t].items():
                 rep = rep.withColumn(c, F.col(c) + F.lit(i * widths[space]))
-            parts.append(rep)
+            parts.append(_perturb(t, rep, i))
         scaled = parts[0]
         for p in parts[1:]:
             scaled = scaled.unionByName(p)
         # one flat parquet dir per table, like the source layout
         scaled.write.mode("overwrite").parquet(dst)
     with open(done, "w") as f:  # marker written LAST — reuse gate above
-        f.write(base_sf)
+        f.write(marker)
     return out
 
 
@@ -172,8 +226,9 @@ def main() -> int:
         "shows the plan SHAPE is right, this measures that cost actually "
         "tracks volume.",
         "",
-        "| query | " + " | ".join(f"{s}x (s)" for s in dirs) + " | exponent |",
-        "|---|" + "---|" * (len(dirs) + 1),
+        "| query | " + " | ".join(f"{s}x (s)" for s in dirs)
+        + " | exponent | per-query exp |",
+        "|---|" + "---|" * (len(dirs) + 2),
     ]
     import math
 
@@ -184,10 +239,11 @@ def main() -> int:
             if row[smin] > 0 and smax > smin
             else float("nan")
         )
+        pq = f"{exp - 1:.2f}" if key in QUERY_SCALED else "—"
         lines.append(
             f"| {key} | "
             + " | ".join(str(row[s]) for s in dirs)
-            + f" | {exp:.2f} |"
+            + f" | {exp:.2f} | {pq} |"
         )
     lines.append("")
     with open(args.out, "w") as f:
