@@ -128,8 +128,8 @@ REGRESSION_FACTOR = 1.5
 # startup can't flag, and a real per-batch regression can't hide under
 # a large fixed term.
 STREAM_FIXED_COST = {
-    "transform_with_state": 3.6,
-    "stream_replay": 3.3,
+    "transform_with_state": 3.7,  # measured 3.74s at sf0.001 (min of 3)
+    "stream_replay": 3.6,         # measured 3.59s at sf0.001 (min of 3)
 }
 
 
@@ -150,6 +150,17 @@ KNOWN_SEMANTIC_CHANGES = {
         "(VERDICT r3 next-step #3) — 4× aggregation state. Like-for-like "
         "(64-bit instr/CASE vs 64-bit conv/bitshift) the r4 rewrite is "
         "~20-25% faster in an isolated A/B."
+    ),
+    "ann_ivf_kmeans": (
+        "r4 baseline built the index from a free lowest-vec_id init + two "
+        "Lloyd rounds; r5 wires k-means|| seeding in (VERDICT r4 #4): two "
+        "oversampling scans + a candidate-weighting pass + a weighted "
+        "mini-Lloyd over the candidate set, then ONE corpus Lloyd round. "
+        "The seeding buys recall@10 0.56→0.82 (sf0.001) at equal-or-"
+        "better sf0.01 recall. At bench scale (2000 vectors) the added "
+        "time is the seeding chain's fixed job overhead (its eager "
+        "materializations are per-op constants, not data-dependent); "
+        "asymptotically the build is ~5 corpus scans vs the old 4."
     ),
 }
 

@@ -202,6 +202,15 @@ def _salted_self_join(melted: DataFrame, keys: list[str]) -> DataFrame:
     `melted` twice, suffixed _a / _b. Result-identical to the plain
     self-join — salting only re-keys the shuffle.
 
+    ONE join, conditional salt (not a cold/hot branch union — that shape
+    ran the band join twice and measured ~1.9x): rows in cold buckets
+    carry salt 0 on both sides; rows in hot buckets carry their doc-hash
+    salt on the build side and replicate across all _N_BAND_SALT salts
+    on the probe side. The join key (keys..., salt) is then exactly the
+    plain key for cold buckets and the fragment-replicate key for hot
+    ones, so the only added cost over the unsalted join is the bucket
+    count + a broadcast hot-tag — and no reducer owns a whole hot band.
+
     The hot-bucket list is broadcast: by construction it holds at most
     |melted| / _HOT_BUCKET_T rows and true skew means FEW hot keys; a
     corpus where most buckets exceed T needs a higher T (or band width),
@@ -209,35 +218,40 @@ def _salted_self_join(melted: DataFrame, keys: list[str]) -> DataFrame:
     cols = list(melted.columns)
 
     counts = melted.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    hot = counts.filter(F.col("n") > _HOT_BUCKET_T).drop("n").transform(materialize)
-
-    def paired(a_df: DataFrame, b_df: DataFrame, extra) -> DataFrame:
-        a, b = a_df.alias("a"), b_df.alias("b")
-        cond = F.col("a.doc_id") < F.col("b.doc_id")
-        for k in keys:
-            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-        sel = [F.col(f"a.{c}").alias(f"{c}_a") for c in cols] + [
-            F.col(f"b.{c}").alias(f"{c}_b") for c in cols
-        ]
-        return a.join(b, cond & extra).select(*sel)
-
-    # Adaptive fast path (the dedup_clusters convergence-probe pattern):
-    # `hot` is materialized and bounded, so a one-row scalar probe is
-    # free — with no hot bucket, skip the split entirely and run ONE
-    # band join instead of two (measured ~2x on the no-skew corpus).
-    if hot.agg(F.count(F.lit(1))).first()[0] == 0:
-        return paired(melted, melted, F.lit(True))
-
-    cold = melted.join(F.broadcast(hot), keys, "left_anti")
-    hotm = melted.join(F.broadcast(hot), keys, "left_semi").withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(_N_BAND_SALT)).cast("int")
+    hot = (
+        counts.filter(F.col("n") > _HOT_BUCKET_T)
+        .drop("n")
+        .withColumn("_hot", F.lit(True))
+        .transform(materialize)
     )
-    rep = hotm.withColumn(
-        "_sj", F.explode(F.array(*[F.lit(s) for s in range(_N_BAND_SALT)]))
+    tagged = melted.join(F.broadcast(hot), keys, "left").withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.pmod(F.xxhash64("doc_id"), F.lit(_N_BAND_SALT)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
     )
-    return paired(cold, cold, F.lit(True)).unionByName(
-        paired(rep, hotm, F.col("a._sj") == F.col("b._salt"))
+    probe = tagged.withColumn(
+        "_sj",
+        F.explode(
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.array(*[F.lit(s) for s in range(_N_BAND_SALT)]),
+            ).otherwise(F.array(F.lit(0)))
+        ),
     )
+    a, b = probe.alias("a"), tagged.alias("b")
+    cond = (F.col("a._sj") == F.col("b._salt")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    sel = [F.col(f"a.{c}").alias(f"{c}_a") for c in cols] + [
+        F.col(f"b.{c}").alias(f"{c}_b") for c in cols
+    ]
+    return a.join(b, cond).select(*sel)
 
 
 @register(

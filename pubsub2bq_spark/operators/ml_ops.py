@@ -472,9 +472,13 @@ def _kpp_seeds(v: DataFrame) -> DataFrame:
                 (F.sum(F.col("val") * F.col("weight")) / F.sum("weight")).alias("m")
             )
         )
+        # No per-iteration materialize: the loop-carried relation is
+        # ≤ KPP_K rows and KPP_MINI_ITERS is 3 — re-deriving earlier
+        # iterations inside one plan is cheaper than 3 eager jobs
+        # (wcand, the corpus-derived input, IS materialized above).
         seeds = per_dim.groupBy("cid").agg(
             F.array_sort(F.collect_list(F.struct("dim", "m"))).getField("m").alias("c")
-        ).transform(materialize)  # loop-carried, ≤ KPP_K rows
+        )
     return seeds
 
 
