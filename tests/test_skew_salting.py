@@ -124,3 +124,44 @@ class TestOperatorLevelSkew:
         dup = pairs.filter((F.col("doc_a") < 1000) & (F.col("doc_b") < 1000))
         assert dup.count() == n_dup * (n_dup - 1) // 2
         assert dup.agg(F.max("hamming")).first()[0] == 0
+
+
+class TestSaltedJoinProperties:
+    """Property check: for ANY bucket-size profile (empty, tie-heavy,
+    several hot buckets, exact-threshold buckets), the salted join is
+    pair-identical to the plain join."""
+
+    def test_random_profiles(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @given(
+            sizes=st.lists(
+                st.integers(min_value=1, max_value=2 * _HOT_BUCKET_T + 5),
+                min_size=1,
+                max_size=4,
+            )
+        )
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        def check(sizes):
+            rows = []
+            doc = 0
+            for b, n in enumerate(sizes):
+                for _ in range(n):
+                    rows.append((doc, f"bk{b}"))
+                    doc += 1
+            from pyspark.sql import functions as FF
+
+            melted = spark.createDataFrame(rows, "doc_id long, bk string")
+            got = _salted_self_join(melted, ["bk"]).select(
+                FF.col("doc_id_a").alias("doc_a"), FF.col("doc_id_b").alias("doc_b")
+            )
+            want = _plain_pairs(melted, ["bk"])
+            assert got.exceptAll(want).unionByName(want.exceptAll(got)).count() == 0
+            assert got.count() == sum(n * (n - 1) // 2 for n in sizes)
+
+        check()
