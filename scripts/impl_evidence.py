@@ -58,14 +58,19 @@ def round_commits() -> dict[int, str]:
     return out
 
 
-def latest_green_rounds() -> dict[str, tuple[int, str]]:
-    """{key: (round, kind)} for the newest terminal row per key."""
+def latest_green_rounds(max_round: int | None = None) -> dict[str, tuple[int, str]]:
+    """{key: (round, kind)} for the newest terminal row per key, over
+    CORRECTNESS files with round ≤ ``max_round`` (None = all). The cap
+    must apply BEFORE latest-wins so a key green in both r2 and r99
+    falls back to its r2 row when capped at r4, rather than vanishing."""
     best: dict[str, tuple[int, str]] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for key, row in rows.items():
@@ -98,10 +103,15 @@ def source_at_commit(commit: str, relpath: str, fn_name: str) -> str | None:
     return None
 
 
-def build_evidence() -> dict[str, dict]:
+def build_evidence(max_round: int | None = None) -> dict[str, dict]:
+    """``max_round`` restricts to CORRECTNESS files ≤ that round — used by
+    --check so a brand-new driver-written CORRECTNESS file (which lands
+    AFTER the round's last code commit, before anyone can refresh the
+    evidence) doesn't fail the drift gate; the next round's start chore
+    folds it in."""
     reg = all_queries()
     commits = round_commits()
-    greens = latest_green_rounds()
+    greens = latest_green_rounds(max_round)
     evidence: dict[str, dict] = {}
     missing: list[str] = []
     for key, (rnd, kind) in sorted(greens.items()):
@@ -125,20 +135,37 @@ def build_evidence() -> dict[str, dict]:
 
 
 def main() -> int:
-    evidence = build_evidence()
     path = os.path.join(ROOT, EVIDENCE_FILE)
-    rendered = json.dumps(evidence, indent=1, sort_keys=True) + "\n"
     if "--check" in sys.argv:
         try:
             with open(path) as f:
                 current = f.read()
-        except OSError:
-            current = ""
+                covered = json.loads(current)
+        except (OSError, ValueError):
+            current, covered = "", {}
+        file_max = max(
+            (v.get("round", 0) for v in covered.values() if isinstance(v, dict)),
+            default=0,
+        )
+        rendered = (
+            json.dumps(build_evidence(max_round=file_max), indent=1, sort_keys=True)
+            + "\n"
+        )
         if current != rendered:
             print("IMPL_EVIDENCE.json is stale — rerun scripts/impl_evidence.py")
             return 1
-        print("IMPL_EVIDENCE.json up to date")
+        newer = [r for r in round_commits() if r > file_max]
+        if newer:
+            print(
+                f"IMPL_EVIDENCE.json consistent through r{file_max}; "
+                f"CORRECTNESS round(s) {newer} not yet folded in — run "
+                "scripts/impl_evidence.py at round start."
+            )
+        else:
+            print("IMPL_EVIDENCE.json up to date")
         return 0
+    evidence = build_evidence()
+    rendered = json.dumps(evidence, indent=1, sort_keys=True) + "\n"
     with open(path, "w") as f:
         f.write(rendered)
     print(f"wrote {path}: {len(evidence)} keys")
