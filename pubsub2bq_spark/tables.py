@@ -167,6 +167,15 @@ def materialize(df: DataFrame) -> DataFrame:
         )
     from pyspark import StorageLevel
 
+    # Reliable tier keeps FULL lineage (that is what makes the persisted
+    # blocks recomputable after executor loss), so iterative operators
+    # compound reused subtrees into plan trees whose *rendered string*
+    # (AQE re-explains on every plan update) can exceed the driver heap —
+    # observed as an OutOfMemoryError inside explainString on the seeded
+    # IVF build. Cap the render length; runtime-settable, plan semantics
+    # untouched. Idempotent, so setting it per call is free.
+    df.sparkSession.conf.set("spark.sql.maxPlanStringLength", "1048576")
+
     sc = df.sparkSession.sparkContext
     persisted = df.persist(StorageLevel.DISK_ONLY)
     if sc.getCheckpointDir() is not None:

@@ -285,3 +285,34 @@ class TestRound2LateOps:
         plan = plan_of(spark, "dataset_card")
         assert "Join" not in plan
         assert "HashAggregate" in plan and "Expand" in plan
+
+
+class TestRound5Plans:
+    """Plan gates for the round-5 shapes: salted band joins and the
+    k-means||-seeded IVF build."""
+
+    def test_salted_band_join_keys_include_salt(self, spark):
+        """The simhash band join's equi-keys must include the salt pair
+        (a._sj = b._salt) alongside (k, bv) — the property that spreads a
+        hot band over _N_BAND_SALT reducers instead of one."""
+        plan = plan_of(spark, "simhash_pairs")
+        assert "_sj" in plan and "_salt" in plan
+        # pair generation is a single join, not a cold/hot branch union
+        # of two band joins (that shape measured ~1.9x)
+        assert plan.count("Union") <= 0
+
+    def test_minhash_band_join_single_shape(self, spark):
+        plan = plan_of(spark, "minhash_lsh")
+        assert "_sj" in plan and "_salt" in plan
+        assert "Union" not in plan
+
+    def test_ivf_kmeans_no_corpus_corpus_join(self, spark):
+        """Every join in the seeded IVF build must have a broadcast side:
+        centroids, candidate sets, seed relations and probe sets are all
+        bounded — the corpus may never appear on both sides of a shuffle
+        join. (SMJ/ShuffledHashJoin would mean an accidental corpus-corpus
+        pairing.)"""
+        plan = plan_of(spark, "ann_ivf_kmeans")
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -371,3 +371,17 @@ def test_fan_out_estimates_without_rdd_probe(spark):
     assert est is not None and est < spark.sparkContext.defaultParallelism
     spread = fan_out(df, spark)
     assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_reliable_tier_caps_plan_string_length(spark, monkeypatch):
+    """Reliable-tier materialize keeps full lineage, so iterative
+    operators compound reused subtrees; AQE re-renders the plan string on
+    every update and an uncapped render OOMed the driver (observed on the
+    seeded IVF build). The tier must cap spark.sql.maxPlanStringLength."""
+    from pubsub2bq_spark.tables import materialize
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
+    spark.conf.unset("spark.sql.maxPlanStringLength")
+    out = materialize(spark.range(0, 10).withColumnRenamed("id", "v"))
+    assert out.count() == 10
+    assert int(spark.conf.get("spark.sql.maxPlanStringLength")) <= 1048576
