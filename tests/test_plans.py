@@ -11,10 +11,22 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from pubsub2bq_spark.registry import all_queries
 from tests.conftest import SF_SMOKE
 
 QUERIES = all_queries()
+
+
+@pytest.fixture(autouse=True)
+def _local_materialize(monkeypatch):
+    """Plan-shape assertions are written for the default (local) tier:
+    the reliable tier swaps localCheckpoint for persist, which changes
+    statistics and join-strategy counts without changing results (the
+    full-registry reliable sweep is hash-green). Pin the tier so the
+    suite passes under SPARK_GRAFT_MATERIALIZE=reliable too."""
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "local")
 
 
 def plan_of(spark, key: str) -> str:
