@@ -63,24 +63,26 @@ SURVEY2_KEYS = frozenset({
 })
 
 
-# Keys whose round-4 rewrite lives in a shared helper the per-function
-# implementation hash cannot see (evidence.py documents this coarseness):
-# python_stream_source's spool offset clamp landed in sources/
-# spool_datasource.py, token_entropy's change in a corpus_stats helper.
+# Keys whose round-4 rewrite lives where the implementation hash cannot
+# see it: python_stream_source's spool offset clamp landed CROSS-module
+# (sources/spool_datasource.py — the closure hash covers same-module
+# symbols only), and token_entropy is kept per the r4 verdict's explicit
+# re-evidence ask even though its symbol-level closure is unchanged.
 # Force one fresh driver check; prune entries once re-evidenced.
 _FORCE_RECHECK = frozenset({"python_stream_source", "token_entropy"})
 
 
-def _green_and_stale_keys() -> tuple[set[str], set[str]]:
-    """Split keys into (fresh-green, stale) for the rotation.
+def _green_and_stale_keys() -> tuple[set[str], set[str], set[str]]:
+    """Split keys into (fresh-green, strong-stale, weak-stale).
 
     Fresh-green = IMPL_EVIDENCE.json records terminal driver evidence (a
     hash-matched row, or — for keys that STILL have no oracle — a
-    rows-only run) whose recorded implementation hash equals the live
-    hash of the registered function.  Stale = evidence exists but the
-    operator was rewritten since (hash mismatch), or rows-only evidence
-    for a key that has since gained an oracle, or a _FORCE_RECHECK
-    override.  Keys in neither set have never been driver-checked.
+    rows-only run) whose recorded closure hash (operator + referenced
+    same-module helpers/constants) equals the live one.  Strong-stale =
+    the operator's OWN source changed since its green row (or rows-only
+    evidence for a key that since gained an oracle, or a _FORCE_RECHECK
+    override).  Weak-stale = only referenced helpers/constants changed.
+    Keys in no set have never been driver-checked.
 
     Falls back to the pre-r5 any-historical-green scan when
     IMPL_EVIDENCE.json is absent (fresh clone without the artifact)."""
@@ -89,9 +91,9 @@ def _green_and_stale_keys() -> tuple[set[str], set[str]]:
     reg = all_queries()
     root = os.path.dirname(os.path.abspath(__file__))
     if load_evidence(root):
-        fresh, stale = fresh_green_keys(reg, root)
-        forced = _FORCE_RECHECK & fresh
-        return fresh - forced, stale | forced
+        fresh, strong, weak = fresh_green_keys(reg, root)
+        forced = _FORCE_RECHECK & (fresh | weak)
+        return fresh - forced, strong | forced, weak - forced
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
@@ -110,7 +112,7 @@ def _green_and_stale_keys() -> tuple[set[str], set[str]]:
                 and reg[key].oracle is None
             ):
                 green.add(key)
-    return green, set()
+    return green, set(), set()
 
 
 # Graded-first-class LLM-pipeline key prefixes (VERDICT r3 next-steps #1:
@@ -132,19 +134,21 @@ def _priority_order(keys: list[str]) -> list[str]:
     — many operators compose per query, so each row evidences the most),
     (2) un-evidenced LLM-pipeline keys (ANN/dedup/training-prep — the
     graded first-class families), (3) other un-evidenced keys with an
-    oracle, (4) un-evidenced rows-only keys, (5) stale keys — rewritten
-    since their green row, so the evidence no longer covers the current
-    source (never-checked keys outrank them: no evidence beats outdated
-    evidence), (6) fresh-green keys (rotate to the back — their evidence
-    stands against the current implementation hash). Stable within
-    tiers."""
-    green, stale = _green_and_stale_keys()
+    oracle, (4) un-evidenced rows-only keys, (5) strong-stale keys — the
+    operator itself was rewritten since its green row (never-checked
+    keys outrank them: no evidence beats outdated evidence), (6)
+    weak-stale keys — only referenced same-module helpers/constants
+    changed, (7) fresh-green keys (rotate to the back — their evidence
+    stands against the current closure hash). Stable within tiers."""
+    green, strong, weak = _green_and_stale_keys()
     reg = all_queries()
 
     def tier(key: str) -> int:
         if key in green:
+            return 7
+        if key in weak:
             return 6
-        if key in stale:
+        if key in strong:
             return 5
         if key in SURVEY2_KEYS:
             return 0

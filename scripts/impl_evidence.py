@@ -6,10 +6,11 @@ row), then compute the operator's implementation hash *as of the git commit
 that added that round's file* — the driver runs against the round-final
 tree, so that commit's source is exactly what the green row proved.  The
 historic source is extracted without importing old code: ``git show`` the
-module blob, ``ast``-parse it, and slice the registered function's lines
-including its decorators (byte-identical to what ``inspect.getsource``
-returns for the live function, which is how evidence.live_impl_hash hashes
-the current side of the comparison).
+module blob, then the same AST closure machinery evidence.live_impl_hash
+uses on the live side (the function + every same-module symbol it
+transitively references).  Two hashes are recorded per key: the closure
+hash (freshness) and the fn-only hash (strong vs weak staleness — see
+evidence.fresh_green_keys).
 
 Usage:
     python scripts/impl_evidence.py            # rewrite IMPL_EVIDENCE.json
@@ -18,7 +19,6 @@ Usage:
 
 from __future__ import annotations
 
-import ast
 import glob
 import inspect
 import json
@@ -32,6 +32,7 @@ sys.path.insert(0, ROOT)
 
 from pubsub2bq_spark.evidence import (  # noqa: E402
     EVIDENCE_FILE,
+    closure_source,
     impl_hash_of_source,
     unwrap_registered,
 )
@@ -86,7 +87,21 @@ def latest_green_rounds(max_round: int | None = None) -> dict[str, tuple[int, st
 
 
 def source_at_commit(commit: str, relpath: str, fn_name: str) -> str | None:
-    """The function's source (decorators included) at a historic commit."""
+    """The function's closure source (fn + referenced same-module
+    symbols, identical machinery to evidence.live_impl_hash) at a
+    historic commit — extracted from the git blob, never imported."""
+    try:
+        blob = _git("show", f"{commit}:{relpath}")
+    except subprocess.CalledProcessError:
+        return None
+    return closure_source(blob, fn_name)
+
+
+def fn_only_source_at_commit(commit: str, relpath: str, fn_name: str) -> str | None:
+    """Just the function's own lines (decorators included) at a historic
+    commit — the narrow twin of evidence.live_fn_hash."""
+    import ast
+
     try:
         blob = _git("show", f"{commit}:{relpath}")
     except subprocess.CalledProcessError:
@@ -98,8 +113,7 @@ def source_at_commit(commit: str, relpath: str, fn_name: str) -> str | None:
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and node.name == fn_name:
             start = min([node.lineno] + [d.lineno for d in node.decorator_list])
-            lines = blob.splitlines()
-            return "\n".join(lines[start - 1 : node.end_lineno])
+            return "\n".join(blob.splitlines()[start - 1 : node.end_lineno])
     return None
 
 
@@ -120,14 +134,20 @@ def build_evidence(max_round: int | None = None) -> dict[str, dict]:
         fn = unwrap_registered(reg[key].spark)
         relpath = os.path.relpath(inspect.getsourcefile(fn), ROOT)
         src = source_at_commit(commits[rnd], relpath, fn.__name__)
+        fn_src = fn_only_source_at_commit(commits[rnd], relpath, fn.__name__)
         if src is None:
             # fn moved files or was renamed since its green round — by
             # definition the implementation changed, so record no hash:
             # the key will read as stale and re-rotate forward.
             missing.append(f"{key} (r{rnd}: {fn.__name__} not in {relpath})")
-            evidence[key] = {"round": rnd, "kind": kind, "hash": None}
+            evidence[key] = {"round": rnd, "kind": kind, "hash": None, "fn_hash": None}
             continue
-        evidence[key] = {"round": rnd, "kind": kind, "hash": impl_hash_of_source(src)}
+        evidence[key] = {
+            "round": rnd,
+            "kind": kind,
+            "hash": impl_hash_of_source(src),
+            "fn_hash": impl_hash_of_source(fn_src) if fn_src else None,
+        }
     if missing:
         print(f"[impl_evidence] {len(missing)} keys unresolvable at their green commit "
               f"(recorded as stale): {missing}", file=sys.stderr)

@@ -41,8 +41,8 @@ def test_matching_hash_is_fresh(tmp_path):
     _write_evidence(
         tmp_path, {"probe": {"round": 4, "kind": "hash", "hash": live_impl_hash(_probe_v1)}}
     )
-    fresh, stale = fresh_green_keys(reg, str(tmp_path))
-    assert fresh == {"probe"} and stale == set()
+    fresh, strong, weak = fresh_green_keys(reg, str(tmp_path))
+    assert fresh == {"probe"} and strong == set() and weak == set()
 
 
 def test_rewritten_fn_goes_stale(tmp_path):
@@ -52,8 +52,8 @@ def test_rewritten_fn_goes_stale(tmp_path):
     _write_evidence(
         tmp_path, {"probe": {"round": 4, "kind": "hash", "hash": live_impl_hash(_probe_v1)}}
     )
-    fresh, stale = fresh_green_keys(reg, str(tmp_path))
-    assert fresh == set() and stale == {"probe"}
+    fresh, strong, weak = fresh_green_keys(reg, str(tmp_path))
+    assert fresh == set() and strong == {"probe"} and weak == set()
 
 
 def test_rows_only_evidence_dies_when_oracle_gained(tmp_path):
@@ -61,8 +61,8 @@ def test_rows_only_evidence_dies_when_oracle_gained(tmp_path):
     _write_evidence(
         tmp_path, {"probe": {"round": 3, "kind": "rows_only", "hash": live_impl_hash(_probe_v1)}}
     )
-    fresh, stale = fresh_green_keys(reg, str(tmp_path))
-    assert stale == {"probe"}
+    fresh, strong, weak = fresh_green_keys(reg, str(tmp_path))
+    assert strong == {"probe"}
 
 
 def test_rows_only_evidence_stale_on_rewrite(tmp_path):
@@ -72,16 +72,16 @@ def test_rows_only_evidence_stale_on_rewrite(tmp_path):
     _write_evidence(
         tmp_path, {"probe": {"round": 3, "kind": "rows_only", "hash": live_impl_hash(_probe_v1)}}
     )
-    fresh, stale = fresh_green_keys(reg, str(tmp_path))
-    assert fresh == set() and stale == {"probe"}
+    fresh, strong, weak = fresh_green_keys(reg, str(tmp_path))
+    assert fresh == set() and strong == {"probe"}
 
 
 def test_null_hash_is_stale(tmp_path):
     # backfill records hash=None when the fn moved files since its green round
     reg = {"probe": _FakeQuery(_probe_v1, oracle=None)}
     _write_evidence(tmp_path, {"probe": {"round": 2, "kind": "hash", "hash": None}})
-    fresh, stale = fresh_green_keys(reg, str(tmp_path))
-    assert stale == {"probe"}
+    fresh, strong, weak = fresh_green_keys(reg, str(tmp_path))
+    assert strong == {"probe"}
 
 
 def test_missing_file_returns_empty(tmp_path):
@@ -94,22 +94,24 @@ def test_priority_order_tiers():
     every fresh-green key."""
     import __spark_entry__ as e
 
-    green, stale = e._green_and_stale_keys()
+    green, strong, weak = e._green_and_stale_keys()
     order = e._priority_order(list(e.all_queries()))
     pos = {k: i for i, k in enumerate(order)}
-    never = set(order) - green - stale
-    if never and stale:
-        assert max(pos[k] for k in never) < min(pos[k] for k in stale)
-    if stale and green:
-        assert max(pos[k] for k in stale) < min(pos[k] for k in green)
+    never = set(order) - green - strong - weak
+    if never and strong:
+        assert max(pos[k] for k in never) < min(pos[k] for k in strong)
+    if strong and weak:
+        assert max(pos[k] for k in strong) < min(pos[k] for k in weak)
+    if weak and green:
+        assert max(pos[k] for k in weak) < min(pos[k] for k in green)
 
 
 def test_force_recheck_keys_rotate_forward():
     import __spark_entry__ as e
 
-    green, stale = e._green_and_stale_keys()
+    green, strong, weak = e._green_and_stale_keys()
     for key in e._FORCE_RECHECK:
-        assert key not in green
+        assert key in strong
 
 
 def test_evidence_file_current_vs_git():
@@ -164,3 +166,28 @@ def test_check_tolerates_unfolded_new_round():
         assert proc.returncode == 0, proc.stdout + proc.stderr
     finally:
         os.remove(fake)
+
+
+def _probe_v1_twin(spark, sf_dir):
+    return 1
+
+
+def test_helper_only_change_is_weak_stale(tmp_path):
+    """fn_hash intact but closure hash moved → weak-stale: the operator
+    text is the proven one, only referenced helpers/constants drifted."""
+    reg = {"probe": _FakeQuery(_probe_v1, oracle="SELECT 1")}
+    _write_evidence(
+        tmp_path,
+        {
+            "probe": {
+                "round": 4,
+                "kind": "hash",
+                "hash": "something-else-entirely",
+                "fn_hash": impl_hash_of_source(
+                    "def _probe_v1(spark, sf_dir):\n    return 1"
+                ),
+            }
+        },
+    )
+    fresh, strong, weak = fresh_green_keys(reg, str(tmp_path))
+    assert fresh == set() and strong == set() and weak == {"probe"}
