@@ -71,6 +71,14 @@ SURVEY2_KEYS = frozenset({
 # Force one fresh driver check; prune entries once re-evidenced.
 _FORCE_RECHECK = frozenset({"python_stream_source", "token_entropy"})
 
+# Keys ADDED in the current round, locally parity-verified but deliberately
+# scheduled BEHIND the stale re-checks: the round's capped driver budget is
+# already committed to draining evidence debt (VERDICT r4 #1), and a new
+# key displacing a stale re-check would trade a known gap for a new one.
+# They rank just after weak-stale — first claims on next round's budget.
+# Prune entries once driver-evidenced.
+_DEFER_NEW = frozenset({"perplexity_filter", "semdedup"})
+
 
 def _green_and_stale_keys() -> tuple[set[str], set[str], set[str]]:
     """Split keys into (fresh-green, strong-stale, weak-stale).
@@ -138,13 +146,17 @@ def _priority_order(keys: list[str]) -> list[str]:
     operator itself was rewritten since its green row (never-checked
     keys outrank them: no evidence beats outdated evidence), (6)
     weak-stale keys — only referenced same-module helpers/constants
-    changed, (7) fresh-green keys (rotate to the back — their evidence
-    stands against the current closure hash). Stable within tiers."""
+    changed, (7) this round's _DEFER_NEW additions (locally verified,
+    deliberately behind the evidence-debt drain), (8) fresh-green keys
+    (rotate to the back — their evidence stands against the current
+    closure hash). Stable within tiers."""
     green, strong, weak = _green_and_stale_keys()
     reg = all_queries()
 
     def tier(key: str) -> int:
         if key in green:
+            return 8
+        if key in _DEFER_NEW:
             return 7
         if key in weak:
             return 6

@@ -111,6 +111,9 @@ HEADLINE = [
     "span_corruption",
     "transform_with_state",
     "kmeans_parallel_init",
+    # Round-5 additions: LM-perplexity quality gate + SemDeDup pruning.
+    "perplexity_filter",
+    "semdedup",
 ]
 
 

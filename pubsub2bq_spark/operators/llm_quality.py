@@ -1,0 +1,245 @@
+"""Model-based corpus quality operators: LM-perplexity filtering and
+semantic (cluster-blocked) embedding dedup.
+
+These are the two quality passes a pretraining pipeline runs AFTER the
+surface-statistics funnel (llm_corpus) and exact/near dedup (llm_dedup):
+
+* ``perplexity_filter`` — CCNet-style: score every document by its
+  average bigram negative log-likelihood under the corpus's own bigram
+  LM (the model text_index.bigram_logprob builds) and flag outliers by
+  z-score. High-NLL docs are gibberish/boilerplate; the z-threshold
+  avoids a global exact quantile (which needs feature_binning's
+  two-phase machinery) while staying fully distributed: the corpus
+  statistics are ONE broadcast row.
+* ``semdedup`` — SemDeDup (Abbas et al., 2023, arXiv:2303.09540):
+  cluster embeddings with a coarse quantizer, then prune near-duplicate
+  vectors WITHIN each cluster (cosine above a threshold to any
+  lower-id clustermate → dropped, keeping the lowest id as canonical).
+  Complements embedding_dedup (LSH-bucketed near-dup PAIRS): this one
+  produces the pruned-corpus decision with cluster blocking, the shape
+  used to thin web-scale corpora before training.
+
+New in round 5; scheduled behind the stale re-checks in the driver
+rotation (__spark_entry__._DEFER_NEW) so they don't displace evidence
+debt from the capped correctness budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.operators.llm_similarity import _cosine, _dvec
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import fan_out, load, materialize
+
+PPL_Z = 1.0          # flag docs with NLL z-score above this
+SEMDEDUP_CELLS = 16  # coarse-quantizer cells (lowest-vec_id centroids)
+SEMDEDUP_TAU = 0.3   # intra-cell cosine above this = semantic duplicate
+                     # (calibrated to the synthetic embeddings' planted
+                     # similarity structure, matching embedding_dedup)
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "perplexity_filter",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                  FROM toks WHERE len(t) >= 2)
+        ),
+        pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        hc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        vv AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vsz FROM bg),
+        nll AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   avg(-ln((c12 + 1) / (c1 + vsz))) AS nll
+            FROM bg JOIN pc USING (w1, w2) JOIN hc USING (w1) CROSS JOIN vv
+            GROUP BY doc_id
+        ),
+        st AS (
+            SELECT avg(nll) AS mu, nullif(stddev_samp(nll), 0) AS sd FROM nll
+        )
+        SELECT doc_id, n_bigrams,
+               round(nll, 6) AS bigram_nll,
+               round((nll - mu) / sd, 4) AS z,
+               coalesce(((nll - mu) / sd) > {PPL_Z}, false) AS flagged
+        FROM nll, st
+    """,
+    doc="LM-perplexity quality filter (CCNet-style): every document "
+        "scored by average bigram NLL under the corpus's own add-one-"
+        "smoothed bigram LM (bigram_logprob's model), standardized "
+        f"corpus-wide; z > {PPL_Z} flags the gibberish tail. Docs with "
+        "fewer than two alphabetic tokens have no bigrams and are "
+        "excluded on both engines.",
+    scale_notes="Same profile as bigram_logprob: the LM tables are "
+                "(w1,w2)- and (w1)-keyed aggregates with map-side "
+                "partial counts, the scoring join shuffles bigrams on "
+                "their own keys, and the corpus statistics used for the "
+                "z-threshold are ONE broadcast row — no global sort, no "
+                "exact-quantile machinery. A production variant swaps "
+                "the z-threshold for feature_binning's two-phase exact "
+                "percentile when a fixed keep-fraction is required.",
+)
+def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+        ).alias("t"),
+    )
+    n = F.size("t")
+    starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = (
+        toks.select("doc_id", "t", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+        .transform(materialize)  # one tokenization feeds four consumers
+    )
+    pc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hc = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bigrams.agg(F.countDistinct("w2").cast("double").alias("vsz"))
+    nll = (
+        bigrams.join(pc, ["w1", "w2"])
+        .join(hc, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(-F.log((F.col("c12") + 1) / (F.col("c1") + F.col("vsz"))))
+            .alias("nll"),
+        )
+        .transform(materialize)  # scored once; stats + output both read it
+    )
+    # nullif/coalesce guards: a degenerate corpus (every doc identical →
+    # sd = 0) must yield z NULL / flagged false on BOTH engines, not an
+    # ANSI divide-by-zero on Spark vs IEEE inf on DuckDB.
+    st = nll.agg(
+        F.avg("nll").alias("mu"),
+        F.nullif(F.stddev_samp("nll"), F.lit(0.0)).alias("sd"),
+    )
+    z = (F.col("nll") - F.col("mu")) / F.col("sd")
+    return nll.crossJoin(F.broadcast(st)).select(
+        "doc_id",
+        "n_bigrams",
+        F.round("nll", 6).alias("bigram_nll"),
+        F.round(z, 4).alias("z"),
+        F.coalesce(z > PPL_Z, F.lit(False)).alias("flagged"),
+    )
+
+
+@register(
+    "semdedup",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id
+            LIMIT {SEMDEDUP_CELLS}
+        ),
+        asgn AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT a.vec_id, a.v, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_COS_SQL.format(a="a.v", b="c.cv")} DESC,
+                                    c.cid ASC) AS rn
+                FROM v a CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT b.vec_id, a.vec_id AS lower_id,
+                   {_COS_SQL.format(a="a.v", b="b.v")} AS cos
+            FROM asgn a JOIN asgn b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE {_COS_SQL.format(a="a.v", b="b.v")} > {SEMDEDUP_TAU}
+        )
+        SELECT vec_id, dup_of, round(cos, 6) AS cosine
+        FROM (
+            SELECT vec_id, lower_id AS dup_of, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY lower_id ASC) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    """,
+    doc=f"SemDeDup (Abbas et al. 2023): embeddings assigned to "
+        f"{SEMDEDUP_CELLS} coarse cells (lowest-vec_id centroids, "
+        "ann_ivf's deterministic quantizer), then every vector whose "
+        f"cosine to a LOWER-id clustermate exceeds {SEMDEDUP_TAU} is "
+        "dropped — one row per dropped vector with its canonical "
+        "(lowest qualifying id) and that cosine. Keep-set = corpus "
+        "minus these rows; cross-cell duplicates are out of scope by "
+        "construction (the documented SemDeDup trade).",
+    scale_notes="The quadratic comparison is confined to cells — the "
+                "shuffle key is cid, per-task work is cellsize^2 like "
+                "ann_ivf's probe scan, and the centroid table stays "
+                "broadcast-size (at production scale the quantizer is "
+                "kmeans_parallel_init + a Lloyd round, exactly the "
+                "ann_ivf_kmeans build; hot cells salt like any skewed "
+                "self-join via llm_dedup._salted_self_join). The prune "
+                "decision is per-vector-local given its cell pairs — no "
+                "global structure, no iteration.",
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = fan_out(load(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    cent = (
+        v.orderBy("vec_id")
+        .limit(SEMDEDUP_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    asgn = (
+        v.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "v", "cid", _cosine(F.col("v"), F.col("cv")).alias("cos_c")
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+        .transform(materialize)  # both sides of the intra-cell self-join
+    )
+    a = asgn.select(
+        F.col("cid"), F.col("vec_id").alias("lower_id"), F.col("v").alias("va")
+    )
+    b = asgn.select(
+        F.col("cid"), F.col("vec_id"), F.col("v").alias("vb")
+    )
+    cos = _cosine(F.col("va"), F.col("vb"))
+    pairs = (
+        a.join(b, ["cid"])
+        .filter(F.col("lower_id") < F.col("vec_id"))
+        .select("vec_id", "lower_id", cos.alias("cos"))
+        .filter(F.col("cos") > SEMDEDUP_TAU)
+    )
+    w_min = Window.partitionBy("vec_id").orderBy(F.col("lower_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_min))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("lower_id").alias("dup_of"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

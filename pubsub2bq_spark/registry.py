@@ -106,6 +106,7 @@ def all_queries() -> dict[str, Query]:
         joins,
         llm_corpus,
         llm_dedup,
+        llm_quality,
         llm_similarity,
         llm_text,
         ml_ops,

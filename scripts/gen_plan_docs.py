@@ -91,6 +91,8 @@ PLAN_KEYS = [
     "simhash_pairs",
     "dedup_clusters",
     "kmeans_parallel_init",
+    "perplexity_filter",
+    "semdedup",
     "recursive_cte",
     "markov_transitions",
     "canonical_dedup",

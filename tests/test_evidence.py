@@ -97,12 +97,16 @@ def test_priority_order_tiers():
     green, strong, weak = e._green_and_stale_keys()
     order = e._priority_order(list(e.all_queries()))
     pos = {k: i for i, k in enumerate(order)}
-    never = set(order) - green - strong - weak
+    never = set(order) - green - strong - weak - e._DEFER_NEW
     if never and strong:
         assert max(pos[k] for k in never) < min(pos[k] for k in strong)
     if strong and weak:
         assert max(pos[k] for k in strong) < min(pos[k] for k in weak)
-    if weak and green:
+    if weak and e._DEFER_NEW:
+        assert max(pos[k] for k in weak) < min(pos[k] for k in e._DEFER_NEW)
+    if e._DEFER_NEW and green:
+        assert max(pos[k] for k in e._DEFER_NEW) < min(pos[k] for k in green)
+    elif weak and green:
         assert max(pos[k] for k in weak) < min(pos[k] for k in green)
 
 

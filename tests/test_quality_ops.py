@@ -1,0 +1,82 @@
+"""Semantic tests for the round-5 quality operators (llm_quality):
+planted-outlier detection for perplexity_filter and planted-duplicate
+pruning for semdedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.operators.llm_quality import (
+    SEMDEDUP_TAU,
+    perplexity_filter,
+    semdedup,
+)
+
+
+class TestPerplexityFilter:
+    def _write_docs(self, spark, tmp_path):
+        normal = (
+            "the quick brown fox jumps over the lazy dog and runs back home "
+        ) * 6
+        gibberish = "zqxj vbkw pfmg hqzt xjwq kvbn mzpl qwgh " * 10
+        rows = [(i, normal, "en", "s", len(normal)) for i in range(30)] + [
+            (99, gibberish, "en", "s", len(gibberish))
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.parquet(f"{tmp_path}/documents.parquet")
+        return str(tmp_path)
+
+    def test_planted_gibberish_is_flagged(self, spark, tmp_path):
+        """A doc of never-repeating rare bigrams must be the z-score
+        outlier; the 30 identical natural docs must not be flagged."""
+        out = perplexity_filter(spark, self._write_docs(spark, tmp_path))
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows[99].flagged
+        assert not any(rows[i].flagged for i in range(30))
+        assert rows[99].bigram_nll > rows[0].bigram_nll
+
+    def test_short_docs_excluded(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "word", "en", "s", 4), (2, "two words here now ok", "en", "s", 20),
+             (3, "more words making bigrams too", "en", "s", 29)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(f"{tmp_path}/documents.parquet")
+        out = perplexity_filter(spark, str(tmp_path))
+        ids = {r.doc_id for r in out.collect()}
+        assert 1 not in ids  # single token → no bigrams → excluded
+        assert ids == {2, 3}
+
+
+class TestSemDedup:
+    def _write_embeddings(self, spark, tmp_path, dim=8):
+        import math
+
+        def unit(seed):
+            vals = [math.sin(seed * 37 + j * 13) + 1.5 for j in range(dim)]
+            n = math.sqrt(sum(v * v for v in vals))
+            return [v / n for v in vals]
+
+        base = unit(1)
+        rows = [(0, base)]
+        rows += [(i, unit(i * 101)) for i in range(1, 20)]
+        rows += [(50, base), (51, base)]  # exact duplicates of vec 0
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        df.write.parquet(f"{tmp_path}/embeddings.parquet")
+        return str(tmp_path)
+
+    def test_planted_duplicates_dropped_to_lowest_canonical(self, spark, tmp_path):
+        out = semdedup(spark, self._write_embeddings(spark, tmp_path))
+        rows = {r.vec_id: r for r in out.collect()}
+        # both copies dropped, canonical = the LOWEST id of the group
+        assert 50 in rows and rows[50].dup_of == 0
+        assert 51 in rows and rows[51].dup_of == 0
+        assert abs(rows[50].cosine - 1.0) < 1e-6
+        # the original survives (never appears as a dropped vec)
+        assert 0 not in rows
+
+    def test_drop_set_respects_threshold(self, spark, tmp_path):
+        out = semdedup(spark, self._write_embeddings(spark, tmp_path))
+        assert out.filter(F.col("cosine") <= SEMDEDUP_TAU).count() == 0
