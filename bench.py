@@ -135,12 +135,29 @@ STREAM_FIXED_COST = {
     "stream_replay": 3.6,         # measured 3.59s at sf0.001 (min of 3)
 }
 
+# A flag must be actionable: beyond the ratio, the (per-batch) component
+# must have grown by more than the harness's observed noise floor —
+# ±0.5s for batch queries, ±1.0s for streaming queries (micro-batch
+# scheduling jitter routinely swings ~1s run-to-run, and the per-batch
+# subtraction makes small absolute wiggles look like large ratios).
+MIN_ABS_REGRESSION = 0.5
+MIN_ABS_REGRESSION_STREAM = 1.0
+
 
 def _gate_ratio(key: str, now: float, was: float) -> float:
     """Regression ratio, on the per-batch component for stream keys."""
     fixed = STREAM_FIXED_COST.get(key, 0.0)
     now_v, was_v = max(now - fixed, 0.05), max(was - fixed, 0.05)
     return now_v / was_v
+
+
+def _gate_flags(key: str, now: float, was: float) -> bool:
+    fixed = STREAM_FIXED_COST.get(key, 0.0)
+    floor = MIN_ABS_REGRESSION_STREAM if key in STREAM_FIXED_COST else MIN_ABS_REGRESSION
+    return (
+        _gate_ratio(key, now, was) > REGRESSION_FACTOR
+        and (now - fixed) - (was - fixed) > floor
+    )
 
 # Flags whose cause is a DELIBERATE semantics change (the operator now
 # does more work than the prior round's version, so prior-round time is
@@ -198,8 +215,7 @@ def flagged_vs_prior(timings: dict[str, float]) -> list[str]:
     return [
         key
         for key, now in timings.items()
-        if prior_q.get(key)
-        and _gate_ratio(key, now, prior_q[key]) > REGRESSION_FACTOR
+        if prior_q.get(key) and _gate_flags(key, now, prior_q[key])
     ]
 
 
@@ -244,7 +260,7 @@ def compare_to_prior_rounds(
             lines.append(f"| {key} | — | {now} | {iso_s} | — | new |")
             continue
         ratio = _gate_ratio(key, now, was) if was > 0 else float("inf")
-        flag = "**REGRESSED**" if ratio > REGRESSION_FACTOR else ""
+        flag = "**REGRESSED**" if was > 0 and _gate_flags(key, now, was) else ""
         if flag:
             flagged.append(key)
         note = (
@@ -341,6 +357,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     compare_to_prior_rounds(timings, total, remeasured)
+
+    # Environment calibration: a fixed pure-compute JVM query (no IO, no
+    # shuffle — one whole-stage-codegen range sum). Identical work every
+    # round, so round-over-round drift in THIS number is machine speed,
+    # not code: it lets a reader split "the operators regressed" from
+    # "the box was slower" when comparing BENCH_r{N} files. (Observed in
+    # round 5: a uniform ~1.2x inflation on untouched queries across a
+    # whole session.)
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000_000, 1, 32).agg({"id": "sum"}).collect()
+        return time.perf_counter() - t0
+
+    _calibrate()  # warm
+    calibration = round(min(_calibrate() for _ in range(3)), 3)
+
     print(
         json.dumps(
             {
@@ -349,6 +381,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "calibration_range_sum_sec": calibration,
             }
         )
     )
