@@ -111,9 +111,11 @@ HEADLINE = [
     "span_corruption",
     "transform_with_state",
     "kmeans_parallel_init",
-    # Round-5 additions: LM-perplexity quality gate + SemDeDup pruning.
+    # Round-5 additions: LM-perplexity quality gate, SemDeDup pruning,
+    # iterative BPE vocabulary training.
     "perplexity_filter",
     "semdedup",
+    "bpe_train",
 ]
 
 

@@ -908,3 +908,145 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mask_rate"),
         )
     )
+
+
+BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE training round (oracle side): count adjacent symbol pairs
+    over the current segmentation, pick the (count desc, pair asc) top
+    pair, and re-segment by string replace — ``replace`` is leftmost
+    non-overlapping on BOTH engines, and every symbol OWNS its trailing
+    '/' so adjacent merge sites never share characters (the classic
+    'a a a' overlap case folds left-to-right exactly like a list fold)."""
+    prev = f"seg{r - 1}"
+    return f"""
+        top{r} AS (
+            SELECT sl, sr, cnt FROM (
+                SELECT syms[i] AS sl, syms[i + 1] AS sr, sum(n) AS cnt
+                FROM (SELECT n, string_split(seg, '/') AS syms FROM {prev}),
+                     unnest(range(1, len(syms) - 1)) AS t(i)
+                GROUP BY 1, 2
+            ) ORDER BY cnt DESC, sl ASC, sr ASC LIMIT 1
+        ),
+        seg{r} AS (
+            SELECT n,
+                   replace(seg, t.sl || '/' || t.sr || '/',
+                           t.sl || t.sr || '/') AS seg
+            FROM {prev}, top{r} t
+        )
+    """
+
+
+def _bpe_train_oracle() -> str:
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, BPE_TRAIN_ROUNDS + 1))
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {r} AS rk, sl AS left_sym, sr AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS cnt FROM top{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return f"""
+        WITH words AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS word
+            FROM documents
+        ),
+        seg0 AS (
+            SELECT regexp_replace(word, '(.)', '\\1/', 'g') AS seg,
+                   count(*) AS n
+            FROM words GROUP BY 1
+        ),
+        {rounds}
+        {unions}
+    """
+
+
+@register(
+    "bpe_train",
+    oracle=_bpe_train_oracle(),
+    doc=f"Iterative BPE vocabulary training ({BPE_TRAIN_ROUNDS} rounds): "
+        "word frequencies absorb the corpus once, each word starts "
+        "character-segmented, and every round counts adjacent symbol "
+        "pairs (weighted by word count), merges the most frequent pair "
+        "(count desc, pair asc tiebreak) across ALL segmentations, and "
+        "repeats over the re-segmented vocab — the actual tokenizer-"
+        "training loop bpe_merges' single-round candidate count "
+        "previews. Output: one row per round with the merged pair and "
+        "its count at selection time.",
+    scale_notes="Delivers bpe_merges' scale note: each round is one "
+                "bounded-relation job over the VOCAB table (unique "
+                "words, not occurrences) — a pair-count aggregate with "
+                "map-side partials, a 1-row top-pair broadcast, and a "
+                "map-side string re-segmentation. The corpus is touched "
+                "exactly once (word counting); rounds cost O(vocab), "
+                "which is how SentencePiece-style trainers scale out. "
+                "Segmentations are '/'-terminated symbol strings so the "
+                "merge is a leftmost non-overlapping string replace — "
+                "identical fold semantics on both engines, no UDF.",
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    words = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+        ).alias("word")
+    )
+    seg = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("n", F.regexp_replace("word", "(.)", "$1/").alias("seg"))
+        .transform(materialize)  # loop-carried vocab state, round 0
+    )
+    outs = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        syms = F.split("seg", "/")
+        npairs = F.size(syms) - 2  # trailing '' element → size-1 symbols
+        pairs = (
+            seg.select(
+                "n",
+                syms.alias("sy"),
+                F.explode(
+                    F.when(npairs >= 1, F.sequence(F.lit(1), npairs)).otherwise(
+                        F.array().cast("array<int>")
+                    )
+                ).alias("i"),
+            )
+            .select(
+                F.element_at("sy", F.col("i")).alias("sl"),
+                F.element_at("sy", F.col("i") + 1).alias("sr"),
+                "n",
+            )
+            .groupBy("sl", "sr")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("sl").asc(), F.col("sr").asc())
+            .limit(1)
+            .transform(materialize)  # consumed by the output AND the rewrite
+        )
+        outs.append(
+            top.select(
+                F.lit(r).alias("rk"),
+                F.col("sl").alias("left_sym"),
+                F.col("sr").alias("right_sym"),
+                F.col("cnt"),
+            )
+        )
+        seg = (
+            seg.crossJoin(F.broadcast(top))
+            .select(
+                "n",
+                F.replace(
+                    F.col("seg"),
+                    F.concat(F.col("sl"), F.lit("/"), F.col("sr"), F.lit("/")),
+                    F.concat(F.col("sl"), F.col("sr"), F.lit("/")),
+                ).alias("seg"),
+            )
+            .transform(materialize)  # next round's loop-carried state
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

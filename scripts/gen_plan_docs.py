@@ -86,13 +86,10 @@ PLAN_KEYS = [
     "corpus_shuffle",
     "ann_ivf_kmeans",
     "rag_retrieve",
-    "bm25_topk",
-    "hybrid_retrieve",
-    "simhash_pairs",
     "dedup_clusters",
-    "kmeans_parallel_init",
     "perplexity_filter",
     "semdedup",
+    "bpe_train",
     "recursive_cte",
     "markov_transitions",
     "canonical_dedup",

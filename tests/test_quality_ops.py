@@ -80,3 +80,40 @@ class TestSemDedup:
     def test_drop_set_respects_threshold(self, spark, tmp_path):
         out = semdedup(spark, self._write_embeddings(spark, tmp_path))
         assert out.filter(F.col("cosine") <= SEMDEDUP_TAU).count() == 0
+
+
+class TestBpeTrain:
+    def test_round1_agrees_with_bpe_merges(self, spark):
+        """bpe_train's first merged pair must be bpe_merges' rank-1
+        candidate (round 1 symbols are single characters, so left||right
+        IS that 2-char pair)."""
+        from pubsub2bq_spark.operators.training_prep import bpe_merges, bpe_train
+
+        t1 = bpe_train(spark, "/root/testdata/sf0.001").filter("rk = 1").first()
+        m1 = bpe_merges(spark, "/root/testdata/sf0.001").filter("rk = 1").first()
+        assert t1.left_sym + t1.right_sym == m1.pair
+        assert t1.cnt == m1.cnt
+
+    def test_known_merge_sequence_with_overlaps(self, spark, tmp_path):
+        """Corpus of 'aaab' words: round 1 merges (a,a) — the overlap case
+        'a a a' must fold left-to-right to [aa, a], giving count 2 per
+        word occurrence BEFORE merging but selecting (a,a); round 2 sees
+        segments [aa, a, b] and merges the lexically-first of the tied
+        pairs (a,b) < (aa,a)."""
+        from pubsub2bq_spark.operators.training_prep import bpe_train
+
+        text = "aaab " * 7
+        df = spark.createDataFrame(
+            [(1, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(f"{tmp_path}/documents.parquet")
+        rows = {r.rk: r for r in bpe_train(spark, str(tmp_path)).collect()}
+        # 7 occurrences of 'aaab': 2 non-overlapping (a,a) sites x 7
+        assert (rows[1].left_sym, rows[1].right_sym) == ("a", "a")
+        assert rows[1].cnt == 14
+        assert (rows[2].left_sym, rows[2].right_sym) == ("a", "b")
+        assert rows[2].cnt == 7
+        assert (rows[3].left_sym, rows[3].right_sym) == ("aa", "ab")
+        # after round 3 the word is one symbol — no pairs, rounds 4-8 empty
+        assert set(rows) == {1, 2, 3}
