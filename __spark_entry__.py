@@ -77,7 +77,7 @@ _FORCE_RECHECK = frozenset({"python_stream_source", "token_entropy"})
 # key displacing a stale re-check would trade a known gap for a new one.
 # They rank just after weak-stale — first claims on next round's budget.
 # Prune entries once driver-evidenced.
-_DEFER_NEW = frozenset({"perplexity_filter", "semdedup", "bpe_train"})
+_DEFER_NEW = frozenset({"perplexity_filter", "semdedup", "bpe_train", "bpe_apply"})
 
 
 def _green_and_stale_keys() -> tuple[set[str], set[str], set[str]]:

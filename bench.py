@@ -116,6 +116,7 @@ HEADLINE = [
     "perplexity_filter",
     "semdedup",
     "bpe_train",
+    "bpe_apply",
 ]
 
 

@@ -1050,3 +1050,121 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _bpe_apply_oracle() -> str:
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, BPE_TRAIN_ROUNDS + 1))
+    return f"""
+        WITH docw AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS word
+            FROM documents
+        ),
+        seg0 AS (
+            SELECT regexp_replace(word, '(.)', '\\1/', 'g') AS seg,
+                   count(*) AS n
+            FROM (SELECT word FROM docw)
+            GROUP BY 1
+        ),
+        {rounds},
+        vocab AS (
+            SELECT regexp_replace(seg, '/', '', 'g') AS word,
+                   CAST(len(string_split(seg, '/')) - 1 AS BIGINT) AS n_pieces
+            FROM seg{BPE_TRAIN_ROUNDS}
+        )
+        SELECT d.doc_id,
+               count(*) AS n_words,
+               CAST(sum(v.n_pieces) AS BIGINT) AS n_pieces,
+               round(CAST(sum(v.n_pieces) AS DOUBLE) / count(*), 4)
+                   AS fertility
+        FROM docw d JOIN vocab v USING (word)
+        GROUP BY d.doc_id
+    """
+
+
+@register(
+    "bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    doc=f"Apply the trained BPE tokenizer to the corpus: learn "
+        f"{BPE_TRAIN_ROUNDS} merges (bpe_train's loop), segment every "
+        "vocab word with the final merge table, and report per-document "
+        "tokenizer statistics — word count, BPE piece count, and "
+        "FERTILITY (pieces per word), the standard tokenizer-quality "
+        "metric a pretraining pipeline tracks per language/source.",
+    scale_notes="Training cost is bpe_train's (corpus scanned once for "
+                "word counts, rounds O(vocab)); application is a "
+                "vocab-keyed broadcast-or-shuffle join from the "
+                "(word → n_pieces) table onto the word stream plus one "
+                "doc-keyed aggregate — the same two-shuffle shape as "
+                "token_count. The segmentation itself never touches "
+                "per-occurrence data: each unique word is segmented "
+                "once, occurrences only join against it.",
+)
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    docw = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+        ).alias("word"),
+    ).transform(materialize)  # feeds vocab build AND the scoring join
+    seg = (
+        docw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("n", F.regexp_replace("word", "(.)", "$1/").alias("seg"))
+        .transform(materialize)
+    )
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        syms = F.split("seg", "/")
+        npairs = F.size(syms) - 2
+        pairs = (
+            seg.select(
+                "n",
+                syms.alias("sy"),
+                F.explode(
+                    F.when(npairs >= 1, F.sequence(F.lit(1), npairs)).otherwise(
+                        F.array().cast("array<int>")
+                    )
+                ).alias("i"),
+            )
+            .select(
+                F.element_at("sy", F.col("i")).alias("sl"),
+                F.element_at("sy", F.col("i") + 1).alias("sr"),
+                "n",
+            )
+            .groupBy("sl", "sr")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("sl").asc(), F.col("sr").asc())
+            .limit(1)
+        )
+        seg = (
+            seg.crossJoin(F.broadcast(top))
+            .select(
+                "n",
+                F.replace(
+                    F.col("seg"),
+                    F.concat(F.col("sl"), F.lit("/"), F.col("sr"), F.lit("/")),
+                    F.concat(F.col("sl"), F.col("sr"), F.lit("/")),
+                ).alias("seg"),
+            )
+            .transform(materialize)  # loop-carried vocab state
+        )
+    vocab = seg.select(
+        F.regexp_replace("seg", "/", "").alias("word"),
+        (F.size(F.split("seg", "/")) - 1).cast("bigint").alias("n_pieces"),
+    )
+    return (
+        docw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 4
+            ).alias("fertility"),
+        )
+    )

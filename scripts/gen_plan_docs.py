@@ -90,6 +90,7 @@ PLAN_KEYS = [
     "perplexity_filter",
     "semdedup",
     "bpe_train",
+    "bpe_apply",
     "recursive_cte",
     "markov_transitions",
     "canonical_dedup",

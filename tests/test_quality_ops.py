@@ -117,3 +117,40 @@ class TestBpeTrain:
         assert (rows[3].left_sym, rows[3].right_sym) == ("aa", "ab")
         # after round 3 the word is one symbol — no pairs, rounds 4-8 empty
         assert set(rows) == {1, 2, 3}
+
+
+class TestBpeApply:
+    def test_fertility_bounds_and_consistency(self, spark):
+        """Fertility is in [1, max word length]: a word is at least one
+        piece and at most its character count; n_pieces >= n_words."""
+        from pubsub2bq_spark.operators.training_prep import bpe_apply
+
+        rows = bpe_apply(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            assert r.n_pieces >= r.n_words
+            assert 1.0 <= r.fertility
+
+    def test_merged_corpus_has_lower_fertility_than_chars(self, spark):
+        """After 8 merges, average fertility must be strictly below the
+        character-level baseline (pieces == characters)."""
+        from pyspark.sql import functions as F
+
+        from pubsub2bq_spark.operators.training_prep import bpe_apply
+        from pubsub2bq_spark.tables import load
+
+        sf = "/root/testdata/sf0.001"
+        out = bpe_apply(spark, sf)
+        d = load(spark, sf, "documents")
+        words = d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+            ).alias("word"),
+        )
+        char_baseline = (
+            words.groupBy("doc_id")
+            .agg((F.sum(F.length("word")) / F.count(F.lit(1))).alias("chars_per_word"))
+        )
+        joined = out.join(char_baseline, "doc_id")
+        assert joined.filter(F.col("fertility") >= F.col("chars_per_word")).count() == 0
