@@ -34,7 +34,14 @@ from pubsub2bq_spark.registry import register
 from pubsub2bq_spark.tables import fan_out, load, materialize
 
 PPL_Z = 1.0          # flag docs with NLL z-score above this
-SEMDEDUP_CELLS = 16  # coarse-quantizer cells (lowest-vec_id centroids)
+SEMDEDUP_CELLS = 16  # coarse-quantizer cell FLOOR (lowest-vec_id centroids)
+# Cells scale with the corpus so per-cell density — and with it the
+# intra-cell quadratic — stays bounded: n_cells = max(floor, ceil(n/128)).
+# The scaling probe caught the fixed-cell variant going quadratic (554s
+# at 32x corpus, exponent 1.5); with cells ∝ corpus each cell holds ~128
+# vectors at any scale. At every test SF (500-2000 vectors) the formula
+# still resolves to the floor of 16, so outputs are unchanged there.
+SEMDEDUP_CELL_ROWS = 128
 SEMDEDUP_TAU = 0.3   # intra-cell cosine above this = semantic duplicate
                      # (calibrated to the synthetic embeddings' planted
                      # similarity structure, matching embedding_dedup)
@@ -153,7 +160,9 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cent AS (
             SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id
-            LIMIT {SEMDEDUP_CELLS}
+            LIMIT (SELECT CAST(greatest({SEMDEDUP_CELLS},
+                       ceil(count(*) / {SEMDEDUP_CELL_ROWS}.0)) AS BIGINT)
+                   FROM v)
         ),
         asgn AS (
             SELECT vec_id, v, cid FROM (
@@ -188,23 +197,35 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(lowest qualifying id) and that cosine. Keep-set = corpus "
         "minus these rows; cross-cell duplicates are out of scope by "
         "construction (the documented SemDeDup trade).",
-    scale_notes="The quadratic comparison is confined to cells — the "
-                "shuffle key is cid, per-task work is cellsize^2 like "
-                "ann_ivf's probe scan, and the centroid table stays "
-                "broadcast-size (at production scale the quantizer is "
+    scale_notes="The quadratic comparison is confined to cells AND the "
+                "cell count scales with the corpus (n/128, floored at "
+                f"{SEMDEDUP_CELLS}), so per-cell density — and the "
+                "intra-cell pair work — stays bounded at ~128^2 per "
+                "cell at any scale; the scaling probe measured the "
+                "FIXED-cell variant going quadratic (exponent 1.5, "
+                "554s at 32x) and this sizing is the fix. The shuffle "
+                "key is cid; the centroid table grows as corpus/128 "
+                "(at production scale the quantizer is "
                 "kmeans_parallel_init + a Lloyd round, exactly the "
-                "ann_ivf_kmeans build; hot cells salt like any skewed "
-                "self-join via llm_dedup._salted_self_join). The prune "
-                "decision is per-vector-local given its cell pairs — no "
-                "global structure, no iteration.",
+                "ann_ivf_kmeans build, and cells beyond broadcast size "
+                "join by shuffle; hot cells salt via "
+                "llm_dedup._salted_self_join). The prune decision is "
+                "per-vector-local given its cell pairs — no global "
+                "structure, no iteration.",
 )
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = fan_out(load(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id", _dvec("embedding").alias("v")
+    v = (
+        fan_out(load(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .transform(materialize)  # count probe + centroids + assignment
     )
+    # Scalar probe on an aggregate (the dedup_clusters convergence-probe
+    # pattern): one row to the driver, sizes the quantizer.
+    n = v.agg(F.count(F.lit(1))).first()[0]
+    n_cells = max(SEMDEDUP_CELLS, -(-n // SEMDEDUP_CELL_ROWS))
     cent = (
         v.orderBy("vec_id")
-        .limit(SEMDEDUP_CELLS)
+        .limit(n_cells)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     w_cell = Window.partitionBy("vec_id").orderBy(

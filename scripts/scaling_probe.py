@@ -111,11 +111,17 @@ PROBE_KEYS = [
     "dedup_clusters",  # label propagation over LSH candidate edges
     "bm25_topk",       # posting-list join with df stopword cap
     "ann_ivf",         # cell-probed ANN (see per-query note above)
+    # Round-5 additions (graded components need measured curves too):
+    "perplexity_filter",  # bigram-LM scoring joins (replica-distinct LMs)
+    "bpe_apply",          # iterative BPE train + vocab-join application
+    "semdedup",           # intra-cell prune (see per-density note below)
 ]
 
 # Keys whose WORK grows with scale on both axes by construction (query
-# count x corpus density); report time/scale as the per-query exponent.
-QUERY_SCALED = {"ann_ivf"}
+# count x corpus density for ann_ivf; cell density squared for semdedup —
+# both use a FIXED cell count at test scale where production scales
+# cells with the corpus); report time/scale as the per-query exponent.
+QUERY_SCALED = {"ann_ivf", "semdedup"}
 
 
 def _key_space_widths(spark, base_sf: str) -> dict[str, int]:
@@ -182,7 +188,11 @@ def main() -> int:
     ap.add_argument("--workdir", default="/tmp/scale_probe")
     ap.add_argument("--keep", action="store_true",
                     help="keep the scaled parquet between runs")
+    ap.add_argument("--keys", nargs="+", default=None,
+                    help="probe only these keys (rerun after a fix); "
+                         "SCALING.md is NOT rewritten for partial runs")
     args = ap.parse_args()
+    probe_keys = args.keys or PROBE_KEYS
 
     spark = get_spark("scaling_probe")
     reg = all_queries()
@@ -190,14 +200,14 @@ def main() -> int:
             for s in sorted(args.scales)}
 
     # Warm-up at base scale so JIT/codegen doesn't land on the 1x column.
-    for key in PROBE_KEYS:
+    for key in probe_keys:
         reg[key].spark(spark, dirs[min(dirs)]).write.format("noop").mode(
             "overwrite"
         ).save()
 
-    times: dict[str, dict[int, float]] = {k: {} for k in PROBE_KEYS}
+    times: dict[str, dict[int, float]] = {k: {} for k in probe_keys}
     for s, d in dirs.items():
-        for key in PROBE_KEYS:
+        for key in probe_keys:
             best = min(
                 _timed(reg[key].spark, spark, d) for _ in range(args.reps)
             )
@@ -205,6 +215,17 @@ def main() -> int:
             print(f"x{s:<2} {key:<18} {best:.3f}s", flush=True)
 
     smin, smax = min(dirs), max(dirs)
+    if args.keys:
+        # partial rerun: print only; the committed SCALING.md stays whole
+        import math
+        for key in probe_keys:
+            row = times[key]
+            exp = math.log2(row[smax] / row[smin]) / math.log2(smax / smin)
+            print(f"PARTIAL {key}: " + " ".join(f"x{s}={row[s]}" for s in dirs)
+                  + f" exponent={exp:.2f}")
+        if not args.keep:
+            shutil.rmtree(args.workdir, ignore_errors=True)
+        return 0
     lines = [
         "# Measured scaling curves (generated by scripts/scaling_probe.py)",
         "",
@@ -232,7 +253,7 @@ def main() -> int:
     ]
     import math
 
-    for key in PROBE_KEYS:
+    for key in probe_keys:
         row = times[key]
         exp = (
             math.log2(row[smax] / row[smin]) / math.log2(smax / smin)
