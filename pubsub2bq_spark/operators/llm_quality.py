@@ -137,10 +137,13 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # nullif/coalesce guards: a degenerate corpus (every doc identical →
     # sd = 0) must yield z NULL / flagged false on BOTH engines, not an
-    # ANSI divide-by-zero on Spark vs IEEE inf on DuckDB.
+    # ANSI divide-by-zero on Spark vs IEEE inf on DuckDB. The nanvl
+    # covers the one-scoreable-doc corpus (ADVICE r5 #3): Spark's
+    # stddev_samp over a single row is NaN (and NaN > z is TRUE under
+    # Spark ordering → spuriously flagged) where DuckDB yields NULL.
     st = nll.agg(
         F.avg("nll").alias("mu"),
-        F.nullif(F.stddev_samp("nll"), F.lit(0.0)).alias("sd"),
+        F.nullif(F.nanvl(F.stddev_samp("nll"), F.lit(0.0)), F.lit(0.0)).alias("sd"),
     )
     z = (F.col("nll") - F.col("mu")) / F.col("sd")
     return nll.crossJoin(F.broadcast(st)).select(

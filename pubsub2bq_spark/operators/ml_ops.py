@@ -257,6 +257,17 @@ def _kpp_mini_round_sql(i: int, cent: str) -> str:
     """
 
 
+def _kpp_oversample_rounds_sql() -> str:
+    """The k-means|| oversampling CTE chain c1..c{KPP_ROUNDS}, derived
+    from KPP_ROUNDS so the oracle's round count tracks the Spark loop
+    (_kpp_candidates iterates range(1, KPP_ROUNDS + 1)) — ADVICE r5 #4:
+    the chain was hardcoded at two rounds, silently coupling the
+    constants."""
+    return ",".join(
+        _kpp_round_sql(r, f"c{r - 1}") for r in range(1, KPP_ROUNDS + 1)
+    )
+
+
 def _kpp_seed_chain_sql(k: int) -> str:
     """CTE chain (expects `v(vec_id, v)` already defined): k-means||
     candidates over KPP_ROUNDS rounds → weighted top-k init → weighted
@@ -270,20 +281,19 @@ def _kpp_seed_chain_sql(k: int) -> str:
         c0 AS (
             SELECT vec_id AS cid_v, v AS c FROM v ORDER BY vec_id LIMIT 1
         ),
-        {_kpp_round_sql(1, "c0")},
-        {_kpp_round_sql(2, "c1")},
+        {_kpp_oversample_rounds_sql()},
         kpp_asgn AS (
             SELECT vec_id, cid_v FROM (
                 SELECT a.vec_id, c.cid_v,
                        row_number() OVER (
                            PARTITION BY a.vec_id
                            ORDER BY {_SQDIST_SQL} ASC, c.cid_v ASC) AS rn
-                FROM v a CROSS JOIN c2 c
+                FROM v a CROSS JOIN c{KPP_ROUNDS} c
             ) WHERE rn = 1
         ),
         kpp_w AS (SELECT cid_v, count(*) AS weight FROM kpp_asgn GROUP BY cid_v),
         wcand AS (
-            SELECT cc.cid_v, cc.c, w.weight FROM c2 cc JOIN kpp_w w USING (cid_v)
+            SELECT cc.cid_v, cc.c, w.weight FROM c{KPP_ROUNDS} cc JOIN kpp_w w USING (cid_v)
         ),
         seeds0 AS (
             SELECT CAST(r.rn - 1 AS INT) AS cid, cc.c
@@ -291,7 +301,7 @@ def _kpp_seed_chain_sql(k: int) -> str:
                 SELECT cid_v,
                        row_number() OVER (ORDER BY weight DESC, cid_v ASC) AS rn
                 FROM kpp_w
-            ) r JOIN c2 cc ON r.cid_v = cc.cid_v
+            ) r JOIN c{KPP_ROUNDS} cc ON r.cid_v = cc.cid_v
             WHERE r.rn <= {k}
         ),
         {mini},
@@ -308,15 +318,14 @@ def _kpp_seed_chain_sql(k: int) -> str:
         c0 AS (
             SELECT vec_id AS cid_v, v AS c FROM v ORDER BY vec_id LIMIT 1
         ),
-        {_kpp_round_sql(1, "c0")},
-        {_kpp_round_sql(2, "c1")},
+        {_kpp_oversample_rounds_sql()},
         asgn AS (
             SELECT vec_id, cid_v FROM (
                 SELECT a.vec_id, c.cid_v,
                        row_number() OVER (
                            PARTITION BY a.vec_id
                            ORDER BY {_SQDIST_SQL} ASC, c.cid_v ASC) AS rn
-                FROM v a CROSS JOIN c2 c
+                FROM v a CROSS JOIN c{KPP_ROUNDS} c
             ) WHERE rn = 1
         ),
         w AS (SELECT cid_v, count(*) AS weight FROM asgn GROUP BY cid_v)
@@ -981,6 +990,12 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVFK_CELLS = 16  # ann_ivf_kmeans coarse-quantizer cells
+# ADVICE r5 #4: the oracle seeds via _kpp_seed_chain_sql(IVFK_CELLS)
+# while the Spark path emits KPP_K seeds (_kpp_seeds) — the two constants
+# MUST agree or Spark/oracle diverge silently. The oversampling-round
+# count is already derived from KPP_ROUNDS on both sides
+# (_kpp_oversample_rounds_sql / the _kpp_candidates loop).
+assert IVFK_CELLS == KPP_K, "ann_ivf_kmeans: cell count must equal KPP_K seeds"
 IVFK_PROBE = 4   # cells probed per query
 _IVFK_COS_SQL = (
     "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"

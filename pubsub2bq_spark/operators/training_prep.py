@@ -917,23 +917,35 @@ def _bpe_round_sql(r: int) -> str:
     """One BPE training round (oracle side): count adjacent symbol pairs
     over the current segmentation, pick the (count desc, pair asc) top
     pair, and re-segment by string replace — ``replace`` is leftmost
-    non-overlapping on BOTH engines, and every symbol OWNS its trailing
-    '/' so adjacent merge sites never share characters (the classic
-    'a a a' overlap case folds left-to-right exactly like a list fold)."""
+    non-overlapping on BOTH engines.  Every symbol is rendered ``/sym/``
+    (segmentation ``/a//b//c/``) so each symbol owns BOTH boundaries
+    without sharing characters with its neighbours: the merge pattern
+    ``/sl//sr/`` cannot match a mid-symbol suffix (no preceding '/'),
+    and consecutive merge sites (the classic 'a a a' overlap case) meet
+    at ``//`` so they split cleanly and fold left-to-right exactly like
+    a list fold — ADVICE r5 #1's suffix-collision bug (after merging
+    (x,a), word 'xab' must NOT be collapsed by a later (a,b) merge)
+    cannot occur.  A sentinel pair ('', '', 0) pads the top-pair pick so
+    an exhausted merge table (no adjacent pairs anywhere) yields the
+    never-matching pattern '////' instead of annihilating the vocab
+    (ADVICE r5 #2); sentinel rounds are filtered from the output."""
     prev = f"seg{r - 1}"
     return f"""
         top{r} AS (
             SELECT sl, sr, cnt FROM (
-                SELECT syms[i] AS sl, syms[i + 1] AS sr, sum(n) AS cnt
-                FROM (SELECT n, string_split(seg, '/') AS syms FROM {prev}),
-                     unnest(range(1, len(syms) - 1)) AS t(i)
+                SELECT syms[i] AS sl, syms[i + 1] AS sr,
+                       CAST(sum(n) AS BIGINT) AS cnt
+                FROM (SELECT n, string_split(trim(seg, '/'), '//') AS syms
+                      FROM {prev}),
+                     unnest(range(1, len(syms))) AS t(i)
                 GROUP BY 1, 2
+                UNION ALL SELECT '', '', CAST(0 AS BIGINT)
             ) ORDER BY cnt DESC, sl ASC, sr ASC LIMIT 1
         ),
         seg{r} AS (
             SELECT n,
-                   replace(seg, t.sl || '/' || t.sr || '/',
-                           t.sl || t.sr || '/') AS seg
+                   replace(seg, '/' || t.sl || '//' || t.sr || '/',
+                           '/' || t.sl || t.sr || '/') AS seg
             FROM {prev}, top{r} t
         )
     """
@@ -943,7 +955,7 @@ def _bpe_train_oracle() -> str:
     rounds = ",".join(_bpe_round_sql(r) for r in range(1, BPE_TRAIN_ROUNDS + 1))
     unions = "\n        UNION ALL ".join(
         f"SELECT {r} AS rk, sl AS left_sym, sr AS right_sym, "
-        f"CAST(cnt AS BIGINT) AS cnt FROM top{r}"
+        f"CAST(cnt AS BIGINT) AS cnt FROM top{r} WHERE cnt > 0"
         for r in range(1, BPE_TRAIN_ROUNDS + 1)
     )
     return f"""
@@ -954,13 +966,63 @@ def _bpe_train_oracle() -> str:
             FROM documents
         ),
         seg0 AS (
-            SELECT regexp_replace(word, '(.)', '\\1/', 'g') AS seg,
+            SELECT regexp_replace(word, '(.)', '/\\1/', 'g') AS seg,
                    count(*) AS n
             FROM words GROUP BY 1
         ),
         {rounds}
         {unions}
     """
+
+
+def _bpe_pair_counts(seg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Adjacent-symbol pair counts over a ``/a//b//c/``-encoded vocab
+    table, padded with the sentinel pair ('', '', 0) so the downstream
+    top-1 pick is never empty: when the merge table is exhausted the
+    sentinel wins and its rewrite pattern '////' matches nothing,
+    leaving the vocab intact (ADVICE r5 #2)."""
+    syms = F.split(F.btrim(F.col("seg"), F.lit("/")), "//")
+    npairs = F.size(syms) - 1
+    counted = (
+        seg.select(
+            "n",
+            syms.alias("sy"),
+            F.explode(
+                F.when(npairs >= 1, F.sequence(F.lit(1), npairs)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("i"),
+        )
+        .select(
+            F.element_at("sy", F.col("i")).alias("sl"),
+            F.element_at("sy", F.col("i") + 1).alias("sr"),
+            "n",
+        )
+        .groupBy("sl", "sr")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    sentinel = spark.range(1).select(
+        F.lit("").alias("sl"),
+        F.lit("").alias("sr"),
+        F.lit(0).cast("bigint").alias("cnt"),
+    )
+    return counted.unionByName(sentinel)
+
+
+def _bpe_merge_rewrite(seg: DataFrame, top: DataFrame) -> DataFrame:
+    """Rewrite every occurrence of the winning pair in the both-boundary
+    encoding: '/sl//sr/' -> '/slsr/' (ADVICE r5 #1 — the anchors stop
+    mid-symbol suffix matches; '//' between sites keeps consecutive
+    merge sites disjoint so leftmost non-overlapping replace is the
+    canonical left-to-right fold)."""
+    return seg.crossJoin(F.broadcast(top)).select(
+        "n",
+        F.replace(
+            F.col("seg"),
+            F.concat(F.lit("/"), F.col("sl"), F.lit("//"), F.col("sr"), F.lit("/")),
+            F.concat(F.lit("/"), F.col("sl"), F.col("sr"), F.lit("/")),
+        ).alias("seg"),
+    )
 
 
 @register(
@@ -982,9 +1044,11 @@ def _bpe_train_oracle() -> str:
                 "map-side string re-segmentation. The corpus is touched "
                 "exactly once (word counting); rounds cost O(vocab), "
                 "which is how SentencePiece-style trainers scale out. "
-                "Segmentations are '/'-terminated symbol strings so the "
-                "merge is a leftmost non-overlapping string replace — "
-                "identical fold semantics on both engines, no UDF.",
+                "Segmentations render every symbol as '/sym/' so the "
+                "merge is a both-boundary-anchored leftmost "
+                "non-overlapping string replace — identical fold "
+                "semantics on both engines, no UDF, and no mid-symbol "
+                "suffix collisions (ADVICE r5 #1).",
 )
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark)
@@ -996,56 +1060,26 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select("n", F.regexp_replace("word", "(.)", "$1/").alias("seg"))
+        .select("n", F.regexp_replace("word", "(.)", "/$1/").alias("seg"))
         .transform(materialize)  # loop-carried vocab state, round 0
     )
     outs = []
     for r in range(1, BPE_TRAIN_ROUNDS + 1):
-        syms = F.split("seg", "/")
-        npairs = F.size(syms) - 2  # trailing '' element → size-1 symbols
-        pairs = (
-            seg.select(
-                "n",
-                syms.alias("sy"),
-                F.explode(
-                    F.when(npairs >= 1, F.sequence(F.lit(1), npairs)).otherwise(
-                        F.array().cast("array<int>")
-                    )
-                ).alias("i"),
-            )
-            .select(
-                F.element_at("sy", F.col("i")).alias("sl"),
-                F.element_at("sy", F.col("i") + 1).alias("sr"),
-                "n",
-            )
-            .groupBy("sl", "sr")
-            .agg(F.sum("n").alias("cnt"))
-        )
         top = (
-            pairs.orderBy(F.col("cnt").desc(), F.col("sl").asc(), F.col("sr").asc())
+            _bpe_pair_counts(seg, spark)
+            .orderBy(F.col("cnt").desc(), F.col("sl").asc(), F.col("sr").asc())
             .limit(1)
             .transform(materialize)  # consumed by the output AND the rewrite
         )
         outs.append(
-            top.select(
+            top.filter(F.col("cnt") > 0).select(
                 F.lit(r).alias("rk"),
                 F.col("sl").alias("left_sym"),
                 F.col("sr").alias("right_sym"),
                 F.col("cnt"),
             )
         )
-        seg = (
-            seg.crossJoin(F.broadcast(top))
-            .select(
-                "n",
-                F.replace(
-                    F.col("seg"),
-                    F.concat(F.col("sl"), F.lit("/"), F.col("sr"), F.lit("/")),
-                    F.concat(F.col("sl"), F.col("sr"), F.lit("/")),
-                ).alias("seg"),
-            )
-            .transform(materialize)  # next round's loop-carried state
-        )
+        seg = _bpe_merge_rewrite(seg, top).transform(materialize)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -1063,7 +1097,7 @@ def _bpe_apply_oracle() -> str:
             FROM documents
         ),
         seg0 AS (
-            SELECT regexp_replace(word, '(.)', '\\1/', 'g') AS seg,
+            SELECT regexp_replace(word, '(.)', '/\\1/', 'g') AS seg,
                    count(*) AS n
             FROM (SELECT word FROM docw)
             GROUP BY 1
@@ -1071,7 +1105,8 @@ def _bpe_apply_oracle() -> str:
         {rounds},
         vocab AS (
             SELECT regexp_replace(seg, '/', '', 'g') AS word,
-                   CAST(len(string_split(seg, '/')) - 1 AS BIGINT) AS n_pieces
+                   CAST(len(string_split(trim(seg, '/'), '//')) AS BIGINT)
+                       AS n_pieces
             FROM seg{BPE_TRAIN_ROUNDS}
         )
         SELECT d.doc_id,
@@ -1113,49 +1148,21 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = (
         docw.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select("n", F.regexp_replace("word", "(.)", "$1/").alias("seg"))
+        .select("n", F.regexp_replace("word", "(.)", "/$1/").alias("seg"))
         .transform(materialize)
     )
     for r in range(1, BPE_TRAIN_ROUNDS + 1):
-        syms = F.split("seg", "/")
-        npairs = F.size(syms) - 2
-        pairs = (
-            seg.select(
-                "n",
-                syms.alias("sy"),
-                F.explode(
-                    F.when(npairs >= 1, F.sequence(F.lit(1), npairs)).otherwise(
-                        F.array().cast("array<int>")
-                    )
-                ).alias("i"),
-            )
-            .select(
-                F.element_at("sy", F.col("i")).alias("sl"),
-                F.element_at("sy", F.col("i") + 1).alias("sr"),
-                "n",
-            )
-            .groupBy("sl", "sr")
-            .agg(F.sum("n").alias("cnt"))
-        )
         top = (
-            pairs.orderBy(F.col("cnt").desc(), F.col("sl").asc(), F.col("sr").asc())
+            _bpe_pair_counts(seg, spark)
+            .orderBy(F.col("cnt").desc(), F.col("sl").asc(), F.col("sr").asc())
             .limit(1)
         )
-        seg = (
-            seg.crossJoin(F.broadcast(top))
-            .select(
-                "n",
-                F.replace(
-                    F.col("seg"),
-                    F.concat(F.col("sl"), F.lit("/"), F.col("sr"), F.lit("/")),
-                    F.concat(F.col("sl"), F.col("sr"), F.lit("/")),
-                ).alias("seg"),
-            )
-            .transform(materialize)  # loop-carried vocab state
-        )
+        seg = _bpe_merge_rewrite(seg, top).transform(materialize)
     vocab = seg.select(
         F.regexp_replace("seg", "/", "").alias("word"),
-        (F.size(F.split("seg", "/")) - 1).cast("bigint").alias("n_pieces"),
+        F.size(F.split(F.btrim(F.col("seg"), F.lit("/")), "//"))
+        .cast("bigint")
+        .alias("n_pieces"),
     )
     return (
         docw.join(vocab, "word")

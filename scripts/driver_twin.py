@@ -28,6 +28,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--cap", type=int, default=50)
+    ap.add_argument(
+        "--keys",
+        default=None,
+        help="comma-separated registry keys: check only these (cap ignored)",
+    )
     args = ap.parse_args()
 
     os.chdir("/tmp")  # the driver does not run from the repo root
@@ -51,12 +56,21 @@ def main() -> int:
             f"read_parquet('{args.sf}/{t}.parquet')"
         )
 
-    rows = E.entry(spark).collect()
-    print(f"entry smoke: {len(rows)} rows")
-
     q, o = E.queries(), E.oracle_sql()
+    if args.keys:
+        wanted = [k.strip() for k in args.keys.split(",") if k.strip()]
+        missing = [k for k in wanted if k not in q]
+        if missing:
+            print(f"unknown keys: {missing}")
+            return 1
+        todo = wanted
+    else:
+        rows = E.entry(spark).collect()
+        print(f"entry smoke: {len(rows)} rows")
+        todo = list(q)[: args.cap]
+
     n_fail = 0
-    for i, key in enumerate(list(q)[: args.cap]):
+    for i, key in enumerate(todo):
         t0 = time.time()
         try:
             spdf = q[key](spark, args.sf).toPandas()
@@ -76,7 +90,7 @@ def main() -> int:
         else:
             print(f"ok    {key} ({len(spdf)} rows) [{time.time() - t0:.1f}s]")
 
-    print(f"\n{n_fail} failures / {min(args.cap, len(q))} keys @ {args.sf}")
+    print(f"\n{n_fail} failures / {len(todo)} keys @ {args.sf}")
     return 1 if n_fail else 0
 
 

@@ -152,8 +152,11 @@ def test_check_tolerates_unfolded_new_round():
 
     cur_max = max(impl_evidence.round_commits())
     capped = impl_evidence.latest_green_rounds(max_round=cur_max)
-    uncapped = impl_evidence.latest_green_rounds()
-    assert capped == uncapped  # capping at the newest committed round is a no-op
+    # NOTE: do NOT assert capped == latest_green_rounds() here — a driver
+    # round file that exists on disk but has no adding commit yet (the
+    # exact inter-round window this test covers) legitimately makes the
+    # uncapped view differ. The unfolded round is synthesized below via
+    # the fake-r99 fixture instead, so the test is window-independent.
 
     fake = "/root/repo/CORRECTNESS_r99.json"
     with open(fake, "w") as f:

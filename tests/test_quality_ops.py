@@ -49,6 +49,21 @@ class TestPerplexityFilter:
         assert 1 not in ids  # single token → no bigrams → excluded
         assert ids == {2, 3}
 
+    def test_single_scoreable_doc_is_not_flagged(self, spark, tmp_path):
+        """ADVICE r5 #3 regression: with exactly one scoreable doc,
+        stddev_samp is NaN on Spark (NULL on DuckDB) — the nanvl guard
+        must pin z to NULL and flagged to false, matching the oracle."""
+        df = spark.createDataFrame(
+            [(1, "only doc with bigrams here", "en", "s", 26),
+             (2, "word", "en", "s", 4)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(f"{tmp_path}/documents.parquet")
+        rows = perplexity_filter(spark, str(tmp_path)).collect()
+        assert len(rows) == 1 and rows[0].doc_id == 1
+        assert rows[0].z is None
+        assert rows[0].flagged is False
+
 
 class TestSemDedup:
     def _write_embeddings(self, spark, tmp_path, dim=8):
@@ -118,6 +133,29 @@ class TestBpeTrain:
         # after round 3 the word is one symbol — no pairs, rounds 4-8 empty
         assert set(rows) == {1, 2, 3}
 
+    def test_suffix_collision_is_not_collapsed(self, spark, tmp_path):
+        """ADVICE r5 #1 regression: after merging (x,a), word 'xab' is
+        [xa, b]; the later (a,b) merge must NOT collapse it (the 'a' is
+        a mid-symbol suffix of 'xa', not a free symbol). Corpus tuned so
+        round 1 = (x,a), round 2 = (a,b), round 3 = (xa,b): under the
+        unanchored encoding round 2 wrongly folded 'xab' to one symbol,
+        which erased round 3's (xa,b) pair."""
+        from pubsub2bq_spark.operators.training_prep import bpe_train
+
+        text = " ".join(["xa"] * 6 + ["ab"] * 5 + ["xab"] * 4)
+        df = spark.createDataFrame(
+            [(1, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(f"{tmp_path}/documents.parquet")
+        rows = {r.rk: r for r in bpe_train(spark, str(tmp_path)).collect()}
+        assert (rows[1].left_sym, rows[1].right_sym, rows[1].cnt) == ("x", "a", 10)
+        assert (rows[2].left_sym, rows[2].right_sym, rows[2].cnt) == ("a", "b", 5)
+        # 'xab' must still be [xa, b] here — 4 live (xa,b) sites
+        assert (rows[3].left_sym, rows[3].right_sym, rows[3].cnt) == ("xa", "b", 4)
+        # merges exhausted after round 3; sentinel rounds emit nothing
+        assert set(rows) == {1, 2, 3}
+
 
 class TestBpeApply:
     def test_fertility_bounds_and_consistency(self, spark):
@@ -154,3 +192,22 @@ class TestBpeApply:
         )
         joined = out.join(char_baseline, "doc_id")
         assert joined.filter(F.col("fertility") >= F.col("chars_per_word")).count() == 0
+
+    def test_exhausted_merge_table_keeps_vocab(self, spark, tmp_path):
+        """ADVICE r5 #2 regression: a corpus of single-character words has
+        ZERO mergeable pairs, so every training round's merge table is
+        empty. The sentinel pad must keep the vocab intact (the old
+        crossJoin annihilated it — bpe_apply returned zero rows) and
+        every word must score fertility 1.0 under the char-level vocab."""
+        from pubsub2bq_spark.operators.training_prep import bpe_apply
+
+        text = "a b c a b c"
+        df = spark.createDataFrame(
+            [(1, text, "en", "s", len(text)), (2, "c a", "en", "s", 3)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(f"{tmp_path}/documents.parquet")
+        rows = {r.doc_id: r for r in bpe_apply(spark, str(tmp_path)).collect()}
+        assert set(rows) == {1, 2}
+        assert (rows[1].n_words, rows[1].n_pieces, rows[1].fertility) == (6, 6, 1.0)
+        assert (rows[2].n_words, rows[2].n_pieces, rows[2].fertility) == (2, 2, 1.0)
