@@ -63,21 +63,18 @@ SURVEY2_KEYS = frozenset({
 })
 
 
-# Keys whose round-4 rewrite lives where the implementation hash cannot
-# see it: python_stream_source's spool offset clamp landed CROSS-module
-# (sources/spool_datasource.py — the closure hash covers same-module
-# symbols only), and token_entropy is kept per the r4 verdict's explicit
-# re-evidence ask even though its symbol-level closure is unchanged.
-# Force one fresh driver check; prune entries once re-evidenced.
-_FORCE_RECHECK = frozenset({"python_stream_source", "token_entropy"})
+# Keys forced into one fresh driver check even though their closure hash
+# reads fresh (cross-module rewrites the hash cannot see, or an explicit
+# verdict ask). Empty since round 6: the r4 entries (python_stream_source,
+# token_entropy) both landed green r5 rows. Re-populate when needed.
+_FORCE_RECHECK: frozenset[str] = frozenset()
 
-# Keys ADDED in the current round, locally parity-verified but deliberately
-# scheduled BEHIND the stale re-checks: the round's capped driver budget is
-# already committed to draining evidence debt (VERDICT r4 #1), and a new
-# key displacing a stale re-check would trade a known gap for a new one.
-# They rank just after weak-stale — first claims on next round's budget.
-# Prune entries once driver-evidenced.
-_DEFER_NEW = frozenset({"perplexity_filter", "semdedup", "bpe_train", "bpe_apply"})
+# Keys ADDED in the current round but deliberately scheduled BEHIND the
+# stale re-checks (used in r5 to keep the capped driver budget on the
+# evidence-debt drain). Empty since round 6: the four r5 additions are
+# never-driver-checked, so they take the FRONT of the rotation by the
+# normal tiers. Re-populate when a round both adds keys and carries debt.
+_DEFER_NEW: frozenset[str] = frozenset()
 
 
 def _green_and_stale_keys() -> tuple[set[str], set[str], set[str]]:
@@ -149,9 +146,18 @@ def _priority_order(keys: list[str]) -> list[str]:
     changed, (7) this round's _DEFER_NEW additions (locally verified,
     deliberately behind the evidence-debt drain), (8) fresh-green keys
     (rotate to the back — their evidence stands against the current
-    closure hash). Stable within tiers."""
+    closure hash), ordered OLDEST green round first so any driver budget
+    left after the debt tiers re-evidences the most time-worn rows
+    (VERDICT r5 #3: r1/r2 rows predate the closure-hash machinery).
+    Stable within tiers otherwise."""
+    from pubsub2bq_spark.evidence import load_evidence
+
     green, strong, weak = _green_and_stale_keys()
     reg = all_queries()
+    root = os.path.dirname(os.path.abspath(__file__))
+    ev_round = {
+        k: v.get("round", 0) for k, v in load_evidence(root).items()
+    }
 
     def tier(key: str) -> int:
         if key in green:
@@ -170,7 +176,11 @@ def _priority_order(keys: list[str]) -> list[str]:
             return 2
         return 3 if reg[key].oracle is not None else 4
 
-    return sorted(keys, key=tier)
+    def sort_key(key: str) -> tuple[int, int]:
+        t = tier(key)
+        return (t, ev_round.get(key, 0) if t == 8 else 0)
+
+    return sorted(keys, key=sort_key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
