@@ -196,11 +196,14 @@ _HOT_BUCKET_T = 64   # bucket members before salting kicks in
 _N_BAND_SALT = 8
 
 
-def _salted_self_join(melted: DataFrame, keys: list[str]) -> DataFrame:
+def _salted_self_join(
+    melted: DataFrame, keys: list[str], id_col: str = "doc_id"
+) -> DataFrame:
     """Within-bucket pair generation: self-join `melted` on equal `keys`
-    with doc_id_a < doc_id_b, hot buckets salted. Returns every column of
-    `melted` twice, suffixed _a / _b. Result-identical to the plain
-    self-join — salting only re-keys the shuffle.
+    with id_a < id_b (``id_col``, default doc_id), hot buckets salted.
+    Returns every column of `melted` twice, suffixed _a / _b.
+    Result-identical to the plain self-join — salting only re-keys the
+    shuffle.
 
     ONE join, conditional salt (not a cold/hot branch union — that shape
     ran the band join twice and measured ~1.9x): rows in cold buckets
@@ -228,7 +231,7 @@ def _salted_self_join(melted: DataFrame, keys: list[str]) -> DataFrame:
         "_salt",
         F.when(
             F.col("_hot").isNotNull(),
-            F.pmod(F.xxhash64("doc_id"), F.lit(_N_BAND_SALT)),
+            F.pmod(F.xxhash64(id_col), F.lit(_N_BAND_SALT)),
         )
         .otherwise(F.lit(0))
         .cast("int"),
@@ -244,7 +247,7 @@ def _salted_self_join(melted: DataFrame, keys: list[str]) -> DataFrame:
     )
     a, b = probe.alias("a"), tagged.alias("b")
     cond = (F.col("a._sj") == F.col("b._salt")) & (
-        F.col("a.doc_id") < F.col("b.doc_id")
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
     for k in keys:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))

@@ -34,7 +34,7 @@ from pubsub2bq_spark.registry import register
 from pubsub2bq_spark.tables import fan_out, load, materialize
 
 PPL_Z = 1.0          # flag docs with NLL z-score above this
-SEMDEDUP_CELLS = 16  # coarse-quantizer cell FLOOR (lowest-vec_id centroids)
+SEMDEDUP_CELLS = 16  # coarse-quantizer cell FLOOR (k-means||-seeded)
 # Cells scale with the corpus so per-cell density — and with it the
 # intra-cell quadratic — stays bounded: n_cells = max(floor, ceil(n/128)).
 # The scaling probe caught the fixed-cell variant going quadratic (554s
@@ -155,28 +155,28 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "semdedup",
-    oracle=f"""
+def _semdedup_oracle() -> str:
+    from pubsub2bq_spark.operators.llm_similarity import DIM
+    from pubsub2bq_spark.operators.ml_ops import (
+        _KMEANS_ASSIGN_SQL,
+        _KMEANS_RECOMPUTE_SQL,
+        _SQDIST_SQL,
+        _kpp_seed_chain_sql,
+    )
+
+    return f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
-        cent AS (
-            SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id
-            LIMIT (SELECT CAST(greatest({SEMDEDUP_CELLS},
-                       ceil(count(*) / {SEMDEDUP_CELL_ROWS}.0)) AS BIGINT)
-                   FROM v)
+        sz AS (
+            SELECT CAST(greatest({SEMDEDUP_CELLS},
+                       ceil(count(*) / {SEMDEDUP_CELL_ROWS}.0)) AS BIGINT) AS k
+            FROM v
         ),
-        asgn AS (
-            SELECT vec_id, v, cid FROM (
-                SELECT a.vec_id, a.v, c.cid,
-                       row_number() OVER (
-                           PARTITION BY a.vec_id
-                           ORDER BY {_COS_SQL.format(a="a.v", b="c.cv")} DESC,
-                                    c.cid ASC) AS rn
-                FROM v a CROSS JOIN cent c
-            ) WHERE rn = 1
-        ),
+        {_kpp_seed_chain_sql("SELECT k FROM sz", "SELECT 2 * k FROM sz")},
+        la1 AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="seeds")}),
+        lc1 AS ({_KMEANS_RECOMPUTE_SQL.format(dim=DIM, assigned="la1")}),
+        asgn AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="lc1")}),
         pairs AS (
             SELECT b.vec_id, a.vec_id AS lower_id,
                    {_COS_SQL.format(a="a.v", b="b.v")} AS cos
@@ -191,70 +191,71 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY lower_id ASC) AS rn
             FROM pairs
         ) WHERE rn = 1
-    """,
-    doc=f"SemDeDup (Abbas et al. 2023): embeddings assigned to "
-        f"{SEMDEDUP_CELLS} coarse cells (lowest-vec_id centroids, "
-        "ann_ivf's deterministic quantizer), then every vector whose "
-        f"cosine to a LOWER-id clustermate exceeds {SEMDEDUP_TAU} is "
-        "dropped — one row per dropped vector with its canonical "
-        "(lowest qualifying id) and that cosine. Keep-set = corpus "
-        "minus these rows; cross-cell duplicates are out of scope by "
-        "construction (the documented SemDeDup trade).",
+    """
+
+
+@register(
+    "semdedup",
+    oracle=_semdedup_oracle(),
+    doc=f"SemDeDup (Abbas et al. 2023): embeddings assigned to corpus-"
+        f"scaled coarse cells (max({SEMDEDUP_CELLS}, n/"
+        f"{SEMDEDUP_CELL_ROWS}) k-means||-seeded, one-Lloyd-round "
+        "refined centroids — ann_ivf_kmeans' exact quantizer build), "
+        f"then every vector whose cosine to a LOWER-id clustermate "
+        f"exceeds {SEMDEDUP_TAU} is dropped — one row per dropped "
+        "vector with its canonical (lowest qualifying id) and that "
+        "cosine. Keep-set = corpus minus these rows; cross-cell "
+        "duplicates are out of scope by construction (the documented "
+        "SemDeDup trade).",
     scale_notes="The quadratic comparison is confined to cells AND the "
                 "cell count scales with the corpus (n/128, floored at "
                 f"{SEMDEDUP_CELLS}), so per-cell density — and the "
                 "intra-cell pair work — stays bounded at ~128^2 per "
                 "cell at any scale; the scaling probe measured the "
                 "FIXED-cell variant going quadratic (exponent 1.5, "
-                "554s at 32x) and this sizing is the fix. The shuffle "
-                "key is cid; the centroid table grows as corpus/128 "
-                "(at production scale the quantizer is "
-                "kmeans_parallel_init + a Lloyd round, exactly the "
-                "ann_ivf_kmeans build, and cells beyond broadcast size "
-                "join by shuffle; hot cells salt via "
-                "llm_dedup._salted_self_join). The prune decision is "
-                "per-vector-local given its cell pairs — no global "
-                "structure, no iteration.",
+                "554s at 32x) and this sizing is the fix. The "
+                "quantizer is the production build VERDICT r5 #5 asked "
+                "for: k-means|| seeds (L=2k oversampling, weighted "
+                "mini-Lloyd) + ONE corpus Lloyd round — learned "
+                "centroids bound the worst cell on skewed embeddings "
+                "where first-n-by-id centroids let one cell absorb "
+                "whole foreign clusters (see "
+                "tests/test_quality_ops.py::TestSemDedupQuantizer). "
+                "The intra-cell self-join routes through "
+                "llm_dedup._salted_self_join (cid key, vec_id salt): "
+                "cells over 64 members fragment-replicate across 8 "
+                "salts so no reducer owns a whole hot cell. The prune "
+                "decision is per-vector-local given its cell pairs — "
+                "no global structure, no iteration.",
 )
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.operators.llm_dedup import _salted_self_join
+    from pubsub2bq_spark.operators.ml_ops import _assign, _kpp_seeds, _recompute
+
     v = (
         fan_out(load(spark, sf_dir, "embeddings"), spark)
         .select("vec_id", _dvec("embedding").alias("v"))
-        .transform(materialize)  # count probe + centroids + assignment
+        .transform(materialize)  # count probe + seeding + assignment
     )
     # Scalar probe on an aggregate (the dedup_clusters convergence-probe
     # pattern): one row to the driver, sizes the quantizer.
     n = v.agg(F.count(F.lit(1))).first()[0]
     n_cells = max(SEMDEDUP_CELLS, -(-n // SEMDEDUP_CELL_ROWS))
-    cent = (
-        v.orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid").asc()
-    )
+    seeds = _kpp_seeds(v, k=n_cells, l=2 * n_cells)
+    cent = _recompute(_assign(v, seeds))  # ONE corpus Lloyd round
     asgn = (
-        v.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "v", "cid", _cosine(F.col("v"), F.col("cv")).alias("cos_c")
-        )
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        _assign(v, cent)
+        .select("cid", "vec_id", "v")
         .transform(materialize)  # both sides of the intra-cell self-join
     )
-    a = asgn.select(
-        F.col("cid"), F.col("vec_id").alias("lower_id"), F.col("v").alias("va")
-    )
-    b = asgn.select(
-        F.col("cid"), F.col("vec_id"), F.col("v").alias("vb")
-    )
-    cos = _cosine(F.col("va"), F.col("vb"))
+    pr = _salted_self_join(asgn, ["cid"], id_col="vec_id")
+    cos = _cosine(F.col("v_a"), F.col("v_b"))
     pairs = (
-        a.join(b, ["cid"])
-        .filter(F.col("lower_id") < F.col("vec_id"))
-        .select("vec_id", "lower_id", cos.alias("cos"))
+        pr.select(
+            F.col("vec_id_b").alias("vec_id"),
+            F.col("vec_id_a").alias("lower_id"),
+            cos.alias("cos"),
+        )
         .filter(F.col("cos") > SEMDEDUP_TAU)
     )
     w_min = Window.partitionBy("vec_id").orderBy(F.col("lower_id").asc())

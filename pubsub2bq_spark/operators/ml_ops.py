@@ -199,8 +199,12 @@ def _kpp_u16_sql(expr: str) -> str:
     )
 
 
-def _kpp_round_sql(r: int, cent: str) -> str:
+def _kpp_round_sql(r: int, cent: str, l_expr: str | None = None) -> str:
+    """``l_expr`` overrides the oversampling factor L (default the KPP_L
+    constant) — it may be a scalar subquery so callers with a
+    data-dependent cell count (semdedup) can scale L with k."""
     u16 = _kpp_u16_sql(f"CAST(d.vec_id AS VARCHAR) || ':{r}'")
+    l_sql = str(KPP_L) if l_expr is None else f"({l_expr})"
     return f"""
         d{r} AS (
             SELECT a.vec_id,
@@ -210,7 +214,7 @@ def _kpp_round_sql(r: int, cent: str) -> str:
         p{r} AS (SELECT CAST(sum(d2i) AS BIGINT) AS phi FROM d{r}),
         s{r} AS (
             SELECT d.vec_id FROM d{r} d, p{r}
-            WHERE ({u16}) * phi < {KPP_L} * d.d2i * 65536
+            WHERE ({u16}) * phi < {l_sql} * d.d2i * 65536
         ),
         c{r} AS (
             SELECT * FROM {cent}
@@ -257,31 +261,34 @@ def _kpp_mini_round_sql(i: int, cent: str) -> str:
     """
 
 
-def _kpp_oversample_rounds_sql() -> str:
+def _kpp_oversample_rounds_sql(l_expr: str | None = None) -> str:
     """The k-means|| oversampling CTE chain c1..c{KPP_ROUNDS}, derived
     from KPP_ROUNDS so the oracle's round count tracks the Spark loop
     (_kpp_candidates iterates range(1, KPP_ROUNDS + 1)) — ADVICE r5 #4:
     the chain was hardcoded at two rounds, silently coupling the
     constants."""
     return ",".join(
-        _kpp_round_sql(r, f"c{r - 1}") for r in range(1, KPP_ROUNDS + 1)
+        _kpp_round_sql(r, f"c{r - 1}", l_expr) for r in range(1, KPP_ROUNDS + 1)
     )
 
 
-def _kpp_seed_chain_sql(k: int) -> str:
+def _kpp_seed_chain_sql(k: int | str, l_expr: str | None = None) -> str:
     """CTE chain (expects `v(vec_id, v)` already defined): k-means||
     candidates over KPP_ROUNDS rounds → weighted top-k init → weighted
     mini-Lloyd over the candidate set → ``seeds(cid, c)`` — the oracle
-    twin of _kpp_seeds, shared with ann_ivf_kmeans's oracle."""
+    twin of _kpp_seeds, shared with ann_ivf_kmeans's oracle.  ``k`` may
+    be an int or a scalar-subquery string (data-dependent cell counts);
+    ``l_expr`` likewise overrides the oversampling factor."""
     mini = ",".join(
         _kpp_mini_round_sql(i, "seeds0" if i == 1 else f"ms{i - 1}")
         for i in range(1, KPP_MINI_ITERS + 1)
     )
+    k_sql = str(k) if isinstance(k, int) else f"({k})"
     return f"""
         c0 AS (
             SELECT vec_id AS cid_v, v AS c FROM v ORDER BY vec_id LIMIT 1
         ),
-        {_kpp_oversample_rounds_sql()},
+        {_kpp_oversample_rounds_sql(l_expr)},
         kpp_asgn AS (
             SELECT vec_id, cid_v FROM (
                 SELECT a.vec_id, c.cid_v,
@@ -302,7 +309,7 @@ def _kpp_seed_chain_sql(k: int) -> str:
                        row_number() OVER (ORDER BY weight DESC, cid_v ASC) AS rn
                 FROM kpp_w
             ) r JOIN c{KPP_ROUNDS} cc ON r.cid_v = cc.cid_v
-            WHERE r.rn <= {k}
+            WHERE r.rn <= {k_sql}
         ),
         {mini},
         seeds AS (SELECT cid, c FROM ms{KPP_MINI_ITERS})
@@ -368,10 +375,10 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kpp_candidates(v: DataFrame) -> DataFrame:
+def _kpp_candidates(v: DataFrame, l: int = KPP_L) -> DataFrame:
     """k-means|| oversampled candidate set (cid_v, c): KPP_ROUNDS rounds,
-    each sampling ~KPP_L points with probability ∝ squared distance to
-    the running set. ≤ 1 + KPP_L*KPP_ROUNDS rows, materialized."""
+    each sampling ~l points with probability ∝ squared distance to
+    the running set. ≤ 1 + l*KPP_ROUNDS rows, materialized."""
     cand = v.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("cid_v"), F.col("v").alias("c")
     )
@@ -394,7 +401,7 @@ def _kpp_candidates(v: DataFrame) -> DataFrame:
         u16 = _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(f":{r}")))
         sel = (
             d.join(F.broadcast(phi))
-            .filter(u16 * F.col("phi") < F.lit(KPP_L) * F.col("d2i") * F.lit(65536))
+            .filter(u16 * F.col("phi") < F.lit(l) * F.col("d2i") * F.lit(65536))
             .select("vec_id")
         )
         cand = cand.unionByName(
@@ -439,7 +446,7 @@ def _kpp_ranked(v: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
-def _kpp_seeds(v: DataFrame) -> DataFrame:
+def _kpp_seeds(v: DataFrame, k: int = KPP_K, l: int = KPP_L) -> DataFrame:
     """(cid, c): k-means|| seeding for ann_ivf_kmeans's index build —
     wires kmeans_parallel_init's candidate machinery into the IVF path.
 
@@ -450,12 +457,14 @@ def _kpp_seeds(v: DataFrame) -> DataFrame:
     (sf0.001) / 0.66 (sf0.01) vs 0.56 / 0.66 for the previous
     two-round lowest-vec_id build — same or better at half the
     refinement scans. Weight ≥ 1 always (every candidate is its own
-    nearest), so the weighted means cannot divide by zero."""
-    cand = _kpp_candidates(v)
+    nearest), so the weighted means cannot divide by zero.  ``k``/``l``
+    override the seed count and oversampling factor for callers with a
+    corpus-scaled cell count (semdedup)."""
+    cand = _kpp_candidates(v, l)
     ranked = _kpp_ranked(v, cand)
     wcand = cand.join(F.broadcast(ranked), "cid_v").transform(materialize)
     seeds = (
-        ranked.filter(F.col("rank") < KPP_K)
+        ranked.filter(F.col("rank") < k)
         .join(F.broadcast(cand), "cid_v")
         .select(F.col("rank").alias("cid"), "c")
     )

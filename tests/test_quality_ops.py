@@ -97,6 +97,67 @@ class TestSemDedup:
         assert out.filter(F.col("cosine") <= SEMDEDUP_TAU).count() == 0
 
 
+class TestSemDedupQuantizer:
+    """VERDICT r5 #5: on skewed embeddings the learned (k-means||-seeded
+    + one-Lloyd-round) quantizer must balance cells where the old
+    first-n-by-id quantizer let one cell absorb a whole foreign
+    cluster."""
+
+    def _write_skewed(self, spark, tmp_path, n_a=16, n_b=112, dim=8):
+        """Cluster A (ids 0..15) tight around e0; cluster B (ids 16..127)
+        tight around e1. The first n_a ids are ALL in A, so id-based
+        centroids leave every B vector in one cell."""
+        import math
+
+        def jittered(base_axis, seed):
+            vals = [0.02 * math.sin(seed * 31 + j * 17) for j in range(dim)]
+            vals[base_axis] += 1.0
+            n = math.sqrt(sum(v * v for v in vals))
+            return [v / n for v in vals]
+
+        rows = [(i, jittered(0, i)) for i in range(n_a)]
+        rows += [(n_a + i, jittered(1, i)) for i in range(n_b)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        df.write.parquet(f"{tmp_path}/embeddings.parquet")
+        return str(tmp_path), n_a + n_b
+
+    def test_learned_cells_balance_skewed_clusters(self, spark, tmp_path):
+        from pubsub2bq_spark.operators.llm_quality import (
+            SEMDEDUP_CELLS,
+        )
+        from pubsub2bq_spark.operators.llm_similarity import _dvec
+        from pubsub2bq_spark.operators.ml_ops import _assign, _kpp_seeds, _recompute
+        from pubsub2bq_spark.tables import load, materialize
+
+        sf, n = self._write_skewed(spark, tmp_path)
+        v = (
+            load(spark, sf, "embeddings")
+            .select("vec_id", _dvec("embedding").alias("v"))
+            .transform(materialize)
+        )
+        # old quantizer: first-16-by-id centroids — all in cluster A
+        old_cent = (
+            v.orderBy("vec_id").limit(SEMDEDUP_CELLS)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+        )
+        old_max = (
+            _assign(v, old_cent).groupBy("cid").count()
+            .agg(F.max("count")).first()[0]
+        )
+        # new quantizer: exactly semdedup's build
+        seeds = _kpp_seeds(v, k=SEMDEDUP_CELLS, l=2 * SEMDEDUP_CELLS)
+        new_cent = _recompute(_assign(v, seeds))
+        new_max = (
+            _assign(v, new_cent).groupBy("cid").count()
+            .agg(F.max("count")).first()[0]
+        )
+        # id-based centroids put the whole 112-vector B cluster in 1 cell
+        assert old_max >= 112
+        # learned centroids split it: worst cell under half the corpus
+        assert new_max < old_max
+        assert new_max <= n / 2
+
+
 class TestBpeTrain:
     def test_round1_agrees_with_bpe_merges(self, spark):
         """bpe_train's first merged pair must be bpe_merges' rank-1
