@@ -122,44 +122,64 @@ HEADLINE = [
 
 REGRESSION_FACTOR = 1.5
 
-# Streaming keys whose headline time is dominated by FIXED stream-startup
-# cost (micro-batch machinery + Python state-worker spin-up + checkpoint
-# setup), not per-row work (VERDICT r4 #7): transform_with_state runs a
-# typed-state streaming query end-to-end; stream_replay runs TWO stream
-# queries (initial + seek-to-offset replay) by construction. The values
-# are the measured wall-time of the identical operator at sf0.001 (data
-# small enough that per-batch work is ~0) — the startup constant a real
-# deployment amortizes over hours. The regression gate compares the
-# VARIABLE component (total - startup) so a noise wiggle in fixed
-# startup can't flag, and a real per-batch regression can't hide under
-# a large fixed term.
-STREAM_FIXED_COST = {
+# Keys whose headline time is dominated by a FIXED per-op cost, not
+# per-row work — the gate compares the VARIABLE component (total −
+# fixed) so a noise wiggle in the fixed term can't flag, and a real
+# data-dependent regression can't hide under a large fixed term.
+#
+# * Stream keys (VERDICT r4 #7): micro-batch machinery + Python
+#   state-worker spin-up + checkpoint setup. transform_with_state runs
+#   a typed-state streaming query end-to-end; stream_replay runs TWO
+#   stream queries (initial + seek-to-offset replay) by construction.
+#   Values: measured wall-time at sf0.001 (per-batch work ~0, min of 3)
+#   — the startup constant a real deployment amortizes over hours.
+# * ann_ivf_kmeans (VERDICT r5 #4): the k-means|| seeding chain runs
+#   ~15 eager materialize() jobs whose scheduling latency, not data,
+#   dominates at bench scale. Measured r6: 5.8–6.9s essentially FLAT
+#   from sf0.001 to sf0.1 (100× data) in a session whose calibration
+#   showed ~1.2× machine inflation; variable share at sf0.1 ≈
+#   (6.87 − 5.83)/6.87 ≈ 15%. Scaling that share onto the r5 driver
+#   total (4.703s) puts the driver-machine fixed term at ~4.0s and the
+#   variable term at ~0.7s — the value below is that driver-scale
+#   estimate so the prior-side variable component stays positive.
+FIXED_COST = {
     "transform_with_state": 3.7,  # measured 3.74s at sf0.001 (min of 3)
     "stream_replay": 3.6,         # measured 3.59s at sf0.001 (min of 3)
+    "ann_ivf_kmeans": 4.0,        # ~85% fixed of r5's 4.703s (see above)
+    # semdedup gained the same seeding chain in r6 (VERDICT r5 #5); its
+    # fixed term is the same chain at the same bench scale. The r5
+    # baseline (2.39s) predates the chain — the first r6-vs-r5 compare
+    # flags it and KNOWN_SEMANTIC_CHANGES carries the explanation; from
+    # r7 the gate tracks its variable component like ann_ivf_kmeans's.
+    "semdedup": 4.0,
 }
 
-# A flag must be actionable: beyond the ratio, the (per-batch) component
+# A flag must be actionable: beyond the ratio, the variable component
 # must have grown by more than the harness's observed noise floor —
-# ±0.5s for batch queries, ±1.0s for streaming queries (micro-batch
-# scheduling jitter routinely swings ~1s run-to-run, and the per-batch
-# subtraction makes small absolute wiggles look like large ratios).
+# ±0.5s for plain batch queries, ±1.0s for decomposed keys (stream
+# micro-batch scheduling and many-job seeding chains both jitter ~1s
+# run-to-run, and the fixed-cost subtraction makes small absolute
+# wiggles look like large ratios).
 MIN_ABS_REGRESSION = 0.5
-MIN_ABS_REGRESSION_STREAM = 1.0
+MIN_ABS_REGRESSION_DECOMPOSED = 1.0
 
 
 def _gate_ratio(key: str, now: float, was: float) -> float:
-    """Regression ratio, on the per-batch component for stream keys."""
-    fixed = STREAM_FIXED_COST.get(key, 0.0)
+    """Regression ratio, on the variable component for decomposed keys."""
+    fixed = FIXED_COST.get(key, 0.0)
     now_v, was_v = max(now - fixed, 0.05), max(was - fixed, 0.05)
     return now_v / was_v
 
 
 def _gate_flags(key: str, now: float, was: float) -> bool:
-    fixed = STREAM_FIXED_COST.get(key, 0.0)
-    floor = MIN_ABS_REGRESSION_STREAM if key in STREAM_FIXED_COST else MIN_ABS_REGRESSION
+    floor = (
+        MIN_ABS_REGRESSION_DECOMPOSED
+        if key in FIXED_COST
+        else MIN_ABS_REGRESSION
+    )
     return (
         _gate_ratio(key, now, was) > REGRESSION_FACTOR
-        and (now - fixed) - (was - fixed) > floor
+        and now - was > floor
     )
 
 # Flags whose cause is a DELIBERATE semantics change (the operator now
@@ -168,22 +188,17 @@ def _gate_flags(key: str, now: float, was: float) -> bool:
 # honest — but the compare doc carries the explanation. Remove an entry
 # once a new BENCH_r*.json baseline includes the changed operator.
 KNOWN_SEMANTIC_CHANGES = {
-    "simhash": (
-        "r3 baseline is the 16-bit fingerprint; r4 widened to 64 bits "
-        "(VERDICT r3 next-step #3) — 4× aggregation state. Like-for-like "
-        "(64-bit instr/CASE vs 64-bit conv/bitshift) the r4 rewrite is "
-        "~20-25% faster in an isolated A/B."
-    ),
-    "ann_ivf_kmeans": (
-        "r4 baseline built the index from a free lowest-vec_id init + two "
-        "Lloyd rounds; r5 wires k-means|| seeding in (VERDICT r4 #4): two "
-        "oversampling scans + a candidate-weighting pass + a weighted "
-        "mini-Lloyd over the candidate set, then ONE corpus Lloyd round. "
-        "The seeding buys recall@10 0.56→0.82 (sf0.001) at equal-or-"
-        "better sf0.01 recall. At bench scale (2000 vectors) the added "
-        "time is the seeding chain's fixed job overhead (its eager "
-        "materializations are per-op constants, not data-dependent); "
-        "asymptotically the build is ~5 corpus scans vs the old 4."
+    # (emptied r6: the r4 simhash widening and the r5 ann_ivf_kmeans
+    # seeding are both inside the BENCH_r05 baseline now, so the plain
+    # gate is like-for-like again; ann_ivf_kmeans's residual fixed
+    # seeding overhead is handled by FIXED_COST decomposition instead.)
+    "semdedup": (
+        "r5 baseline used a free first-16-by-id quantizer; r6 seeds it "
+        "with k-means|| + one corpus Lloyd round (VERDICT r5 #5 — the "
+        "production build, balances cells on skewed embeddings) and "
+        "salts hot cells. The added time is the same seeding-chain "
+        "fixed job overhead ann_ivf_kmeans carries (~15 eager "
+        "materialize jobs); the intra-cell pair work is unchanged."
     ),
 }
 
@@ -267,24 +282,26 @@ def compare_to_prior_rounds(
         if flag:
             flagged.append(key)
         note = (
-            f" (per-batch: {STREAM_FIXED_COST[key]}s fixed startup excluded)"
-            if key in STREAM_FIXED_COST
+            f" (variable: {FIXED_COST[key]}s fixed cost excluded)"
+            if key in FIXED_COST
             else ""
         )
         lines.append(
             f"| {key} | {was} | {now} | {iso_s} | {ratio:.2f}×{note} | {flag} |"
         )
     lines += ["", f"Flagged: {', '.join(flagged) if flagged else 'none'}", ""]
-    if any(k in timings for k in STREAM_FIXED_COST):
+    if any(k in timings for k in FIXED_COST):
         lines += [
-            "Stream fixed-cost decomposition (ratios above compare the "
-            "variable, per-batch component):",
+            "Fixed-cost decomposition (ratios above compare the "
+            "variable component):",
             "",
         ] + [
-            f"- `{k}`: ~{v}s of the headline time is stream startup "
-            "(measured at sf0.001, where per-batch work is ~0); the "
-            "remainder is per-batch work that scales with data."
-            for k, v in STREAM_FIXED_COST.items()
+            f"- `{k}`: ~{v}s of the headline time is a per-op constant "
+            "(stream startup for the streaming keys; eager seeding-"
+            "chain job overhead for the k-means||-built indexes — "
+            "measured flat across sf0.001→sf0.1); the remainder is "
+            "work that scales with data."
+            for k, v in FIXED_COST.items()
             if k in timings
         ] + [""]
     explained = [k for k in flagged if k in KNOWN_SEMANTIC_CHANGES]

@@ -1,6 +1,7 @@
-"""bench.py regression-gate semantics: ratio on the per-batch component
-for stream keys, plus an absolute-delta noise floor so sub-noise wiggles
-(especially after the fixed-startup subtraction) cannot flag."""
+"""bench.py regression-gate semantics: ratio on the variable component
+for fixed-cost-decomposed keys (stream startup / seeding-chain job
+overhead), plus an absolute-delta noise floor so sub-noise wiggles
+(especially after the fixed-cost subtraction) cannot flag."""
 
 from __future__ import annotations
 
@@ -18,8 +19,8 @@ def test_batch_key_needs_ratio_and_absolute_delta():
 
 def test_stream_key_gates_on_per_batch_component():
     key = "transform_with_state"
-    fixed = bench.STREAM_FIXED_COST[key]
-    # +0.8s per-batch: big ratio but under the 1s stream noise floor
+    fixed = bench.FIXED_COST[key]
+    # +0.8s per-batch: big ratio but under the 1s decomposed noise floor
     assert not bench._gate_flags(key, fixed + 1.6, fixed + 0.8)
     # +1.5s per-batch at >1.5x: a real regression
     assert bench._gate_flags(key, fixed + 2.5, fixed + 1.0)
@@ -27,7 +28,22 @@ def test_stream_key_gates_on_per_batch_component():
     assert not bench._gate_flags(key, fixed + 0.9, fixed + 0.85)
 
 
-def test_gate_ratio_subtracts_fixed_startup():
+def test_gate_ratio_subtracts_fixed_cost():
     key = "stream_replay"
-    fixed = bench.STREAM_FIXED_COST[key]
+    fixed = bench.FIXED_COST[key]
     assert abs(bench._gate_ratio(key, fixed + 2.0, fixed + 1.0) - 2.0) < 1e-9
+
+
+def test_seeded_index_key_gates_on_variable_component():
+    """VERDICT r5 #4: ann_ivf_kmeans's ~4s seeding-chain overhead is a
+    per-op constant — growth inside it must not flag, growth in the
+    data-dependent remainder must."""
+    key = "ann_ivf_kmeans"
+    fixed = bench.FIXED_COST[key]
+    # fixed-overhead jitter with variable part constant: never flags
+    assert not bench._gate_flags(key, fixed + 0.75, fixed + 0.7)
+    # variable part 0.7 -> 2.2 (3.1x, +1.5s): a real regression
+    assert bench._gate_flags(key, fixed + 2.2, fixed + 0.7)
+    # a prior-round total BELOW the fixed estimate clamps but must not
+    # produce a flag from a modest absolute move
+    assert not bench._gate_flags(key, fixed + 0.5, fixed - 0.3)
