@@ -117,6 +117,12 @@ HEADLINE = [
     "semdedup",
     "bpe_train",
     "bpe_apply",
+    # Round-6 additions: curriculum staging over the perplexity signal,
+    # token-exact packing under the learned BPE vocab, cross-encoder-
+    # style rerank over the hybrid retriever's candidates.
+    "curriculum_order",
+    "bpe_pack",
+    "rerank_topk",
 ]
 
 

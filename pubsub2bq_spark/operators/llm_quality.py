@@ -1,7 +1,7 @@
-"""Model-based corpus quality operators: LM-perplexity filtering and
-semantic (cluster-blocked) embedding dedup.
+"""Model-based corpus quality operators: LM-perplexity filtering,
+semantic (cluster-blocked) embedding dedup, and curriculum ordering.
 
-These are the two quality passes a pretraining pipeline runs AFTER the
+The quality passes a pretraining pipeline runs AFTER the
 surface-statistics funnel (llm_corpus) and exact/near dedup (llm_dedup):
 
 * ``perplexity_filter`` — CCNet-style: score every document by its
@@ -12,16 +12,18 @@ surface-statistics funnel (llm_corpus) and exact/near dedup (llm_dedup):
   two-phase machinery) while staying fully distributed: the corpus
   statistics are ONE broadcast row.
 * ``semdedup`` — SemDeDup (Abbas et al., 2023, arXiv:2303.09540):
-  cluster embeddings with a coarse quantizer, then prune near-duplicate
+  cluster embeddings with a coarse quantizer (k-means||-seeded, one
+  Lloyd round — ann_ivf_kmeans's build), then prune near-duplicate
   vectors WITHIN each cluster (cosine above a threshold to any
   lower-id clustermate → dropped, keeping the lowest id as canonical).
   Complements embedding_dedup (LSH-bucketed near-dup PAIRS): this one
   produces the pruned-corpus decision with cluster blocking, the shape
   used to thin web-scale corpora before training.
-
-New in round 5; scheduled behind the stale re-checks in the driver
-rotation (__spark_entry__._DEFER_NEW) so they don't displace evidence
-debt from the capped correctness budget.
+* ``curriculum_order`` (round 6, VERDICT r5 #7) — easy→hard training
+  order from the SAME perplexity scores: documents staged into exact
+  NLL quartiles (fluent text first), deterministically shuffled within
+  each stage — the curriculum-learning layout (Bengio et al. 2009)
+  over the quality signal the filter already computes.
 """
 
 from __future__ import annotations
@@ -35,13 +37,19 @@ from pubsub2bq_spark.tables import fan_out, load, materialize
 
 PPL_Z = 1.0          # flag docs with NLL z-score above this
 SEMDEDUP_CELLS = 16  # coarse-quantizer cell FLOOR (k-means||-seeded)
-# Cells scale with the corpus so per-cell density — and with it the
-# intra-cell quadratic — stays bounded: n_cells = max(floor, ceil(n/128)).
-# The scaling probe caught the fixed-cell variant going quadratic (554s
-# at 32x corpus, exponent 1.5); with cells ∝ corpus each cell holds ~128
-# vectors at any scale. At every test SF (500-2000 vectors) the formula
-# still resolves to the floor of 16, so outputs are unchanged there.
-SEMDEDUP_CELL_ROWS = 128
+# Cell count n_cells = max(floor, ceil(sqrt(n))) — the standard IVF
+# nlist sizing. The r5 probe caught the FIXED-cell variant going
+# quadratic in per-cell density (exponent 1.5, 554s at 32x); the r6
+# 64x probe then caught the cells ∝ n/128 replacement going quadratic
+# on the OTHER axis (centroid assignment and k-means|| distance scans
+# are O(n*k) = O(n^2/128); raw exponent 1.52 on the 4x→32x octave).
+# sqrt sizing balances the three phases — assignment n*sqrt(n),
+# seeding 2n*sqrt(n), intra-cell pairs n*sqrt(n) — the FAISS-style
+# build cost; the next rung at extreme scale is hierarchical (two-
+# level) assignment, which cuts the n*k term to n*2*sqrt(k).
+# ceil(sqrt(n)) is evaluated in IEEE double arithmetic on BOTH engines
+# (math.ceil(math.sqrt(n)) here, ceil(sqrt(count(*))) in the oracle)
+# so the cell count can never disagree.
 SEMDEDUP_TAU = 0.3   # intra-cell cosine above this = semantic duplicate
                      # (calibrated to the synthetic embeddings' planted
                      # similarity structure, matching embedding_dedup)
@@ -51,30 +59,79 @@ _COS_SQL = (
     "* sqrt(list_dot_product({b}, {b})))"
 )
 
+# Shared CTE chain ending in nll(doc_id, n_bigrams, nll): per-document
+# average bigram NLL under the corpus's own add-one-smoothed bigram LM.
+# Used by perplexity_filter (z-score gate) and curriculum_order (stage
+# assignment) — one model, two consumers.
+_NLL_CTES = """
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM toks WHERE len(t) >= 2)
+    ),
+    pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    hc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    vv AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vsz FROM bg),
+    nll AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               avg(-ln((c12 + 1) / (c1 + vsz))) AS nll
+        FROM bg JOIN pc USING (w1, w2) JOIN hc USING (w1) CROSS JOIN vv
+        GROUP BY doc_id
+    )
+"""
+
+
+def _doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, nll): the Spark twin of the _NLL_CTES chain,
+    materialized (the LM scoring pass runs once; gate/staging consumers
+    read the cache)."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+        ).alias("t"),
+    )
+    n = F.size("t")
+    starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = (
+        toks.select("doc_id", "t", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+        .transform(materialize)  # one tokenization feeds four consumers
+    )
+    pc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hc = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bigrams.agg(F.countDistinct("w2").cast("double").alias("vsz"))
+    return (
+        bigrams.join(pc, ["w1", "w2"])
+        .join(hc, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(-F.log((F.col("c12") + 1) / (F.col("c1") + F.col("vsz"))))
+            .alias("nll"),
+        )
+        .transform(materialize)  # scored once; every consumer reads it
+    )
+
 
 @register(
     "perplexity_filter",
     oracle=f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                               x -> x <> '') AS t
-            FROM documents
-        ),
-        bg AS (
-            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-            FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-                  FROM toks WHERE len(t) >= 2)
-        ),
-        pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-        hc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-        vv AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vsz FROM bg),
-        nll AS (
-            SELECT doc_id, count(*) AS n_bigrams,
-                   avg(-ln((c12 + 1) / (c1 + vsz))) AS nll
-            FROM bg JOIN pc USING (w1, w2) JOIN hc USING (w1) CROSS JOIN vv
-            GROUP BY doc_id
-        ),
+        WITH {_NLL_CTES},
         st AS (
             SELECT avg(nll) AS mu, nullif(stddev_samp(nll), 0) AS sd FROM nll
         )
@@ -100,41 +157,7 @@ _COS_SQL = (
                 "percentile when a fixed keep-fraction is required.",
 )
 def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(load(spark, sf_dir, "documents"), spark)
-    toks = d.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
-        ).alias("t"),
-    )
-    n = F.size("t")
-    starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    bigrams = (
-        toks.select("doc_id", "t", F.explode(starts).alias("i"))
-        .select(
-            "doc_id",
-            F.element_at("t", F.col("i")).alias("w1"),
-            F.element_at("t", F.col("i") + 1).alias("w2"),
-        )
-        .transform(materialize)  # one tokenization feeds four consumers
-    )
-    pc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    hc = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = bigrams.agg(F.countDistinct("w2").cast("double").alias("vsz"))
-    nll = (
-        bigrams.join(pc, ["w1", "w2"])
-        .join(hc, ["w1"])
-        .crossJoin(F.broadcast(v))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.avg(-F.log((F.col("c12") + 1) / (F.col("c1") + F.col("vsz"))))
-            .alias("nll"),
-        )
-        .transform(materialize)  # scored once; stats + output both read it
-    )
+    nll = _doc_nll(spark, sf_dir)
     # nullif/coalesce guards: a degenerate corpus (every doc identical →
     # sd = 0) must yield z NULL / flagged false on BOTH engines, not an
     # ANSI divide-by-zero on Spark vs IEEE inf on DuckDB. The nanvl
@@ -170,7 +193,7 @@ def _semdedup_oracle() -> str:
         ),
         sz AS (
             SELECT CAST(greatest({SEMDEDUP_CELLS},
-                       ceil(count(*) / {SEMDEDUP_CELL_ROWS}.0)) AS BIGINT) AS k
+                       ceil(sqrt(count(*)))) AS BIGINT) AS k
             FROM v
         ),
         {_kpp_seed_chain_sql("SELECT k FROM sz", "SELECT 2 * k FROM sz")},
@@ -197,31 +220,35 @@ def _semdedup_oracle() -> str:
 @register(
     "semdedup",
     oracle=_semdedup_oracle(),
-    doc=f"SemDeDup (Abbas et al. 2023): embeddings assigned to corpus-"
-        f"scaled coarse cells (max({SEMDEDUP_CELLS}, n/"
-        f"{SEMDEDUP_CELL_ROWS}) k-means||-seeded, one-Lloyd-round "
-        "refined centroids — ann_ivf_kmeans' exact quantizer build), "
-        f"then every vector whose cosine to a LOWER-id clustermate "
-        f"exceeds {SEMDEDUP_TAU} is dropped — one row per dropped "
-        "vector with its canonical (lowest qualifying id) and that "
-        "cosine. Keep-set = corpus minus these rows; cross-cell "
-        "duplicates are out of scope by construction (the documented "
-        "SemDeDup trade).",
-    scale_notes="The quadratic comparison is confined to cells AND the "
-                "cell count scales with the corpus (n/128, floored at "
-                f"{SEMDEDUP_CELLS}), so per-cell density — and the "
-                "intra-cell pair work — stays bounded at ~128^2 per "
-                "cell at any scale; the scaling probe measured the "
-                "FIXED-cell variant going quadratic (exponent 1.5, "
-                "554s at 32x) and this sizing is the fix. The "
-                "quantizer is the production build VERDICT r5 #5 asked "
-                "for: k-means|| seeds (L=2k oversampling, weighted "
-                "mini-Lloyd) + ONE corpus Lloyd round — learned "
-                "centroids bound the worst cell on skewed embeddings "
-                "where first-n-by-id centroids let one cell absorb "
-                "whole foreign clusters (see "
-                "tests/test_quality_ops.py::TestSemDedupQuantizer). "
-                "The intra-cell self-join routes through "
+    doc=f"SemDeDup (Abbas et al. 2023): embeddings assigned to "
+        f"max({SEMDEDUP_CELLS}, ceil(sqrt(n))) coarse cells (k-means||-"
+        "seeded, one-Lloyd-round refined centroids — ann_ivf_kmeans' "
+        "exact quantizer build), then every vector whose cosine to a "
+        f"LOWER-id clustermate exceeds {SEMDEDUP_TAU} is dropped — one "
+        "row per dropped vector with its canonical (lowest qualifying "
+        "id) and that cosine. Keep-set = corpus minus these rows; "
+        "cross-cell duplicates are out of scope by construction (the "
+        "documented SemDeDup trade).",
+    scale_notes="Cell count = ceil(sqrt(n)) (the IVF nlist sizing) "
+                "balances all three build phases at n^1.5 distance "
+                "ops: centroid assignment and the k-means|| scans are "
+                "n*k and the intra-cell pair work is k*(n/k)^2 = "
+                "n^2/k — sqrt is the exact minimizer of their sum. "
+                "The probe regime caught BOTH wrong extremes: fixed "
+                "cells went quadratic in density (r5, exponent 1.5), "
+                "and cells ∝ n/128 went quadratic in assignment (r6 "
+                "64x probe, 1.52 on the 4x→32x octave). At extreme "
+                "scale the next rung is hierarchical assignment "
+                "(sqrt(k) supercells over the centroid table cuts n*k "
+                "to 2n*sqrt(k)) — documented, not yet needed at probe "
+                "scales. The quantizer is the production build VERDICT "
+                "r5 #5 asked for: k-means|| seeds (L=2k oversampling, "
+                "weighted mini-Lloyd) + ONE corpus Lloyd round — "
+                "learned centroids bound the worst cell on skewed "
+                "embeddings where first-n-by-id centroids let one cell "
+                "absorb whole foreign clusters (see tests/"
+                "test_quality_ops.py::TestSemDedupQuantizer). The "
+                "intra-cell self-join routes through "
                 "llm_dedup._salted_self_join (cid key, vec_id salt): "
                 "cells over 64 members fragment-replicate across 8 "
                 "salts so no reducer owns a whole hot cell. The prune "
@@ -238,9 +265,12 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(materialize)  # count probe + seeding + assignment
     )
     # Scalar probe on an aggregate (the dedup_clusters convergence-probe
-    # pattern): one row to the driver, sizes the quantizer.
+    # pattern): one row to the driver, sizes the quantizer. Same IEEE
+    # double sqrt/ceil as the oracle's ceil(sqrt(count(*))).
+    import math
+
     n = v.agg(F.count(F.lit(1))).first()[0]
-    n_cells = max(SEMDEDUP_CELLS, -(-n // SEMDEDUP_CELL_ROWS))
+    n_cells = max(SEMDEDUP_CELLS, math.ceil(math.sqrt(n)) if n else 0)
     seeds = _kpp_seeds(v, k=n_cells, l=2 * n_cells)
     cent = _recompute(_assign(v, seeds))  # ONE corpus Lloyd round
     asgn = (
@@ -266,5 +296,149 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("lower_id").alias("dup_of"),
             F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+# Curriculum ordering (Bengio et al. 2009, applied corpus-side as in
+# CCNet/DataComp quality-bucket training): easy→hard stages from the
+# perplexity signal, deterministic shuffle within each stage.
+CURR_STAGES = 4    # NLL quartiles: stage 1 = most fluent docs
+CURR_RANGES = 16   # value-range partitions for the two-phase exact rank
+
+
+@register(
+    "curriculum_order",
+    oracle=f"""
+        WITH {_NLL_CTES},
+        st AS (
+            SELECT doc_id, round(nll, 6) AS rnll,
+                   ntile({CURR_STAGES}) OVER (ORDER BY round(nll, 6), doc_id)
+                       AS stage,
+                   md5(CAST(doc_id AS VARCHAR) || ':curr') AS h
+            FROM nll
+        )
+        SELECT doc_id, rnll AS bigram_nll,
+               CAST(stage AS INT) AS stage,
+               CAST(row_number() OVER (PARTITION BY stage
+                                       ORDER BY h, doc_id) - 1 AS BIGINT)
+                   AS stage_pos
+        FROM st
+    """,
+    doc=f"Curriculum ordering over perplexity scores: documents staged "
+        f"into {CURR_STAGES} exact NLL quartiles (ntile semantics over "
+        "(rounded nll, doc_id) — stage 1 is the most fluent text) and "
+        "deterministically shuffled WITHIN each stage by an md5 sort "
+        "key, so training consumes fluent data first and each stage is "
+        "internally decorrelated. Ordering keys round nll to 6 dp on "
+        "both engines so float summation-order ulps cannot flip ranks.",
+    scale_notes="Exact quartiles WITHOUT a global single-partition sort: "
+                "feature_binning's two-phase machinery over the nll "
+                "score — approx-percentile range boundaries (bounded "
+                "scalar probe), parallel within-range ranking, a "
+                f"{CURR_RANGES}-row broadcast offset relation, then "
+                "closed-form ntile arithmetic on the exact global rank. "
+                "The within-stage shuffle position runs the same "
+                "two-phase trick keyed (stage, first-hex-nibble of the "
+                "md5 key): the nibble is a VALUE range of the sort key, "
+                "so concatenated order equals the oracle's ORDER BY "
+                "with per-partition sorts of ~n/64 rows and a <=64-row "
+                "broadcast offset join. No WindowExec in the plan sorts "
+                "more than a range partition; both phases widen with "
+                "the cluster.",
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nll = _doc_nll(spark, sf_dir).select(
+        "doc_id", F.round("nll", 6).alias("rnll")
+    )
+    # Phase 0: approximate range boundaries (bounded scalar probe on an
+    # aggregate, the feature_binning pattern).
+    cuts = nll.agg(
+        F.percentile_approx(
+            "rnll", [i / CURR_RANGES for i in range(1, CURR_RANGES)], 10000
+        ).alias("bs")
+    ).first()["bs"] or []
+    gid = sum(
+        (F.col("rnll") >= F.lit(float(b))).cast("int") for b in cuts
+    ) if cuts else F.lit(0)
+    # Phase 1: rank within each value range (parallel windows), then
+    # convert to the exact global rank via a broadcast offset relation.
+    ranked = (
+        nll.select("doc_id", "rnll", gid.alias("gid"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("gid").orderBy("rnll", "doc_id")
+            ),
+        )
+        .transform(materialize)  # counts + the idx join both read it
+    )
+    counts = ranked.groupBy("gid").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = counts.transform(materialize)
+    prior = counts.select(F.col("gid").alias("pgid"), F.col("cnt").alias("pcnt"))
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("pgid") < F.col("gid"), "left")
+        .groupBy("gid")
+        .agg(F.coalesce(F.sum("pcnt"), F.lit(0)).alias("off"))
+    )
+    n_total = counts.agg(F.sum("cnt").alias("n_total"))
+    k = CURR_STAGES
+    staged = (
+        ranked.join(F.broadcast(offsets), "gid")
+        .select("doc_id", "rnll", (F.col("off") + F.col("rn") - 1).alias("idx"))
+        .crossJoin(F.broadcast(n_total))
+        .selectExpr(
+            "doc_id",
+            "rnll",
+            # exact ntile(k) from the 0-based global rank: the first
+            # (N mod k) stages hold ceil(N/k) rows, the rest floor(N/k)
+            f"""CAST(CASE WHEN idx < (n_total % {k}) * (n_total div {k} + 1)
+                     THEN idx div (n_total div {k} + 1)
+                     ELSE (n_total % {k})
+                          + (idx - (n_total % {k}) * (n_total div {k} + 1))
+                            div greatest(n_total div {k}, 1L)
+                END + 1 AS INT) AS stage""",
+        )
+    )
+    # Within-stage deterministic shuffle position: the same two-phase
+    # trick, value-ranged on the md5 key's first hex nibble.
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curr")))
+    hs = (
+        staged.withColumn("h", h)
+        .withColumn(
+            "hr",
+            F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), 1, 1)) - 1,
+        )
+        .withColumn(
+            "rn2",
+            F.row_number().over(
+                Window.partitionBy("stage", "hr").orderBy("h", "doc_id")
+            ),
+        )
+        .transform(materialize)
+    )
+    c2 = hs.groupBy("stage", "hr").agg(F.count(F.lit(1)).alias("cnt"))
+    c2 = c2.transform(materialize)
+    p2 = c2.select(
+        F.col("stage").alias("pstage"),
+        F.col("hr").alias("phr"),
+        F.col("cnt").alias("pcnt"),
+    )
+    o2 = (
+        c2.join(
+            F.broadcast(p2),
+            (F.col("pstage") == F.col("stage")) & (F.col("phr") < F.col("hr")),
+            "left",
+        )
+        .groupBy("stage", "hr")
+        .agg(F.coalesce(F.sum("pcnt"), F.lit(0)).alias("off2"))
+    )
+    return (
+        hs.join(F.broadcast(o2), ["stage", "hr"])
+        .select(
+            "doc_id",
+            F.col("rnll").alias("bigram_nll"),
+            "stage",
+            (F.col("off2") + F.col("rn2") - 1).cast("bigint").alias("stage_pos"),
         )
     )

@@ -277,6 +277,133 @@ def hybrid_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rerank_topk",
+    oracle=None,  # composed from hybrid_retrieve's oracle below
+    doc=f"Cross-encoder-style rerank over hybrid_retrieve's fused "
+        f"top-{FUSE_K}: each (query, candidate) PAIR is re-scored "
+        "jointly — ce_score = ½·token-set Jaccard + ½·query-term "
+        "coverage, the deterministic stand-in for a cross-encoder's "
+        "joint relevance head (the legs score query and doc "
+        "separately; this stage sees the pair) — and candidates "
+        "re-ranked on (ce_score desc, rrf desc, doc_id). Output keeps "
+        "the fused rank as prev_rank so rank movement is auditable.",
+    scale_notes="The retrieve-then-rerank shape that makes cross-"
+                "encoders affordable in production: the expensive "
+                f"pairwise scorer touches only queries × {FUSE_K} "
+                "candidate pairs, never the corpus. The candidate list "
+                "broadcasts into the term joins (query-term expansion "
+                "is |cand| × query length, then one (doc_id, term)-"
+                "keyed join against the distinct-term relation); a "
+                "learned cross-encoder swaps the lexical formula for a "
+                "Pandas-UDF batch over the same bounded pair relation.",
+)
+def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cand = hybrid_retrieve(spark, sf_dir).select(
+        "query_id", "doc_id", "rrf", F.col("rank").alias("prev_rank")
+    ).transform(materialize)  # bounded (queries x FUSE_K); 4 consumers
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    tf = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .transform(materialize)  # distinct (doc, term); 3 consumers
+    )
+    tsz = tf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    qterms = tf.select(F.col("doc_id").alias("query_id"), "term")
+    inter = (
+        F.broadcast(cand.select("query_id", "doc_id"))
+        .join(qterms, "query_id")
+        .join(tf, ["doc_id", "term"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0)).cast("double")
+    ce = F.round(
+        F.coalesce(
+            F.lit(0.5) * ni / F.nullif(
+                F.col("qsz") + F.col("dsz") - ni, F.lit(0.0)
+            )
+            + F.lit(0.5) * ni / F.nullif(F.col("qsz").cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    scored = (
+        cand.join(
+            F.broadcast(
+                tsz.select(F.col("doc_id").alias("query_id"), F.col("sz").alias("qsz"))
+            ),
+            "query_id",
+            "left",
+        )
+        .join(
+            F.broadcast(tsz.select("doc_id", F.col("sz").alias("dsz"))),
+            "doc_id",
+            "left",
+        )
+        .join(F.broadcast(inter), ["query_id", "doc_id"], "left")
+        .select("query_id", "doc_id", "rrf", "prev_rank", ce.alias("ce_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ce_score").desc(), F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "query_id",
+        "doc_id",
+        "ce_score",
+        F.col("prev_rank").cast("int").alias("prev_rank"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def _rerank_oracle() -> str:
+    return f"""
+        WITH cand AS (
+            SELECT query_id, doc_id, rrf, rank AS prev_rank
+            FROM ({_hybrid_oracle()})
+        ),
+        dtf AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS term
+            FROM documents
+        ),
+        tsz AS (SELECT doc_id, count(*) AS sz FROM dtf GROUP BY doc_id),
+        inter AS (
+            SELECT c.query_id, c.doc_id, count(*) AS ni
+            FROM cand c
+            JOIN dtf tq ON tq.doc_id = c.query_id
+            JOIN dtf td ON td.doc_id = c.doc_id AND td.term = tq.term
+            GROUP BY c.query_id, c.doc_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.doc_id, c.rrf,
+                   CAST(c.prev_rank AS INT) AS prev_rank,
+                   round(coalesce(
+                       0.5 * CAST(coalesce(i.ni, 0) AS DOUBLE)
+                           / nullif(q.sz + d.sz
+                                    - CAST(coalesce(i.ni, 0) AS DOUBLE), 0)
+                       + 0.5 * CAST(coalesce(i.ni, 0) AS DOUBLE)
+                           / nullif(CAST(q.sz AS DOUBLE), 0),
+                       0.0), 6) AS ce_score
+            FROM cand c
+            LEFT JOIN tsz q ON q.doc_id = c.query_id
+            LEFT JOIN tsz d ON d.doc_id = c.doc_id
+            LEFT JOIN inter i ON i.query_id = c.query_id
+                             AND i.doc_id = c.doc_id
+        )
+        SELECT query_id, doc_id, ce_score, prev_rank,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ce_score DESC, rrf DESC, doc_id ASC) AS INT)
+                   AS rank
+        FROM scored
+    """
+
+
 def refresh_hybrid_oracle() -> None:
     # Import for registration side-effect: a direct
     # `import ...operators.retrieval` (tests) must not depend on the
@@ -285,6 +412,7 @@ def refresh_hybrid_oracle() -> None:
     from pubsub2bq_spark.registry import _REGISTRY
 
     _REGISTRY["hybrid_retrieve"].oracle = _hybrid_oracle()
+    _REGISTRY["rerank_topk"].oracle = _rerank_oracle()
 
 
 refresh_hybrid_oracle()

@@ -1086,10 +1086,13 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _bpe_apply_oracle() -> str:
+def _bpe_vocab_ctes() -> str:
+    """CTE chain docw (doc_id, word) → trained vocab (word, n_pieces):
+    the learned-tokenizer artifact shared by bpe_apply (fertility) and
+    bpe_pack (token-exact sequence packing)."""
     rounds = ",".join(_bpe_round_sql(r) for r in range(1, BPE_TRAIN_ROUNDS + 1))
     return f"""
-        WITH docw AS (
+        docw AS (
             SELECT doc_id,
                    unnest(list_filter(
                        string_split_regex(lower(text), '[^a-z]+'),
@@ -1109,6 +1112,12 @@ def _bpe_apply_oracle() -> str:
                        AS n_pieces
             FROM seg{BPE_TRAIN_ROUNDS}
         )
+    """
+
+
+def _bpe_apply_oracle() -> str:
+    return f"""
+        WITH {_bpe_vocab_ctes()}
         SELECT d.doc_id,
                count(*) AS n_words,
                CAST(sum(v.n_pieces) AS BIGINT) AS n_pieces,
@@ -1138,13 +1147,37 @@ def _bpe_apply_oracle() -> str:
                 "once, occurrences only join against it.",
 )
 def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docw = _bpe_docw(spark, sf_dir)
+    vocab = _bpe_learned_vocab(docw, spark)
+    return (
+        docw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 4
+            ).alias("fertility"),
+        )
+    )
+
+
+def _bpe_docw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word) occurrence stream, materialized — feeds the vocab
+    build AND the per-document scoring/packing joins."""
     d = fan_out(load(spark, sf_dir, "documents"), spark)
-    docw = d.select(
+    return d.select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
         ).alias("word"),
-    ).transform(materialize)  # feeds vocab build AND the scoring join
+    ).transform(materialize)
+
+
+def _bpe_learned_vocab(docw: DataFrame, spark: SparkSession) -> DataFrame:
+    """(word, n_pieces): train BPE_TRAIN_ROUNDS merges on docw's word
+    frequencies (bpe_train's loop) and segment each UNIQUE vocab word
+    once — per-occurrence data never passes through segmentation."""
     seg = (
         docw.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1158,20 +1191,81 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
         )
         seg = _bpe_merge_rewrite(seg, top).transform(materialize)
-    vocab = seg.select(
+    return seg.select(
         F.regexp_replace("seg", "/", "").alias("word"),
         F.size(F.split(F.btrim(F.col("seg"), F.lit("/")), "//"))
         .cast("bigint")
         .alias("n_pieces"),
     )
-    return (
+
+
+@register(
+    "bpe_pack",
+    oracle=f"""
+        WITH {_bpe_vocab_ctes()},
+        dt AS (
+            SELECT d.doc_id, CAST(sum(v.n_pieces) AS BIGINT) AS n_tokens
+            FROM docw d JOIN vocab v USING (word)
+            GROUP BY d.doc_id
+        ),
+        wsrc AS (
+            SELECT doc.doc_id, doc.source,
+                   coalesce(dt.n_tokens, 0) AS n_tokens
+            FROM documents doc LEFT JOIN dt USING (doc_id)
+        ),
+        offs AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+            FROM wsrc
+        )
+        SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(start_off // {PACK_TOKENS} AS BIGINT) AS pack_id,
+               CAST(start_off % {PACK_TOKENS} AS BIGINT)  AS pack_offset
+        FROM offs
+    """,
+    doc=f"Token-exact sequence packing under the LEARNED tokenizer "
+        f"(VERDICT r5 #7): train {BPE_TRAIN_ROUNDS} BPE merges "
+        "(bpe_train's loop), count each document's actual BPE pieces "
+        "via the vocab join (bpe_apply's export), then concat-and-slice "
+        f"each source's documents in doc_id order into {PACK_TOKENS}-"
+        "token training sequences — sequence_pack's layout, but "
+        "measured in the pieces the model will really consume instead "
+        "of the whitespace-token proxy; docs with no alphabetic words "
+        "occupy zero tokens and pack at their neighbor's offset.",
+    scale_notes="Training cost is bpe_train's (corpus scanned once, "
+                "rounds O(vocab)); token counting is the vocab-keyed "
+                "join + doc-keyed aggregate bpe_apply runs; the prefix "
+                "sum is sequence_pack's ONE window shuffle keyed on "
+                "source, with the same documented scale path (per-"
+                "bucket partial sums + broadcast cumulative offsets) "
+                "when a single source outgrows a sort partition.",
+)
+def bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docw = _bpe_docw(spark, sf_dir)
+    vocab = _bpe_learned_vocab(docw, spark)
+    dt = (
         docw.join(vocab, "word")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_pieces").alias("n_pieces"),
-            F.round(
-                F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 4
-            ).alias("fertility"),
-        )
+        .agg(F.sum("n_pieces").alias("n_tokens"))
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    wsrc = d.join(dt, "doc_id", "left").select(
+        "doc_id", "source", F.coalesce("n_tokens", F.lit(0)).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs = wsrc.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return offs.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.expr(f"start_off div {PACK_TOKENS}").alias("pack_id"),
+        (F.col("start_off") % PACK_TOKENS).alias("pack_offset"),
     )

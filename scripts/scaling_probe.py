@@ -189,8 +189,10 @@ def main() -> int:
     ap.add_argument("--keep", action="store_true",
                     help="keep the scaled parquet between runs")
     ap.add_argument("--keys", nargs="+", default=None,
-                    help="probe only these keys (rerun after a fix); "
-                         "SCALING.md is NOT rewritten for partial runs")
+                    help="probe only these keys (rerun after a fix, or a "
+                         "deeper scale point); the full table in "
+                         "SCALING.md is kept and the partial results are "
+                         "APPENDED as a targeted-probe section")
     args = ap.parse_args()
     probe_keys = args.keys or PROBE_KEYS
 
@@ -216,13 +218,32 @@ def main() -> int:
 
     smin, smax = min(dirs), max(dirs)
     if args.keys:
-        # partial rerun: print only; the committed SCALING.md stays whole
+        # partial rerun: keep the committed full table, APPEND a
+        # targeted-probe section (deeper scale points / post-fix reruns)
         import math
+
+        lines = [
+            "",
+            f"## Targeted probe ({', '.join(f'{s}x' for s in dirs)})",
+            "",
+            "| query | " + " | ".join(f"{s}x (s)" for s in dirs)
+            + " | exponent | per-query exp |",
+            "|---|" + "---|" * (len(dirs) + 2),
+        ]
         for key in probe_keys:
             row = times[key]
             exp = math.log2(row[smax] / row[smin]) / math.log2(smax / smin)
+            pq = f"{exp - 1:.2f}" if key in QUERY_SCALED else "—"
+            lines.append(
+                f"| {key} | " + " | ".join(str(row[s]) for s in dirs)
+                + f" | {exp:.2f} | {pq} |"
+            )
             print(f"PARTIAL {key}: " + " ".join(f"x{s}={row[s]}" for s in dirs)
                   + f" exponent={exp:.2f}")
+        lines.append("")
+        with open(args.out, "a") as f:
+            f.write("\n".join(lines))
+        print(f"appended targeted section to {args.out}")
         if not args.keep:
             shutil.rmtree(args.workdir, ignore_errors=True)
         return 0

@@ -272,3 +272,56 @@ class TestBpeApply:
         assert set(rows) == {1, 2}
         assert (rows[1].n_words, rows[1].n_pieces, rows[1].fertility) == (6, 6, 1.0)
         assert (rows[2].n_words, rows[2].n_pieces, rows[2].fertility) == (2, 2, 1.0)
+
+
+class TestCurriculumOrder:
+    def test_stages_partition_by_fluency(self, spark, tmp_path):
+        """Planted two-level corpus: 30 fluent docs + 10 gibberish docs →
+        gibberish must fill the hardest stage(s), and stage-mean NLL must
+        increase monotonically."""
+        from pubsub2bq_spark.operators.llm_quality import (
+            CURR_STAGES,
+            curriculum_order,
+        )
+
+        import string
+
+        normal = "the quick brown fox jumps over the lazy dog again " * 4
+        rows = [(i, normal, "en", "s", len(normal)) for i in range(30)]
+        letters = string.ascii_lowercase
+        for i in range(10):
+            # 24 unique letter-only tokens, disjoint across docs and
+            # never repeated — every gibberish bigram has count 1, the
+            # highest NLL the add-one-smoothed LM can assign
+            gib = " ".join(
+                f"{letters[i]}{letters[j]}qx{letters[(i + j) % 26]}"
+                for j in range(24)
+            )
+            rows.append((100 + i, gib, "en", "s", len(gib)))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        out = curriculum_order(spark, str(tmp_path)).toPandas()
+        assert len(out) == 40
+        # exact ntile sizes: 40 docs / 4 stages = 10 each
+        sizes = out.groupby("stage").size()
+        assert sorted(sizes.index) == list(range(1, CURR_STAGES + 1))
+        assert set(sizes) == {10}
+        # all 10 gibberish docs occupy exactly the hardest stage
+        assert set(out[out["doc_id"] >= 100]["stage"]) == {CURR_STAGES}
+        # mean NLL monotone over stages
+        means = out.groupby("stage")["bigram_nll"].mean()
+        assert list(means.index) == sorted(means.index)
+        assert all(means.iloc[i] <= means.iloc[i + 1] for i in range(len(means) - 1))
+
+    def test_stage_pos_is_a_shuffled_permutation(self, spark):
+        from pubsub2bq_spark.operators.llm_quality import curriculum_order
+
+        out = curriculum_order(spark, "/root/testdata/sf0.001").toPandas()
+        for _, grp in out.groupby("stage"):
+            assert sorted(grp["stage_pos"]) == list(range(len(grp)))
+            # the shuffle decorrelates from doc_id order: the md5 key must
+            # not leave stage_pos monotone in doc_id (astronomically
+            # unlikely unless the shuffle is broken)
+            ordered = grp.sort_values("doc_id")["stage_pos"].tolist()
+            assert ordered != sorted(ordered)

@@ -113,3 +113,66 @@ def test_fused_topk_contract(fused):
         single = grp[~(grp["in_lexical"] & grp["in_vector"])]
         if not both.empty and not single.empty:
             assert both["rank"].max() < single["rank"].min()
+
+
+class TestRerankTopk:
+    @pytest.fixture(scope="class")
+    def reranked(self, spark):
+        from pubsub2bq_spark.operators.retrieval import rerank_topk
+
+        return rerank_topk(spark, SF_SMOKE).toPandas()
+
+    def test_same_candidate_set_as_hybrid(self, reranked, fused):
+        """Rerank re-orders, never adds or drops: per query the (doc)
+        candidate set equals hybrid_retrieve's fused top-k."""
+        got = {
+            (q, frozenset(g["doc_id"]))
+            for q, g in reranked.groupby("query_id")
+        }
+        want = {
+            (q, frozenset(g["doc_id"])) for q, g in fused.groupby("query_id")
+        }
+        assert got == want
+
+    def test_rank_contract_and_score_bounds(self, reranked):
+        assert not reranked.empty
+        # ce_score = half jaccard + half coverage, each in [0, 1]
+        assert (reranked["ce_score"] >= 0).all()
+        assert (reranked["ce_score"] <= 1).all()
+        for _, grp in reranked.groupby("query_id"):
+            assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+            assert sorted(grp["prev_rank"]) == list(range(1, len(grp) + 1))
+            ordered = grp.sort_values("rank")
+            scores = ordered["ce_score"].tolist()
+            assert scores == sorted(scores, reverse=True)
+
+    def test_identical_token_set_scores_one(self, spark, tmp_path):
+        """A candidate with the query's exact token set must score
+        ce = 0.5*1 + 0.5*1 = 1.0 and take rank 1."""
+        from pubsub2bq_spark.operators.retrieval import rerank_topk
+
+        base = "alpha beta gamma delta epsilon zeta"
+        rows = [(0, base, "en", "s", len(base)),          # query (id % 100 == 0)
+                (1, base + " alpha", "en", "s", 1),       # same token SET
+                (2, "alpha beta unrelated words here", "en", "s", 1),
+                (3, "totally different content again", "en", "s", 1),
+                (4, "gamma delta something else", "en", "s", 1)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        # embeddings table for the vector leg: reuse distinct unit vectors
+        import math
+
+        def unit(seed):
+            vals = [math.sin(seed * 37 + j * 13) + 1.5 for j in range(8)]
+            n = math.sqrt(sum(v * v for v in vals))
+            return [v / n for v in vals]
+
+        spark.createDataFrame(
+            [(i, unit(i)) for i in range(5)],
+            "vec_id long, embedding array<double>",
+        ).write.parquet(f"{tmp_path}/embeddings.parquet")
+        out = rerank_topk(spark, str(tmp_path)).toPandas()
+        top = out[(out["query_id"] == 0) & (out["rank"] == 1)].iloc[0]
+        assert top["doc_id"] == 1
+        assert abs(top["ce_score"] - 1.0) < 1e-9

@@ -184,3 +184,48 @@ class TestNegativeSample:
         a = sorted(map(tuple, negative_sample(spark, SF_SMOKE).collect()))
         b = sorted(map(tuple, negative_sample(spark, SF_SMOKE).collect()))
         assert a == b
+
+
+class TestBpePack:
+    def test_consistent_with_bpe_apply_and_offsets(self, spark):
+        """n_tokens must equal bpe_apply's per-doc n_pieces, offsets must
+        be the exact prefix sum within (source, doc_id order), and
+        pack_offset < PACK_TOKENS always."""
+        from pubsub2bq_spark.operators.training_prep import (
+            PACK_TOKENS,
+            bpe_apply,
+            bpe_pack,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        packed = bpe_pack(spark, sf).toPandas()
+        pieces = bpe_apply(spark, sf).toPandas().set_index("doc_id")["n_pieces"]
+        assert (packed["pack_offset"] < PACK_TOKENS).all()
+        assert (packed["pack_offset"] >= 0).all()
+        for _, row in packed.iterrows():
+            if row["doc_id"] in pieces.index:
+                assert row["n_tokens"] == pieces[row["doc_id"]]
+        for _, grp in packed.groupby("source"):
+            g = grp.sort_values("doc_id")
+            start = (g["pack_id"] * PACK_TOKENS + g["pack_offset"]).tolist()
+            expect = 0
+            for off, n in zip(start, g["n_tokens"]):
+                assert off == expect
+                expect += n
+
+    def test_learned_vocab_packs_tighter_than_chars(self, spark):
+        """BPE pieces per doc are below character counts, so the learned
+        packing uses fewer sequences than a char-level packing would."""
+        from pyspark.sql import functions as F
+
+        from pubsub2bq_spark.operators.training_prep import bpe_pack
+        from pubsub2bq_spark.tables import load
+
+        sf = "/root/testdata/sf0.001"
+        packed = bpe_pack(spark, sf).toPandas()
+        d = load(spark, sf, "documents").select(
+            "doc_id", F.length("text").alias("n_chars")
+        ).toPandas()
+        total_tokens = packed["n_tokens"].sum()
+        total_chars = d["n_chars"].sum()
+        assert 0 < total_tokens < total_chars
