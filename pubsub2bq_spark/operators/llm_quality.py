@@ -353,11 +353,10 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Phase 0: approximate range boundaries (bounded scalar probe on an
     # aggregate, the feature_binning pattern).
-    cuts = nll.agg(
-        F.percentile_approx(
-            "rnll", [i / CURR_RANGES for i in range(1, CURR_RANGES)], 10000
-        ).alias("bs")
-    ).first()["bs"] or []
+    pct = F.percentile_approx(
+        "rnll", [i / CURR_RANGES for i in range(1, CURR_RANGES)], 10000
+    ).alias("bs")
+    cuts = nll.agg(pct).first()["bs"] or []
     gid = sum(
         (F.col("rnll") >= F.lit(float(b))).cast("int") for b in cuts
     ) if cuts else F.lit(0)
