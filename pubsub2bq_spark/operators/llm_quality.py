@@ -50,6 +50,17 @@ SEMDEDUP_CELLS = 16  # coarse-quantizer cell FLOOR (k-means||-seeded)
 # ceil(sqrt(n)) is evaluated in IEEE double arithmetic on BOTH engines
 # (math.ceil(math.sqrt(n)) here, ceil(sqrt(count(*))) in the oracle)
 # so the cell count can never disagree.
+# The quantizer TRAINS on a bounded deterministic sample of
+# SEMDEDUP_SAMPLE_PER_CELL * k vectors (u16(md5(vec_id:smp)) * n <
+# 65536 * cap — integer-exact on both engines, the k-means|| sampling
+# trick), the standard IVF practice: the k-means|| candidate scans run
+# over ~128k sample rows (cost ∝ k^2 = n, linear), and only the single
+# Lloyd round + final assignment touch the full corpus (n*k = n^1.5).
+# The r6 probe measured the unsampled seeding dominating x64 (the
+# candidate relation is ~1+4k rows, so its scans were n*4k).
+# At the test SFs (n <= 2000, cap >= n) the sample is the whole corpus
+# — the filter is trivially true and outputs are unchanged there.
+SEMDEDUP_SAMPLE_PER_CELL = 128
 SEMDEDUP_TAU = 0.3   # intra-cell cosine above this = semantic duplicate
                      # (calibrated to the synthetic embeddings' planted
                      # similarity structure, matching embedding_dedup)
@@ -187,16 +198,29 @@ def _semdedup_oracle() -> str:
         _kpp_seed_chain_sql,
     )
 
+    from pubsub2bq_spark.operators.ml_ops import _kpp_u16_sql
+
+    smp = _kpp_u16_sql("CAST(v.vec_id AS VARCHAR) || ':smp'")
     return f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
         sz AS (
             SELECT CAST(greatest({SEMDEDUP_CELLS},
-                       ceil(sqrt(count(*)))) AS BIGINT) AS k
-            FROM v
+                       ceil(sqrt(n))) AS BIGINT) AS k,
+                   CAST(least(n, {SEMDEDUP_SAMPLE_PER_CELL}
+                       * greatest({SEMDEDUP_CELLS}, ceil(sqrt(n))))
+                       AS BIGINT) AS cap,
+                   n
+            FROM (SELECT count(*) AS n FROM v)
         ),
-        {_kpp_seed_chain_sql("SELECT k FROM sz", "SELECT 2 * k FROM sz")},
+        vs AS (
+            SELECT v.vec_id, v.v FROM v, sz
+            WHERE ({smp}) * n < 65536 * cap
+        ),
+        {_kpp_seed_chain_sql(
+            "SELECT k FROM sz", "SELECT 2 * k FROM sz", src="vs"
+        )},
         la1 AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="seeds")}),
         lc1 AS ({_KMEANS_RECOMPUTE_SQL.format(dim=DIM, assigned="la1")}),
         asgn AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="lc1")}),
@@ -257,7 +281,12 @@ def _semdedup_oracle() -> str:
 )
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubsub2bq_spark.operators.llm_dedup import _salted_self_join
-    from pubsub2bq_spark.operators.ml_ops import _assign, _kpp_seeds, _recompute
+    from pubsub2bq_spark.operators.ml_ops import (
+        _assign,
+        _kpp_seeds,
+        _kpp_u16,
+        _recompute,
+    )
 
     v = (
         fan_out(load(spark, sf_dir, "embeddings"), spark)
@@ -271,7 +300,16 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = v.agg(F.count(F.lit(1))).first()[0]
     n_cells = max(SEMDEDUP_CELLS, math.ceil(math.sqrt(n)) if n else 0)
-    seeds = _kpp_seeds(v, k=n_cells, l=2 * n_cells)
+    cap = min(n, SEMDEDUP_SAMPLE_PER_CELL * n_cells)
+    if cap < n:
+        # Train the quantizer on the bounded deterministic sample; the
+        # oracle's vs CTE applies the identical integer inequality
+        # (trivially true when cap == n, hence the skip here).
+        u16 = _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(":smp")))
+        vs = v.filter(u16 * F.lit(n) < F.lit(65536 * cap)).transform(materialize)
+    else:
+        vs = v
+    seeds = _kpp_seeds(vs, k=n_cells, l=2 * n_cells)
     cent = _recompute(_assign(v, seeds))  # ONE corpus Lloyd round
     asgn = (
         _assign(v, cent)

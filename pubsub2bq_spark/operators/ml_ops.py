@@ -199,17 +199,21 @@ def _kpp_u16_sql(expr: str) -> str:
     )
 
 
-def _kpp_round_sql(r: int, cent: str, l_expr: str | None = None) -> str:
+def _kpp_round_sql(
+    r: int, cent: str, l_expr: str | None = None, src: str = "v"
+) -> str:
     """``l_expr`` overrides the oversampling factor L (default the KPP_L
     constant) — it may be a scalar subquery so callers with a
-    data-dependent cell count (semdedup) can scale L with k."""
+    data-dependent cell count (semdedup) can scale L with k.  ``src``
+    names the vector relation the round scans — callers that seed from
+    a bounded sample (semdedup) pass their sample CTE."""
     u16 = _kpp_u16_sql(f"CAST(d.vec_id AS VARCHAR) || ':{r}'")
     l_sql = str(KPP_L) if l_expr is None else f"({l_expr})"
     return f"""
         d{r} AS (
             SELECT a.vec_id,
                    CAST(round(min({_SQDIST_SQL}) * {KPP_SCALE}, 0) AS BIGINT) AS d2i
-            FROM v a CROSS JOIN {cent} c GROUP BY a.vec_id
+            FROM {src} a CROSS JOIN {cent} c GROUP BY a.vec_id
         ),
         p{r} AS (SELECT CAST(sum(d2i) AS BIGINT) AS phi FROM d{r}),
         s{r} AS (
@@ -219,7 +223,8 @@ def _kpp_round_sql(r: int, cent: str, l_expr: str | None = None) -> str:
         c{r} AS (
             SELECT * FROM {cent}
             UNION ALL
-            SELECT v.vec_id AS cid_v, v.v AS c FROM v JOIN s{r} USING (vec_id)
+            SELECT s.vec_id AS cid_v, s.v AS c
+            FROM {src} s JOIN s{r} USING (vec_id)
         )
     """
 
@@ -261,24 +266,31 @@ def _kpp_mini_round_sql(i: int, cent: str) -> str:
     """
 
 
-def _kpp_oversample_rounds_sql(l_expr: str | None = None) -> str:
+def _kpp_oversample_rounds_sql(
+    l_expr: str | None = None, src: str = "v"
+) -> str:
     """The k-means|| oversampling CTE chain c1..c{KPP_ROUNDS}, derived
     from KPP_ROUNDS so the oracle's round count tracks the Spark loop
     (_kpp_candidates iterates range(1, KPP_ROUNDS + 1)) — ADVICE r5 #4:
     the chain was hardcoded at two rounds, silently coupling the
     constants."""
     return ",".join(
-        _kpp_round_sql(r, f"c{r - 1}", l_expr) for r in range(1, KPP_ROUNDS + 1)
+        _kpp_round_sql(r, f"c{r - 1}", l_expr, src)
+        for r in range(1, KPP_ROUNDS + 1)
     )
 
 
-def _kpp_seed_chain_sql(k: int | str, l_expr: str | None = None) -> str:
+def _kpp_seed_chain_sql(
+    k: int | str, l_expr: str | None = None, src: str = "v"
+) -> str:
     """CTE chain (expects `v(vec_id, v)` already defined): k-means||
     candidates over KPP_ROUNDS rounds → weighted top-k init → weighted
     mini-Lloyd over the candidate set → ``seeds(cid, c)`` — the oracle
     twin of _kpp_seeds, shared with ann_ivf_kmeans's oracle.  ``k`` may
     be an int or a scalar-subquery string (data-dependent cell counts);
-    ``l_expr`` likewise overrides the oversampling factor."""
+    ``l_expr`` likewise overrides the oversampling factor; ``src``
+    names the relation the seeding scans (a bounded sample CTE for
+    callers that train the quantizer on a sample)."""
     mini = ",".join(
         _kpp_mini_round_sql(i, "seeds0" if i == 1 else f"ms{i - 1}")
         for i in range(1, KPP_MINI_ITERS + 1)
@@ -286,16 +298,16 @@ def _kpp_seed_chain_sql(k: int | str, l_expr: str | None = None) -> str:
     k_sql = str(k) if isinstance(k, int) else f"({k})"
     return f"""
         c0 AS (
-            SELECT vec_id AS cid_v, v AS c FROM v ORDER BY vec_id LIMIT 1
+            SELECT vec_id AS cid_v, v AS c FROM {src} ORDER BY vec_id LIMIT 1
         ),
-        {_kpp_oversample_rounds_sql(l_expr)},
+        {_kpp_oversample_rounds_sql(l_expr, src)},
         kpp_asgn AS (
             SELECT vec_id, cid_v FROM (
                 SELECT a.vec_id, c.cid_v,
                        row_number() OVER (
                            PARTITION BY a.vec_id
                            ORDER BY {_SQDIST_SQL} ASC, c.cid_v ASC) AS rn
-                FROM v a CROSS JOIN c{KPP_ROUNDS} c
+                FROM {src} a CROSS JOIN c{KPP_ROUNDS} c
             ) WHERE rn = 1
         ),
         kpp_w AS (SELECT cid_v, count(*) AS weight FROM kpp_asgn GROUP BY cid_v),
