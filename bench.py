@@ -123,6 +123,8 @@ HEADLINE = [
     "curriculum_order",
     "bpe_pack",
     "rerank_topk",
+    # Hierarchical two-level IVF assignment (the corpus-scaled-k path).
+    "ann_ivf_hier",
 ]
 
 

@@ -225,3 +225,56 @@ class TestMinhashRecallHarness:
             assert 0.0 <= row.precision_true <= 1.0
         if row.n_truth_seq:
             assert 0.0 <= row.recall_seq <= 1.0
+
+
+class TestAnnIvfHier:
+    def test_partition_and_hierarchy(self, spark):
+        """Routing is a partition of the corpus: member counts sum to n,
+        each occupied cell appears once and under exactly one supercell,
+        and supercell ids stay within the ceil(sqrt(k)) budget."""
+        import math
+
+        from pubsub2bq_spark.operators.ml_ops import (
+            HIER_CELL_FLOOR,
+            ann_ivf_hier,
+        )
+
+        rows = ann_ivf_hier(spark, SF_SMOKE).collect()
+        n = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+        k = max(HIER_CELL_FLOOR, math.ceil(math.sqrt(n)))
+        s = math.ceil(math.sqrt(k))
+        assert sum(r.n_vecs for r in rows) == n
+        assert len({r.cid for r in rows}) == len(rows)  # one row per cell
+        assert all(0 <= r.sid < s for r in rows)
+        assert all(0 <= r.cid < k for r in rows)
+        assert all(r.n_vecs > 0 for r in rows)
+        assert all(r.min_vec_id is not None for r in rows)
+
+    def test_flat_agreement(self, spark):
+        """Hierarchical (supercell-first) routing lands most vectors in
+        the same cell flat argmin over all k cells would pick — the
+        routing approximation is a boundary effect, not a rewrite of
+        the assignment."""
+        from pubsub2bq_spark.operators.llm_similarity import _dvec
+        from pubsub2bq_spark.operators.ml_ops import (
+            _assign,
+            _hier_build,
+            _hier_route,
+        )
+        from pubsub2bq_spark.tables import load, materialize
+
+        v = (
+            load(spark, SF_SMOKE, "embeddings")
+            .select("vec_id", _dvec("embedding").alias("v"))
+            .transform(materialize)
+        )
+        n = v.count()
+        cents, sc1, cmap = _hier_build(v, n)
+        flat = _assign(v, cents).select("vec_id", F.col("cid").alias("flat_cid"))
+        hier = _hier_route(v, sc1, cmap)
+        agree = (
+            hier.join(flat, "vec_id")
+            .agg(F.avg((F.col("cell_id") == F.col("flat_cid")).cast("double")))
+            .first()[0]
+        )
+        assert agree >= 0.6, f"flat-agreement {agree:.2f} below floor"
