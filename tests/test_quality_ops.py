@@ -325,3 +325,37 @@ class TestCurriculumOrder:
             # unlikely unless the shuffle is broken)
             ordered = grp.sort_values("doc_id")["stage_pos"].tolist()
             assert ordered != sorted(ordered)
+
+
+class TestQualityLogreg:
+    def test_learns_beyond_majority(self, spark):
+        """The trained classifier must beat the predict-all-negative
+        majority baseline on its own training labels — i.e. the GD
+        steps actually move the weights off the bias-only solution."""
+        from pubsub2bq_spark.operators.llm_quality import quality_logreg
+
+        rows = quality_logreg(spark, "/root/testdata/sf0.001").collect()
+        n = len(rows)
+        pos = sum(r.label for r in rows)
+        acc = sum(int(r.pred) == r.label for r in rows) / n
+        majority = max(pos, n - pos) / n
+        assert acc > majority, f"acc {acc:.3f} <= majority {majority:.3f}"
+        assert 0 < sum(r.pred for r in rows) < n  # non-trivial predictions
+        assert all(0.0 <= r.score <= 1.0 for r in rows)
+
+    def test_loss_descends(self, spark):
+        """Cross-entropy after training < ln 2 (the w=0 starting loss):
+        full-batch GD on a convex objective with standardized features
+        must descend."""
+        import math
+
+        from pubsub2bq_spark.operators.llm_quality import quality_logreg
+
+        rows = quality_logreg(spark, "/root/testdata/sf0.001").collect()
+        eps = 1e-6
+        loss = -sum(
+            r.label * math.log(max(r.score, eps))
+            + (1 - r.label) * math.log(max(1.0 - r.score, eps))
+            for r in rows
+        ) / len(rows)
+        assert loss < math.log(2.0), f"loss {loss:.4f} did not descend"
