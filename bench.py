@@ -211,25 +211,81 @@ KNOWN_SEMANTIC_CHANGES = {
 }
 
 
+def _parse_bench_tail(tail: str) -> dict | None:
+    """Recover the bench result from the driver's raw `tail` capture.
+
+    The driver sometimes truncates the front of the result line (so
+    `parsed` lands as null), but the full `"queries": {...}` dict and
+    the scalar fields survive in `tail`. Extract the balanced queries
+    object plus value/sf by regex so the regression gate never goes
+    blind on a truncated capture.
+    """
+    import re
+
+    start = tail.rfind('"queries"')
+    if start < 0:
+        return None
+    brace = tail.find("{", start)
+    if brace < 0:
+        return None
+    depth = 0
+    end = -1
+    for i in range(brace, len(tail)):
+        c = tail[i]
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                end = i + 1
+                break
+    if end < 0:
+        return None
+    try:
+        queries = json.loads(tail[brace:end])
+    except ValueError:
+        return None
+    if not isinstance(queries, dict) or not queries:
+        return None
+    out: dict = {"queries": queries}
+    for field in ("value", "sf"):
+        m = re.search(r'"%s":\s*([0-9.eE+-]+)' % field, tail)
+        if m:
+            try:
+                out[field] = float(m.group(1))
+            except ValueError:
+                pass
+    return out
+
+
 def load_prior() -> tuple[str, dict] | None:
-    """Latest BENCH_r*.json (driver-recorded) as (basename, parsed dict)."""
+    """Latest usable BENCH_r*.json (driver-recorded) as (basename, dict).
+
+    Walks backwards from the newest file until one yields a queries
+    dict — via the driver's `parsed` wrapper, the bare shape, or the
+    tail-string fallback for truncated captures.
+    """
     import glob
 
     root = os.path.dirname(os.path.abspath(__file__))
     priors = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
-    if not priors:
-        return None
-    prior_path = priors[-1]
-    try:
-        with open(prior_path) as f:
-            prior = json.load(f)
-    except (OSError, ValueError):
-        return None
-    # The driver wraps bench.py's JSON line under "parsed" (alongside its
-    # own run metadata); accept both the wrapped and the bare shape.
-    if "queries" not in prior and isinstance(prior.get("parsed"), dict):
-        prior = prior["parsed"]
-    return os.path.basename(prior_path), prior
+    for prior_path in reversed(priors):
+        try:
+            with open(prior_path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # The driver wraps bench.py's JSON line under "parsed" (alongside
+        # its own run metadata); accept the wrapped and the bare shape.
+        if "queries" not in prior and isinstance(prior.get("parsed"), dict):
+            prior = prior["parsed"]
+        if not prior.get("queries") and isinstance(prior.get("tail"), str):
+            recovered = _parse_bench_tail(prior["tail"])
+            if recovered is not None:
+                prior = recovered
+        if prior.get("queries"):
+            return os.path.basename(prior_path), prior
+    return None
 
 
 def flagged_vs_prior(timings: dict[str, float]) -> list[str]:

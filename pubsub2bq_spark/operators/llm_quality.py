@@ -592,6 +592,14 @@ def _logreg_sigmoid(w: list[float]):
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def _agg_first(df: DataFrame, *exprs):
+    """Scalar probe: a full map-side-combined aggregate whose only
+    driver traffic is the single result row (constant bytes regardless
+    of corpus size — the sanctioned exception to the no-materialization
+    gate)."""
+    return df.agg(*exprs).first()
+
+
 def _logreg_train(feat: DataFrame, n: int, steps: int = LOGREG_STEPS) -> list[float]:
     """Full-batch GD from w=0. One aggregate job per step; the only
     driver traffic is the 3-number gradient row (the scalar-probe
@@ -610,11 +618,12 @@ def _logreg_train(feat: DataFrame, n: int, steps: int = LOGREG_STEPS) -> list[fl
                 F.round(e * F.lit(float(LOGREG_SCALE)), 0).cast("bigint")
             )
 
-        row = feat.agg(
+        row = _agg_first(
+            feat,
             gi(r).alias("s0"),
             gi(r * F.col("x1")).alias("s1"),
             gi(r * F.col("x2")).alias("s2"),
-        ).first()
+        )
         w = [
             w[j] - LOGREG_ETA * (row[j] / (LOGREG_SCALE * n))
             for j in range(3)
@@ -656,13 +665,14 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mi(e):
         return F.sum(F.round(e * F.lit(float(LOGREG_SCALE)), 0).cast("bigint"))
 
-    mrow = feat0.agg(
+    mrow = _agg_first(
+        feat0,
         F.count(F.lit(1)).alias("n"),
         mi(F.col("x1")).alias("s1"),
         mi(F.col("x1") * F.col("x1")).alias("q1"),
         mi(F.col("x2")).alias("s2"),
         mi(F.col("x2") * F.col("x2")).alias("q2"),
-    ).first()
+    )
     n = mrow["n"]
     if n:
         # Mirrors the oracle's mz/sd CTEs operand-for-operand: moments

@@ -47,3 +47,32 @@ def test_seeded_index_key_gates_on_variable_component():
     # a prior-round total BELOW the fixed estimate clamps but must not
     # produce a flag from a modest absolute move
     assert not bench._gate_flags(key, fixed + 0.5, fixed - 0.3)
+
+
+def test_parse_bench_tail_recovers_truncated_capture():
+    """r7 postmortem: the driver's tail capture can lose the front of
+    the result line (parsed: null). The queries dict must still be
+    recoverable from the tail string so the gate never runs blind."""
+    tail = (
+        ' "headline_queries_total_wall", "value": 80.917, "unit": "sec",'
+        ' "queries": {"tpch_q1": 0.228, "semdedup": 5.438},'
+        ' "sf": 0.1, "calibration_range_sum_sec": 0.179}\n'
+    )
+    got = bench._parse_bench_tail(tail)
+    assert got is not None
+    assert got["queries"] == {"tpch_q1": 0.228, "semdedup": 5.438}
+    assert got["value"] == 80.917 and got["sf"] == 0.1
+
+
+def test_parse_bench_tail_rejects_garbage():
+    assert bench._parse_bench_tail("no json here") is None
+    assert bench._parse_bench_tail('"queries": {broken') is None
+
+
+def test_load_prior_never_returns_empty_queries():
+    loaded = bench.load_prior()
+    # Repo carries BENCH_r01..r07; r06/r07 have parsed:null but a
+    # recoverable tail, so load_prior must yield a non-empty dict.
+    assert loaded is not None
+    name, prior = loaded
+    assert prior.get("queries"), f"{name} loaded without queries"
