@@ -1,0 +1,347 @@
+"""Data-selection operators for a pretraining corpus build: DSIR
+importance resampling, CCNet-style paragraph-level exact dedup with
+text reconstruction, and per-source boilerplate removal.
+
+These are the selection/cleaning passes that sit between the hygiene
+filters (`llm_corpus.py`) and tokenization (`training_prep.py`) in a
+100 TB pipeline:
+
+* ``dsir_select`` — Data Selection via Importance Resampling (Xie et
+  al. 2023, arXiv:2302.03169): score every raw document by how much
+  more likely its hashed-unigram features are under a target-domain
+  distribution than under the raw distribution, then take a per-source
+  budget of top-weighted docs.
+* ``paragraph_dedup`` — CCNet-style (Wenzek et al. 2020,
+  arXiv:1911.00359) exact duplicate-paragraph removal: the corpus
+  keeps only the FIRST occurrence of every repeated text chunk and
+  each document is rebuilt from its surviving chunks.
+* ``boilerplate_remove`` — chunks that recur across many documents of
+  the SAME source (nav menus, footers, injected banners) are dropped
+  from every document of that source.
+
+Everything is built from JVM-side primitives (split / slice /
+posexplode / hash aggregates); the only shuffles are the chunk- or
+bucket-keyed aggregates and the joins back to documents, each called
+out in scale_notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.registry import register
+from pubsub2bq_spark.tables import fan_out, load, materialize
+
+PARA_W = 4        # paragraph_dedup: chunk width (words)
+BP_W = 3          # boilerplate_remove: chunk width (words)
+BP_MIN_DOCS = 2   # chunk in >= this many docs of one source = boilerplate
+DSIR_BUCKETS = 256  # hashed-unigram feature space (md5 first byte pair)
+DSIR_KEEP = 8       # per-source selection budget
+
+# Chunk position key: doc_id * 1e5 + chunk idx gives a total order of
+# (doc_id, idx) as one BIGINT. Valid while every document has < 1e5
+# chunks (a 100k-chunk doc at 4 words/chunk is ~400k words — far above
+# any sane pretraining document; re-shard longer blobs upstream).
+_POS_STRIDE = 100_000
+
+
+def _letter_tokens(col):
+    """Lower-cased letters-only words, empties dropped (the same split
+    as llm_text.unigram_logprob so vocabularies agree across ops)."""
+    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda x: x != "")
+
+
+def _chunks(d: DataFrame, width: int, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Non-overlapping ``width``-word chunks with their 0-based index.
+
+    Pure map stage (split + sequence + posexplode + slice, all
+    codegen'd); every document emits at least one chunk (possibly ''
+    for empty text) so downstream left joins can't lose docs.
+    """
+    cols = ("doc_id", *extra_cols)
+    toks = d.select(*cols, _letter_tokens(F.col("text")).alias("t"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(width))
+    return toks.select(
+        *cols, "t", F.posexplode(starts).alias("idx", "s")
+    ).select(
+        *cols,
+        F.col("idx").cast("int").alias("idx"),
+        F.array_join(F.slice(F.col("t"), F.col("s"), width), " ").alias("chunk"),
+    )
+
+
+def _chunk_cte(width: int, extra: str = "") -> str:
+    """DuckDB twin of :func:`_chunks` (same tokenization, same chunk
+    index arithmetic)."""
+    return f"""
+        toks AS (
+            SELECT doc_id{extra},
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id{extra},
+                   CAST((s - 1) // {width} AS INT) AS idx,
+                   array_to_string(list_slice(t, s, s + {width} - 1), ' ') AS chunk
+            FROM (
+                SELECT doc_id{extra}, t,
+                       CAST(unnest(generate_series(1, greatest(len(t), 1),
+                                                   {width})) AS INT) AS s
+                FROM toks
+            )
+        )
+"""
+
+
+@register(
+    "paragraph_dedup",
+    oracle=f"""
+        WITH {_chunk_cte(PARA_W)},
+        firsts AS (
+            SELECT chunk,
+                   min(doc_id * {_POS_STRIDE} + idx) AS keep_key
+            FROM chunks GROUP BY chunk
+        ),
+        kept AS (
+            SELECT c.doc_id, c.idx, c.chunk
+            FROM chunks c JOIN firsts f
+              ON c.chunk = f.chunk
+             AND c.doc_id * {_POS_STRIDE} + c.idx = f.keep_key
+        ),
+        tot AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+            FROM chunks GROUP BY doc_id
+        ),
+        reb AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               t.n_chunks,
+               coalesce(r.n_kept, 0) AS n_kept,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    doc=f"CCNet-style exact paragraph dedup (Wenzek et al. 2020): split "
+        f"every document into {PARA_W}-word chunks, keep only the "
+        "corpus-wide FIRST occurrence (smallest (doc_id, position)) of "
+        "each repeated chunk, and rebuild each document from its "
+        "surviving chunks — the pass that strips mirrored/syndicated "
+        "paragraphs before near-dup detection ever runs.",
+    scale_notes="Chunking is a no-shuffle map. First-occurrence election "
+                "is ONE hash aggregate keyed on the chunk text (min of a "
+                "composite position key — map-side combinable, so the "
+                "shuffle carries one row per DISTINCT chunk, not per "
+                "occurrence); membership is an equi-join back on the same "
+                "key, which AQE plans as broadcast when the duplicate set "
+                "is small. Reassembly is a doc_id-keyed aggregate — "
+                "partition-aligned with the scan. At 100 TB swap the raw "
+                "chunk string for its 128-bit hash as the join key so the "
+                "shuffle carries 16 bytes per distinct chunk; skewed "
+                "boilerplate chunks (one chunk in millions of docs) "
+                "combine map-side before the exchange, so no salting is "
+                "needed.",
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    chunks = _chunks(d, PARA_W).transform(materialize)
+    pos = F.col("doc_id") * _POS_STRIDE + F.col("idx")
+    firsts = chunks.groupBy("chunk").agg(F.min(pos).alias("keep_key"))
+    kept = chunks.join(firsts, "chunk").filter(pos == F.col("keep_key"))
+    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return tot.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+@register(
+    "boilerplate_remove",
+    oracle=f"""
+        WITH {_chunk_cte(BP_W, ", source")},
+        df AS (
+            SELECT source, chunk,
+                   count(DISTINCT doc_id) AS dfc
+            FROM chunks GROUP BY source, chunk
+        )
+        SELECT c.doc_id,
+               c.source,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN d.dfc >= {BP_MIN_DOCS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler,
+               coalesce(string_agg(CASE WHEN d.dfc < {BP_MIN_DOCS} THEN c.chunk END,
+                                   ' ' ORDER BY c.idx), '') AS clean_text
+        FROM chunks c JOIN df d ON c.source = d.source AND c.chunk = d.chunk
+        GROUP BY c.doc_id, c.source
+    """,
+    doc=f"Per-source boilerplate removal: {BP_W}-word chunks that recur "
+        f"in >= {BP_MIN_DOCS} distinct documents of the SAME source "
+        "(nav menus, footers, cookie banners, injected templates) are "
+        "dropped from every document of that source — the jusText/CCNet "
+        "cleanup that runs before quality scoring so boilerplate can't "
+        "inflate length or n-gram statistics.",
+    scale_notes="Document frequency is one (source, chunk)-keyed hash "
+                "aggregate; count(DISTINCT doc_id) map-side-combines "
+                "after local dedup. The rewrite joins each chunk "
+                "occurrence to its df row on the same composite key, so "
+                "the exchange is shared (co-partitioned) with the "
+                "aggregate's output; final reassembly is doc-keyed. "
+                "Sources are natural partitions — a giant source with a "
+                "hot chunk still combines map-side. At 100 TB, carry the "
+                "chunk hash instead of the text through the df join, and "
+                "broadcast the (tiny) boilerplate-only subset of df "
+                "instead of the full table.",
+)
+def boilerplate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    chunks = _chunks(d, BP_W, ("source",)).transform(materialize)
+    df_tbl = chunks.groupBy("source", "chunk").agg(
+        F.countDistinct("doc_id").alias("dfc")
+    )
+    boiler = F.col("dfc") >= BP_MIN_DOCS
+    return (
+        chunks.join(df_tbl, ["source", "chunk"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(boiler.cast("bigint")).alias("n_boiler"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(~boiler, F.struct("idx", "chunk"))
+                            )
+                        ),
+                        lambda x: x["chunk"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+    )
+
+
+@register(
+    "dsir_select",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, lang, source,
+                   unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                      x -> x <> '')) AS word
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, lang, source, substr(md5(word), 1, 2) AS bkt
+            FROM words
+        ),
+        raw AS (SELECT bkt, count(*) AS cr FROM b GROUP BY bkt),
+        tgt AS (SELECT bkt, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bkt),
+        tr AS (SELECT sum(cr) AS tot_r FROM raw),
+        tt AS (SELECT coalesce(sum(ct), 0) AS tot_t FROM tgt),
+        lr AS (
+            SELECT r.bkt,
+                   ln((coalesce(t.ct, 0) + 1.0) / (tt.tot_t + {DSIR_BUCKETS}))
+                 - ln((r.cr + 1.0) / (tr.tot_r + {DSIR_BUCKETS})) AS lr
+            FROM raw r LEFT JOIN tgt t USING (bkt), tr, tt
+        ),
+        scored AS (
+            SELECT b.doc_id, b.source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(lr.lr), 6) AS weight
+            FROM b JOIN lr USING (bkt)
+            GROUP BY b.doc_id, b.source
+        )
+        SELECT doc_id, source, n_tokens, weight,
+               (row_number() OVER (PARTITION BY source
+                                   ORDER BY weight DESC, doc_id)
+                <= {DSIR_KEEP}) AS selected
+        FROM scored
+    """,
+    doc=f"DSIR — Data Selection via Importance Resampling (Xie et al. "
+        "2023, arXiv:2302.03169): hash every word into one of "
+        f"{DSIR_BUCKETS} feature buckets, estimate the bucket "
+        "distribution of the target domain (lang='en' here) and of the "
+        "raw corpus with +1 smoothing, score each document by its "
+        "summed log importance ratio, and keep the top "
+        f"{DSIR_KEEP} docs per source — the cheap n-gram proxy for "
+        "'looks like the target domain' that selects pretraining data "
+        "without running a model.",
+    scale_notes="Both feature distributions are one bucket-keyed "
+                f"aggregate with a FIXED {DSIR_BUCKETS}-row result — the "
+                "log-ratio table is bytes, broadcast to every executor, "
+                "so scoring is the word-explode map plus one doc-keyed "
+                "aggregate (map-side combinable; no join shuffle at "
+                "all on the scoring path). Selection is a per-source "
+                "window — partitioned, never a global sort; a skewed "
+                "giant source ranks inside its own partition. At 100 TB "
+                "this is two scans (one if the distributions are "
+                "estimated on a sample, as the paper does) and one "
+                "top-k-per-group.",
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    words = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(_letter_tokens(F.col("text"))).alias("word"),
+    )
+    b = words.select(
+        "doc_id", "lang", "source",
+        F.substring(F.md5(F.col("word")), 1, 2).alias("bkt"),
+    ).transform(materialize)
+    raw = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = b.filter(F.col("lang") == "en").groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    tr = raw.agg(F.sum("cr").alias("tot_r"))
+    tt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tot_t"))
+    lr = (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bkt",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("tot_t") + DSIR_BUCKETS)
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("tot_r") + DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        b.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("weight"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("weight"), "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "weight",
+        (F.row_number().over(w) <= DSIR_KEEP).alias("selected"),
+    )

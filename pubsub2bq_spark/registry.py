@@ -100,6 +100,7 @@ def all_queries() -> dict[str, Query]:
         cdc_pipeline,
         cdc_semantics,
         corpus_stats,
+        data_selection,
         ddl_ops,
         event_analytics,
         events_ops,
