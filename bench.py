@@ -125,6 +125,11 @@ HEADLINE = [
     "rerank_topk",
     # Hierarchical two-level IVF assignment (the corpus-scaled-k path).
     "ann_ivf_hier",
+    # Round-8 additions: DSIR importance selection, CCNet paragraph
+    # dedup with text rebuild, per-source boilerplate removal.
+    "dsir_select",
+    "paragraph_dedup",
+    "boilerplate_remove",
 ]
 
 
@@ -160,6 +165,14 @@ FIXED_COST = {
     # flags it and KNOWN_SEMANTIC_CHANGES carries the explanation; from
     # r7 the gate tracks its variable component like ann_ivf_kmeans's.
     "semdedup": 4.0,
+    # Two-level IVF: the k-means|| seeding + supercell-Lloyd chain is
+    # ~15 eager bounded jobs — measured 4.48s at sf0.001 vs 5.54s at
+    # sf0.1 (min of 3, r8 probe), so ~4.4s is scale-flat.
+    "ann_ivf_hier": 4.4,
+    # retrieve-then-rerank: hybrid_retrieve's materialize chain (fused
+    # candidates + distinct-term relation) — measured 2.02s at sf0.001
+    # vs 3.26s at sf0.1 (min of 3, r8 probe).
+    "rerank_topk": 2.0,
 }
 
 # A flag must be actionable: beyond the ratio, the variable component
