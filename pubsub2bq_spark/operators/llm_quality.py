@@ -700,3 +700,127 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s, 4).alias("score"),
         (F.round(s, 6) > 0.5).alias("pred"),
     )
+
+
+# --- quality_ensemble: exact-moment z-score fusion of cheap signals ---
+
+QE_FLAG = -0.5  # ensemble z below this = low-quality
+
+
+def _qe_letter_tokens(col):
+    """Lower-cased letters-only words (llm_text's vocabulary split)."""
+    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda x: x != "")
+
+
+_QE_FEATS_SQL = """
+        feats AS (
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS x1,
+                   CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                        x -> x <> '')) AS BIGINT) AS x2,
+                   CAST(len(list_distinct(
+                            list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                        x -> x <> ''))) AS BIGINT) AS x3
+            FROM documents
+        )
+"""
+
+
+@register(
+    "quality_ensemble",
+    oracle=f"""
+        WITH {_QE_FEATS_SQL},
+        mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x1*x1) AS BIGINT) AS q1,
+                   CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(x2*x2) AS BIGINT) AS q2,
+                   CAST(sum(x3) AS BIGINT) AS s3, CAST(sum(x3*x3) AS BIGINT) AS q3
+            FROM feats
+        ),
+        sd AS (
+            SELECT n,
+                   CAST(s1 AS DOUBLE) / n AS m1,
+                   CAST(s2 AS DOUBLE) / n AS m2,
+                   CAST(s3 AS DOUBLE) / n AS m3,
+                   CASE WHEN sqrt(greatest(CAST(q1 AS DOUBLE) / n
+                                           - (CAST(s1 AS DOUBLE) / n)
+                                             * (CAST(s1 AS DOUBLE) / n), 0.0)) = 0.0
+                        THEN 1.0
+                        ELSE sqrt(greatest(CAST(q1 AS DOUBLE) / n
+                                           - (CAST(s1 AS DOUBLE) / n)
+                                             * (CAST(s1 AS DOUBLE) / n), 0.0)) END AS d1,
+                   CASE WHEN sqrt(greatest(CAST(q2 AS DOUBLE) / n
+                                           - (CAST(s2 AS DOUBLE) / n)
+                                             * (CAST(s2 AS DOUBLE) / n), 0.0)) = 0.0
+                        THEN 1.0
+                        ELSE sqrt(greatest(CAST(q2 AS DOUBLE) / n
+                                           - (CAST(s2 AS DOUBLE) / n)
+                                             * (CAST(s2 AS DOUBLE) / n), 0.0)) END AS d2,
+                   CASE WHEN sqrt(greatest(CAST(q3 AS DOUBLE) / n
+                                           - (CAST(s3 AS DOUBLE) / n)
+                                             * (CAST(s3 AS DOUBLE) / n), 0.0)) = 0.0
+                        THEN 1.0
+                        ELSE sqrt(greatest(CAST(q3 AS DOUBLE) / n
+                                           - (CAST(s3 AS DOUBLE) / n)
+                                             * (CAST(s3 AS DOUBLE) / n), 0.0)) END AS d3
+            FROM mom
+        )
+        SELECT f.doc_id, f.x1, f.x2, f.x3,
+               round(((CAST(f.x1 AS DOUBLE) - s.m1) / s.d1
+                      + (CAST(f.x2 AS DOUBLE) - s.m2) / s.d2
+                      + (CAST(f.x3 AS DOUBLE) - s.m3) / s.d3) / 3.0, 6) AS quality_z,
+               (round(((CAST(f.x1 AS DOUBLE) - s.m1) / s.d1
+                       + (CAST(f.x2 AS DOUBLE) - s.m2) / s.d2
+                       + (CAST(f.x3 AS DOUBLE) - s.m3) / s.d3) / 3.0, 6)
+                < {QE_FLAG}) AS flagged
+        FROM feats f, sd s
+    """,
+    doc="Quality-signal ensemble: three cheap integer surface signals "
+        "(char length, token count, distinct-token count) standardized "
+        "against exact corpus moments and averaged into one z-score — "
+        "the multi-signal fusion (Gopher/FineWeb-style rule stacking) "
+        "that gates documents no single heuristic would catch. "
+        f"flagged = ensemble z < {QE_FLAG}.",
+    scale_notes="One moments aggregate (7 exact BIGINT sums — map-side "
+                "combined, order-free, so both engines derive bit-"
+                "identical means/stds) broadcast back into a stateless "
+                "per-doc map; no join shuffle, no window. The z "
+                "arithmetic is fixed-shape IEEE on exact inputs, so the "
+                "6dp round is cosmetic, not a tolerance. BIGINT "
+                "headroom: sum(n_chars^2) stays under 2^63 up to ~1e12 "
+                "docs at 3k chars each; quantize down if documents get "
+                "longer.",
+)
+def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = _qe_letter_tokens(F.col("text"))
+    feats = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("x1"),
+        F.size(toks).cast("bigint").alias("x2"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("x3"),
+    ).transform(materialize)  # moments + the scoring map both read it
+    mom = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"), F.sum(F.col("x1") * F.col("x1")).alias("q1"),
+        F.sum("x2").alias("s2"), F.sum(F.col("x2") * F.col("x2")).alias("q2"),
+        F.sum("x3").alias("s3"), F.sum(F.col("x3") * F.col("x3")).alias("q3"),
+    )
+
+    def m(s):
+        return F.col(s).cast("double") / F.col("n")
+
+    def sd(q, s):
+        raw = F.sqrt(F.greatest(m(q) - m(s) * m(s), F.lit(0.0)))
+        return F.when(raw == 0.0, F.lit(1.0)).otherwise(raw)
+
+    z = (
+        (F.col("x1").cast("double") - m("s1")) / sd("q1", "s1")
+        + (F.col("x2").cast("double") - m("s2")) / sd("q2", "s2")
+        + (F.col("x3").cast("double") - m("s3")) / sd("q3", "s3")
+    ) / 3.0
+    return feats.crossJoin(F.broadcast(mom)).select(
+        "doc_id", "x1", "x2", "x3",
+        F.round(z, 6).alias("quality_z"),
+        (F.round(z, 6) < QE_FLAG).alias("flagged"),
+    )

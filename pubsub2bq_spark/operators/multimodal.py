@@ -18,7 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pubsub2bq_spark.functions.multimodal import DECODE_META_SCHEMA, decode_meta_batches
+from pubsub2bq_spark.functions.multimodal import (
+    AUDIO_FEATURE_SCHEMA,
+    DECODE_META_SCHEMA,
+    RESIZE_META_SCHEMA,
+    RESIZE_TARGET,
+    audio_feature_batches,
+    decode_meta_batches,
+    resize_meta_batches,
+)
 from pubsub2bq_spark.registry import register
 from pubsub2bq_spark.tables import fan_out, load
 
@@ -107,3 +115,81 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.col("n_frames"))).alias("frame_idx"),
     ).select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+
+
+@register(
+    "image_resize",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT)            AS n_bytes,
+                   CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                   CAST((octet_length(encode(text)) // 64) % 64 + 16
+                        AS INTEGER)                                      AS height
+            FROM documents
+        )
+        SELECT doc_id, n_bytes, width, height,
+               CAST(greatest(1, (width * {RESIZE_TARGET})
+                                // greatest(width, height)) AS INTEGER)  AS out_w,
+               CAST(greatest(1, (height * {RESIZE_TARGET})
+                                // greatest(width, height)) AS INTEGER)  AS out_h
+        FROM m
+    """,
+    doc=f"Image resize plumbing (U8 'resize' verb): binary payload → "
+        f"aspect-preserving max-side-{RESIZE_TARGET} output dimensions "
+        "via an Arrow-batched mapInPandas kernel. The pixel resample is "
+        "a stub (functions/multimodal.py raises NotImplementedError "
+        "without PIL); the dimension plan uses exact integer floor "
+        "division so the oracle restates it, and the Spark-side schema/"
+        "batching/partitioning are the real 100 TB design.",
+    scale_notes="Identical envelope to multimodal_meta: project to "
+                "(doc_id, payload) before the fan-out so the exchange "
+                "carries only kernel inputs, then one mapInPandas pass — "
+                "Arrow batches across the Python boundary, no per-row "
+                "serialization, no shuffle after the kernel. With real "
+                "codecs the kernel returns resized bytes in the same "
+                "batch shape; output size is bounded by target², so "
+                "downstream partitions shrink rather than grow.",
+)
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(resize_meta_batches, RESIZE_META_SCHEMA)
+
+
+@register(
+    "audio_feature",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT)           AS n_bytes,
+               CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS n_windows,
+               round(CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT)
+                          AS DOUBLE) / 4294967296.0, 6)              AS rms
+        FROM documents
+    """,
+    doc="Audio feature-extraction plumbing (U8 'feature-extract' verb): "
+        "binary payload → fixed-width feature row (window count + pseudo "
+        "RMS level) via an Arrow-batched mapInPandas kernel. The codec "
+        "step is a stub (NotImplementedError without an audio library); "
+        "the fake features are md5/length-derived so the oracle restates "
+        "them exactly, and the batch shape matches a real extractor's "
+        "(one feature row per payload).",
+    scale_notes="One mapInPandas pass over projected (doc_id, payload) "
+                "batches — the same no-shuffle scan-transform envelope as "
+                "the other multimodal kernels. A real extractor emits a "
+                "fixed-width vector per payload, so output bytes are "
+                "per-row constant and the stage pipelines into whatever "
+                "keyed aggregate consumes the features.",
+)
+def audio_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(audio_feature_batches, AUDIO_FEATURE_SCHEMA)

@@ -359,3 +359,21 @@ class TestQualityLogreg:
             for r in rows
         ) / len(rows)
         assert loss < math.log(2.0), f"loss {loss:.4f} did not descend"
+
+
+def test_quality_ensemble_zscores_center_and_flag_tail(spark):
+    from pyspark.sql import functions as F
+
+    from pubsub2bq_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    out = all_queries()["quality_ensemble"].spark(spark, SF_SMOKE)
+    row = out.agg(
+        F.avg("quality_z").alias("mu"),
+        F.sum(F.col("flagged").cast("int")).alias("n_flagged"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    # standardized signals average ~0 corpus-wide
+    assert abs(row["mu"]) < 0.05
+    # the gate flags a real but minority tail
+    assert 0 < row["n_flagged"] < row["n"] / 2
