@@ -130,6 +130,7 @@ HEADLINE = [
     "dsir_select",
     "paragraph_dedup",
     "boilerplate_remove",
+    "embedding_pca",
 ]
 
 

@@ -1443,3 +1443,195 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept.createOrReplaceTempView("kept_edges")
     return spark.sql(_RECURSIVE_STEP_SQL)
+
+
+# --- embedding_pca: exact-quantized power iteration ------------------
+
+PCA_STEPS = 8            # fixed unrolled power-iteration steps
+PCA_QV = 1_000_000       # embedding quantum (1e-6)
+PCA_QC = 1_000_000_000   # covariance quantum (1e-9)
+PCA_V0 = 125_000         # v0 = 1/sqrt(DIM) = 0.125, exactly representable
+
+
+def _pca_oracle() -> str:
+    """DuckDB twin: the identical quantized covariance + the same
+    PCA_STEPS matvec/rescale rounds as unrolled CTEs — every summed
+    quantity is an exact BIGINT, every double op has the same shape as
+    the Spark/driver side, so the trajectories are bit-identical."""
+    ctes = [f"""
+        q AS MATERIALIZED (
+            SELECT vec_id, CAST(i - 1 AS INT) AS d,
+                   CAST(round(CAST(embedding[i] AS DOUBLE) * {PCA_QV}, 0)
+                        AS BIGINT) AS qv
+            FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        s AS (SELECT d, CAST(sum(qv) AS BIGINT) AS s FROM q GROUP BY d),
+        s2 AS (
+            SELECT a.d AS i, b.d AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS s2
+            FROM q a JOIN q b USING (vec_id) GROUP BY a.d, b.d
+        ),
+        cov AS MATERIALIZED (
+            SELECT i, j,
+                   CAST(round((CAST(s2 AS DOUBLE) / n / {float(PCA_QV) ** 2}
+                               - (CAST(si.s AS DOUBLE) / n / {float(PCA_QV)})
+                                 * (CAST(sj.s AS DOUBLE) / n / {float(PCA_QV)}))
+                              * {PCA_QC}, 0) AS BIGINT) AS c
+            FROM s2 JOIN s si ON s2.i = si.d JOIN s sj ON s2.j = sj.d, nn
+        ),
+        v0 AS (SELECT DISTINCT i AS d, CAST({PCA_V0} AS BIGINT) AS v FROM cov)"""]
+    for k in range(PCA_STEPS):
+        ctes.append(f"""
+        w{k} AS MATERIALIZED (
+            SELECT cov.i AS d, CAST(sum(cov.c * v{k}.v) AS BIGINT) AS w
+            FROM cov JOIN v{k} ON cov.j = v{k}.d GROUP BY cov.i
+        ),
+        m{k} AS (SELECT greatest(max(abs(w)), 1) AS m FROM w{k}),
+        v{k + 1} AS MATERIALIZED (
+            SELECT d, CAST(floor(CAST(w AS DOUBLE) / m * {float(PCA_QV)})
+                           AS BIGINT) AS v
+            FROM w{k}, m{k}
+        )""")
+    K = PCA_STEPS
+    return f"""
+        WITH {','.join(ctes)},
+        wf AS (
+            SELECT cov.i AS d, CAST(sum(cov.c * v{K}.v) AS BIGINT) AS w
+            FROM cov JOIN v{K} ON cov.j = v{K}.d GROUP BY cov.i
+        ),
+        pick AS (SELECT d, v FROM v{K} ORDER BY abs(v) DESC, d ASC LIMIT 1),
+        lam AS (
+            SELECT CAST(wf.w AS DOUBLE) / ({float(PCA_QC)} * pick.v) AS eigval,
+                   CASE WHEN pick.v < 0 THEN -1 ELSE 1 END AS sgn
+            FROM wf JOIN pick ON wf.d = pick.d
+        )
+        SELECT v{K}.d AS dim,
+               lam.sgn * (CAST(v{K}.v AS DOUBLE) / {float(PCA_QV)}) AS loading,
+               lam.eigval AS eigval
+        FROM v{K}, lam
+    """
+
+
+@register(
+    "embedding_pca",
+    oracle=_pca_oracle(),
+    doc=f"Top principal component of the embedding table by {PCA_STEPS} "
+        "power-iteration steps over the exact quantized covariance — the "
+        "PCA/whitening preprocessing SemDeDup-style pipelines run before "
+        "clustering, and the dimensionality screen for embedding-column "
+        "QA. Output: one row per dimension with the (sign-canonicalized) "
+        "component loading and the Rayleigh-free eigenvalue estimate. "
+        "Every distributed sum is an exact scaled-BIGINT (embeddings at "
+        "1e-6, covariance at 1e-9), every float op has a fixed shape, so "
+        "Spark and the oracle walk bit-identical trajectories.",
+    scale_notes=f"Covariance is ONE pass: posexplode the {DIM}-dim vector "
+                f"twice ({DIM}^2 pair rows per vector, map-side only) into "
+                f"a {DIM}x{DIM}-group aggregate — the shuffle carries "
+                "4096 partial-sum rows per map task, nothing per-vector. "
+                "The matrix is then bounded (4096 rows, localCheckpointed); "
+                f"each of the {PCA_STEPS} iterations is one {DIM}-column "
+                "scalar-probe aggregate over it (driver traffic = one "
+                f"{DIM}-number row per step, constant in corpus size) and "
+                "the weight vector returns as plan literals. At 100 TB "
+                "the only corpus-scaled stage is the first aggregate; "
+                "BIGINT headroom holds to ~2e7 vectors at |e|<=1 "
+                "(sum(q_i*q_j) < 2^63) — beyond that, drop PCA_QV to 1e5 "
+                "(headroom x100) or pre-aggregate per-partition moments.",
+)
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    q = (
+        e.select(
+            "vec_id",
+            F.posexplode(_dvec("embedding")).alias("d", "x"),
+        )
+        .select(
+            "vec_id",
+            F.col("d").cast("int").alias("d"),
+            F.round(F.col("x") * PCA_QV, 0).cast("bigint").alias("qv"),
+        )
+    )
+    # pair moments in one map-side pass: re-explode the quantized vector
+    qarr = (
+        e.select("vec_id", _dvec("embedding").alias("emb"))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("emb"),
+                lambda x: F.round(x * PCA_QV, 0).cast("bigint"),
+            ).alias("qs"),
+        )
+    )
+    pairs = qarr.select(
+        "vec_id", "qs", F.posexplode("qs").alias("i", "qi")
+    ).select(
+        F.col("i").cast("int").alias("i"),
+        "qi",
+        F.posexplode("qs").alias("j", "qj"),
+    )
+    s2 = pairs.groupBy("i", F.col("j").cast("int").alias("j")).agg(
+        F.sum(F.col("qi") * F.col("qj")).alias("s2")
+    )
+    s = q.groupBy("d").agg(F.sum("qv").alias("s"))
+    nn = e.agg(F.count(F.lit(1)).alias("n"))
+    mean = F.col("s").cast("double") / F.col("n") / float(PCA_QV)
+    si = s.select(F.col("d").alias("i"), F.col("s").alias("s_i"))
+    sj = s.select(F.col("d").alias("j"), F.col("s").alias("s_j"))
+    m_i = F.col("s_i").cast("double") / F.col("n") / float(PCA_QV)
+    m_j = F.col("s_j").cast("double") / F.col("n") / float(PCA_QV)
+    cov = (
+        s2.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("s2").cast("double") / F.col("n") / float(PCA_QV) ** 2
+                    - m_i * m_j
+                )
+                * PCA_QC,
+                0,
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    # ONE scalar probe fetches the whole quantized covariance — a
+    # bounded DIM^2 model artifact (like logreg's weights or k-means
+    # centroids), constant in corpus size. The power iteration then
+    # runs in exact Python integer arithmetic, mirroring the oracle's
+    # unrolled CTEs operand-for-operand — no per-step cluster jobs.
+    cells = _pca_agg_first(
+        cov, F.collect_list(F.struct("i", "j", "c")).alias("cells")
+    )["cells"]
+    C = [[0] * DIM for _ in range(DIM)]
+    for cell in cells:
+        C[cell["i"]][cell["j"]] = int(cell["c"])
+
+    def matvec(v_q: list[int]) -> list[int]:
+        return [sum(C[i][j] * v_q[j] for j in range(DIM)) for i in range(DIM)]
+
+    v_q = [PCA_V0] * DIM
+    for _ in range(PCA_STEPS):
+        w = matvec(v_q)
+        m = max(max(abs(x) for x in w), 1)
+        # float()-first mirrors the oracle's CAST(... AS DOUBLE)/m shape
+        v_q = [int(math.floor(float(x) / float(m) * float(PCA_QV))) for x in w]
+    w_f = matvec(v_q)
+    k_star = max(range(DIM), key=lambda k: (abs(v_q[k]), -k))
+    eigval = float(w_f[k_star]) / (float(PCA_QC) * float(v_q[k_star]))
+    sgn = -1.0 if v_q[k_star] < 0 else 1.0
+    rows = [
+        (d, sgn * (float(v_q[d]) / float(PCA_QV)), eigval) for d in range(DIM)
+    ]
+    return spark.createDataFrame(rows, "dim int, loading double, eigval double")
+
+
+def _pca_agg_first(df: DataFrame, *exprs):
+    """Scalar probe (one aggregate job, one fixed-width result row —
+    constant driver traffic regardless of corpus size)."""
+    return df.agg(*exprs).first()

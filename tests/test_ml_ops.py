@@ -278,3 +278,29 @@ class TestAnnIvfHier:
             .first()[0]
         )
         assert agree >= 0.6, f"flat-agreement {agree:.2f} below floor"
+
+
+def test_embedding_pca_component_is_unit_ish_and_dominant(spark):
+    import math
+
+    from pubsub2bq_spark.operators.llm_similarity import DIM
+    from pubsub2bq_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    out = all_queries()["embedding_pca"].spark(spark, SF_SMOKE).collect()
+    assert len(out) == DIM
+    loadings = {r["dim"]: r["loading"] for r in out}
+    assert set(loadings) == set(range(DIM))
+    # max-abs rescale (not L2) => the largest |loading| is ~1
+    mx = max(abs(v) for v in loadings.values())
+    assert 0.99 <= mx <= 1.0
+    # sign canonicalization: the argmax-|v| dim is positive
+    k_star = max(loadings, key=lambda d: (abs(loadings[d]), -d))
+    assert loadings[k_star] > 0
+    # the eigenvalue estimate is positive (top component of a PSD matrix)
+    eig = out[0]["eigval"]
+    assert all(abs(r["eigval"] - eig) < 1e-12 for r in out)
+    assert eig > 0
+    # L2 norm is within [1, sqrt(DIM)] by the max-abs convention
+    norm = math.sqrt(sum(v * v for v in loadings.values()))
+    assert 1.0 <= norm <= math.sqrt(DIM)
