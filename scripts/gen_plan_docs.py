@@ -105,6 +105,15 @@ PLAN_KEYS = [
     "avro_validate",
     "jdbc_snapshot_union",
     "kmeans_parallel_init",
+    # Round-8 additions (embedding_pca's corpus-scaled stage is the
+    # covariance aggregate; the iteration itself is driver-side over a
+    # bounded artifact, so its plan of record is the per-dim result).
+    "dsir_select",
+    "paragraph_dedup",
+    "boilerplate_remove",
+    "quality_ensemble",
+    "image_resize",
+    "audio_feature",
 ]
 
 
