@@ -1453,11 +1453,14 @@ PCA_QC = 1_000_000_000   # covariance quantum (1e-9)
 PCA_V0 = 125_000         # v0 = 1/sqrt(DIM) = 0.125, exactly representable
 
 
-def _pca_oracle() -> str:
-    """DuckDB twin: the identical quantized covariance + the same
-    PCA_STEPS matvec/rescale rounds as unrolled CTEs — every summed
-    quantity is an exact BIGINT, every double op has the same shape as
-    the Spark/driver side, so the trajectories are bit-identical."""
+def _pca_ctes() -> str:
+    """Shared CTE chain (through ``lam``): the identical quantized
+    covariance + the same PCA_STEPS matvec/rescale rounds as unrolled
+    CTEs — every summed quantity is an exact BIGINT, every double op
+    has the same shape as the Spark/driver side, so the trajectories
+    are bit-identical. MATERIALIZED is load-bearing: each step
+    references its predecessor twice (matvec + max-abs), so plain
+    CTE inlining would re-derive the covariance 2^PCA_STEPS times."""
     ctes = [f"""
         q AS MATERIALIZED (
             SELECT vec_id, CAST(i - 1 AS INT) AS d,
@@ -1493,22 +1496,53 @@ def _pca_oracle() -> str:
             FROM w{k}, m{k}
         )""")
     K = PCA_STEPS
-    return f"""
-        WITH {','.join(ctes)},
+    return f"""{','.join(ctes)},
         wf AS (
             SELECT cov.i AS d, CAST(sum(cov.c * v{K}.v) AS BIGINT) AS w
             FROM cov JOIN v{K} ON cov.j = v{K}.d GROUP BY cov.i
         ),
         pick AS (SELECT d, v FROM v{K} ORDER BY abs(v) DESC, d ASC LIMIT 1),
-        lam AS (
+        lam AS MATERIALIZED (
             SELECT CAST(wf.w AS DOUBLE) / ({float(PCA_QC)} * pick.v) AS eigval,
                    CASE WHEN pick.v < 0 THEN -1 ELSE 1 END AS sgn
             FROM wf JOIN pick ON wf.d = pick.d
-        )
+        )"""
+
+
+def _pca_oracle() -> str:
+    K = PCA_STEPS
+    return f"""
+        WITH {_pca_ctes()}
         SELECT v{K}.d AS dim,
                lam.sgn * (CAST(v{K}.v AS DOUBLE) / {float(PCA_QV)}) AS loading,
                lam.eigval AS eigval
         FROM v{K}, lam
+    """
+
+
+def _whiten_oracle() -> str:
+    K = PCA_STEPS
+    return f"""
+        WITH {_pca_ctes()},
+        nrm AS (
+            SELECT CAST(sum(v * v) AS BIGINT) AS ss FROM v{K}
+        ),
+        comp AS MATERIALIZED (
+            SELECT list(lam.sgn * (CAST(v{K}.v AS DOUBLE) / {float(PCA_QV)})
+                        / sqrt(CAST(nrm.ss AS DOUBLE) / {float(PCA_QV) ** 2})
+                        ORDER BY v{K}.d) AS cv
+            FROM v{K}, lam, nrm
+        )
+        SELECT e.vec_id, e.label,
+               round(list_dot_product(e.dv, comp.cv), 6) AS proj,
+               round(list_dot_product(e.dv, e.dv)
+                     - list_dot_product(e.dv, comp.cv)
+                       * list_dot_product(e.dv, comp.cv), 6) AS resid_sq
+        FROM (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+            FROM embeddings
+        ) e, comp
     """
 
 
@@ -1539,6 +1573,17 @@ def _pca_oracle() -> str:
                 "(headroom x100) or pre-aggregate per-partition moments.",
 )
 def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v_q, sgn, eigval = _pca_component(spark, sf_dir)
+    rows = [
+        (d, sgn * (float(v_q[d]) / float(PCA_QV)), eigval) for d in range(DIM)
+    ]
+    return spark.createDataFrame(rows, "dim int, loading double, eigval double")
+
+
+def _pca_component(spark: SparkSession, sf_dir: str):
+    """(v_q, sgn, eigval): the quantized top component, its canonical
+    sign, and the eigenvalue estimate — the bounded model artifact both
+    embedding_pca and embedding_whiten consume."""
     import math
 
     e = fan_out(load(spark, sf_dir, "embeddings"), spark)
@@ -1625,13 +1670,56 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_star = max(range(DIM), key=lambda k: (abs(v_q[k]), -k))
     eigval = float(w_f[k_star]) / (float(PCA_QC) * float(v_q[k_star]))
     sgn = -1.0 if v_q[k_star] < 0 else 1.0
-    rows = [
-        (d, sgn * (float(v_q[d]) / float(PCA_QV)), eigval) for d in range(DIM)
-    ]
-    return spark.createDataFrame(rows, "dim int, loading double, eigval double")
+    return v_q, sgn, eigval
 
 
 def _pca_agg_first(df: DataFrame, *exprs):
     """Scalar probe (one aggregate job, one fixed-width result row —
     constant driver traffic regardless of corpus size)."""
     return df.agg(*exprs).first()
+
+
+@register(
+    "embedding_whiten",
+    oracle=_whiten_oracle(),
+    doc="Apply the learned top principal component (embedding_pca's "
+        "artifact) back to every vector: per-vector projection onto the "
+        "component plus the squared residual norm — the de-biasing / "
+        "variance-screen step that follows PCA in an embedding-hygiene "
+        "pipeline (drop or down-weight the dominant direction before "
+        "near-dup clustering). Both engines learn the component through "
+        "the same bit-identical quantized iteration, then score with "
+        "the same sequential-fold dot products, 6dp-rounded.",
+    scale_notes="Training reuses embedding_pca's envelope (one corpus "
+                "pass + a bounded-artifact iteration); application is a "
+                "stateless map — the component rides to executors as a "
+                f"{DIM}-literal array, so there is NO join and NO "
+                "shuffle on the scoring path. At 100 TB this is the "
+                "canonical learn-small/apply-wide shape: one aggregate "
+                "pass to fit, one scan to score.",
+)
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    v_q, sgn, eigval = _pca_component(spark, sf_dir)
+    # unit-normalize from the EXACT integer sum of squares, so the norm
+    # (and every component element) is bit-identical to the oracle's
+    norm = math.sqrt(float(sum(x * x for x in v_q)) / float(PCA_QV) ** 2)
+    comp = F.array(
+        *[
+            F.lit(sgn * (float(v_q[d]) / float(PCA_QV)) / norm)
+            for d in range(DIM)
+        ]
+    )
+    e = fan_out(load(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", _dvec("embedding").alias("dv")
+    )
+    proj = _dot(F.col("dv"), comp)
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(proj, 6).alias("proj"),
+        F.round(_dot(F.col("dv"), F.col("dv")) - proj * proj, 6).alias(
+            "resid_sq"
+        ),
+    )

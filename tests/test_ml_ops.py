@@ -304,3 +304,20 @@ def test_embedding_pca_component_is_unit_ish_and_dominant(spark):
     # L2 norm is within [1, sqrt(DIM)] by the max-abs convention
     norm = math.sqrt(sum(v * v for v in loadings.values()))
     assert 1.0 <= norm <= math.sqrt(DIM)
+
+
+def test_embedding_whiten_residual_nonnegative_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from pubsub2bq_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    out = all_queries()["embedding_whiten"].spark(spark, SF_SMOKE)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("resid_sq") < -1e-9).cast("int")).alias("neg"),
+        F.avg(F.abs(F.col("proj"))).alias("mean_abs_proj"),
+    ).collect()[0]
+    assert row["n"] > 0 and row["neg"] == 0
+    # projection onto the dominant direction captures real variance
+    assert row["mean_abs_proj"] > 0
