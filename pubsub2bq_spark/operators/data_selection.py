@@ -71,15 +71,16 @@ def _chunks(d: DataFrame, width: int, extra_cols: tuple[str, ...] = ()) -> DataF
     )
 
 
-def _chunk_cte(width: int, extra: str = "") -> str:
+def _chunk_cte(width: int, extra: str = "", source: str = "documents") -> str:
     """DuckDB twin of :func:`_chunks` (same tokenization, same chunk
-    index arithmetic)."""
+    index arithmetic). ``source`` lets composed pipelines chunk a
+    filtered relation instead of the raw table."""
     return f"""
         toks AS (
             SELECT doc_id{extra},
                    list_filter(string_split_regex(lower(text), '[^a-z]+'),
                                x -> x <> '') AS t
-            FROM documents
+            FROM {source}
         ),
         chunks AS (
             SELECT doc_id{extra},
@@ -345,3 +346,110 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         (F.row_number().over(w) <= DSIR_KEEP).alias("selected"),
     )
+
+
+# --- selection_funnel: the composed pretraining-selection pipeline ---
+
+
+@register(
+    "selection_funnel",
+    oracle=None,  # composed from quality_ensemble's oracle below
+    doc=f"The composed selection pipeline a pretraining corpus build "
+        "runs end-to-end: quality gate (drop quality_ensemble-flagged "
+        f"docs) -> CCNet paragraph dedup ({PARA_W}-word chunks, corpus-"
+        "wide first occurrence among the survivors) -> rebuilt clean "
+        "text with per-doc retention stats. The north-star composition: "
+        "each stage is the registered operator's own logic, chained on "
+        "one frame.",
+    scale_notes="The gate is quality_ensemble's envelope (one moments "
+                "aggregate + stateless map); its survivor set joins the "
+                "scan doc_id-to-doc_id (AQE picks broadcast when the "
+                "reject rate leaves a small side — at typical <20% "
+                "rejection it stays a co-partitioned join). Dedup adds "
+                "paragraph_dedup's single chunk-keyed min aggregate. "
+                "Stages share the scan; nothing is materialized between "
+                "them except the bounded moments row.",
+)
+def selection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.operators.llm_quality import quality_ensemble
+
+    keep = (
+        quality_ensemble(spark, sf_dir)
+        .filter(~F.col("flagged"))
+        .select("doc_id")
+    )
+    d = (
+        fan_out(load(spark, sf_dir, "documents"), spark)
+        .join(keep, "doc_id")
+        .select("doc_id", "text")
+    )
+    chunks = _chunks(d, PARA_W).transform(materialize)
+    pos = F.col("doc_id") * _POS_STRIDE + F.col("idx")
+    firsts = chunks.groupBy("chunk").agg(F.min(pos).alias("keep_key"))
+    kept = chunks.join(firsts, "chunk").filter(pos == F.col("keep_key"))
+    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return tot.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def _funnel_oracle() -> str:
+    # importing the module registers quality_ensemble (data_selection
+    # sits before llm_quality in the registry's import order)
+    from pubsub2bq_spark.operators import llm_quality  # noqa: F401
+    from pubsub2bq_spark.registry import _REGISTRY
+
+    qe = _REGISTRY["quality_ensemble"].oracle
+    return f"""
+        WITH docs_kept AS (
+            SELECT d.doc_id, d.text
+            FROM documents d
+            JOIN (SELECT doc_id FROM ({qe}) WHERE NOT flagged) k
+              USING (doc_id)
+        ),
+        {_chunk_cte(PARA_W, source="docs_kept")},
+        firsts AS (
+            SELECT chunk,
+                   min(doc_id * {_POS_STRIDE} + idx) AS keep_key
+            FROM chunks GROUP BY chunk
+        ),
+        kept AS (
+            SELECT c.doc_id, c.idx, c.chunk
+            FROM chunks c JOIN firsts f
+              ON c.chunk = f.chunk
+             AND c.doc_id * {_POS_STRIDE} + c.idx = f.keep_key
+        ),
+        tot AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+            FROM chunks GROUP BY doc_id
+        ),
+        reb AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               t.n_chunks,
+               coalesce(r.n_kept, 0) AS n_kept,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM tot t LEFT JOIN reb r USING (doc_id)
+    """
+
+
+from pubsub2bq_spark.registry import _REGISTRY  # noqa: E402
+
+_REGISTRY["selection_funnel"].oracle = _funnel_oracle()

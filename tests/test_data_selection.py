@@ -98,3 +98,21 @@ def test_dsir_weights_favor_target_language(spark):
     )
     by_target = {r[0]: r["w"] for r in rows}
     assert by_target[True] > by_target[False]
+
+
+def test_selection_funnel_composes_gate_then_dedup(spark):
+    from pubsub2bq_spark.operators.llm_quality import quality_ensemble
+
+    funnel = QUERIES["selection_funnel"].spark(spark, SF_SMOKE)
+    n_out = funnel.count()
+    n_flagged = (
+        quality_ensemble(spark, SF_SMOKE).filter("flagged").count()
+    )
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    # exactly the unflagged docs survive the gate
+    assert n_out == n_docs - n_flagged
+    # dedup still bites on the survivor corpus
+    agg = funnel.agg(
+        F.sum("n_chunks").alias("t"), F.sum("n_kept").alias("k")
+    ).collect()[0]
+    assert agg["k"] < agg["t"]
