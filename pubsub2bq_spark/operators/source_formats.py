@@ -290,3 +290,51 @@ def stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replayed.groupBy("op").agg(
         F.count(F.lit(1)).alias("n"), F.min("ts_ms").alias("first_ts")
     )
+
+
+@register(
+    "python_datasink",
+    oracle="""
+        SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation
+    """,
+    doc="Custom Python Data Source WRITER (Spark 4 API): the "
+        "'jsondirsink' sink streams every task's partition into a "
+        "staged file and publishes atomically via the two-phase "
+        "commit()/abort() protocol — the connector slot where a real "
+        "external sink client goes when no JVM sink exists (the "
+        "reference's BigQuery-writing subscription, "
+        "terraform/main.tf:389-415). The operator writes the nation "
+        "table through the sink, then reads the committed files back "
+        "with an explicit schema — the oracle is the table itself, so "
+        "a row lost or duplicated anywhere in the write/commit/read "
+        "round trip hash-fails.",
+    scale_notes="write() runs per task (executor-side, no driver "
+                "funnel) and streams rows — memory is O(1) per task; "
+                "commit() touches only metadata (one rename per task "
+                "file + a manifest). On a cluster the staged files go "
+                "to shared storage and rename becomes the store's "
+                "atomic publish (or a manifest-only commit on object "
+                "stores, the Iceberg/Delta pattern); local[N] and a "
+                "1000-executor cluster run the identical protocol. The "
+                "Python row-encode path costs ~an order over the JVM "
+                "JSON writer — production keeps df.write.json and this "
+                "is the custom-protocol escape hatch, same trade as "
+                "python_datasource.",
+)
+def python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.sources.json_sink import register_json_sink
+
+    register_json_sink(spark)
+    out = scratch_dir("pysink_")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.format("jsondirsink").mode("append").save(out)
+    return (
+        spark.read.schema(
+            "n_nationkey int, n_name string, n_regionkey bigint"
+        )
+        .option("pathGlobFilter", "*.json")
+        .json(out)
+    )

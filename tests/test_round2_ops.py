@@ -314,3 +314,32 @@ def test_recursive_cte_equals_graph_bfs(spark):
         for r in qs["recursive_cte"].spark(spark, sf).collect()
     }
     assert bfs == rec
+
+
+def test_python_datasink_commit_protocol(spark):
+    """The sink's two-phase commit: staged .tmp files are gone after
+    commit, committed .json files + _SUCCESS manifest remain, and the
+    manifest row count matches the table."""
+    import glob
+    import json as _json
+    import os
+
+    from pubsub2bq_spark.registry import all_queries
+    from pubsub2bq_spark.sources.json_sink import register_json_sink
+    from pubsub2bq_spark.tables import load, scratch_dir
+    from tests.conftest import SF_SMOKE
+
+    register_json_sink(spark)
+    out = scratch_dir("pysink_test_")
+    nation = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    nation.write.format("jsondirsink").mode("append").save(out)
+    assert not glob.glob(os.path.join(out, "*.tmp"))
+    files = glob.glob(os.path.join(out, "*.json"))
+    assert files
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        manifest = _json.load(f)
+    assert manifest["rows"] == nation.count()
+    assert manifest["files"] == len(files)
+    # and the registered operator round-trips (driver-twin covers hash)
+    n = all_queries()["python_datasink"].spark(spark, SF_SMOKE).count()
+    assert n == nation.count()
