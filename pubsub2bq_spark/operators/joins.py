@@ -406,3 +406,46 @@ def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("sv", F.lit(0.0)), 4).alias("total"),
         )
     )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+        SELECT n.n_nationkey, n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) c
+    """,
+    doc="LATERAL (dependent) join: for every nation, the correlated "
+        "subquery returns its own top-2 customers by balance — the SQL "
+        "surface for per-row dependent computations (the BigQuery/"
+        "standard-SQL LATERAL the reference's sink engine exposes). "
+        "Identical SQL text runs on both engines.",
+    scale_notes="Catalyst decorrelates the lateral subquery into a "
+                "window-over-partition plan (rank per n_nationkey, "
+                "filter <= 2) rather than re-executing per outer row — "
+                "the same physical shape as topk_per_group, so cost is "
+                "one hash shuffle on the correlation key plus an "
+                "in-partition sort. A lateral that correlates on a "
+                "high-cardinality key keeps that property; one with a "
+                "non-equi correlation degrades to a nested-loop and "
+                "should be rewritten as a range/bin join (the "
+                "interval_join_binned pattern).",
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql("""
+        SELECT n.n_nationkey, n.n_name, c.c_custkey, c.c_acctbal
+        FROM lat_nation n, LATERAL (
+            SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+            FROM lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) c
+    """)
