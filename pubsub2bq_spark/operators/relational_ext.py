@@ -213,3 +213,43 @@ def stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total_events").alias("total_events"),
         F.max_by("total_value", "total_events").alias("total_value"),
     )
+
+
+@register(
+    "pipe_syntax",
+    oracle="""
+        SELECT c_nationkey, n, bal
+        FROM (
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(c_acctbal), 2) AS bal
+            FROM customer
+            WHERE c_acctbal > 0
+            GROUP BY c_nationkey
+        )
+        WHERE n > 1
+    """,
+    doc="SQL pipe syntax (Spark 4.1 `|>` operators, the GoogleSQL/"
+        "BigQuery pipe-query surface the reference's sink engine "
+        "exposes): FROM |> WHERE |> AGGREGATE..GROUP BY |> WHERE |> "
+        "SELECT, oracle-checked against the equivalent nested ANSI "
+        "form — proving the pipe form compiles to the same relational "
+        "semantics.",
+    scale_notes="Pure frontend sugar: the parser lowers each pipe stage "
+                "onto the same logical plan nodes the ANSI form "
+                "produces, so Catalyst sees an identical plan (filter "
+                "pushed into the scan, partial/final hash aggregate). "
+                "Zero runtime surface of its own — the win is query "
+                "maintainability at the BigQuery-user migration "
+                "boundary.",
+)
+def pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("pipe_customer")
+    return spark.sql("""
+        FROM pipe_customer
+        |> WHERE c_acctbal > 0
+        |> AGGREGATE count(*) AS n, round(sum(c_acctbal), 2) AS bal
+             GROUP BY c_nationkey
+        |> WHERE n > 1
+        |> SELECT c_nationkey, n, bal
+    """)
