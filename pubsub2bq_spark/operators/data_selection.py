@@ -85,7 +85,11 @@ def _chunk_cte(width: int, extra: str = "", source: str = "documents") -> str:
         chunks AS (
             SELECT doc_id{extra},
                    CAST((s - 1) // {width} AS INT) AS idx,
-                   array_to_string(list_slice(t, s, s + {width} - 1), ' ') AS chunk
+                   -- coalesce: DuckDB's array_to_string([]) is NULL,
+                   -- Spark's array_join([]) is '' — empty docs must
+                   -- chunk identically on both engines
+                   coalesce(array_to_string(list_slice(t, s, s + {width} - 1),
+                                            ' '), '') AS chunk
             FROM (
                 SELECT doc_id{extra}, t,
                        CAST(unnest(generate_series(1, greatest(len(t), 1),

@@ -141,8 +141,10 @@ _SHINGLES_SQL = """
     CASE WHEN len(tok) >= 3
          THEN list_transform(range(1, len(tok) - 1),
                              i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
-         ELSE [array_to_string(tok, ' ')] END
+         ELSE [coalesce(array_to_string(tok, ' '), '')] END
 """
+# coalesce = Spark's concat_ws fallback: DuckDB's array_to_string([]) is
+# NULL while concat_ws over an empty array is '' (the r8 hypothesis find).
 
 
 def _minhash_sig_sql() -> str:

@@ -70,8 +70,9 @@ def _ws_tokens(col):
                CAST((start - 1) // {CHUNK_STRIDE} AS INT)                    AS chunk_id,
                CAST(len(list_slice(t, start, start + {CHUNK_TOKENS} - 1))
                     AS INT)                                                  AS n_chunk_tokens,
-               array_to_string(list_slice(t, start, start + {CHUNK_TOKENS} - 1),
-                               ' ')                                          AS chunk_text
+               coalesce(array_to_string(
+                            list_slice(t, start, start + {CHUNK_TOKENS} - 1),
+                            ' '), '')                                        AS chunk_text
         FROM st
     """,
     doc=f"Context-window chunking: split each document into overlapping "

@@ -168,3 +168,109 @@ class TestAvroCodecProperties:
         encode_long(n, out)
         got, pos = decode_long(bytes(out), 0)
         assert got == n and pos == len(out)
+
+
+class TestRound8Kernels:
+    """Pure-Python / DuckDB-side properties of the round-8 kernels —
+    no Spark round-trip, so the strategies can run more examples."""
+
+    @given(st.binary(min_size=0, max_size=2048))
+    @settings(max_examples=60, deadline=None)
+    def test_fake_resize_bounds_and_aspect(self, payload):
+        from pubsub2bq_spark.functions.multimodal import (
+            RESIZE_TARGET,
+            fake_resize_meta,
+        )
+
+        m = fake_resize_meta(payload)
+        assert 1 <= m["out_w"] <= RESIZE_TARGET
+        assert 1 <= m["out_h"] <= RESIZE_TARGET
+        # the longer side always maps to exactly the target
+        assert max(m["out_w"], m["out_h"]) == RESIZE_TARGET
+        # aspect preserved up to integer floor: out_w/out_h within one
+        # rounding step of width/height
+        lhs = m["out_w"] * m["height"]
+        rhs = m["out_h"] * m["width"]
+        slack = max(m["width"], m["height"])
+        assert abs(lhs - rhs) <= slack
+
+    @given(st.binary(min_size=0, max_size=2048))
+    @settings(max_examples=60, deadline=None)
+    def test_fake_audio_features_range(self, payload):
+        from pubsub2bq_spark.functions.multimodal import fake_audio_features
+
+        f = fake_audio_features(payload)
+        assert 0.0 <= f["rms"] < 1.0
+        assert f["n_windows"] == len(payload) // 256 + 1
+        assert f == fake_audio_features(payload)
+
+    @given(
+        st.lists(
+            st.integers(min_value=-10**15, max_value=10**15),
+            min_size=2,
+            max_size=16,
+        ).filter(lambda w: any(w))
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_pca_rescale_pins_max_abs_to_quantum(self, w):
+        """The max-abs rescale step maps the largest |w| to exactly
+        the quantum (floor(±1.0 * QV) = ±QV), so iterated vectors can
+        neither blow up nor vanish."""
+        import math
+
+        from pubsub2bq_spark.operators.ml_ops import PCA_QV
+
+        m = max(max(abs(x) for x in w), 1)
+        v = [int(math.floor(float(x) / float(m) * float(PCA_QV))) for x in w]
+        assert max(abs(x) for x in v) == PCA_QV
+        assert all(-PCA_QV <= x <= PCA_QV for x in v)
+
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]),
+                min_size=0,
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_paragraph_dedup_oracle_invariants(self, docs):
+        """The registered oracle itself, over generated corpora with a
+        tiny alphabet (forcing chunk collisions): kept chunks == distinct
+        chunks corpus-wide, every doc emits a row, and nothing keeps more
+        than it had."""
+        import duckdb
+        import pandas as pd
+
+        from pubsub2bq_spark.registry import all_queries
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(docs)),
+                "text": [" ".join(words) for words in docs],
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        out = con.execute(all_queries()["paragraph_dedup"].oracle).fetchdf()
+        con.close()
+        assert len(out) == len(docs)
+        assert (out["n_kept"] <= out["n_chunks"]).all()
+        # distinct-chunk accounting: total kept == number of distinct
+        # chunks (every distinct chunk kept exactly once, corpus-wide)
+        from pubsub2bq_spark.operators.data_selection import PARA_W
+
+        def chunks(words):
+            toks = [w for w in words if w]
+            if not toks:
+                return [""]
+            return [
+                " ".join(toks[i : i + PARA_W])
+                for i in range(0, len(toks), PARA_W)
+            ]
+
+        distinct = {c for words in docs for c in chunks(words)}
+        assert int(out["n_kept"].sum()) == len(distinct)
