@@ -114,6 +114,11 @@ PLAN_KEYS = [
     "quality_ensemble",
     "image_resize",
     "audio_feature",
+    "selection_funnel",
+    "embedding_whiten",
+    "join_lateral",      # decorrelated LATERAL -> WindowGroupLimit
+    "pipe_syntax",       # pipe SQL lowers to the same plan as ANSI
+    "python_datasink",
 ]
 
 
