@@ -894,3 +894,62 @@ def transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+        SELECT c.c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(e.value), 4) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_nationkey
+    """,
+    doc="Stream-static (enrichment) join: the streaming event feed "
+        "joined to the static customer dimension on user key, then "
+        "aggregated per nation — the canonical CDC-enrichment shape "
+        "(every delivered change event annotated with slowly-changing "
+        "reference data before sinking). AvailableNow drives the stream "
+        "to completion, so the full batch oracle applies.",
+    scale_notes="The static side is planned ONCE and broadcast per "
+                "micro-batch (no state store involvement — unlike "
+                "stream-stream, a stream-static join keeps zero join "
+                "state, so it cannot grow unboundedly). The streaming "
+                "side never shuffles for the join when the dim "
+                "broadcasts; the only exchange is the post-join "
+                "aggregate on c_nationkey. A dimension too large to "
+                "broadcast shuffles both sides per batch — at that "
+                "point pre-bucket the dim on the join key or push the "
+                "enrichment to a keyed-state transformWithState.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.tables import normalize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    sink = f"ssj_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
