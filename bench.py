@@ -301,10 +301,13 @@ def load_prior() -> tuple[str, dict] | None:
             continue
         # The driver wraps bench.py's JSON line under "parsed" (alongside
         # its own run metadata); accept the wrapped and the bare shape.
+        # Keep the wrapper: `tail` lives on it, not inside `parsed`, so
+        # a parsed-but-queries-less dict must not shadow the fallback.
+        wrapper = prior
         if "queries" not in prior and isinstance(prior.get("parsed"), dict):
             prior = prior["parsed"]
-        if not prior.get("queries") and isinstance(prior.get("tail"), str):
-            recovered = _parse_bench_tail(prior["tail"])
+        if not prior.get("queries") and isinstance(wrapper.get("tail"), str):
+            recovered = _parse_bench_tail(wrapper["tail"])
             if recovered is not None:
                 prior = recovered
         if prior.get("queries"):

@@ -151,7 +151,11 @@ def fake_audio_features(payload: bytes) -> dict:
     """Deterministic stand-in for an audio feature extractor: a pseudo
     RMS level derived from the payload's md5 (first 8 hex digits as a
     32-bit fraction) plus a window count from the byte length. md5 is
-    engine-portable, so the oracle restates the identical numbers."""
+    engine-portable and k/2^32 is EXACTLY representable as a double
+    (k < 2^53), so the oracle restates the identical bits with no
+    rounding — deliberately un-rounded, because Python's round() is
+    half-to-even while SQL round() is half-away-from-zero and the two
+    disagree on exact ties."""
     import hashlib
 
     n = len(payload)
@@ -159,7 +163,7 @@ def fake_audio_features(payload: bytes) -> dict:
     return {
         "n_bytes": n,
         "n_windows": n // 256 + 1,
-        "rms": round(int(h[:8], 16) / 4294967296.0, 6),
+        "rms": int(h[:8], 16) / 4294967296.0,
     }
 
 

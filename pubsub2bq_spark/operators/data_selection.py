@@ -100,10 +100,11 @@ def _chunk_cte(width: int, extra: str = "", source: str = "documents") -> str:
 """
 
 
-@register(
-    "paragraph_dedup",
-    oracle=f"""
-        WITH {_chunk_cte(PARA_W)},
+def _dedup_cte_tail() -> str:
+    """First-occurrence election + per-doc rebuild as SQL CTEs over a
+    preceding `chunks` relation — the single source of the dedup SQL,
+    shared by paragraph_dedup and selection_funnel."""
+    return f"""
         firsts AS (
             SELECT chunk,
                    min(doc_id * {_POS_STRIDE} + idx) AS keep_key
@@ -130,6 +131,41 @@ def _chunk_cte(width: int, extra: str = "", source: str = "documents") -> str:
                coalesce(r.n_kept, 0) AS n_kept,
                coalesce(r.clean_text, '') AS clean_text
         FROM tot t LEFT JOIN reb r USING (doc_id)
+    """
+
+
+def _first_occurrence_rebuild(chunks: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_dedup_cte_tail`: elect the corpus-wide
+    first occurrence of every chunk (one map-side-combinable min on the
+    chunk key), then rebuild each document from its surviving chunks in
+    position order."""
+    pos = F.col("doc_id") * _POS_STRIDE + F.col("idx")
+    firsts = chunks.groupBy("chunk").agg(F.min(pos).alias("keep_key"))
+    kept = chunks.join(firsts, "chunk").filter(pos == F.col("keep_key"))
+    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return tot.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+@register(
+    "paragraph_dedup",
+    oracle=f"""
+        WITH {_chunk_cte(PARA_W)},
+        {_dedup_cte_tail()}
     """,
     doc=f"CCNet-style exact paragraph dedup (Wenzek et al. 2020): split "
         f"every document into {PARA_W}-word chunks, keep only the "
@@ -154,26 +190,7 @@ def _chunk_cte(width: int, extra: str = "", source: str = "documents") -> str:
 def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark)
     chunks = _chunks(d, PARA_W).transform(materialize)
-    pos = F.col("doc_id") * _POS_STRIDE + F.col("idx")
-    firsts = chunks.groupBy("chunk").agg(F.min(pos).alias("keep_key"))
-    kept = chunks.join(firsts, "chunk").filter(pos == F.col("keep_key"))
-    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    reb = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
-                lambda x: x["chunk"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    return tot.join(reb, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-    )
+    return _first_occurrence_rebuild(chunks)
 
 
 @register(
@@ -267,11 +284,14 @@ def boilerplate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - ln((r.cr + 1.0) / (tr.tot_r + {DSIR_BUCKETS})) AS lr
             FROM raw r LEFT JOIN tgt t USING (bkt), tr, tt
         ),
+        lrq AS (
+            SELECT bkt, CAST(round(lr * 1000000, 0) AS BIGINT) AS lrq FROM lr
+        ),
         scored AS (
             SELECT b.doc_id, b.source,
                    CAST(count(*) AS BIGINT) AS n_tokens,
-                   round(sum(lr.lr), 6) AS weight
-            FROM b JOIN lr USING (bkt)
+                   round(CAST(sum(lrq.lrq) AS BIGINT) / 1000000.0, 6) AS weight
+            FROM b JOIN lrq USING (bkt)
             GROUP BY b.doc_id, b.source
         )
         SELECT doc_id, source, n_tokens, weight,
@@ -333,13 +353,19 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.log((F.col("cr") + 1.0) / (F.col("tot_r") + DSIR_BUCKETS))
             ).alias("lr"),
         )
+        # Quantize the per-bucket log-ratio to a scaled BIGINT (the
+        # logreg trick): both engines derive lr from identical exact
+        # counts, so lrq is identical, and the per-doc SUM is then an
+        # exact integer — order-free across engines/partitions, unlike
+        # a raw double sum.
+        .select("bkt", F.round(F.col("lr") * 1000000, 0).cast("bigint").alias("lrq"))
     )
     scored = (
         b.join(F.broadcast(lr), "bkt")
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("lr"), 6).alias("weight"),
+            F.round(F.sum("lrq") / F.lit(1000000.0), 6).alias("weight"),
         )
     )
     w = Window.partitionBy("source").orderBy(F.desc("weight"), "doc_id")
@@ -388,26 +414,7 @@ def selection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     chunks = _chunks(d, PARA_W).transform(materialize)
-    pos = F.col("doc_id") * _POS_STRIDE + F.col("idx")
-    firsts = chunks.groupBy("chunk").agg(F.min(pos).alias("keep_key"))
-    kept = chunks.join(firsts, "chunk").filter(pos == F.col("keep_key"))
-    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    reb = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
-                lambda x: x["chunk"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    return tot.join(reb, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-    )
+    return _first_occurrence_rebuild(chunks)
 
 
 def _funnel_oracle() -> str:
@@ -425,32 +432,7 @@ def _funnel_oracle() -> str:
               USING (doc_id)
         ),
         {_chunk_cte(PARA_W, source="docs_kept")},
-        firsts AS (
-            SELECT chunk,
-                   min(doc_id * {_POS_STRIDE} + idx) AS keep_key
-            FROM chunks GROUP BY chunk
-        ),
-        kept AS (
-            SELECT c.doc_id, c.idx, c.chunk
-            FROM chunks c JOIN firsts f
-              ON c.chunk = f.chunk
-             AND c.doc_id * {_POS_STRIDE} + c.idx = f.keep_key
-        ),
-        tot AS (
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
-            FROM chunks GROUP BY doc_id
-        ),
-        reb AS (
-            SELECT doc_id,
-                   CAST(count(*) AS BIGINT) AS n_kept,
-                   string_agg(chunk, ' ' ORDER BY idx) AS clean_text
-            FROM kept GROUP BY doc_id
-        )
-        SELECT t.doc_id,
-               t.n_chunks,
-               coalesce(r.n_kept, 0) AS n_kept,
-               coalesce(r.clean_text, '') AS clean_text
-        FROM tot t LEFT JOIN reb r USING (doc_id)
+        {_dedup_cte_tail()}
     """
 
 

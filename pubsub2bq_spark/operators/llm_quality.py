@@ -592,12 +592,7 @@ def _logreg_sigmoid(w: list[float]):
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
-def _agg_first(df: DataFrame, *exprs):
-    """Scalar probe: a full map-side-combined aggregate whose only
-    driver traffic is the single result row (constant bytes regardless
-    of corpus size — the sanctioned exception to the no-materialization
-    gate)."""
-    return df.agg(*exprs).first()
+from pubsub2bq_spark.tables import agg_first as _agg_first  # noqa: E402
 
 
 def _logreg_train(feat: DataFrame, n: int, steps: int = LOGREG_STEPS) -> list[float]:
@@ -708,8 +703,13 @@ QE_FLAG = -0.5  # ensemble z below this = low-quality
 
 
 def _qe_letter_tokens(col):
-    """Lower-cased letters-only words (llm_text's vocabulary split)."""
-    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda x: x != "")
+    """Lower-cased letters-only words — delegates to THE shared
+    vocabulary split (single definition in data_selection, imported
+    lazily: a module-level import would cycle through data_selection's
+    bottom-of-module funnel-oracle hook when llm_quality loads first)."""
+    from pubsub2bq_spark.operators.data_selection import _letter_tokens
+
+    return _letter_tokens(col)
 
 
 _QE_FEATS_SQL = """

@@ -1573,11 +1573,15 @@ def _whiten_oracle() -> str:
                 "(headroom x100) or pre-aggregate per-partition moments.",
 )
 def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v_q, sgn, eigval = _pca_component(spark, sf_dir)
+    schema = "dim int, loading double, eigval double"
+    comp = _pca_component(spark, sf_dir)
+    if comp is None:
+        return spark.createDataFrame([], schema)
+    v_q, sgn, eigval = comp
     rows = [
         (d, sgn * (float(v_q[d]) / float(PCA_QV)), eigval) for d in range(DIM)
     ]
-    return spark.createDataFrame(rows, "dim int, loading double, eigval double")
+    return spark.createDataFrame(rows, schema)
 
 
 def _pca_component(spark: SparkSession, sf_dir: str):
@@ -1587,63 +1591,48 @@ def _pca_component(spark: SparkSession, sf_dir: str):
     import math
 
     e = fan_out(load(spark, sf_dir, "embeddings"), spark)
-    q = (
-        e.select(
-            "vec_id",
-            F.posexplode(_dvec("embedding")).alias("d", "x"),
-        )
-        .select(
-            "vec_id",
-            F.col("d").cast("int").alias("d"),
-            F.round(F.col("x") * PCA_QV, 0).cast("bigint").alias("qv"),
-        )
-    )
-    # pair moments in one map-side pass: re-explode the quantized vector
-    qarr = (
-        e.select("vec_id", _dvec("embedding").alias("emb"))
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("emb"),
-                lambda x: F.round(x * PCA_QV, 0).cast("bigint"),
-            ).alias("qs"),
-        )
+    # ONE corpus pass: quantize, double-posexplode to (i, j) pairs, and
+    # aggregate ALL covariance ingredients per (i, j) group — the pair
+    # moment sum(qi*qj), the per-dim sums (sum(qi) over the group IS the
+    # dim-i sum, for any j; likewise qj), and the vector count. The
+    # shuffle carries DIM^2 partial-sum rows per map task.
+    qarr = e.select(
+        F.transform(
+            _dvec("embedding"),
+            lambda x: F.round(x * PCA_QV, 0).cast("bigint"),
+        ).alias("qs")
     )
     pairs = qarr.select(
-        "vec_id", "qs", F.posexplode("qs").alias("i", "qi")
+        "qs", F.posexplode("qs").alias("i", "qi")
     ).select(
         F.col("i").cast("int").alias("i"),
         "qi",
         F.posexplode("qs").alias("j", "qj"),
     )
-    s2 = pairs.groupBy("i", F.col("j").cast("int").alias("j")).agg(
-        F.sum(F.col("qi") * F.col("qj")).alias("s2")
+    moments = pairs.groupBy("i", F.col("j").cast("int").alias("j")).agg(
+        F.sum(F.col("qi") * F.col("qj")).alias("s2"),
+        F.sum("qi").alias("sqi"),
+        F.sum("qj").alias("sqj"),
+        F.count(F.lit(1)).alias("n"),
     )
-    s = q.groupBy("d").agg(F.sum("qv").alias("s"))
-    nn = e.agg(F.count(F.lit(1)).alias("n"))
-    mean = F.col("s").cast("double") / F.col("n") / float(PCA_QV)
-    si = s.select(F.col("d").alias("i"), F.col("s").alias("s_i"))
-    sj = s.select(F.col("d").alias("j"), F.col("s").alias("s_j"))
-    m_i = F.col("s_i").cast("double") / F.col("n") / float(PCA_QV)
-    m_j = F.col("s_j").cast("double") / F.col("n") / float(PCA_QV)
-    cov = (
-        s2.join(F.broadcast(si), "i")
-        .join(F.broadcast(sj), "j")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "i",
-            "j",
-            F.round(
-                (
-                    F.col("s2").cast("double") / F.col("n") / float(PCA_QV) ** 2
-                    - m_i * m_j
-                )
-                * PCA_QC,
-                0,
+    # Same double shapes as the oracle's cov CTE (s2/n/QV^2 - mi*mj),
+    # with mi/mj derived from the group's own exact integer sums — no
+    # join needed at all.
+    m_i = F.col("sqi").cast("double") / F.col("n") / float(PCA_QV)
+    m_j = F.col("sqj").cast("double") / F.col("n") / float(PCA_QV)
+    cov = moments.select(
+        "i",
+        "j",
+        F.round(
+            (
+                F.col("s2").cast("double") / F.col("n") / float(PCA_QV) ** 2
+                - m_i * m_j
             )
-            .cast("bigint")
-            .alias("c"),
+            * PCA_QC,
+            0,
         )
+        .cast("bigint")
+        .alias("c"),
     )
     # ONE scalar probe fetches the whole quantized covariance — a
     # bounded DIM^2 model artifact (like logreg's weights or k-means
@@ -1653,6 +1642,10 @@ def _pca_component(spark: SparkSession, sf_dir: str):
     cells = _pca_agg_first(
         cov, F.collect_list(F.struct("i", "j", "c")).alias("cells")
     )["cells"]
+    if not cells:
+        # empty embeddings table: the oracle's CTE chain yields zero
+        # rows; callers must emit an empty frame, not divide by zero
+        return None
     C = [[0] * DIM for _ in range(DIM)]
     for cell in cells:
         C[cell["i"]][cell["j"]] = int(cell["c"])
@@ -1673,10 +1666,7 @@ def _pca_component(spark: SparkSession, sf_dir: str):
     return v_q, sgn, eigval
 
 
-def _pca_agg_first(df: DataFrame, *exprs):
-    """Scalar probe (one aggregate job, one fixed-width result row —
-    constant driver traffic regardless of corpus size)."""
-    return df.agg(*exprs).first()
+from pubsub2bq_spark.tables import agg_first as _pca_agg_first  # noqa: E402
 
 
 @register(
@@ -1701,7 +1691,12 @@ def _pca_agg_first(df: DataFrame, *exprs):
 def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    v_q, sgn, eigval = _pca_component(spark, sf_dir)
+    comp_art = _pca_component(spark, sf_dir)
+    if comp_art is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, proj double, resid_sq double"
+        )
+    v_q, sgn, eigval = comp_art
     # unit-normalize from the EXACT integer sum of squares, so the norm
     # (and every component element) is bit-identical to the oracle's
     norm = math.sqrt(float(sum(x * x for x in v_q)) / float(PCA_QV) ** 2)

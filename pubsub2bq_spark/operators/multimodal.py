@@ -167,8 +167,8 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT)           AS n_bytes,
                CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS n_windows,
-               round(CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT)
-                          AS DOUBLE) / 4294967296.0, 6)              AS rms
+               CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT)
+                    AS DOUBLE) / 4294967296.0                        AS rms
         FROM documents
     """,
     doc="Audio feature-extraction plumbing (U8 'feature-extract' verb): "

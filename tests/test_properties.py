@@ -359,4 +359,35 @@ class TestRound8Kernels:
         con.close()
         assert len(out) == len(rows)
         assert (out["n_boiler"] <= out["n_chunks"]).all()
-        assert ((out["n_boiler"] > 0) | (out["clean_text"].str.len() >= 0)).all()
+        # the promised property: a chunk unique to one doc within its
+        # source (df == 1) is never stripped from that doc's clean text
+        from collections import Counter
+
+        from pubsub2bq_spark.operators.data_selection import (
+            BP_MIN_DOCS,
+            BP_W,
+        )
+
+        def chunk_list(words):
+            toks = [w for w in words if w]
+            if not toks:
+                return [""]
+            return [
+                " ".join(toks[i : i + BP_W])
+                for i in range(0, len(toks), BP_W)
+            ]
+
+        df_count: Counter = Counter()
+        per_doc = {}
+        for doc_id, (src, words) in enumerate(rows):
+            cl = chunk_list(words)
+            per_doc[doc_id] = (src, cl)
+            for c in set(cl):
+                df_count[(src, c)] += 1
+        by_id = out.set_index("doc_id")
+        for doc_id, (src, cl) in per_doc.items():
+            clean = by_id.loc[doc_id, "clean_text"]
+            expected = [
+                c for c in cl if df_count[(src, c)] < BP_MIN_DOCS
+            ]
+            assert clean == " ".join(expected)
