@@ -387,3 +387,146 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
         .alias("verdict"),
     )
+
+
+# --- n-gram decontamination under the learned tokenizer (VERDICT r7 #6b)
+# GPT-3 appendix-C / PaLM-style dataset decontamination: a TRAIN-split
+# document is contaminated when it shares an N-token n-gram with any
+# eval-split document — measured in the tokens the model actually
+# consumes (bpe_train's learned vocab), not characters, so a paraphrase
+# that re-wraps the same token span is still caught while
+# contamination_check's whole-doc fingerprint would miss it.
+DECON_GRAM = 5  # tokens per contamination n-gram
+
+
+def _decontaminate_oracle() -> str:
+    from pubsub2bq_spark.operators.training_prep import (
+        BPE_TRAIN_ROUNDS,
+        _bpe_round_sql,
+    )
+
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, BPE_TRAIN_ROUNDS + 1))
+    gram = " || '|' || ".join(
+        ["piece"]
+        + [f"lead(piece, {k}) OVER w" for k in range(1, DECON_GRAM)]
+    )
+    return f"""
+        WITH docwp AS (
+            SELECT doc_id, CAST(t.i AS BIGINT) AS wpos, toks[i] AS word
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                     x -> x <> '') AS toks
+                  FROM documents),
+                 unnest(range(1, len(toks) + 1)) AS t(i)
+        ),
+        seg0 AS (
+            SELECT regexp_replace(word, '(.)', '/\\1/', 'g') AS seg,
+                   count(*) AS n
+            FROM (SELECT word FROM docwp)
+            GROUP BY 1
+        ),
+        {rounds},
+        vocabp AS (
+            SELECT regexp_replace(seg, '/', '', 'g') AS word,
+                   string_split(trim(seg, '/'), '//') AS pieces
+            FROM seg{BPE_TRAIN_ROUNDS}
+        ),
+        tokp AS (
+            SELECT d.doc_id, d.wpos, CAST(t.i AS BIGINT) AS ppos,
+                   v.pieces[i] AS piece
+            FROM docwp d JOIN vocabp v USING (word),
+                 unnest(range(1, len(v.pieces) + 1)) AS t(i)
+        ),
+        grams AS (
+            SELECT doc_id, gh FROM (
+                SELECT doc_id, md5({gram}) AS gh
+                FROM tokp
+                WINDOW w AS (PARTITION BY doc_id ORDER BY wpos, ppos)
+            ) WHERE gh IS NOT NULL
+        ),
+        tagged AS (
+            SELECT doc_id, gh, {_SPLIT_SQL} AS split FROM grams
+        ),
+        eval_g AS (
+            SELECT DISTINCT gh FROM tagged WHERE split = 'test'
+        )
+        SELECT doc_id,
+               CAST(count(DISTINCT gh) AS BIGINT) AS n_contam_grams,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM tagged JOIN eval_g USING (gh)
+        WHERE split = 'train'
+        GROUP BY doc_id
+    """
+
+
+@register(
+    "decontaminate",
+    oracle=_decontaminate_oracle(),
+    doc=f"Dataset decontamination at token-n-gram scale: train the "
+        "BPE merge table (bpe_train's loop), "
+        "re-express every document as its learned-token stream "
+        "(pieces in word order, crossing word boundaries), and flag "
+        f"each TRAIN-split document sharing any {DECON_GRAM}-token "
+        "n-gram with the eval split — the GPT-3/PaLM decontamination "
+        "pass, composed from contamination_check's split semantics and "
+        "bpe_train's vocab. Output: contaminated train docs with "
+        "distinct-gram and total-hit counts; the clean train set is "
+        "the anti-join of this list.",
+    scale_notes="The corpus is touched twice (word stream + the n-gram "
+                "window); everything else is bounded: the tokenizer "
+                "trains on the VOCAB relation (bpe_train's O(vocab) "
+                "rounds), segmentation joins each unique word once and "
+                "broadcasts, and the gram window is doc-partitioned "
+                "(never global). The contamination join moves one md5 "
+                "per gram — never text — keyed on the hash, so it "
+                "partitions uniformly; the eval side is pre-DISTINCTed "
+                "and, being an eval set, stays orders of magnitude "
+                "smaller than train (broadcast candidate at real "
+                "scale). A repeated boilerplate gram is ONE hot key "
+                "and exactly the contamination you want surfaced.",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.operators.training_prep import (
+        _bpe_learned_vocab_pieces,
+    )
+
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    docwp = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+            ).alias("wpos0", "word"),
+        )
+        .select("doc_id", (F.col("wpos0") + 1).alias("wpos"), "word")
+        .transform(materialize)  # vocab build + the token-stream join
+    )
+    vocabp = _bpe_learned_vocab_pieces(docwp.select("word"), spark)
+    tokp = (
+        docwp.join(vocabp, "word")
+        .select(
+            "doc_id",
+            "wpos",
+            F.posexplode("pieces").alias("ppos0", "piece"),
+        )
+        .select("doc_id", "wpos", (F.col("ppos0") + 1).alias("ppos"), "piece")
+    )
+    wg = Window.partitionBy("doc_id").orderBy("wpos", "ppos")
+    parts = [F.col("piece")]
+    for k in range(1, DECON_GRAM):
+        parts += [F.lit("|"), F.lead("piece", k).over(wg)]
+    grams = (
+        tokp.select("doc_id", F.md5(F.concat(*parts)).alias("gh"))
+        .filter(F.col("gh").isNotNull())
+    )
+    tagged = grams.withColumn("split", _split_col()).transform(materialize)
+    eval_g = tagged.filter(F.col("split") == "test").select("gh").distinct()
+    return (
+        tagged.filter(F.col("split") == "train")
+        .join(eval_g, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_contam_grams"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )

@@ -338,6 +338,301 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-cell recovery for SemDeDup's documented blind spot (VERDICT r7
+# #6a): semdedup only compares vectors sharing a quantizer cell, so a
+# duplicate pair split across a cell boundary is invisible. The global
+# variant probes each cell's GSEM_NBR nearest NEIGHBOR cells too — the
+# IVF nprobe>1 recovery ann_ivf_hier's scale_notes document — by
+# ranking the k-row centroid table against itself (k^2 = n distance
+# ops when k = sqrt(n); one side broadcast) and joining members of
+# each candidate cell pair.
+GSEM_NBR = 2  # neighbor cells probed per cell (the IVF nprobe analog)
+
+
+def _global_semdedup_oracle() -> str:
+    from pubsub2bq_spark.operators.llm_similarity import DIM
+    from pubsub2bq_spark.operators.ml_ops import (
+        _KMEANS_ASSIGN_SQL,
+        _KMEANS_RECOMPUTE_SQL,
+        _SQDIST_SQL,
+        _kpp_seed_chain_sql,
+        _kpp_u16_sql,
+    )
+
+    smp = _kpp_u16_sql("CAST(v.vec_id AS VARCHAR) || ':smp'")
+    # Centroid-centroid squared distance (both rows from lc1, column c).
+    # Rounded to 6 dp before the neighbor ranking on BOTH engines so a
+    # 1-ulp divergence in the averaged centroid coordinates cannot flip
+    # a rank; ties break on the neighbor cid.
+    cdist = (
+        "list_dot_product(a.c, a.c) - 2 * list_dot_product(a.c, b.c) "
+        "+ list_dot_product(b.c, b.c)"
+    )
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sz AS (
+            SELECT CAST(greatest({SEMDEDUP_CELLS},
+                       ceil(sqrt(n))) AS BIGINT) AS k,
+                   CAST(least(n, {SEMDEDUP_SAMPLE_PER_CELL}
+                       * greatest({SEMDEDUP_CELLS}, ceil(sqrt(n))))
+                       AS BIGINT) AS cap,
+                   n
+            FROM (SELECT count(*) AS n FROM v)
+        ),
+        vs AS (
+            SELECT v.vec_id, v.v FROM v, sz
+            WHERE ({smp}) * n < 65536 * cap
+        ),
+        {_kpp_seed_chain_sql(
+            "SELECT k FROM sz", "SELECT 2 * k FROM sz", src="vs"
+        )},
+        la1 AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="seeds")}),
+        lc1 AS ({_KMEANS_RECOMPUTE_SQL.format(dim=DIM, assigned="la1")}),
+        asgn AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="lc1")}),
+        nbr AS (
+            SELECT acid, bcid FROM (
+                SELECT a.cid AS acid, b.cid AS bcid,
+                       row_number() OVER (
+                           PARTITION BY a.cid
+                           ORDER BY round({cdist}, 6) ASC, b.cid ASC) AS rn
+                FROM lc1 a JOIN lc1 b ON a.cid <> b.cid
+            ) WHERE rn <= {GSEM_NBR}
+        ),
+        npairs AS (
+            SELECT DISTINCT least(acid, bcid) AS cl,
+                            greatest(acid, bcid) AS ch
+            FROM nbr
+        ),
+        pairs AS (
+            SELECT b.vec_id AS vec_id, a.vec_id AS lower_id,
+                   0 AS cross_cell, {cos} AS cos
+            FROM asgn a JOIN asgn b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            UNION ALL
+            SELECT greatest(a.vec_id, b.vec_id) AS vec_id,
+                   least(a.vec_id, b.vec_id) AS lower_id,
+                   1 AS cross_cell, {cos} AS cos
+            FROM asgn a
+            JOIN npairs p ON a.cid = p.cl
+            JOIN asgn b ON b.cid = p.ch
+        )
+        SELECT vec_id, dup_of, round(cos, 6) AS cosine,
+               CAST(cross_cell AS INT) AS cross_cell
+        FROM (
+            SELECT vec_id, lower_id AS dup_of, cos, cross_cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY lower_id ASC) AS rn
+            FROM pairs WHERE cos > {SEMDEDUP_TAU}
+        ) WHERE rn = 1
+    """
+
+
+def _salted_pair_join(asgn: DataFrame, npairs: DataFrame) -> DataFrame:
+    """Members of cell ``cl`` × members of cell ``ch`` for every
+    candidate cell pair — the two-relation analog of
+    ``llm_dedup._salted_self_join``. Both member streams first join the
+    broadcast ``npairs`` relation (bounded: ≤ k·GSEM_NBR rows) to pick
+    up their (cl, ch) pair key; a pair where EITHER cell exceeds
+    ``_HOT_BUCKET_T`` members fragment-replicates — the x side keeps a
+    vec-hash salt, the y side explodes across all ``_N_BAND_SALT``
+    salts — so the shuffle key (cl, ch, salt) caps any one reducer's
+    pair work at |cl|·|ch|/S. Result-identical to the unsalted join.
+    Returns (cl, ch, vec_id_x, v_x, vec_id_y, v_y)."""
+    from pubsub2bq_spark.operators.llm_dedup import (
+        _HOT_BUCKET_T,
+        _N_BAND_SALT,
+    )
+
+    sizes = asgn.groupBy("cid").agg(F.count(F.lit(1)).alias("cn"))
+    hot_cells = (
+        sizes.filter(F.col("cn") > _HOT_BUCKET_T)
+        .select("cid")
+        .transform(materialize)  # consumed by both hot-pair legs
+    )
+    hot_pairs = (
+        npairs.join(
+            F.broadcast(hot_cells.select(F.col("cid").alias("cl"))),
+            "cl",
+            "left_semi",
+        )
+        .unionByName(
+            npairs.join(
+                F.broadcast(hot_cells.select(F.col("cid").alias("ch"))),
+                "ch",
+                "left_semi",
+            )
+        )
+        .distinct()
+        .withColumn("_hot", F.lit(True))
+        .transform(materialize)  # consumed by both sides of the join
+    )
+    x = (
+        asgn.select(
+            F.col("cid").alias("cl"),
+            F.col("vec_id").alias("vec_id_x"),
+            F.col("v").alias("v_x"),
+        )
+        .join(F.broadcast(npairs), "cl")
+        .join(F.broadcast(hot_pairs), ["cl", "ch"], "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64("vec_id_x"), F.lit(_N_BAND_SALT)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+    )
+    y = (
+        asgn.select(
+            F.col("cid").alias("ch"),
+            F.col("vec_id").alias("vec_id_y"),
+            F.col("v").alias("v_y"),
+        )
+        .join(F.broadcast(npairs), "ch")
+        .join(F.broadcast(hot_pairs), ["cl", "ch"], "left")
+        .withColumn(
+            "_sj",
+            F.explode(
+                F.when(
+                    F.col("_hot").isNotNull(),
+                    F.array(*[F.lit(s) for s in range(_N_BAND_SALT)]),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+    )
+    return x.alias("x").join(
+        y.alias("y"),
+        (F.col("x.cl") == F.col("y.cl"))
+        & (F.col("x.ch") == F.col("y.ch"))
+        & (F.col("x._salt") == F.col("y._sj")),
+    ).select(
+        F.col("x.cl").alias("cl"),
+        F.col("x.ch").alias("ch"),
+        "vec_id_x",
+        "v_x",
+        "vec_id_y",
+        "v_y",
+    )
+
+
+@register(
+    "global_semdedup",
+    oracle=_global_semdedup_oracle(),
+    doc=f"Global (cross-cell) SemDeDup: semdedup's quantizer chain and "
+        "in-cell prune, PLUS candidate pairs between each cell and its "
+        f"{GSEM_NBR} nearest neighbor cells (centroid distance, 6-dp "
+        "rounded, cid tiebreak) — the nprobe>1 recovery for the "
+        "documented cell-boundary blind spot, run corpus-wide so "
+        "duplicate pairs split across shards/cells are found without "
+        "an all-pairs pass. Output adds cross_cell=1 rows semdedup "
+        "cannot see; dup_of is the lowest qualifying mate across both "
+        "pair sources.",
+    scale_notes="Candidate generation stays bounded at every level: "
+                "the neighbor ranking is the k-row centroid table "
+                "against itself (k^2 = n distance ops at k = sqrt(n), "
+                "one side broadcast, never the corpus), the pair list "
+                "is ≤ k·GSEM_NBR rows and broadcast into both member "
+                "streams, and the member join keys on (cl, ch, salt) "
+                "via _salted_pair_join — pairs touching a hot cell "
+                "fragment-replicate so no reducer owns |cl|·|ch| "
+                "work. Added pair volume is ≤ GSEM_NBR × the in-cell "
+                "work, keeping the whole build at the n^1.5 SemDeDup "
+                "budget; raising GSEM_NBR trades linearly more pair "
+                "work for recall, exactly like IVF nprobe.",
+)
+def global_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pubsub2bq_spark.operators.llm_dedup import _salted_self_join
+    from pubsub2bq_spark.operators.ml_ops import (
+        _assign,
+        _kpp_seeds,
+        _kpp_u16,
+        _recompute,
+        _sqdist,
+    )
+
+    v = (
+        fan_out(load(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .transform(materialize)  # count probe + seeding + assignment
+    )
+    n = v.agg(F.count(F.lit(1))).first()[0]
+    n_cells = max(SEMDEDUP_CELLS, math.ceil(math.sqrt(n)) if n else 0)
+    cap = min(n, SEMDEDUP_SAMPLE_PER_CELL * n_cells)
+    if cap < n:
+        u16 = _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(":smp")))
+        vs = v.filter(u16 * F.lit(n) < F.lit(65536 * cap)).transform(materialize)
+    else:
+        vs = v
+    seeds = _kpp_seeds(vs, k=n_cells, l=2 * n_cells)
+    cent = _recompute(_assign(v, seeds)).transform(materialize)  # asgn + nbr
+    asgn = (
+        _assign(v, cent)
+        .select("cid", "vec_id", "v")
+        .transform(materialize)  # in-cell self-join + both cross legs
+    )
+    # Neighbor cells: k-row centroid relation ranked against itself.
+    ca = cent.select(F.col("cid").alias("acid"), F.col("c").alias("ac"))
+    cb = cent.select(F.col("cid").alias("bcid"), F.col("c").alias("bc"))
+    wn = Window.partitionBy("acid").orderBy(
+        F.col("rdist").asc(), F.col("bcid").asc()
+    )
+    nbr = (
+        ca.crossJoin(F.broadcast(cb))
+        .filter(F.col("acid") != F.col("bcid"))
+        .select(
+            "acid",
+            "bcid",
+            F.round(_sqdist(F.col("ac"), F.col("bc")), 6).alias("rdist"),
+        )
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= GSEM_NBR)
+    )
+    npairs = (
+        nbr.select(
+            F.least("acid", "bcid").alias("cl"),
+            F.greatest("acid", "bcid").alias("ch"),
+        )
+        .distinct()
+        .transform(materialize)  # broadcast into both member streams
+    )
+    pr = _salted_self_join(asgn, ["cid"], id_col="vec_id")
+    incell = pr.select(
+        F.col("vec_id_b").alias("vec_id"),
+        F.col("vec_id_a").alias("lower_id"),
+        F.lit(0).alias("cross_cell"),
+        _cosine(F.col("v_a"), F.col("v_b")).alias("cos"),
+    )
+    xp = _salted_pair_join(asgn, npairs)
+    xcell = xp.select(
+        F.greatest("vec_id_x", "vec_id_y").alias("vec_id"),
+        F.least("vec_id_x", "vec_id_y").alias("lower_id"),
+        F.lit(1).alias("cross_cell"),
+        # Same (cl-member, ch-member) argument order as the oracle; the
+        # elementwise products and norm factors commute, so the value is
+        # bit-identical under either orientation anyway.
+        _cosine(F.col("v_x"), F.col("v_y")).alias("cos"),
+    )
+    pairs = incell.unionByName(xcell).filter(F.col("cos") > SEMDEDUP_TAU)
+    w_min = Window.partitionBy("vec_id").orderBy(F.col("lower_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_min))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("lower_id").alias("dup_of"),
+            F.round("cos", 6).alias("cosine"),
+            F.col("cross_cell").cast("int").alias("cross_cell"),
+        )
+    )
+
+
 # Curriculum ordering (Bengio et al. 2009, applied corpus-side as in
 # CCNet/DataComp quality-bucket training): easy→hard stages from the
 # perplexity signal, deterministic shuffle within each stage.
@@ -386,6 +681,56 @@ CURR_RANGES = 16   # value-range partitions for the two-phase exact rank
                 "the cluster.",
 )
 def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _staged_nll(spark, sf_dir)
+    # Within-stage deterministic shuffle position: the same two-phase
+    # trick, value-ranged on the md5 key's first hex nibble.
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curr")))
+    hs = (
+        staged.withColumn("h", h)
+        .withColumn(
+            "hr",
+            F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), 1, 1)) - 1,
+        )
+        .withColumn(
+            "rn2",
+            F.row_number().over(
+                Window.partitionBy("stage", "hr").orderBy("h", "doc_id")
+            ),
+        )
+        .transform(materialize)
+    )
+    c2 = hs.groupBy("stage", "hr").agg(F.count(F.lit(1)).alias("cnt"))
+    c2 = c2.transform(materialize)
+    p2 = c2.select(
+        F.col("stage").alias("pstage"),
+        F.col("hr").alias("phr"),
+        F.col("cnt").alias("pcnt"),
+    )
+    o2 = (
+        c2.join(
+            F.broadcast(p2),
+            (F.col("pstage") == F.col("stage")) & (F.col("phr") < F.col("hr")),
+            "left",
+        )
+        .groupBy("stage", "hr")
+        .agg(F.coalesce(F.sum("pcnt"), F.lit(0)).alias("off2"))
+    )
+    return (
+        hs.join(F.broadcast(o2), ["stage", "hr"])
+        .select(
+            "doc_id",
+            F.col("rnll").alias("bigram_nll"),
+            "stage",
+            (F.col("off2") + F.col("rn2") - 1).cast("bigint").alias("stage_pos"),
+        )
+    )
+
+
+def _staged_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rnll, stage): curriculum_order's exact-quartile stage
+    assignment — two-phase range-partitioned global rank + closed-form
+    ntile — extracted so mixture_curriculum can consume the stages
+    without paying for the within-stage shuffle position."""
     nll = _doc_nll(spark, sf_dir).select(
         "doc_id", F.round("nll", 6).alias("rnll")
     )
@@ -437,46 +782,108 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 END + 1 AS INT) AS stage""",
         )
     )
-    # Within-stage deterministic shuffle position: the same two-phase
-    # trick, value-ranged on the md5 key's first hex nibble.
-    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curr")))
-    hs = (
-        staged.withColumn("h", h)
-        .withColumn(
-            "hr",
-            F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), 1, 1)) - 1,
-        )
-        .withColumn(
-            "rn2",
-            F.row_number().over(
-                Window.partitionBy("stage", "hr").orderBy("h", "doc_id")
-            ),
-        )
-        .transform(materialize)
+    return staged
+
+
+def _mixture_curriculum_oracle() -> str:
+    from pubsub2bq_spark.operators.training_prep import (
+        MIX_ALPHA,
+        MIX_BUCKETS,
+        _hash16_sql,
     )
-    c2 = hs.groupBy("stage", "hr").agg(F.count(F.lit(1)).alias("cnt"))
-    c2 = c2.transform(materialize)
-    p2 = c2.select(
-        F.col("stage").alias("pstage"),
-        F.col("hr").alias("phr"),
-        F.col("cnt").alias("pcnt"),
-    )
-    o2 = (
-        c2.join(
-            F.broadcast(p2),
-            (F.col("pstage") == F.col("stage")) & (F.col("phr") < F.col("hr")),
-            "left",
+
+    return f"""
+        WITH {_NLL_CTES},
+        st AS (
+            SELECT doc_id, round(nll, 6) AS rnll,
+                   ntile({CURR_STAGES}) OVER (ORDER BY round(nll, 6), doc_id)
+                       AS stage
+            FROM nll
+        ),
+        counts AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ),
+        rates AS (
+            SELECT source,
+                   pow(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE)
+                       / n_docs, 1.0 - {MIX_ALPHA}) AS keep_rate
+            FROM counts
+        ),
+        kd AS (
+            SELECT d.doc_id, d.source,
+                   CASE WHEN {_hash16_sql("d.doc_id")}
+                             < CAST(floor(round(r.keep_rate * {MIX_BUCKETS}, 6))
+                                    AS BIGINT)
+                        THEN 1 ELSE 0 END AS keep,
+                   r.keep_rate
+            FROM documents d JOIN rates r USING (source)
         )
-        .groupBy("stage", "hr")
-        .agg(F.coalesce(F.sum("pcnt"), F.lit(0)).alias("off2"))
+        SELECT k.source, CAST(s.stage AS INT) AS stage,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(k.keep) AS BIGINT) AS n_sampled,
+               round(max(k.keep_rate), 6) AS keep_rate,
+               round(sum(CAST(round(s.rnll * 1000000, 0) AS BIGINT))
+                     / 1000000.0 / count(*), 6) AS mean_nll
+        FROM st s JOIN kd k USING (doc_id)
+        GROUP BY k.source, s.stage
+    """
+
+
+@register(
+    "mixture_curriculum",
+    oracle=_mixture_curriculum_oracle(),
+    doc=f"Mixture-weighted curriculum manifest (VERDICT r7 #6c): "
+        "mixture_temperature's per-source temperature keep decision "
+        f"joined onto curriculum_order's {CURR_STAGES} exact NLL "
+        "stages — one row per (source, stage) cell with total and "
+        "temperature-sampled doc counts, the source keep rate, and the "
+        "cell's exact mean NLL. This is the schedule artifact a "
+        "trainer consumes: how much of each domain enters each "
+        "curriculum stage after rebalancing, and how hard that slice "
+        "is.",
+    scale_notes="Both inputs are already scale-audited: stages come "
+                "from the two-phase range-partitioned exact rank (no "
+                "global sort), the keep decision is map-side md5 "
+                "arithmetic under a broadcast classes-sized rate "
+                "table. The composition adds ONE doc-keyed equi-join "
+                "and a (sources × stages)-sized aggregate with map-"
+                "side partials; mean NLL sums 6-dp-quantized BIGINTs, "
+                "so the distributed sum is order-free and the cell "
+                "means are engine-exact, not just close.",
+)
+def mixture_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.operators.training_prep import (
+        _mixture_keep,
+        _mixture_rates,
+    )
+
+    staged = _staged_nll(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    rates = _mixture_rates(d)
+    kd = _mixture_keep(d, rates).join(
+        F.broadcast(rates.select("source", "keep_rate")), "source"
     )
     return (
-        hs.join(F.broadcast(o2), ["stage", "hr"])
+        staged.join(kd, "doc_id")
+        .groupBy("source", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_sampled"),
+            F.round(F.max("keep_rate"), 6).alias("keep_rate"),
+            F.round(
+                F.sum(F.round(F.col("rnll") * 1000000, 0).cast("bigint"))
+                / F.lit(1000000.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_nll"),
+        )
         .select(
-            "doc_id",
-            F.col("rnll").alias("bigram_nll"),
-            "stage",
-            (F.col("off2") + F.col("rn2") - 1).cast("bigint").alias("stage_pos"),
+            "source",
+            F.col("stage").cast("int").alias("stage"),
+            "n_docs",
+            "n_sampled",
+            "keep_rate",
+            "mean_nll",
         )
     )
 
@@ -648,9 +1055,16 @@ def _logreg_train(feat: DataFrame, n: int, steps: int = LOGREG_STEPS) -> list[fl
                 "and the weight vector rides to executors as plan "
                 "literals, never a shuffle. At 100 TB each step is one "
                 "scan; steps are fixed and small. Scoring is a "
-                "stateless map. The BIGINT headroom holds to ~1e11 docs "
-                "at this quantum (|per-doc| <= ~2e6, sum < 2^63); "
-                "beyond that, lower LOGREG_SCALE.",
+                "stateless map. Precision headroom (VERDICT r7): the "
+                "BIT-IDENTICAL trajectory guarantee is bounded by "
+                "double's 2^53 exact-integer window, not BIGINT's 2^63 "
+                "— the gradient sum feeds a float weight update, so "
+                "once |sum| exceeds 2^53 (~4e9 docs at the |per-doc| "
+                "<= ~2e6 quantum) the long->double conversion rounds "
+                "(deterministically, but the exactness claim weakens "
+                "to same-rounding). Past ~4e9 docs, lower LOGREG_SCALE "
+                "to keep the summed quanta inside 2^53; BIGINT "
+                "overflow itself is ~500x further out.",
 )
 def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math

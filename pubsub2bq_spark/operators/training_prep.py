@@ -583,6 +583,40 @@ def _hash16_spark(col) -> "F.Column":
     return (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)).cast("int")
 
 
+def _mixture_rates(d: DataFrame) -> DataFrame:
+    """(source, n_docs, keep_rate): per-source temperature keep rates —
+    mixture_temperature's rate table, shared with mixture_curriculum."""
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    return counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_docs",
+        F.pow(F.col("n_min").cast("double") / F.col("n_docs"), 1.0 - MIX_ALPHA).alias(
+            "keep_rate"
+        ),
+    )
+
+
+def _mixture_keep(d: DataFrame, rates: DataFrame) -> DataFrame:
+    """(doc_id, source, keep): the per-document deterministic membership
+    decision under the broadcast rate table."""
+    return d.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        F.when(
+            # round() before floor(): pow() can differ by 1 ulp between
+            # JVM and libm, and this float feeds an integer decision —
+            # rounding the product to 6 decimals makes the threshold
+            # boundary-safe in both engines.
+            _hash16_spark(F.col("doc_id"))
+            < F.floor(F.round(F.col("keep_rate") * MIX_BUCKETS, 6)).cast("bigint"),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
 @register(
     "mixture_temperature",
     oracle=f"""
@@ -632,29 +666,8 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-robin exchange it would ride in on (and `d` has two consumers,
     # which would double the repartition).
     d = load(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    n_min = counts.agg(F.min("n_docs").alias("n_min"))
-    rates = counts.crossJoin(F.broadcast(n_min)).select(
-        "source",
-        "n_docs",
-        F.pow(F.col("n_min").cast("double") / F.col("n_docs"), 1.0 - MIX_ALPHA).alias(
-            "keep_rate"
-        ),
-    )
-    kept = d.join(F.broadcast(rates), "source").select(
-        "source",
-        F.when(
-            # round() before floor(): pow() can differ by 1 ulp between
-            # JVM and libm, and this float feeds an integer decision —
-            # rounding the product to 6 decimals makes the threshold
-            # boundary-safe in both engines.
-            _hash16_spark(F.col("doc_id"))
-            < F.floor(F.round(F.col("keep_rate") * MIX_BUCKETS, 6)).cast("bigint"),
-            1,
-        )
-        .otherwise(0)
-        .alias("keep"),
-    )
+    rates = _mixture_rates(d)
+    kept = _mixture_keep(d, rates)
     return (
         kept.groupBy("source")
         .agg(F.sum("keep").alias("n_sampled"))
@@ -1175,10 +1188,12 @@ def _bpe_docw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(materialize)
 
 
-def _bpe_learned_vocab(docw: DataFrame, spark: SparkSession) -> DataFrame:
-    """(word, n_pieces): train BPE_TRAIN_ROUNDS merges on docw's word
+def _bpe_learned_vocab_pieces(docw: DataFrame, spark: SparkSession) -> DataFrame:
+    """(word, pieces): train BPE_TRAIN_ROUNDS merges on docw's word
     frequencies (bpe_train's loop) and segment each UNIQUE vocab word
-    once — per-occurrence data never passes through segmentation."""
+    once — per-occurrence data never passes through segmentation. The
+    piece LIST is the export decontaminate's cross-word token n-grams
+    need; _bpe_learned_vocab derives the count from it."""
     seg = (
         docw.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1194,9 +1209,15 @@ def _bpe_learned_vocab(docw: DataFrame, spark: SparkSession) -> DataFrame:
         seg = _bpe_merge_rewrite(seg, top).transform(materialize)
     return seg.select(
         F.regexp_replace("seg", "/", "").alias("word"),
-        F.size(F.split(F.btrim(F.col("seg"), F.lit("/")), "//"))
-        .cast("bigint")
-        .alias("n_pieces"),
+        F.split(F.btrim(F.col("seg"), F.lit("/")), "//").alias("pieces"),
+    )
+
+
+def _bpe_learned_vocab(docw: DataFrame, spark: SparkSession) -> DataFrame:
+    """(word, n_pieces): the trained tokenizer's fertility table —
+    _bpe_learned_vocab_pieces with the list collapsed to its length."""
+    return _bpe_learned_vocab_pieces(docw, spark).select(
+        "word", F.size("pieces").cast("bigint").alias("n_pieces")
     )
 
 

@@ -1,0 +1,105 @@
+"""Behavior tests for the cross-corpus composition operators
+(VERDICT r7 #6): global_semdedup must actually recover cross-cell
+duplicate pairs semdedup cannot see, decontaminate must flag only
+train-split documents, and mixture_curriculum's cells must reconcile
+with both of its parents (curriculum_order stages and
+mixture_temperature sampling). Oracle parity is covered by
+test_oracle_parity's parametrization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pubsub2bq_spark.operators.llm_corpus import _split_col
+from pubsub2bq_spark.operators.llm_quality import (
+    CURR_STAGES,
+    SEMDEDUP_TAU,
+)
+from pubsub2bq_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def test_global_semdedup_supersets_semdedup(spark):
+    g = QUERIES["global_semdedup"].spark(spark, SF_SMOKE)
+    s = QUERIES["semdedup"].spark(spark, SF_SMOKE)
+    g_vecs = {r["vec_id"] for r in g.select("vec_id").collect()}
+    s_vecs = {r["vec_id"] for r in s.select("vec_id").collect()}
+    # more candidate pairs can only ADD dup vectors, never remove one
+    assert s_vecs <= g_vecs
+    # the whole point: the neighbor probe finds dups the cell-local
+    # prune is blind to (the synthetic corpus plants near-dup clusters
+    # that straddle quantizer cells at this scale)
+    assert len(g_vecs) > len(s_vecs)
+
+
+def test_global_semdedup_pair_invariants(spark):
+    g = QUERIES["global_semdedup"].spark(spark, SF_SMOKE)
+    agg = g.agg(
+        F.sum((F.col("dup_of") >= F.col("vec_id")).cast("int")).alias("bad_ord"),
+        F.sum((F.col("cosine") <= SEMDEDUP_TAU).cast("int")).alias("bad_cos"),
+        F.sum((~F.col("cross_cell").isin(0, 1)).cast("int")).alias("bad_flag"),
+        F.sum("cross_cell").alias("n_cross"),
+        F.count_distinct("vec_id").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg["bad_ord"] == 0       # canonical is always the lower id
+    assert agg["bad_cos"] == 0       # every reported pair clears tau
+    assert agg["bad_flag"] == 0
+    assert agg["n_cross"] > 0        # cross-cell recoveries exist
+    assert agg["n_distinct"] == agg["n"]  # one row per dropped vector
+
+
+def test_decontaminate_flags_only_train_docs(spark):
+    out = QUERIES["decontaminate"].spark(spark, SF_SMOKE)
+    joined = out.withColumn("split", _split_col())
+    agg = joined.agg(
+        F.sum((F.col("split") != "train").cast("int")).alias("non_train"),
+        F.sum((F.col("n_hits") < F.col("n_contam_grams")).cast("int")).alias(
+            "hits_lt_grams"
+        ),
+        F.sum((F.col("n_contam_grams") < 1).cast("int")).alias("empty"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg["non_train"] == 0     # val/test docs are never flagged
+    assert agg["hits_lt_grams"] == 0  # total hits bound distinct grams
+    assert agg["empty"] == 0
+    # the corpus plants near-duplicates across the hash split, so the
+    # token-gram pass must find real contamination
+    assert agg["n"] > 0
+
+
+def test_mixture_curriculum_reconciles_with_parents(spark):
+    mc = QUERIES["mixture_curriculum"].spark(spark, SF_SMOKE).cache()
+    agg = mc.agg(
+        F.sum(
+            (~F.col("stage").between(1, CURR_STAGES)).cast("int")
+        ).alias("bad_stage"),
+        F.sum((F.col("n_sampled") > F.col("n_docs")).cast("int")).alias("over"),
+        F.sum("n_docs").alias("total_docs"),
+    ).collect()[0]
+    assert agg["bad_stage"] == 0
+    assert agg["over"] == 0
+    # every staged doc lands in exactly one cell
+    n_staged = QUERIES["curriculum_order"].spark(spark, SF_SMOKE).count()
+    assert agg["total_docs"] == n_staged
+    # per-source keep rates and sampled counts reconcile with
+    # mixture_temperature (whose counts also cover unstaged docs,
+    # hence <=)
+    mt = {
+        r["source"]: r
+        for r in QUERIES["mixture_temperature"].spark(spark, SF_SMOKE).collect()
+    }
+    for r in (
+        mc.groupBy("source")
+        .agg(
+            F.sum("n_sampled").alias("sampled"),
+            F.max("keep_rate").alias("rate"),
+            F.min("keep_rate").alias("rate_min"),
+        )
+        .collect()
+    ):
+        assert r["rate"] == r["rate_min"] == mt[r["source"]]["keep_rate"]
+        assert r["sampled"] <= mt[r["source"]]["n_sampled"]
+    mc.unpersist()
