@@ -131,6 +131,15 @@ HEADLINE = [
     "paragraph_dedup",
     "boilerplate_remove",
     "embedding_pca",
+    # Late round-8 additions: cross-cell SemDeDup recovery, token-n-gram
+    # decontamination under the learned BPE vocab, the mixture×stage
+    # training manifest, exact-substring repeat accounting, SFT chat
+    # rendering with loss masks.
+    "global_semdedup",
+    "decontaminate",
+    "mixture_curriculum",
+    "substring_repeats",
+    "chat_template",
 ]
 
 

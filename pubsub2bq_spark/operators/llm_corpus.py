@@ -530,3 +530,141 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_hits"),
         )
     )
+
+
+# --- corpus-wide exact-substring repeat accounting -----------------------
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") deduplicate EXACT substrings of length >= 50 via a corpus
+# suffix array. The same coverage is computable relationally: a
+# character position lies inside some repeated substring of length
+# >= K iff its K-wide window occurs more than once in the corpus, so
+# seed every position's K-gram hash, count corpus-wide, and merge
+# overlapping repeated windows per document (gaps-and-islands with
+# K-1 tolerance) into maximal repeated spans. Span coverage is EXACT
+# for threshold K — not an approximation.
+SUB_K = 20  # repeat threshold: substrings >= this many chars
+
+
+@register(
+    "substring_repeats",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+                   substr(md5(substr(lower(text), CAST(t.i AS INT),
+                                     {SUB_K})), 1, 16) AS h
+            FROM documents,
+                 unnest(range(1, greatest(len(text) - {SUB_K} + 2, 1)))
+                     AS t(i)
+        ),
+        rep AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos - lag(pos) OVER w > {SUB_K} - 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM g JOIN rep USING (h)
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+            FROM flagged
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + {SUB_K} - 1 AS e
+            FROM islands GROUP BY doc_id, grp
+        )
+        SELECT d.doc_id,
+               CAST(count(sp.s) AS BIGINT) AS n_repeat_spans,
+               CAST(coalesce(sum(sp.e - sp.s + 1), 0) AS BIGINT)
+                   AS repeat_chars,
+               round(coalesce(sum(sp.e - sp.s + 1), 0) * 1.0
+                     / greatest(length(d.text), 1), 6) AS repeat_frac
+        FROM documents d LEFT JOIN spans sp USING (doc_id)
+        GROUP BY d.doc_id, d.text
+    """,
+    doc=f"Exact-substring repeat accounting (Lee et al. 2022's suffix-"
+        f"array dedup, relationally): every maximal corpus-repeated "
+        f"substring of length >= {SUB_K} chars is located by seeding "
+        f"each position's {SUB_K}-gram hash, counting corpus-wide, and "
+        "merging overlapping repeated windows per doc into spans — one "
+        "row per document with span count, repeated-char coverage, and "
+        "the repeat fraction the dedup policy thresholds on. Coverage "
+        "is exact for the threshold: a char is counted iff some "
+        f">= {SUB_K}-char substring through it repeats.",
+    scale_notes="The stride-1 seeding pass is the operator's honest "
+                "cost (each text byte ships one 16-hex-char hash — the "
+                "same O(n) blow-up a distributed suffix-array build "
+                "pays); the repeat test is a count>1 aggregate keyed "
+                "on the hash with map-side partials, the island merge "
+                "is doc-partitioned windows (never global), and the "
+                "output is one row per doc. A corpus-dominant "
+                "boilerplate gram is ONE hot aggregate key (combiner "
+                "absorbs it map-side) and is exactly the repeated span "
+                "being measured. At 100 TB, swap md5 for a 64-bit "
+                "xxhash and shard the seeding scan; the plan shape is "
+                "unchanged.",
+)
+def substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    npos = F.greatest(F.length("text") - SUB_K + 1, F.lit(0))
+    g = (
+        d.select(
+            "doc_id",
+            F.lower("text").alias("lt"),
+            F.explode(
+                F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.substring(F.md5(F.expr(f"substr(lt, pos, {SUB_K})")), 1, 16).alias("h"),
+        )
+        .transform(materialize)  # seeds feed the count AND the flag join
+    )
+    rep = g.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") > 1
+    ).select("h")
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = g.join(rep, "h").withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(wp).isNull()
+            | (F.col("pos") - F.lag("pos").over(wp) > SUB_K - 1),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "grp",
+        F.sum("brk").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"), (F.max("pos") + SUB_K - 1).alias("e")
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("tlen")
+    )
+    return (
+        docs.join(spans, "doc_id", "left")
+        .groupBy("doc_id", "tlen")
+        .agg(
+            F.count("s").alias("n_repeat_spans"),
+            F.coalesce(F.sum(F.col("e") - F.col("s") + 1), F.lit(0)).alias(
+                "repeat_chars"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_repeat_spans",
+            "repeat_chars",
+            F.round(
+                F.col("repeat_chars") * F.lit(1.0)
+                / F.greatest(F.col("tlen"), F.lit(1)),
+                6,
+            ).alias("repeat_frac"),
+        )
+    )

@@ -1291,3 +1291,96 @@ def bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"start_off div {PACK_TOKENS}").alias("pack_id"),
         (F.col("start_off") % PACK_TOKENS).alias("pack_offset"),
     )
+
+
+# --- SFT chat-template rendering + loss-mask accounting ------------------
+# The post-training counterpart of sequence_pack: render each document
+# as a single-turn chat example (deterministic split: first half of
+# the whitespace tokens = user prompt, second half = assistant
+# response) under fixed template tokens, and account for which tokens
+# the loss trains on — assistant response + end tag — versus which are
+# masked (prompt + role tags). The render md5 proves the template is
+# byte-identical across engines; the mask arithmetic is what an SFT
+# collator needs per example.
+CHAT_USER = "<|user|>"
+CHAT_ASST = "<|assistant|>"
+CHAT_END = "<|end|>"
+
+
+@register(
+    "chat_template",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        sp AS (
+            SELECT doc_id, t,
+                   CAST((len(t) + 1) // 2 AS BIGINT) AS plen,
+                   CAST(len(t) AS BIGINT) AS n
+            FROM toks
+        )
+        SELECT doc_id,
+               n AS n_tokens,
+               plen + 2 AS n_masked,
+               n - plen + 1 AS n_trained,
+               round((n - plen + 1) * 1.0 / (n + 3), 6) AS loss_frac,
+               md5('{CHAT_USER} '
+                   || coalesce(array_to_string(t[1:plen], ' '), '')
+                   || ' {CHAT_ASST} '
+                   || coalesce(array_to_string(t[plen + 1:n], ' '), '')
+                   || ' {CHAT_END}') AS render_md5
+        FROM sp
+    """,
+    doc=f"SFT chat-template rendering with loss-mask accounting: each "
+        "document becomes a single-turn conversation (first half of "
+        "its tokens = user prompt, second half = assistant response) "
+        f"under fixed role tokens ({CHAT_USER}/{CHAT_ASST}/"
+        f"{CHAT_END}); output reports total/masked/trained token "
+        "counts, the trained-loss fraction, and the md5 of the "
+        "rendered example — the per-example record an SFT collator "
+        "consumes, with byte-exact template parity proven by the "
+        "hash.",
+    scale_notes="Pure map stage: tokenize, slice, concat, hash — one "
+                "codegen'd projection per document, no shuffle, no "
+                "Python. At 100 TB this is scan-bound and trivially "
+                "parallel; multi-turn packing composes this row shape "
+                "with sequence_pack's source-keyed prefix-sum window, "
+                "adding nothing new to the shuffle plan.",
+)
+def chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "").alias("t"),
+    )
+    sp = toks.select(
+        "doc_id",
+        "t",
+        F.expr("CAST((size(t) + 1) div 2 AS BIGINT)").alias("plen"),
+        F.size("t").cast("bigint").alias("n"),
+    )
+    render = F.concat(
+        F.lit(f"{CHAT_USER} "),
+        F.array_join(F.slice(F.col("t"), F.lit(1), F.col("plen")), " "),
+        F.lit(f" {CHAT_ASST} "),
+        F.array_join(
+            F.slice(
+                F.col("t"), F.col("plen") + 1, F.greatest(F.col("n") - F.col("plen"), F.lit(0).cast("bigint"))
+            ),
+            " ",
+        ),
+        F.lit(f" {CHAT_END}"),
+    )
+    return sp.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.col("plen") + 2).alias("n_masked"),
+        (F.col("n") - F.col("plen") + 1).alias("n_trained"),
+        F.round(
+            (F.col("n") - F.col("plen") + 1) * F.lit(1.0) / (F.col("n") + 3), 6
+        ).alias("loss_frac"),
+        F.md5(render).alias("render_md5"),
+    )

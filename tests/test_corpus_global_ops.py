@@ -103,3 +103,55 @@ def test_mixture_curriculum_reconciles_with_parents(spark):
         assert r["rate"] == r["rate_min"] == mt[r["source"]]["keep_rate"]
         assert r["sampled"] <= mt[r["source"]]["n_sampled"]
     mc.unpersist()
+
+
+def test_substring_repeats_coverage_invariants(spark):
+    from pubsub2bq_spark.operators.llm_corpus import SUB_K
+    from pubsub2bq_spark.tables import load
+
+    out = QUERIES["substring_repeats"].spark(spark, SF_SMOKE)
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.length("text").alias("tlen")
+    )
+    j = out.join(docs, "doc_id")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("repeat_chars") > F.col("tlen")).cast("int")).alias("over"),
+        F.sum(
+            (
+                (F.col("n_repeat_spans") > 0)
+                & (F.col("repeat_chars") < F.col("n_repeat_spans") * SUB_K)
+            ).cast("int")
+        ).alias("short_span"),
+        F.max("repeat_frac").alias("max_frac"),
+    ).collect()[0]
+    n_docs = docs.count()
+    assert agg["n"] == n_docs          # one row per document, always
+    assert agg["over"] == 0            # coverage can't exceed the text
+    assert agg["short_span"] == 0      # every span is >= K chars
+    # the corpus plants exact duplicate documents — their whole text is
+    # corpus-repeated, so full coverage must appear
+    assert agg["max_frac"] >= 0.999
+
+
+def test_chat_template_mask_arithmetic(spark):
+    out = QUERIES["chat_template"].spark(spark, SF_SMOKE)
+    agg = out.agg(
+        F.sum(
+            (
+                F.col("n_masked") + F.col("n_trained")
+                != F.col("n_tokens") + 3
+            ).cast("int")
+        ).alias("bad_sum"),
+        F.sum(
+            (~F.col("loss_frac").between(0.0, 1.0)).cast("int")
+        ).alias("bad_frac"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("render_md5").alias("renders"),
+    ).collect()[0]
+    # role tags: 2 masked (user+assistant) + 1 trained (end) = +3 total
+    assert agg["bad_sum"] == 0
+    assert agg["bad_frac"] == 0
+    assert agg["n"] > 0
+    # distinct documents render distinct examples (duplicate docs share)
+    assert agg["renders"] > agg["n"] // 2
