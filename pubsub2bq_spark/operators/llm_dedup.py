@@ -1012,3 +1012,149 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(n_hit_seq AS DOUBLE) / nullif(n_truth_seq, 0), 4)"
         ).alias("recall_seq"),
     )
+
+
+# --- Asymmetric n-gram containment -----------------------------------------
+# Jaccard misses the "A is a paragraph of B" case: a short doc fully
+# contained in a long one has tiny Jaccard but containment 1.0.
+# Containment C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| is the metric
+# contamination and quote-dedup policies threshold on (Broder 1997's
+# resemblance/containment split). Candidate pairs come from RARE-gram
+# blocking: only grams appearing in 2..CONT_DF_CAP docs propose pairs —
+# discriminative by construction, and each proposes at most
+# CONT_DF_CAP·(CONT_DF_CAP-1) ordered pairs, so candidates stay linear in
+# corpus size while boilerplate grams (huge df) propose nothing. Exact
+# containment is then computed ONLY on candidates via doc-keyed joins.
+CONT_K = 8        # word-gram width (dup_passage's granularity)
+CONT_DF_CAP = 4   # rare-gram blocking: df range [2, CAP] proposes pairs
+CONT_TAU = 0.6    # report pairs with containment >= tau
+
+
+@register(
+    "containment_dedup",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(
+                       list_slice(t, CAST(i AS INT), CAST(i AS INT) + {CONT_K} - 1),
+                       ' ') AS gram
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(len(t) - {CONT_K} + 1, 0)))
+                           AS i
+                FROM toks
+            )
+        ),
+        ng AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM grams GROUP BY doc_id
+        ),
+        rare AS (
+            SELECT gram FROM grams
+            GROUP BY gram
+            HAVING count(*) BETWEEN 2 AND {CONT_DF_CAP}
+        ),
+        cand AS (
+            SELECT DISTINCT ga.doc_id AS a, gb.doc_id AS b
+            FROM grams ga
+            JOIN rare r ON r.gram = ga.gram
+            JOIN grams gb ON gb.gram = ga.gram AND gb.doc_id <> ga.doc_id
+        ),
+        shared AS (
+            SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_shared
+            FROM cand c
+            JOIN grams ga ON ga.doc_id = c.a
+            JOIN grams gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+            GROUP BY c.a, c.b
+        )
+        SELECT s.a AS doc_id, s.b AS container_doc,
+               ng.n_grams, s.n_shared,
+               round(CAST(s.n_shared AS DOUBLE) / ng.n_grams, 6) AS containment
+        FROM shared s JOIN ng ON ng.doc_id = s.a
+        WHERE CAST(s.n_shared AS DOUBLE) / ng.n_grams >= {CONT_TAU}
+    """,
+    doc=f"Asymmetric n-gram containment dedup: C(A→B) = |grams(A) ∩ "
+        f"grams(B)| / |grams(A)| over distinct word {CONT_K}-grams — "
+        "catches a document substantially QUOTED inside a larger one, "
+        "which symmetric Jaccard dilutes away. Candidate pairs form only "
+        f"through rare grams (document frequency 2..{CONT_DF_CAP}); exact "
+        "containment is then computed on candidates alone and pairs with "
+        f"C >= {CONT_TAU} are reported (directed: doc_id is the contained "
+        "side).",
+    scale_notes="Three bounded shuffles: the gram df aggregate (map-side "
+                "combine absorbs hot boilerplate grams, which propose NO "
+                "pairs by the df cap), the candidate distinct keyed on the "
+                "pair, and the exact-count join chain keyed on doc id — "
+                "cand⋈grams(a) fans out to |grams(a)| rows per pair and "
+                "cand⋈grams(b) is a composite-key (doc, gram) sort-merge, "
+                "so no all-pairs product ever forms and per-gram fanout is "
+                f"capped at {CONT_DF_CAP}·({CONT_DF_CAP}-1) ordered pairs. "
+                "At 100 TB, swap gram strings for xxhash64(gram) in both "
+                "the df and count joins (8 bytes/gram on the wire) and "
+                "keep the df cap fixed: candidate volume stays linear in "
+                "documents, never quadratic.",
+)
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    # sequence(1, 0) would infer a DESCENDING step; short docs must yield
+    # an empty array explicitly (same guard as dup_passage).
+    starts = F.when(
+        n >= CONT_K, F.sequence(F.lit(1), n - (CONT_K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        toks.select("doc_id", "t", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.col("t"), F.col("i"), CONT_K), " ").alias("gram"),
+        )
+        .distinct()
+        .transform(materialize)  # feeds df-agg, candidates, AND both count legs
+    )
+    ng = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= CONT_DF_CAP))
+        .select("gram")
+    )
+    rg = grams.join(rare, "gram")
+    cand = (
+        rg.alias("ga")
+        .join(rg.alias("gb"), "gram")
+        .filter(F.col("ga.doc_id") != F.col("gb.doc_id"))
+        .select(
+            F.col("ga.doc_id").alias("a"), F.col("gb.doc_id").alias("b")
+        )
+        .distinct()
+        .transform(materialize)  # consumed by both sides of the count chain
+    )
+    shared = (
+        cand.join(grams.alias("ga"), F.col("a") == F.col("ga.doc_id"))
+        .join(
+            grams.alias("gb"),
+            (F.col("b") == F.col("gb.doc_id"))
+            & (F.col("ga.gram") == F.col("gb.gram")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    cont = F.col("n_shared").cast("double") / F.col("n_grams")
+    return (
+        shared.join(ng, shared["a"] == ng["doc_id"])
+        .filter(cont >= CONT_TAU)
+        .select(
+            F.col("a").alias("doc_id"),
+            F.col("b").alias("container_doc"),
+            "n_grams",
+            "n_shared",
+            F.round(cont, 6).alias("containment"),
+        )
+    )

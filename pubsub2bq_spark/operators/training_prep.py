@@ -1384,3 +1384,103 @@ def chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("loss_frac"),
         F.md5(render).alias("render_md5"),
     )
+
+
+# --- DPO/RLHF preference-pair construction --------------------------------
+# Post-training's other collator input: from a pool of candidate responses
+# per prompt group, pick the best- and worst-scoring candidates as the
+# (chosen, rejected) pair. Here prompt groups are (lang, source) cells and
+# the reward proxy is the distinct-token count — deterministic, integer,
+# engine-portable. The argmax/argmin is computed as a plain min/max over an
+# ORDER-ENCODED BIGINT (score * M ± doc_id), so the whole operator is one
+# map-side-combinable aggregate: no per-group window sort, no skew exposure
+# however large a prompt group grows.
+#
+# PREF_ENC must exceed every doc_id (encode/decode is exact integer
+# arithmetic); 1e12 leaves |score| * PREF_ENC within BIGINT for any
+# realistic token count. At 100 TB key-space growth, widen to 2^44.
+PREF_ENC = 10**12
+
+
+@register(
+    "preference_pairs",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, source,
+                   CAST(len(list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> ''))) AS BIGINT) AS score
+            FROM documents
+        ),
+        enc AS (
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   max(score * {PREF_ENC} + ({PREF_ENC} - 1 - doc_id)) AS ck,
+                   min(score * {PREF_ENC} + doc_id) AS rk
+            FROM scored
+            GROUP BY lang, source
+        )
+        SELECT lang, source, n_candidates,
+               CAST({PREF_ENC} - 1 - (ck % {PREF_ENC}) AS BIGINT) AS chosen_doc,
+               CAST(rk % {PREF_ENC} AS BIGINT) AS rejected_doc,
+               CAST(ck // {PREF_ENC} AS BIGINT) AS chosen_score,
+               CAST(rk // {PREF_ENC} AS BIGINT) AS rejected_score,
+               CAST(ck // {PREF_ENC} - rk // {PREF_ENC} AS BIGINT) AS margin
+        FROM enc
+        WHERE n_candidates >= 2 AND ck // {PREF_ENC} > rk // {PREF_ENC}
+    """,
+    doc="DPO preference-pair construction: within each (lang, source) "
+        "prompt group, emit the highest-scoring candidate as CHOSEN and "
+        "the lowest as REJECTED (reward proxy: distinct-token count; "
+        "ties broken to the lower doc_id on both sides), with the score "
+        "margin the DPO loss weights by. Groups with fewer than two "
+        "candidates or zero margin carry no preference signal and are "
+        "dropped.",
+    scale_notes="One aggregate keyed on the prompt group — the "
+                "argmax/argmin rides an order-encoded BIGINT through "
+                "plain min/max, so partial aggregation absorbs any group "
+                "size map-side: a billion-candidate prompt group costs "
+                "the same shuffle bytes as a ten-candidate one (two "
+                "encoded longs + a count per partition). No window, no "
+                "sort, no skew cliff. The scoring scan is a codegen'd "
+                "projection; swapping the reward proxy for a model score "
+                "column leaves the plan untouched.",
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    m = F.lit(PREF_ENC).cast("bigint")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+            )
+        )
+        .cast("bigint")
+        .alias("score"),
+    )
+    enc = scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max(F.col("score") * m + (m - 1 - F.col("doc_id"))).alias("ck"),
+        F.min(F.col("score") * m + F.col("doc_id")).alias("rk"),
+    )
+    # `div`, not `/`: float division would round the ~1e15 encoded keys
+    # before the cast; integral div is exact at any BIGINT magnitude.
+    chosen_score = F.expr(f"ck div {PREF_ENC}")
+    rejected_score = F.expr(f"rk div {PREF_ENC}")
+    return (
+        enc.filter(
+            (F.col("n_candidates") >= 2) & (chosen_score > rejected_score)
+        ).select(
+            "lang",
+            "source",
+            "n_candidates",
+            (m - 1 - F.col("ck") % m).alias("chosen_doc"),
+            (F.col("rk") % m).alias("rejected_doc"),
+            chosen_score.alias("chosen_score"),
+            rejected_score.alias("rejected_score"),
+            (chosen_score - rejected_score).alias("margin"),
+        )
+    )

@@ -119,6 +119,8 @@ PLAN_KEYS = [
     "join_lateral",      # decorrelated LATERAL -> WindowGroupLimit
     "pipe_syntax",       # pipe SQL lowers to the same plan as ANSI
     "python_datasink",
+    "preference_pairs",  # order-encoded argmax: one partial-agg shuffle
+    "containment_dedup", # rare-gram blocking + doc-keyed count chain
 ]
 
 

@@ -155,3 +155,59 @@ def test_chat_template_mask_arithmetic(spark):
     assert agg["n"] > 0
     # distinct documents render distinct examples (duplicate docs share)
     assert agg["renders"] > agg["n"] // 2
+
+
+def test_containment_dedup_invariants(spark):
+    """Directed containment: bounds, tau floor, and the subset guarantee
+    for containment == 1.0 (every gram of the contained doc must appear
+    in the container — verified by recomputing gram sets)."""
+    from pubsub2bq_spark.operators.llm_dedup import CONT_K, CONT_TAU, _tokens
+    from pubsub2bq_spark.tables import load
+
+    out = QUERIES["containment_dedup"].spark(spark, SF_SMOKE).cache()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("doc_id") == F.col("container_doc")).cast("int")).alias(
+            "self_pair"
+        ),
+        F.sum((F.col("n_shared") > F.col("n_grams")).cast("int")).alias("over"),
+        F.sum((F.col("containment") < CONT_TAU).cast("int")).alias("below_tau"),
+        F.sum((F.col("containment") > 1.0).cast("int")).alias("above_one"),
+        F.sum((F.col("containment") == 1.0).cast("int")).alias("exact"),
+    ).collect()[0]
+    assert agg["n"] > 0
+    assert agg["self_pair"] == 0
+    assert agg["over"] == 0
+    assert agg["below_tau"] == 0 and agg["above_one"] == 0
+    # the corpus plants exact duplicate documents: full containment exists
+    assert agg["exact"] > 0
+
+    # subset check for the containment == 1.0 pairs, against gram sets
+    # rebuilt independently of the operator's join chain
+    d = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("t")
+    )
+    n = F.size("t")
+    starts = F.when(
+        n >= CONT_K, F.sequence(F.lit(1), n - (CONT_K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select("doc_id", F.explode(starts).alias("i"), "t").select(
+        "doc_id",
+        F.array_join(F.slice(F.col("t"), F.col("i"), CONT_K), " ").alias("gram"),
+    )
+    full = out.filter(F.col("containment") == 1.0).select(
+        F.col("doc_id").alias("inner_doc"), "container_doc"
+    )
+    # grams of the contained side that the container is MISSING: must be 0
+    missing = (
+        full.join(grams.alias("g"), F.col("inner_doc") == F.col("g.doc_id"))
+        .join(
+            grams.alias("h"),
+            (F.col("container_doc") == F.col("h.doc_id"))
+            & (F.col("g.gram") == F.col("h.gram")),
+            "left_anti",
+        )
+        .count()
+    )
+    assert missing == 0
+    out.unpersist()

@@ -229,3 +229,64 @@ class TestBpePack:
         total_tokens = packed["n_tokens"].sum()
         total_chars = d["n_chars"].sum()
         assert 0 < total_tokens < total_chars
+
+
+class TestPreferencePairs:
+    def test_argmax_argmin_match_window_recompute(self, spark):
+        """The order-encoded min/max aggregate must agree with the obvious
+        window-rank formulation on every emitted group, including the
+        lower-doc_id tie-breaks on both sides."""
+        from pubsub2bq_spark.operators.training_prep import preference_pairs
+        from pubsub2bq_spark.tables import load
+
+        out = {
+            (r["lang"], r["source"]): r
+            for r in preference_pairs(spark, SF_SMOKE).collect()
+        }
+        assert out  # preference signal exists in the corpus
+
+        scored = load(spark, SF_SMOKE, "documents").select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("score"),
+        )
+        wc = Window.partitionBy("lang", "source").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        wr = Window.partitionBy("lang", "source").orderBy(
+            F.col("score").asc(), F.col("doc_id").asc()
+        )
+        ref_rows = (
+            scored.withColumn("rc", F.row_number().over(wc))
+            .withColumn("rr", F.row_number().over(wr))
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.when(F.col("rc") == 1, F.col("doc_id"))).alias("cd"),
+                F.max(F.when(F.col("rc") == 1, F.col("score"))).alias("cs"),
+                F.max(F.when(F.col("rr") == 1, F.col("doc_id"))).alias("rd"),
+                F.max(F.when(F.col("rr") == 1, F.col("score"))).alias("rs"),
+            )
+            .collect()
+        )
+        ref = {
+            (r["lang"], r["source"]): r
+            for r in ref_rows
+            if r["n"] >= 2 and r["cs"] > r["rs"]
+        }
+        assert set(out) == set(ref)
+        for key, r in ref.items():
+            o = out[key]
+            assert o["chosen_doc"] == r["cd"] and o["chosen_score"] == r["cs"]
+            assert o["rejected_doc"] == r["rd"] and o["rejected_score"] == r["rs"]
+            assert o["margin"] == r["cs"] - r["rs"] > 0
+            assert o["chosen_doc"] != o["rejected_doc"]
