@@ -140,6 +140,14 @@ HEADLINE = [
     "mixture_curriculum",
     "substring_repeats",
     "chat_template",
+    # DPO pair construction (one order-encoded aggregate) and directed
+    # n-gram containment (rare-gram-blocked candidate pairs).
+    "preference_pairs",
+    "containment_dedup",
+    # Embedding-space eval decontamination (directed cell-pair probe)
+    # and the per-corpus-cell tokenizer-quality rollup.
+    "semantic_decontaminate",
+    "tokenizer_fertility",
 ]
 
 

@@ -1238,3 +1238,214 @@ def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("quality_z"),
         (F.round(z, 6) < QE_FLAG).alias("flagged"),
     )
+
+
+# Semantic eval-set decontamination (the embedding-space counterpart of
+# llm_corpus.decontaminate's token-n-gram pass): paraphrased eval
+# leakage shares no 8-gram but sits next to the eval vector in
+# embedding space, so the contamination test is "any eval vector with
+# cosine > tau among the quantizer-cell candidates". Candidates reuse
+# SemDeDup's cell structure probed at GSEM_NBR neighbor cells — but
+# DIRECTED (train cell → eval cell, both orientations + self), because
+# containment of a train vector against the eval set is asymmetric.
+DECON_EVAL_DENOM = 10  # eval split: u16(md5(vec_id:dec)) * 10 < 65536 (~10%)
+_DECON_SALT = 8        # train-side fragments per cell pair (eval replicated)
+
+
+def _semantic_decontaminate_oracle() -> str:
+    from pubsub2bq_spark.operators.llm_similarity import DIM
+    from pubsub2bq_spark.operators.ml_ops import (
+        _KMEANS_ASSIGN_SQL,
+        _KMEANS_RECOMPUTE_SQL,
+        _SQDIST_SQL,
+        _kpp_seed_chain_sql,
+        _kpp_u16_sql,
+    )
+
+    smp = _kpp_u16_sql("CAST(v.vec_id AS VARCHAR) || ':smp'")
+    dec = _kpp_u16_sql("CAST(vec_id AS VARCHAR) || ':dec'")
+    cdist = (
+        "list_dot_product(a.c, a.c) - 2 * list_dot_product(a.c, b.c) "
+        "+ list_dot_product(b.c, b.c)"
+    )
+    cos = _COS_SQL.format(a="t.v", b="e.v")
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sz AS (
+            SELECT CAST(greatest({SEMDEDUP_CELLS},
+                       ceil(sqrt(n))) AS BIGINT) AS k,
+                   CAST(least(n, {SEMDEDUP_SAMPLE_PER_CELL}
+                       * greatest({SEMDEDUP_CELLS}, ceil(sqrt(n))))
+                       AS BIGINT) AS cap,
+                   n
+            FROM (SELECT count(*) AS n FROM v)
+        ),
+        vs AS (
+            SELECT v.vec_id, v.v FROM v, sz
+            WHERE ({smp}) * n < 65536 * cap
+        ),
+        {_kpp_seed_chain_sql(
+            "SELECT k FROM sz", "SELECT 2 * k FROM sz", src="vs"
+        )},
+        la1 AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="seeds")}),
+        lc1 AS ({_KMEANS_RECOMPUTE_SQL.format(dim=DIM, assigned="la1")}),
+        asgn AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="lc1")}),
+        nbr AS (
+            SELECT acid, bcid FROM (
+                SELECT a.cid AS acid, b.cid AS bcid,
+                       row_number() OVER (
+                           PARTITION BY a.cid
+                           ORDER BY round({cdist}, 6) ASC, b.cid ASC) AS rn
+                FROM lc1 a JOIN lc1 b ON a.cid <> b.cid
+            ) WHERE rn <= {GSEM_NBR}
+        ),
+        cp AS (
+            SELECT cid AS tcid, cid AS ecid FROM lc1
+            UNION
+            SELECT acid, bcid FROM nbr
+            UNION
+            SELECT bcid, acid FROM nbr
+        ),
+        sp AS (
+            SELECT vec_id, v, cid,
+                   ({dec}) * {DECON_EVAL_DENOM} < 65536 AS isev
+            FROM asgn
+        )
+        SELECT t.vec_id,
+               CAST(count(*) AS BIGINT) AS n_eval_hits,
+               round(max({cos}), 6) AS max_cosine
+        FROM sp t
+        JOIN cp ON t.cid = cp.tcid
+        JOIN sp e ON e.cid = cp.ecid AND e.isev
+        WHERE NOT t.isev AND {cos} > {SEMDEDUP_TAU}
+        GROUP BY t.vec_id
+    """
+
+
+@register(
+    "semantic_decontaminate",
+    oracle=_semantic_decontaminate_oracle(),
+    doc="Semantic eval-set decontamination: split the corpus "
+        f"deterministically into ~{100 // DECON_EVAL_DENOM}% eval / "
+        "rest train (md5-u16 of vec_id), then flag every TRAIN vector "
+        f"whose cosine to ANY eval vector exceeds {SEMDEDUP_TAU}, with "
+        "candidates drawn from the vector's own quantizer cell plus "
+        f"its {GSEM_NBR} nearest neighbor cells in BOTH directions "
+        "(the directed analog of global_semdedup's probe). Output: "
+        "flagged train vec_id, eval-hit count, and the max cosine — "
+        "the embedding-space complement of the token-n-gram "
+        "decontaminate pass, catching paraphrased leakage n-grams "
+        "miss.",
+    scale_notes="The quantizer chain is SemDeDup's (sample-trained "
+                "k-means||, one Lloyd round, all artifacts bounded and "
+                "broadcast). The train×eval join keys on (train cell, "
+                "eval cell, salt): the bounded directed pair list "
+                "(≤ k·(2·GSEM_NBR)+k rows) broadcasts into both member "
+                f"streams, the TRAIN side hash-fragments into "
+                f"{_DECON_SALT} salts and the ~10% eval side replicates "
+                "across them, so no reducer owns a whole |train-cell| × "
+                "|eval-cell| product even on a hot cell. Total pair "
+                "work stays at the SemDeDup n^1.5 budget times the "
+                "eval fraction; the final per-train-vector aggregate is "
+                "map-side combinable. Raising GSEM_NBR buys recall "
+                "linearly, exactly like IVF nprobe.",
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pubsub2bq_spark.operators.ml_ops import (
+        _assign,
+        _kpp_seeds,
+        _kpp_u16,
+        _recompute,
+        _sqdist,
+    )
+
+    v = (
+        fan_out(load(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .transform(materialize)  # count probe + seeding + assignment
+    )
+    n = v.agg(F.count(F.lit(1))).first()[0]
+    n_cells = max(SEMDEDUP_CELLS, math.ceil(math.sqrt(n)) if n else 0)
+    cap = min(n, SEMDEDUP_SAMPLE_PER_CELL * n_cells)
+    if cap < n:
+        u16 = _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(":smp")))
+        vs = v.filter(u16 * F.lit(n) < F.lit(65536 * cap)).transform(materialize)
+    else:
+        vs = v
+    seeds = _kpp_seeds(vs, k=n_cells, l=2 * n_cells)
+    cent = _recompute(_assign(v, seeds)).transform(materialize)  # asgn + nbr
+    asgn = (
+        _assign(v, cent)
+        .select("cid", "vec_id", "v")
+        .transform(materialize)  # train AND eval member streams
+    )
+    ca = cent.select(F.col("cid").alias("acid"), F.col("c").alias("ac"))
+    cb = cent.select(F.col("cid").alias("bcid"), F.col("c").alias("bc"))
+    wn = Window.partitionBy("acid").orderBy(
+        F.col("rdist").asc(), F.col("bcid").asc()
+    )
+    nbr = (
+        ca.crossJoin(F.broadcast(cb))
+        .filter(F.col("acid") != F.col("bcid"))
+        .select(
+            "acid",
+            "bcid",
+            F.round(_sqdist(F.col("ac"), F.col("bc")), 6).alias("rdist"),
+        )
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= GSEM_NBR)
+    )
+    cp = (
+        cent.select(F.col("cid").alias("tcid"), F.col("cid").alias("ecid"))
+        .unionByName(nbr.select(F.col("acid").alias("tcid"), F.col("bcid").alias("ecid")))
+        .unionByName(nbr.select(F.col("bcid").alias("tcid"), F.col("acid").alias("ecid")))
+        .distinct()
+        .transform(materialize)  # broadcast into both member streams
+    )
+    isev = (
+        _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(":dec")))
+        * F.lit(DECON_EVAL_DENOM)
+        < F.lit(65536)
+    )
+    sp = asgn.withColumn("isev", isev)
+    t = (
+        sp.filter(~F.col("isev"))
+        .select(F.col("cid").alias("tcid"), "vec_id", "v")
+        .join(F.broadcast(cp), "tcid")
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("vec_id"), F.lit(_DECON_SALT)).cast("int"),
+        )
+    )
+    e = (
+        sp.filter(F.col("isev"))
+        .select(
+            F.col("cid").alias("ecid"),
+            F.col("vec_id").alias("evid"),
+            F.col("v").alias("ev"),
+        )
+        .join(F.broadcast(cp), "ecid")
+        .withColumn(
+            "_sj",
+            F.explode(F.array(*[F.lit(s) for s in range(_DECON_SALT)])),
+        )
+    )
+    cand = t.join(
+        e,
+        (t["tcid"] == e["tcid"])
+        & (t["ecid"] == e["ecid"])
+        & (t["_salt"] == e["_sj"]),
+    )
+    cos = _cosine(F.col("v"), F.col("ev"))
+    return (
+        cand.filter(cos > SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.round(F.max(cos), 6).alias("max_cosine"),
+        )
+    )

@@ -1484,3 +1484,56 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (chosen_score - rejected_score).alias("margin"),
         )
     )
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=f"""
+        WITH {_bpe_vocab_ctes()},
+        perocc AS (
+            SELECT d.doc_id, v.n_pieces
+            FROM docw d JOIN vocab v USING (word)
+        )
+        SELECT doc.lang, doc.source,
+               CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(p.n_pieces) AS BIGINT) AS n_pieces,
+               round(CAST(sum(p.n_pieces) AS DOUBLE) / count(*), 4)
+                   AS fertility
+        FROM perocc p JOIN documents doc USING (doc_id)
+        GROUP BY doc.lang, doc.source
+    """,
+    doc="Per-(lang, source) tokenizer-quality rollup under the learned "
+        "BPE vocabulary: word occurrences, BPE piece totals, and "
+        "FERTILITY (pieces per word) for every corpus cell — the "
+        "cross-language disparity table a pretraining pipeline tracks "
+        "to catch a tokenizer that over-fragments some languages "
+        "(bpe_apply reports the same metric per document; this is the "
+        "corpus-cell grain mixture policies consume).",
+    scale_notes="Same two-shuffle shape as bpe_apply — the vocab join "
+                "keyed on word (broadcast: the learned vocab is "
+                "bounded), then ONE aggregate keyed on the corpus cell "
+                "instead of doc_id; count(DISTINCT doc_id) adds the "
+                "standard two-phase partial-distinct expansion, still "
+                "map-side combinable. Cell count is langs x sources "
+                "(bounded), but the aggregate never sorts a cell — "
+                "partial aggs absorb any cell size. The segmentation "
+                "itself remains per-unique-word, never per-occurrence.",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docw = _bpe_docw(spark, sf_dir)
+    vocab = _bpe_learned_vocab(docw, spark)
+    dims = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return (
+        docw.join(vocab, "word")
+        .join(dims, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 4
+            ).alias("fertility"),
+        )
+    )

@@ -121,6 +121,8 @@ PLAN_KEYS = [
     "python_datasink",
     "preference_pairs",  # order-encoded argmax: one partial-agg shuffle
     "containment_dedup", # rare-gram blocking + doc-keyed count chain
+    "semantic_decontaminate",  # directed cell-pair train x eval probe
+    "tokenizer_fertility",     # vocab join + corpus-cell aggregate
 ]
 
 

@@ -211,3 +211,59 @@ def test_containment_dedup_invariants(spark):
     )
     assert missing == 0
     out.unpersist()
+
+
+def test_semantic_decontaminate_flags_only_true_train_hits(spark):
+    """Every flagged vector must be (a) in the train split and (b) a
+    TRUE contamination per the brute-force all-pairs truth; the reported
+    max_cosine can never exceed the true maximum over all eval mates
+    (candidates are a subset of all pairs); and the cell+neighbor probe
+    must recover a substantial share of the planted leakage."""
+    from pubsub2bq_spark.operators.llm_quality import (
+        DECON_EVAL_DENOM,
+        SEMDEDUP_TAU,
+    )
+    from pubsub2bq_spark.operators.llm_similarity import _cosine, _dvec
+    from pubsub2bq_spark.operators.ml_ops import _kpp_u16
+    from pubsub2bq_spark.tables import load
+
+    out = {
+        r["vec_id"]: r
+        for r in QUERIES["semantic_decontaminate"].spark(spark, SF_SMOKE).collect()
+    }
+    assert out  # planted near-dup clusters straddle the split
+
+    isev = (
+        _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(":dec")))
+        * F.lit(DECON_EVAL_DENOM)
+        < F.lit(65536)
+    )
+    v = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v"), isev.alias("isev")
+    )
+    tr = v.filter(~F.col("isev")).select(
+        F.col("vec_id").alias("tid"), F.col("v").alias("tv")
+    )
+    ev = v.filter(F.col("isev")).select(
+        F.col("vec_id").alias("eid"), F.col("v").alias("evv")
+    )
+    # brute-force truth: fine at test scale, the thing the operator's
+    # bounded candidate generation is approximating
+    truth = {
+        r["tid"]: r
+        for r in (
+            tr.crossJoin(F.broadcast(ev))
+            .select("tid", _cosine(F.col("tv"), F.col("evv")).alias("cos"))
+            .filter(F.col("cos") > SEMDEDUP_TAU)
+            .groupBy("tid")
+            .agg(F.count(F.lit(1)).alias("hits"), F.max("cos").alias("mx"))
+            .collect()
+        )
+    }
+    assert set(out) <= set(truth)          # no false positives, train-only
+    for vid, r in out.items():
+        t = truth[vid]
+        assert r["n_eval_hits"] <= t["hits"]
+        assert r["max_cosine"] <= round(t["mx"], 6) + 1e-9
+    # recall of the nprobe-bounded candidate pass vs the planted truth
+    assert len(out) >= 0.5 * len(truth)

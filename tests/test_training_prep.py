@@ -290,3 +290,40 @@ class TestPreferencePairs:
             assert o["rejected_doc"] == r["rd"] and o["rejected_score"] == r["rs"]
             assert o["margin"] == r["cs"] - r["rs"] > 0
             assert o["chosen_doc"] != o["rejected_doc"]
+
+
+class TestTokenizerFertility:
+    def test_reconciles_with_bpe_apply(self, spark):
+        """Corpus-cell totals must be exactly the per-document bpe_apply
+        stats re-aggregated by (lang, source) — one tokenizer, two
+        grains."""
+        from pubsub2bq_spark.operators.training_prep import (
+            bpe_apply,
+            tokenizer_fertility,
+        )
+        from pubsub2bq_spark.tables import load
+
+        cells = tokenizer_fertility(spark, SF_SMOKE)
+        dims = load(spark, SF_SMOKE, "documents").select(
+            "doc_id", "lang", "source"
+        )
+        ref = (
+            bpe_apply(spark, SF_SMOKE)
+            .join(dims, "doc_id")
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_words").alias("n_words"),
+                F.sum("n_pieces").alias("n_pieces"),
+            )
+        )
+        ref_rows = {(r["lang"], r["source"]): r for r in ref.collect()}
+        cell_rows = {(r["lang"], r["source"]): r for r in cells.collect()}
+        assert set(cell_rows) == set(ref_rows)
+        for key, c in cell_rows.items():
+            r = ref_rows[key]
+            assert c["n_docs"] == r["n_docs"]
+            assert c["n_words"] == r["n_words"]
+            assert c["n_pieces"] == r["n_pieces"]
+            # BPE can only split words, never merge across them
+            assert c["fertility"] >= 1.0
