@@ -213,22 +213,50 @@ MIN_ABS_REGRESSION = 0.5
 MIN_ABS_REGRESSION_DECOMPOSED = 1.0
 
 
-def _gate_ratio(key: str, now: float, was: float) -> float:
-    """Regression ratio, on the variable component for decomposed keys."""
+def _session_drift(timings: dict[str, float], prior_q: dict[str, float]) -> float:
+    """Uniform machine/JVM drift between the two capture sessions: the
+    MEDIAN raw now/was over common queries. A code regression is
+    localized to the keys whose plan changed; a slow (or fast) session
+    inflates every ratio by the same factor — observed r6→r7: 0.82x on
+    identical code, and a 1.4x session showed up as two false flags on
+    fixed-cost-dominated keys where the variable-component subtraction
+    AMPLIFIED the uniform drift ((now-fixed)/(was-fixed) = 8x off a
+    1.29x raw ratio). Decomposed keys and sub-0.1s priors are excluded
+    from the estimate (amplified / noisy denominators); below 8 samples
+    the estimate is unreliable, so no correction. Clamped to [0.5, 3]:
+    anything beyond that is not 'drift' and should flag loudly."""
+    rs = sorted(
+        t / prior_q[k]
+        for k, t in timings.items()
+        if k not in FIXED_COST and prior_q.get(k, 0.0) > 0.1
+    )
+    if len(rs) < 8:
+        return 1.0
+    return min(max(rs[len(rs) // 2], 0.5), 3.0)
+
+
+def _gate_ratio(key: str, now: float, was: float, drift: float = 1.0) -> float:
+    """Regression ratio, on the variable component for decomposed keys.
+    The raw observation deflates by the session drift BEFORE the
+    fixed-cost subtraction — drift scales the whole measurement (the
+    fixed job-scheduling constant included), so subtracting an
+    un-drifted FIXED_COST from a drifted total would misattribute
+    drift·fixed seconds to the variable component."""
     fixed = FIXED_COST.get(key, 0.0)
-    now_v, was_v = max(now - fixed, 0.05), max(was - fixed, 0.05)
+    now_v = max(now / drift - fixed, 0.05)
+    was_v = max(was - fixed, 0.05)
     return now_v / was_v
 
 
-def _gate_flags(key: str, now: float, was: float) -> bool:
+def _gate_flags(key: str, now: float, was: float, drift: float = 1.0) -> bool:
     floor = (
         MIN_ABS_REGRESSION_DECOMPOSED
         if key in FIXED_COST
         else MIN_ABS_REGRESSION
     )
     return (
-        _gate_ratio(key, now, was) > REGRESSION_FACTOR
-        and now - was > floor
+        _gate_ratio(key, now, was, drift) > REGRESSION_FACTOR
+        and now / drift - was > floor
     )
 
 # Flags whose cause is a DELIBERATE semantics change (the operator now
@@ -333,15 +361,17 @@ def load_prior() -> tuple[str, dict] | None:
 
 
 def flagged_vs_prior(timings: dict[str, float]) -> list[str]:
-    """Queries slower than REGRESSION_FACTOR x the prior round."""
+    """Queries slower than REGRESSION_FACTOR x the prior round
+    (drift-normalized: see _session_drift)."""
     loaded = load_prior()
     if loaded is None:
         return []
     prior_q = loaded[1].get("queries", {})
+    drift = _session_drift(timings, prior_q)
     return [
         key
         for key, now in timings.items()
-        if prior_q.get(key) and _gate_flags(key, now, prior_q[key])
+        if prior_q.get(key) and _gate_flags(key, now, prior_q[key], drift)
     ]
 
 
@@ -363,11 +393,16 @@ def compare_to_prior_rounds(
     prior_q: dict[str, float] = prior.get("queries", {})
     root = os.path.dirname(os.path.abspath(__file__))
 
+    drift = _session_drift(timings, prior_q)
     lines = [
         "# Bench comparison (generated by bench.py — do not edit)",
         "",
         f"Current run vs `{prior_path}` "
-        f"(total {prior.get('value', '?')}s → {total}s). "
+        f"(total {prior.get('value', '?')}s → {total}s; session drift "
+        f"{drift:.2f}× — the median raw now/prior over common stable "
+        "queries, divided out of every ratio below so uniform "
+        "machine/JVM speed changes between capture sessions don't "
+        "flag). "
         f"Queries slower than {REGRESSION_FACTOR}× prior in the "
         "interleaved rounds get an ISOLATED min-of-3 re-measurement "
         "(the `isolated` column); a flag survives only if the isolated "
@@ -385,8 +420,12 @@ def compare_to_prior_rounds(
         if was is None:
             lines.append(f"| {key} | — | {now} | {iso_s} | — | new |")
             continue
-        ratio = _gate_ratio(key, now, was) if was > 0 else float("inf")
-        flag = "**REGRESSED**" if was > 0 and _gate_flags(key, now, was) else ""
+        ratio = _gate_ratio(key, now, was, drift) if was > 0 else float("inf")
+        flag = (
+            "**REGRESSED**"
+            if was > 0 and _gate_flags(key, now, was, drift)
+            else ""
+        )
         if flag:
             flagged.append(key)
         note = (

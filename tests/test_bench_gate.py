@@ -105,3 +105,41 @@ def test_load_prior_recovers_when_parsed_is_queryless_dict(tmp_path, monkeypatch
     name, prior = loaded
     assert name == "BENCH_r42.json"
     assert prior["queries"] == {"tpch_q1": 0.5}
+
+
+def test_session_drift_median_and_fallbacks():
+    """Uniform session drift is the median raw ratio over stable common
+    queries; decomposed keys and tiny priors are excluded; <8 samples
+    means no correction; the estimate clamps at [0.5, 3]."""
+    prior = {f"q{i}": 1.0 for i in range(10)}
+    # uniform 1.4x session
+    now = {f"q{i}": 1.4 for i in range(10)}
+    assert abs(bench._session_drift(now, prior) - 1.4) < 1e-9
+    # decomposed keys never contribute to the estimate
+    key = "ann_ivf_kmeans"
+    now2 = dict(now, **{key: 100.0})
+    prior2 = dict(prior, **{key: 1.0})
+    assert abs(bench._session_drift(now2, prior2) - 1.4) < 1e-9
+    # sub-0.1s priors are excluded (noisy denominators)
+    prior3 = dict(prior, q0=0.05)
+    assert abs(bench._session_drift(now, prior3) - 1.4) < 1e-9
+    # too few samples: no correction
+    assert bench._session_drift({"q0": 2.0}, {"q0": 1.0}) == 1.0
+    # clamp: a 10x "drift" is not drift
+    now4 = {f"q{i}": 10.0 for i in range(10)}
+    assert bench._session_drift(now4, prior) == 3.0
+
+
+def test_drift_deflation_kills_uniform_slowdown_flags():
+    """The r8 false-flag shape: a 1.4x-slower capture session turned
+    fixed-cost-dominated keys into 8x 'variable regressions'. With the
+    session median divided out, uniform slowdown never flags — while a
+    genuinely localized regression still does."""
+    key = "ann_ivf_kmeans"
+    fixed = bench.FIXED_COST[key]
+    was, now = fixed + 0.16, (fixed + 0.16) * 1.3  # raw 1.3x drift
+    assert bench._gate_flags(key, now, was)            # undeflated: flags
+    assert not bench._gate_flags(key, now, was, 1.4)   # deflated: clean
+    # a real 4x variable-component regression ON the slow session
+    # (whole observation carries the 1.4x) flags THROUGH the drift
+    assert bench._gate_flags(key, (fixed + 3.0) * 1.4, fixed + 0.7, 1.4)
