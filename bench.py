@@ -317,7 +317,7 @@ def _parse_bench_tail(tail: str) -> dict | None:
     if not isinstance(queries, dict) or not queries:
         return None
     out: dict = {"queries": queries}
-    for field in ("value", "sf"):
+    for field in ("value", "sf", "calibration_range_sum_sec"):
         m = re.search(r'"%s":\s*([0-9.eE+-]+)' % field, tail)
         if m:
             try:
@@ -360,14 +360,21 @@ def load_prior() -> tuple[str, dict] | None:
     return None
 
 
-def flagged_vs_prior(timings: dict[str, float]) -> list[str]:
+def flagged_vs_prior(
+    timings: dict[str, float], drift: float | None = None
+) -> list[str]:
     """Queries slower than REGRESSION_FACTOR x the prior round
-    (drift-normalized: see _session_drift)."""
+    (drift-normalized: see _session_drift). ``drift`` may be pinned by
+    the caller so the remeasure pass and the final report use the SAME
+    estimate — recomputing it after isolated re-measurements lowered
+    some timings would shift the median and could flag a key that never
+    got its isolated run."""
     loaded = load_prior()
     if loaded is None:
         return []
     prior_q = loaded[1].get("queries", {})
-    drift = _session_drift(timings, prior_q)
+    if drift is None:
+        drift = _session_drift(timings, prior_q)
     return [
         key
         for key, now in timings.items()
@@ -375,8 +382,50 @@ def flagged_vs_prior(timings: dict[str, float]) -> list[str]:
     ]
 
 
+# Median-vs-calibration disagreement beyond this emits the UNEXPLAINED
+# UNIFORM SLOWDOWN warning: a genuine code regression in a shared helper
+# slows every operator (median rises) but not the pure-compute probe.
+DRIFT_CALIBRATION_TOLERANCE = 0.25
+
+
+def _drift_warning(
+    drift: float,
+    calibration: float | None,
+    prior_calib: float | None,
+) -> str | None:
+    """Surface — never silently normalize — a large median drift the
+    pure-compute calibration probe does not corroborate. A slow box
+    raises the median AND the probe together; a code regression in a
+    shared helper (materialize / fan_out / load / session conf) raises
+    only the median, because the probe runs no operator code. Returns
+    the warning text, or None when the drift is small, corroborated, or
+    no calibration pair exists to check against."""
+    if not calibration or not prior_calib:
+        return None
+    calib_ratio = calibration / prior_calib
+    if (
+        drift <= 1.0 + DRIFT_CALIBRATION_TOLERANCE
+        or drift <= calib_ratio * (1.0 + DRIFT_CALIBRATION_TOLERANCE)
+    ):
+        return None
+    return (
+        f"**UNEXPLAINED UNIFORM SLOWDOWN**: median query drift is "
+        f"{drift:.2f}× but the pure-compute calibration probe moved "
+        f"only {calib_ratio:.2f}× ({prior_calib}s → {calibration}s). "
+        "A slow box shows up in BOTH numbers; a regression in a shared "
+        "helper (materialize / fan_out / load / session conf) shows up "
+        "only in the median. Treat this run as suspect: diff the "
+        "shared-helper code paths before trusting the per-query "
+        "'no flags' verdict below."
+    )
+
+
 def compare_to_prior_rounds(
-    timings: dict[str, float], total: float, remeasured: dict[str, float]
+    timings: dict[str, float],
+    total: float,
+    remeasured: dict[str, float],
+    drift: float | None = None,
+    calibration: float | None = None,
 ) -> None:
     """Regression gate: compare this run against the latest BENCH_r*.json
     and write docs/BENCH_COMPARE.md flagging per-query slowdowns beyond
@@ -393,7 +442,17 @@ def compare_to_prior_rounds(
     prior_q: dict[str, float] = prior.get("queries", {})
     root = os.path.dirname(os.path.abspath(__file__))
 
-    drift = _session_drift(timings, prior_q)
+    if drift is None:
+        drift = _session_drift(timings, prior_q)
+    # Cross-check the timing-derived drift against the pure-compute
+    # calibration probe: median drift explains a slow BOX, but a shared-
+    # helper code regression ALSO raises the median uniformly — the
+    # calibration probe (identical JVM work each round, no operator
+    # code) is immune to the latter, so a large median drift the probe
+    # does not corroborate must be surfaced, not normalized away.
+    drift_warning = _drift_warning(
+        drift, calibration, prior.get("calibration_range_sum_sec")
+    )
     lines = [
         "# Bench comparison (generated by bench.py — do not edit)",
         "",
@@ -409,6 +468,10 @@ def compare_to_prior_rounds(
         "time still exceeds the factor — noise spikes from JVM overlap "
         "can't hide or fake a regression.",
         "",
+    ]
+    if drift_warning:
+        lines += [drift_warning, ""]
+    lines += [
         "| query | prior (s) | now (s) | isolated (s) | ratio | flag |",
         "|---|---|---|---|---|---|",
     ]
@@ -462,7 +525,8 @@ def compare_to_prior_rounds(
     try:
         with open(out, "w") as f:
             f.write("\n".join(lines))
-        print(f"bench-compare: {len(flagged)} regression(s) vs "
+        warn = " + UNEXPLAINED UNIFORM SLOWDOWN" if drift_warning else ""
+        print(f"bench-compare: {len(flagged)} regression(s){warn} vs "
               f"{os.path.basename(prior_path)} -> {out}", file=sys.stderr)
     except OSError:
         pass
@@ -514,16 +578,18 @@ def main() -> None:
     loaded = load_prior()
     prior_queries = loaded[1].get("queries", {}) if loaded else {}
     new_keys = [k for k in timings if k not in prior_queries]
+    # Drift is pinned ONCE, from the interleaved timings, and reused by
+    # the final report: the isolated re-measurements below lower some
+    # timings, and recomputing the median after that could flag a key
+    # that never received its isolated run.
+    drift = _session_drift(timings, prior_queries)
     remeasured: dict[str, float] = {}
-    for key in flagged_vs_prior(timings) + new_keys:
+    for key in flagged_vs_prior(timings, drift) + new_keys:
         spark.sql("select 1").collect()
         time.sleep(1)
         iso = round(min(run(key) for _ in range(3)), 3)
         remeasured[key] = iso
         timings[key] = min(timings[key], iso)
-
-    total = round(sum(timings.values()), 3)
-    compare_to_prior_rounds(timings, total, remeasured)
 
     # Environment calibration: a fixed pure-compute JVM query (no IO, no
     # shuffle — one whole-stage-codegen range sum). Identical work every
@@ -531,7 +597,8 @@ def main() -> None:
     # not code: it lets a reader split "the operators regressed" from
     # "the box was slower" when comparing BENCH_r{N} files. (Observed in
     # round 5: a uniform ~1.2x inflation on untouched queries across a
-    # whole session.)
+    # whole session.) Measured BEFORE the compare so the report can
+    # cross-check the timing-derived median drift against it.
     def _calibrate() -> float:
         t0 = time.perf_counter()
         spark.range(0, 2_000_000_000, 1, 32).agg({"id": "sum"}).collect()
@@ -539,6 +606,9 @@ def main() -> None:
 
     _calibrate()  # warm
     calibration = round(min(_calibrate() for _ in range(3)), 3)
+
+    total = round(sum(timings.values()), 3)
+    compare_to_prior_rounds(timings, total, remeasured, drift, calibration)
 
     print(
         json.dumps(

@@ -1086,7 +1086,15 @@ CONT_TAU = 0.6    # report pairs with containment >= tau
         f"through rare grams (document frequency 2..{CONT_DF_CAP}); exact "
         "containment is then computed on candidates alone and pairs with "
         f"C >= {CONT_TAU} are reported (directed: doc_id is the contained "
-        "side).",
+        "side). DOCUMENTED BLIND SPOT (the df-cap dual of semdedup's "
+        "cell boundary): a passage duplicated into MORE than "
+        f"{CONT_DF_CAP} documents pushes every shared gram's df past the "
+        "cap, so those pairs propose no candidates here — by design, "
+        "because mass-duplicated content is the exact-dedup tier's job "
+        "(text_dedup / dedup_corpus catch verbatim copies at any "
+        "multiplicity, and dup_passage flags the >=2-doc passages "
+        "without pair enumeration); this operator targets the LOW-"
+        "multiplicity quotation case those tiers miss.",
     scale_notes="Three bounded shuffles: the gram df aggregate (map-side "
                 "combine absorbs hot boilerplate grams, which propose NO "
                 "pairs by the df cap), the candidate distinct keyed on the "
@@ -1098,7 +1106,11 @@ CONT_TAU = 0.6    # report pairs with containment >= tau
                 "At 100 TB, swap gram strings for xxhash64(gram) in both "
                 "the df and count joins (8 bytes/gram on the wire) and "
                 "keep the df cap fixed: candidate volume stays linear in "
-                "documents, never quadratic.",
+                "documents, never quadratic. Raising the cap trades "
+                "candidate volume (quadratic in the cap) for recall on "
+                "higher-multiplicity quotes; past the cap, coverage is "
+                "delegated to the exact tier (see the blind-spot note "
+                "in the doc).",
 )
 def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark)

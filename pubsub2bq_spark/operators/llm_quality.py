@@ -189,20 +189,26 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_oracle() -> str:
+def _quantizer_ctes() -> str:
+    """Shared oracle CTE prefix — v → sz → vs → k-means|| seed chain →
+    la1 (sample assign) → lc1 (one Lloyd round) → asgn (corpus assign):
+    the exact SemDeDup quantizer build. ONE definition consumed by
+    semdedup, global_semdedup and semantic_decontaminate, so a sizing /
+    rounding / tie-break change can never diverge between the three
+    (each would silently keep passing its own oracle while drifting
+    from its siblings)."""
     from pubsub2bq_spark.operators.llm_similarity import DIM
     from pubsub2bq_spark.operators.ml_ops import (
         _KMEANS_ASSIGN_SQL,
         _KMEANS_RECOMPUTE_SQL,
         _SQDIST_SQL,
         _kpp_seed_chain_sql,
+        _kpp_u16_sql,
     )
-
-    from pubsub2bq_spark.operators.ml_ops import _kpp_u16_sql
 
     smp = _kpp_u16_sql("CAST(v.vec_id AS VARCHAR) || ':smp'")
     return f"""
-        WITH v AS (
+        v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
         sz AS (
@@ -223,7 +229,39 @@ def _semdedup_oracle() -> str:
         )},
         la1 AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="seeds")}),
         lc1 AS ({_KMEANS_RECOMPUTE_SQL.format(dim=DIM, assigned="la1")}),
-        asgn AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="lc1")}),
+        asgn AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="lc1")})"""
+
+
+# Centroid-centroid squared distance (both rows from lc1, column c),
+# rounded to 6 dp before the neighbor ranking on BOTH engines so a
+# 1-ulp divergence in averaged centroid coordinates cannot flip a rank;
+# ties break on the neighbor cid.
+_CDIST_SQL = (
+    "list_dot_product(a.c, a.c) - 2 * list_dot_product(a.c, b.c) "
+    "+ list_dot_product(b.c, b.c)"
+)
+
+
+def _nbr_cte() -> str:
+    """`nbr(acid, bcid)` — each cell's GSEM_NBR nearest neighbor cells
+    by centroid distance, ranked over the k-row lc1 relation. Shared by
+    global_semdedup (undirected pair recovery) and
+    semantic_decontaminate (directed train→eval probe)."""
+    return f"""
+        nbr AS (
+            SELECT acid, bcid FROM (
+                SELECT a.cid AS acid, b.cid AS bcid,
+                       row_number() OVER (
+                           PARTITION BY a.cid
+                           ORDER BY round({_CDIST_SQL}, 6) ASC, b.cid ASC) AS rn
+                FROM lc1 a JOIN lc1 b ON a.cid <> b.cid
+            ) WHERE rn <= {GSEM_NBR}
+        )"""
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+        WITH {_quantizer_ctes()},
         pairs AS (
             SELECT b.vec_id, a.vec_id AS lower_id,
                    {_COS_SQL.format(a="a.v", b="b.v")} AS cos
@@ -239,6 +277,79 @@ def _semdedup_oracle() -> str:
             FROM pairs
         ) WHERE rn = 1
     """
+
+
+def _quantizer_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(cent, asgn) — the shared SemDeDup quantizer: load embeddings,
+    size k = max(floor, ceil(sqrt(n))) via a one-row scalar probe,
+    train k-means|| seeds on the bounded deterministic sample, refine
+    with ONE corpus Lloyd round, assign the corpus. Both frames are
+    materialized (each is consumed by 2+ downstream joins in every
+    caller). The Spark twin of _quantizer_ctes — one definition for
+    semdedup, global_semdedup and semantic_decontaminate."""
+    import math
+
+    from pubsub2bq_spark.operators.ml_ops import (
+        _assign,
+        _kpp_seeds,
+        _kpp_u16,
+        _recompute,
+    )
+
+    v = (
+        fan_out(load(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .transform(materialize)  # count probe + seeding + assignment
+    )
+    # Scalar probe on an aggregate (the dedup_clusters convergence-probe
+    # pattern): one row to the driver, sizes the quantizer. Same IEEE
+    # double sqrt/ceil as the oracle's ceil(sqrt(count(*))).
+    n = v.agg(F.count(F.lit(1))).first()[0]
+    n_cells = max(SEMDEDUP_CELLS, math.ceil(math.sqrt(n)) if n else 0)
+    cap = min(n, SEMDEDUP_SAMPLE_PER_CELL * n_cells)
+    if cap < n:
+        # Train the quantizer on the bounded deterministic sample; the
+        # oracle's vs CTE applies the identical integer inequality
+        # (trivially true when cap == n, hence the skip here).
+        u16 = _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(":smp")))
+        vs = v.filter(u16 * F.lit(n) < F.lit(65536 * cap)).transform(materialize)
+    else:
+        vs = v
+    seeds = _kpp_seeds(vs, k=n_cells, l=2 * n_cells)
+    cent = _recompute(_assign(v, seeds)).transform(materialize)
+    asgn = (
+        _assign(v, cent)
+        .select("cid", "vec_id", "v")
+        .transform(materialize)
+    )
+    return cent, asgn
+
+
+def _neighbor_cells(cent: DataFrame) -> DataFrame:
+    """nbr(acid, bcid): each cell's GSEM_NBR nearest neighbor cells —
+    the k-row centroid relation ranked against itself (k^2 = n distance
+    ops at k = sqrt(n), one side broadcast, never the corpus). The
+    Spark twin of _nbr_cte."""
+    from pubsub2bq_spark.operators.ml_ops import _sqdist
+
+    ca = cent.select(F.col("cid").alias("acid"), F.col("c").alias("ac"))
+    cb = cent.select(F.col("cid").alias("bcid"), F.col("c").alias("bc"))
+    wn = Window.partitionBy("acid").orderBy(
+        F.col("rdist").asc(), F.col("bcid").asc()
+    )
+    return (
+        ca.crossJoin(F.broadcast(cb))
+        .filter(F.col("acid") != F.col("bcid"))
+        .select(
+            "acid",
+            "bcid",
+            F.round(_sqdist(F.col("ac"), F.col("bc")), 6).alias("rdist"),
+        )
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= GSEM_NBR)
+    )
 
 
 @register(
@@ -281,41 +392,8 @@ def _semdedup_oracle() -> str:
 )
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubsub2bq_spark.operators.llm_dedup import _salted_self_join
-    from pubsub2bq_spark.operators.ml_ops import (
-        _assign,
-        _kpp_seeds,
-        _kpp_u16,
-        _recompute,
-    )
 
-    v = (
-        fan_out(load(spark, sf_dir, "embeddings"), spark)
-        .select("vec_id", _dvec("embedding").alias("v"))
-        .transform(materialize)  # count probe + seeding + assignment
-    )
-    # Scalar probe on an aggregate (the dedup_clusters convergence-probe
-    # pattern): one row to the driver, sizes the quantizer. Same IEEE
-    # double sqrt/ceil as the oracle's ceil(sqrt(count(*))).
-    import math
-
-    n = v.agg(F.count(F.lit(1))).first()[0]
-    n_cells = max(SEMDEDUP_CELLS, math.ceil(math.sqrt(n)) if n else 0)
-    cap = min(n, SEMDEDUP_SAMPLE_PER_CELL * n_cells)
-    if cap < n:
-        # Train the quantizer on the bounded deterministic sample; the
-        # oracle's vs CTE applies the identical integer inequality
-        # (trivially true when cap == n, hence the skip here).
-        u16 = _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(":smp")))
-        vs = v.filter(u16 * F.lit(n) < F.lit(65536 * cap)).transform(materialize)
-    else:
-        vs = v
-    seeds = _kpp_seeds(vs, k=n_cells, l=2 * n_cells)
-    cent = _recompute(_assign(v, seeds))  # ONE corpus Lloyd round
-    asgn = (
-        _assign(v, cent)
-        .select("cid", "vec_id", "v")
-        .transform(materialize)  # both sides of the intra-cell self-join
-    )
+    _, asgn = _quantizer_build(spark, sf_dir)
     pr = _salted_self_join(asgn, ["cid"], id_col="vec_id")
     cos = _cosine(F.col("v_a"), F.col("v_b"))
     pairs = (
@@ -350,57 +428,10 @@ GSEM_NBR = 2  # neighbor cells probed per cell (the IVF nprobe analog)
 
 
 def _global_semdedup_oracle() -> str:
-    from pubsub2bq_spark.operators.llm_similarity import DIM
-    from pubsub2bq_spark.operators.ml_ops import (
-        _KMEANS_ASSIGN_SQL,
-        _KMEANS_RECOMPUTE_SQL,
-        _SQDIST_SQL,
-        _kpp_seed_chain_sql,
-        _kpp_u16_sql,
-    )
-
-    smp = _kpp_u16_sql("CAST(v.vec_id AS VARCHAR) || ':smp'")
-    # Centroid-centroid squared distance (both rows from lc1, column c).
-    # Rounded to 6 dp before the neighbor ranking on BOTH engines so a
-    # 1-ulp divergence in the averaged centroid coordinates cannot flip
-    # a rank; ties break on the neighbor cid.
-    cdist = (
-        "list_dot_product(a.c, a.c) - 2 * list_dot_product(a.c, b.c) "
-        "+ list_dot_product(b.c, b.c)"
-    )
     cos = _COS_SQL.format(a="a.v", b="b.v")
     return f"""
-        WITH v AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ),
-        sz AS (
-            SELECT CAST(greatest({SEMDEDUP_CELLS},
-                       ceil(sqrt(n))) AS BIGINT) AS k,
-                   CAST(least(n, {SEMDEDUP_SAMPLE_PER_CELL}
-                       * greatest({SEMDEDUP_CELLS}, ceil(sqrt(n))))
-                       AS BIGINT) AS cap,
-                   n
-            FROM (SELECT count(*) AS n FROM v)
-        ),
-        vs AS (
-            SELECT v.vec_id, v.v FROM v, sz
-            WHERE ({smp}) * n < 65536 * cap
-        ),
-        {_kpp_seed_chain_sql(
-            "SELECT k FROM sz", "SELECT 2 * k FROM sz", src="vs"
-        )},
-        la1 AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="seeds")}),
-        lc1 AS ({_KMEANS_RECOMPUTE_SQL.format(dim=DIM, assigned="la1")}),
-        asgn AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="lc1")}),
-        nbr AS (
-            SELECT acid, bcid FROM (
-                SELECT a.cid AS acid, b.cid AS bcid,
-                       row_number() OVER (
-                           PARTITION BY a.cid
-                           ORDER BY round({cdist}, 6) ASC, b.cid ASC) AS rn
-                FROM lc1 a JOIN lc1 b ON a.cid <> b.cid
-            ) WHERE rn <= {GSEM_NBR}
-        ),
+        WITH {_quantizer_ctes()},
+        {_nbr_cte()},
         npairs AS (
             SELECT DISTINCT least(acid, bcid) AS cl,
                             greatest(acid, bcid) AS ch
@@ -546,54 +577,10 @@ def _salted_pair_join(asgn: DataFrame, npairs: DataFrame) -> DataFrame:
                 "work for recall, exactly like IVF nprobe.",
 )
 def global_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from pubsub2bq_spark.operators.llm_dedup import _salted_self_join
-    from pubsub2bq_spark.operators.ml_ops import (
-        _assign,
-        _kpp_seeds,
-        _kpp_u16,
-        _recompute,
-        _sqdist,
-    )
 
-    v = (
-        fan_out(load(spark, sf_dir, "embeddings"), spark)
-        .select("vec_id", _dvec("embedding").alias("v"))
-        .transform(materialize)  # count probe + seeding + assignment
-    )
-    n = v.agg(F.count(F.lit(1))).first()[0]
-    n_cells = max(SEMDEDUP_CELLS, math.ceil(math.sqrt(n)) if n else 0)
-    cap = min(n, SEMDEDUP_SAMPLE_PER_CELL * n_cells)
-    if cap < n:
-        u16 = _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(":smp")))
-        vs = v.filter(u16 * F.lit(n) < F.lit(65536 * cap)).transform(materialize)
-    else:
-        vs = v
-    seeds = _kpp_seeds(vs, k=n_cells, l=2 * n_cells)
-    cent = _recompute(_assign(v, seeds)).transform(materialize)  # asgn + nbr
-    asgn = (
-        _assign(v, cent)
-        .select("cid", "vec_id", "v")
-        .transform(materialize)  # in-cell self-join + both cross legs
-    )
-    # Neighbor cells: k-row centroid relation ranked against itself.
-    ca = cent.select(F.col("cid").alias("acid"), F.col("c").alias("ac"))
-    cb = cent.select(F.col("cid").alias("bcid"), F.col("c").alias("bc"))
-    wn = Window.partitionBy("acid").orderBy(
-        F.col("rdist").asc(), F.col("bcid").asc()
-    )
-    nbr = (
-        ca.crossJoin(F.broadcast(cb))
-        .filter(F.col("acid") != F.col("bcid"))
-        .select(
-            "acid",
-            "bcid",
-            F.round(_sqdist(F.col("ac"), F.col("bc")), 6).alias("rdist"),
-        )
-        .withColumn("rn", F.row_number().over(wn))
-        .filter(F.col("rn") <= GSEM_NBR)
-    )
+    cent, asgn = _quantizer_build(spark, sf_dir)
+    nbr = _neighbor_cells(cent)
     npairs = (
         nbr.select(
             F.least("acid", "bcid").alias("cl"),
@@ -1253,54 +1240,13 @@ _DECON_SALT = 8        # train-side fragments per cell pair (eval replicated)
 
 
 def _semantic_decontaminate_oracle() -> str:
-    from pubsub2bq_spark.operators.llm_similarity import DIM
-    from pubsub2bq_spark.operators.ml_ops import (
-        _KMEANS_ASSIGN_SQL,
-        _KMEANS_RECOMPUTE_SQL,
-        _SQDIST_SQL,
-        _kpp_seed_chain_sql,
-        _kpp_u16_sql,
-    )
+    from pubsub2bq_spark.operators.ml_ops import _kpp_u16_sql
 
-    smp = _kpp_u16_sql("CAST(v.vec_id AS VARCHAR) || ':smp'")
     dec = _kpp_u16_sql("CAST(vec_id AS VARCHAR) || ':dec'")
-    cdist = (
-        "list_dot_product(a.c, a.c) - 2 * list_dot_product(a.c, b.c) "
-        "+ list_dot_product(b.c, b.c)"
-    )
     cos = _COS_SQL.format(a="t.v", b="e.v")
     return f"""
-        WITH v AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ),
-        sz AS (
-            SELECT CAST(greatest({SEMDEDUP_CELLS},
-                       ceil(sqrt(n))) AS BIGINT) AS k,
-                   CAST(least(n, {SEMDEDUP_SAMPLE_PER_CELL}
-                       * greatest({SEMDEDUP_CELLS}, ceil(sqrt(n))))
-                       AS BIGINT) AS cap,
-                   n
-            FROM (SELECT count(*) AS n FROM v)
-        ),
-        vs AS (
-            SELECT v.vec_id, v.v FROM v, sz
-            WHERE ({smp}) * n < 65536 * cap
-        ),
-        {_kpp_seed_chain_sql(
-            "SELECT k FROM sz", "SELECT 2 * k FROM sz", src="vs"
-        )},
-        la1 AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="seeds")}),
-        lc1 AS ({_KMEANS_RECOMPUTE_SQL.format(dim=DIM, assigned="la1")}),
-        asgn AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="lc1")}),
-        nbr AS (
-            SELECT acid, bcid FROM (
-                SELECT a.cid AS acid, b.cid AS bcid,
-                       row_number() OVER (
-                           PARTITION BY a.cid
-                           ORDER BY round({cdist}, 6) ASC, b.cid ASC) AS rn
-                FROM lc1 a JOIN lc1 b ON a.cid <> b.cid
-            ) WHERE rn <= {GSEM_NBR}
-        ),
+        WITH {_quantizer_ctes()},
+        {_nbr_cte()},
         cp AS (
             SELECT cid AS tcid, cid AS ecid FROM lc1
             UNION
@@ -1353,52 +1299,10 @@ def _semantic_decontaminate_oracle() -> str:
                 "linearly, exactly like IVF nprobe.",
 )
 def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
+    from pubsub2bq_spark.operators.ml_ops import _kpp_u16
 
-    from pubsub2bq_spark.operators.ml_ops import (
-        _assign,
-        _kpp_seeds,
-        _kpp_u16,
-        _recompute,
-        _sqdist,
-    )
-
-    v = (
-        fan_out(load(spark, sf_dir, "embeddings"), spark)
-        .select("vec_id", _dvec("embedding").alias("v"))
-        .transform(materialize)  # count probe + seeding + assignment
-    )
-    n = v.agg(F.count(F.lit(1))).first()[0]
-    n_cells = max(SEMDEDUP_CELLS, math.ceil(math.sqrt(n)) if n else 0)
-    cap = min(n, SEMDEDUP_SAMPLE_PER_CELL * n_cells)
-    if cap < n:
-        u16 = _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(":smp")))
-        vs = v.filter(u16 * F.lit(n) < F.lit(65536 * cap)).transform(materialize)
-    else:
-        vs = v
-    seeds = _kpp_seeds(vs, k=n_cells, l=2 * n_cells)
-    cent = _recompute(_assign(v, seeds)).transform(materialize)  # asgn + nbr
-    asgn = (
-        _assign(v, cent)
-        .select("cid", "vec_id", "v")
-        .transform(materialize)  # train AND eval member streams
-    )
-    ca = cent.select(F.col("cid").alias("acid"), F.col("c").alias("ac"))
-    cb = cent.select(F.col("cid").alias("bcid"), F.col("c").alias("bc"))
-    wn = Window.partitionBy("acid").orderBy(
-        F.col("rdist").asc(), F.col("bcid").asc()
-    )
-    nbr = (
-        ca.crossJoin(F.broadcast(cb))
-        .filter(F.col("acid") != F.col("bcid"))
-        .select(
-            "acid",
-            "bcid",
-            F.round(_sqdist(F.col("ac"), F.col("bc")), 6).alias("rdist"),
-        )
-        .withColumn("rn", F.row_number().over(wn))
-        .filter(F.col("rn") <= GSEM_NBR)
-    )
+    cent, asgn = _quantizer_build(spark, sf_dir)
+    nbr = _neighbor_cells(cent)
     cp = (
         cent.select(F.col("cid").alias("tcid"), F.col("cid").alias("ecid"))
         .unionByName(nbr.select(F.col("acid").alias("tcid"), F.col("bcid").alias("ecid")))

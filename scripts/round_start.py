@@ -41,6 +41,10 @@ DOC_SYNC_TESTS = [
     "tests/test_units.py::test_survey_lists_every_key",
     "tests/test_docs.py::test_operators_md_current",
     "tests/test_docs.py::test_readme_key_count_matches_registry",
+    # PLANS.md regeneration needs a Spark session (~minutes), so this
+    # script verifies coverage instead of regenerating: a red here means
+    # "run python scripts/gen_plan_docs.py", which the failure names.
+    "tests/test_docs.py::test_plans_md_covers_plan_keys",
 ]
 
 

@@ -143,3 +143,19 @@ def test_drift_deflation_kills_uniform_slowdown_flags():
     # a real 4x variable-component regression ON the slow session
     # (whole observation carries the 1.4x) flags THROUGH the drift
     assert bench._gate_flags(key, (fixed + 3.0) * 1.4, fixed + 0.7, 1.4)
+
+
+def test_drift_warning_fires_only_when_probe_disagrees():
+    """The calibration cross-check: a slow box (probe moved too) stays
+    quiet, a median the probe can't explain warns, and missing
+    calibration data never crashes the compare."""
+    # box slowdown: median 1.4x AND probe 1.4x — corroborated, quiet
+    assert bench._drift_warning(1.4, 0.25, 0.179) is None
+    # the r8 shape: median 1.38x, probe FASTER (0.15 vs 0.179) — warn
+    w = bench._drift_warning(1.38, 0.15, 0.179)
+    assert w and "UNEXPLAINED UNIFORM SLOWDOWN" in w
+    # small drift never warns regardless of the probe
+    assert bench._drift_warning(1.1, 0.15, 0.179) is None
+    # no calibration pair: no check possible
+    assert bench._drift_warning(2.0, None, 0.179) is None
+    assert bench._drift_warning(2.0, 0.15, None) is None
