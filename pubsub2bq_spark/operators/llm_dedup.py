@@ -1137,10 +1137,18 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= CONT_DF_CAP))
         .select("gram")
     )
-    rg = grams.join(rare, "gram")
+    # Every join below is big-big (grams, rare and ng all scale with the
+    # corpus), so each carries an explicit MERGE hint: Catalyst's static
+    # estimator assumes ~20-byte strings, sizes the gram table under the
+    # broadcast threshold, and statically plans BROADCAST builds of the
+    # full corpus gram relation — measured to OOM the 32x probe. The
+    # hint pins sort-merge; AQE still downgrades any individual exchange
+    # to a broadcast at runtime when the REAL size is small (the test-SF
+    # fast path), which is the correct direction to adapt in.
+    rg = grams.join(rare.hint("merge"), "gram")
     cand = (
         rg.alias("ga")
-        .join(rg.alias("gb"), "gram")
+        .join(rg.alias("gb").hint("merge"), "gram")
         .filter(F.col("ga.doc_id") != F.col("gb.doc_id"))
         .select(
             F.col("ga.doc_id").alias("a"), F.col("gb.doc_id").alias("b")
@@ -1149,9 +1157,11 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(materialize)  # consumed by both sides of the count chain
     )
     shared = (
-        cand.join(grams.alias("ga"), F.col("a") == F.col("ga.doc_id"))
+        cand.join(
+            grams.alias("ga").hint("merge"), F.col("a") == F.col("ga.doc_id")
+        )
         .join(
-            grams.alias("gb"),
+            grams.alias("gb").hint("merge"),
             (F.col("b") == F.col("gb.doc_id"))
             & (F.col("ga.gram") == F.col("gb.gram")),
         )
@@ -1160,7 +1170,7 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = F.col("n_shared").cast("double") / F.col("n_grams")
     return (
-        shared.join(ng, shared["a"] == ng["doc_id"])
+        shared.join(ng.hint("merge"), shared["a"] == ng["doc_id"])
         .filter(cont >= CONT_TAU)
         .select(
             F.col("a").alias("doc_id"),
