@@ -141,7 +141,13 @@ def _first_occurrence_rebuild(chunks: DataFrame) -> DataFrame:
     position order."""
     pos = F.col("doc_id") * _POS_STRIDE + F.col("idx")
     firsts = chunks.groupBy("chunk").agg(F.min(pos).alias("keep_key"))
-    kept = chunks.join(firsts, "chunk").filter(pos == F.col("keep_key"))
+    # MERGE hints: the first-occurrence map and the rebuilt-doc relation
+    # both scale with the corpus, but Catalyst's ~20-byte string-width
+    # estimate can statically size them broadcastable (the 32x-probe
+    # OOM class). AQE still broadcasts at runtime when actually small.
+    kept = chunks.join(firsts.hint("merge"), "chunk").filter(
+        pos == F.col("keep_key")
+    )
     tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     reb = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -153,7 +159,7 @@ def _first_occurrence_rebuild(chunks: DataFrame) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
-    return tot.join(reb, "doc_id", "left").select(
+    return tot.join(reb.hint("merge"), "doc_id", "left").select(
         "doc_id",
         "n_chunks",
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),

@@ -630,7 +630,13 @@ def substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt") > 1
     ).select("h")
     wp = Window.partitionBy("doc_id").orderBy("pos")
-    flagged = g.join(rep, "h").withColumn(
+    # MERGE hints on the corpus-scaled joins: the repeated-hash set and
+    # the per-doc span set both scale with the corpus, but Catalyst's
+    # ~20-byte string-width estimate statically sizes them broadcastable
+    # (measured: the rep broadcast gathered >1 GiB of task results to
+    # the driver at the 32x probe). AQE still downgrades to a runtime
+    # broadcast when a side is genuinely small.
+    flagged = g.join(rep.hint("merge"), "h").withColumn(
         "brk",
         F.when(
             F.lag("pos").over(wp).isNull()
@@ -649,7 +655,7 @@ def substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").alias("tlen")
     )
     return (
-        docs.join(spans, "doc_id", "left")
+        docs.join(spans.hint("merge"), "doc_id", "left")
         .groupBy("doc_id", "tlen")
         .agg(
             F.count("s").alias("n_repeat_spans"),

@@ -189,7 +189,11 @@ def dup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram", F.lit(True).alias("is_dup"))
     )
     per_doc = (
-        grams.join(dup, "gram", "left")
+        # MERGE hints: the dup-gram set and the per-doc stats both scale
+        # with the corpus; Catalyst's static string-width estimate would
+        # plan broadcast builds of them (the 32x-probe OOM class). AQE
+        # still broadcasts at runtime when a side is actually small.
+        grams.join(dup.hint("merge"), "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -203,7 +207,7 @@ def dup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        .join(per_doc.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),

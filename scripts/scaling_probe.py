@@ -215,6 +215,7 @@ def main() -> int:
             )
             times[key][s] = round(best, 3)
             print(f"x{s:<2} {key:<18} {best:.3f}s", flush=True)
+            _drop_dead_blocks(spark)
 
     smin, smax = min(dirs), max(dirs)
     if args.keys:
@@ -301,6 +302,19 @@ def _timed(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def _drop_dead_blocks(spark) -> None:
+    """Unpersist every persistent RDD between measurements. The
+    operators' materialize() localCheckpoints pin storage blocks that
+    are NON-EVICTABLE (the checkpoint is the only copy), so a long
+    multi-key probe session accumulates dead pinned blocks until
+    execution memory can't acquire a page (observed: executor
+    SparkOutOfMemoryError at 32x after ~16 measurements). Each timed
+    run rebuilds its frames from scratch, so dropping everything
+    between measurements is safe and keeps measurements independent."""
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist(False)
 
 
 if __name__ == "__main__":
