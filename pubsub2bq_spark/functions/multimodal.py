@@ -5,21 +5,40 @@ columns beside typed metadata columns; decode / feature-extract /
 resize / frame-sample are Arrow-batched pandas functions applied with
 ``mapInPandas`` so each Python batch handles thousands of payloads.
 
-The actual codec step is STUBBED (no image/audio libraries in this
-container): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless a real decoder import succeeds, and
-``fake_decode_meta`` provides a deterministic stand-in so the
-Spark-side plumbing (schema, batching, partitioning) is fully real
-and testable.
+Codec coverage is split honestly:
+
+* **PNG** — fully real, stdlib-only (functions/png_codec.py): parse,
+  inflate, defilter, nearest-neighbor resize, re-encode.
+* **WAV (PCM16)** — fully real, stdlib ``wave`` (functions/wav_codec.py):
+  container parse + PCM frame decode + RMS feature math.
+* everything else (JPEG/mp3/video codecs) raises
+  ``NotImplementedError`` unless a real decoder library (PIL) imports —
+  the container has none, and pretending otherwise would be worse.
+
+``fake_decode_meta`` remains as the deterministic stand-in used by the
+pure-plumbing keys (multimodal_meta / frame_sample), whose oracles
+restate its byte-length arithmetic.
 """
 
 from __future__ import annotations
 
+import hashlib
+import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
-# Real decoders are optional; plumb through if present.
+from pubsub2bq_spark.functions.png_codec import (
+    PNG_SIG,
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
+from pubsub2bq_spark.functions.wav_codec import decode_wav_s16, encode_wav_s16
+
+# Real decoders for non-PNG image formats are optional; plumb through if
+# present.
 try:  # pragma: no cover - not installed in this container
     from PIL import Image  # type: ignore
 
@@ -28,16 +47,26 @@ except ImportError:
     _HAS_PIL = False
 
 
-def decode_image(payload: bytes) -> "Image.Image":
-    """Decode an image payload. STUB: requires PIL, absent here."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image decoding requires PIL; container has no codec libraries — "
-            "use fake_decode_meta for plumbing tests"
-        )
-    import io
+def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode an image payload → ``(width, height, channels, pixels)``.
 
-    return Image.open(io.BytesIO(payload))  # pragma: no cover
+    PNG decodes with the stdlib codec (real inflate + defilter). Other
+    formats need PIL; without it the NotImplementedError path is
+    reachable only for non-PNG codecs.
+    """
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    if _HAS_PIL:  # pragma: no cover - no PIL in this container
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        arr = np.asarray(img)
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        return img.width, img.height, ch, arr.reshape(img.height, img.width, ch)
+    raise NotImplementedError(
+        "non-PNG image decoding requires PIL; container has no codec "
+        "libraries — PNG payloads decode via the stdlib codec"
+    )
 
 
 def fake_decode_meta(payload: bytes) -> dict:
@@ -54,6 +83,24 @@ def fake_decode_meta(payload: bytes) -> dict:
         "height": (n // 64) % 64 + 16,
         "n_frames": n % 5 + 1,
     }
+
+
+def synth_png_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* PNG whose dimensions follow the same
+    byte-length rule as :func:`fake_decode_meta` (w = n%64+16,
+    h = (n//64)%64+16) and whose grayscale pixel at (x, y) is ``x + y``
+    (< 256 for all rule-reachable dims, so no modular wrap).
+
+    This is the bridge between the text fixtures and the real codec:
+    oracles can restate the dimensions and the closed-form pixel sum
+    ``w*h*(w+h-2)/2`` while the decoder genuinely inflates and
+    defilters the file.
+    """
+    n = len(payload)
+    w = n % 64 + 16
+    h = (n // 64) % 64 + 16
+    px = np.add.outer(np.arange(h, dtype=np.uint8), np.arange(w, dtype=np.uint8))
+    return encode_png(px)
 
 
 def decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -84,19 +131,31 @@ RESIZE_TARGET = 224  # max output side (the ViT/CNN preprocessing default)
 
 
 def resize_image(payload: bytes, target: int = RESIZE_TARGET) -> bytes:
-    """Resize an image payload. STUB: requires PIL, absent here."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image resizing requires PIL; container has no codec libraries — "
-            "use fake_resize_meta for plumbing tests"
-        )
-    import io  # pragma: no cover
+    """Resize an image payload to fit in a target×target box
+    (aspect-preserving, nearest-neighbor) and re-encode.
 
-    img = decode_image(payload)  # pragma: no cover
-    img.thumbnail((target, target))  # pragma: no cover
-    buf = io.BytesIO()  # pragma: no cover
-    img.save(buf, format="PNG")  # pragma: no cover
-    return buf.getvalue()  # pragma: no cover
+    Real end-to-end for PNG (stdlib decode → resample → re-encode);
+    other formats fall back to PIL or raise.
+    """
+    if payload[:8] == PNG_SIG:
+        w, h, _ch, px = decode_png(payload)
+        long_side = max(w, h)
+        out_w = max(1, (w * target) // long_side)
+        out_h = max(1, (h * target) // long_side)
+        return encode_png(resize_nearest(px.squeeze(-1) if px.shape[2] == 1 else px,
+                                         out_w, out_h))
+    if _HAS_PIL:  # pragma: no cover - no PIL in this container
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        img.thumbnail((target, target))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+    raise NotImplementedError(
+        "non-PNG image resizing requires PIL; container has no codec "
+        "libraries — PNG payloads resize via the stdlib codec"
+    )
 
 
 def fake_resize_meta(payload: bytes, target: int = RESIZE_TARGET) -> dict:
@@ -118,8 +177,52 @@ def fake_resize_meta(payload: bytes, target: int = RESIZE_TARGET) -> dict:
     }
 
 
+def png_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the REAL image path: synthesize a PNG per
+    payload (dims from the byte-length rule), then run the full honest
+    loop — decode (inflate + defilter), pixel-sum the decoded image,
+    nearest-neighbor resize, re-encode, and re-decode the output to
+    report its measured dimensions. Every reported number comes out of
+    a decoder, not out of the generation rule."""
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "width": [], "height": [],
+            "px_sum": [], "out_w": [], "out_h": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            png = synth_png_from_bytes(payload)
+            w, h, _ch, px = decode_png(png)
+            resized = resize_image(png)
+            out_w, out_h, _oc, _opx = decode_png(resized)
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["px_sum"].append(int(px.sum(dtype=np.int64)))
+            rows["out_w"].append(out_w)
+            rows["out_h"].append(out_h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+                "out_w": pd.Series(rows["out_w"], dtype="int32"),
+                "out_h": pd.Series(rows["out_h"], dtype="int32"),
+            }
+        )
+
+
+PNG_RESIZE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, "
+    "px_sum bigint, out_w int, out_h int"
+)
+
+
 def resize_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: binary `payload` → resize-plan metadata."""
+    """mapInPandas kernel: binary `payload` → resize-plan metadata
+    (byte-length rule only — the plumbing twin of png_resize_batches)."""
     for pdf in batches:
         metas = pdf["payload"].map(fake_resize_meta)
         yield pd.DataFrame(
@@ -138,12 +241,48 @@ RESIZE_META_SCHEMA = (
     "doc_id bigint, n_bytes bigint, width int, height int, out_w int, out_h int"
 )
 
+# Sample-synthesis constants for the real WAV path. Knuth's 2^32/phi
+# multiplier spreads consecutive indices across the 16-bit range; both
+# engines state the identical integer arithmetic.
+_WAV_MULT = 2654435761
+_WAV_SAMPLES_DIV = 4  # n_samples = n_bytes // 4 + 8
+
+
+def synth_wav_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* RIFF/WAVE file (PCM16 mono) whose sample
+    values follow an exact integer rule over the payload byte length:
+    ``s_i = ((i*2654435761 + n) % 65536) - 32768``. Oracles restate the
+    rule; the kernel must genuinely parse the container + frames to
+    recover the samples."""
+    n = len(payload)
+    n_samples = n // _WAV_SAMPLES_DIV + 8
+    i = np.arange(n_samples, dtype=np.int64)
+    s = ((i * _WAV_MULT + n) % 65536) - 32768
+    return encode_wav_s16(s.astype(np.int16))
+
 
 def extract_audio_features(payload: bytes) -> dict:
-    """Feature-extract an audio payload. STUB: no audio codecs here."""
+    """Feature-extract an audio payload.
+
+    Real for WAV/PCM16 (stdlib ``wave`` parse + exact-integer RMS: the
+    sum of squares is exact int64, so ``sqrt(sum_sq/n)/32768`` is
+    bit-identical across engines). Non-RIFF payloads raise — perceptual
+    codecs need a library the container doesn't have.
+    """
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, samples = decode_wav_s16(payload)
+        n_samples = int(samples.size)
+        sum_sq = int(np.sum(samples.astype(np.int64) ** 2))
+        rms = math.sqrt(sum_sq / n_samples) / 32768.0 if n_samples else 0.0
+        return {
+            "sample_rate": rate,
+            "n_samples": n_samples,
+            "sum_sq": sum_sq,
+            "rms": rms,
+        }
     raise NotImplementedError(
-        "audio feature extraction requires an audio codec library, absent "
-        "in this container — use fake_audio_features for plumbing tests"
+        "non-WAV audio feature extraction requires an audio codec library, "
+        "absent in this container — WAV/PCM16 decodes via the stdlib codec"
     )
 
 
@@ -156,8 +295,6 @@ def fake_audio_features(payload: bytes) -> dict:
     rounding — deliberately un-rounded, because Python's round() is
     half-to-even while SQL round() is half-away-from-zero and the two
     disagree on exact ties."""
-    import hashlib
-
     n = len(payload)
     h = hashlib.md5(payload).hexdigest()
     return {
@@ -167,8 +304,32 @@ def fake_audio_features(payload: bytes) -> dict:
     }
 
 
+def wav_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the REAL audio path: synthesize a WAV per
+    payload, parse the RIFF container + PCM frames with the stdlib
+    reader, and compute the RMS feature from the DECODED samples."""
+    for pdf in batches:
+        rows = {"doc_id": [], "n_bytes": [], "n_windows": [], "rms": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            feats = extract_audio_features(synth_wav_from_bytes(payload))
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(n)
+            rows["n_windows"].append(n // 256 + 1)
+            rows["rms"].append(feats["rms"])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "n_windows": pd.Series(rows["n_windows"], dtype="int64"),
+                "rms": pd.Series(rows["rms"], dtype="float64"),
+            }
+        )
+
+
 def audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: binary `payload` → fixed-width feature row."""
+    """mapInPandas kernel: binary `payload` → fixed-width feature row
+    (md5-rule stand-in — the plumbing twin of wav_feature_batches)."""
     for pdf in batches:
         feats = pdf["payload"].map(fake_audio_features)
         yield pd.DataFrame(

@@ -21,11 +21,11 @@ from pyspark.sql import types as T
 from pubsub2bq_spark.functions.multimodal import (
     AUDIO_FEATURE_SCHEMA,
     DECODE_META_SCHEMA,
-    RESIZE_META_SCHEMA,
+    PNG_RESIZE_SCHEMA,
     RESIZE_TARGET,
-    audio_feature_batches,
     decode_meta_batches,
-    resize_meta_batches,
+    png_resize_batches,
+    wav_feature_batches,
 )
 from pubsub2bq_spark.registry import register
 from pubsub2bq_spark.tables import fan_out, load
@@ -129,27 +129,32 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id, n_bytes, width, height,
+               CAST(width AS BIGINT) * height * (width + height - 2) // 2 AS px_sum,
                CAST(greatest(1, (width * {RESIZE_TARGET})
                                 // greatest(width, height)) AS INTEGER)  AS out_w,
                CAST(greatest(1, (height * {RESIZE_TARGET})
                                 // greatest(width, height)) AS INTEGER)  AS out_h
         FROM m
     """,
-    doc=f"Image resize plumbing (U8 'resize' verb): binary payload → "
-        f"aspect-preserving max-side-{RESIZE_TARGET} output dimensions "
-        "via an Arrow-batched mapInPandas kernel. The pixel resample is "
-        "a stub (functions/multimodal.py raises NotImplementedError "
-        "without PIL); the dimension plan uses exact integer floor "
-        "division so the oracle restates it, and the Spark-side schema/"
-        "batching/partitioning are the real 100 TB design.",
+    doc=f"Image resize (U8 'resize' verb), REAL end-to-end for PNG: the "
+        "kernel synthesizes a real PNG per payload (dims from the "
+        "byte-length rule, gray pixel (x,y) = x+y), then genuinely "
+        "decodes it with the stdlib codec (zlib inflate + scanline "
+        "defilter, functions/png_codec.py), pixel-sums the decoded "
+        f"image, nearest-neighbor resizes to max side {RESIZE_TARGET}, "
+        "re-encodes, and re-decodes the output to report its measured "
+        "dimensions. The oracle restates the generation rule: dims from "
+        "byte length, px_sum = w*h*(w+h-2)/2 (closed form of Σ(x+y)), "
+        "resize dims by exact floor division. NotImplementedError now "
+        "remains only for non-PNG codecs (PIL absent).",
     scale_notes="Identical envelope to multimodal_meta: project to "
                 "(doc_id, payload) before the fan-out so the exchange "
                 "carries only kernel inputs, then one mapInPandas pass — "
                 "Arrow batches across the Python boundary, no per-row "
-                "serialization, no shuffle after the kernel. With real "
-                "codecs the kernel returns resized bytes in the same "
-                "batch shape; output size is bounded by target², so "
-                "downstream partitions shrink rather than grow.",
+                "serialization, no shuffle after the kernel. The codec "
+                "work is per-row numpy (vectorized defilter/resample); "
+                "output size is bounded by target², so downstream "
+                "partitions shrink rather than grow.",
 )
 def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(
@@ -158,26 +163,36 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
     )
-    return d.mapInPandas(resize_meta_batches, RESIZE_META_SCHEMA)
+    return d.mapInPandas(png_resize_batches, PNG_RESIZE_SCHEMA)
 
 
 @register(
     "audio_feature",
     oracle="""
-        SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT)           AS n_bytes,
-               CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS n_windows,
-               CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT)
-                    AS DOUBLE) / 4294967296.0                        AS rms
-        FROM documents
+        WITH d AS (
+            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        )
+        SELECT d.doc_id,
+               CAST(d.n AS BIGINT)           AS n_bytes,
+               CAST(d.n // 256 + 1 AS BIGINT) AS n_windows,
+               sqrt(CAST(sum(((t.i * 2654435761 + d.n) % 65536 - 32768)
+                             * ((t.i * 2654435761 + d.n) % 65536 - 32768))
+                         AS DOUBLE)
+                    / (d.n // 4 + 8)) / 32768.0 AS rms
+        FROM d, LATERAL (SELECT unnest(range(d.n // 4 + 8)) AS i) t
+        GROUP BY d.doc_id, d.n
     """,
-    doc="Audio feature-extraction plumbing (U8 'feature-extract' verb): "
-        "binary payload → fixed-width feature row (window count + pseudo "
-        "RMS level) via an Arrow-batched mapInPandas kernel. The codec "
-        "step is a stub (NotImplementedError without an audio library); "
-        "the fake features are md5/length-derived so the oracle restates "
-        "them exactly, and the batch shape matches a real extractor's "
-        "(one feature row per payload).",
+    doc="Audio feature extraction (U8 'feature-extract' verb), REAL "
+        "end-to-end for WAV: the kernel synthesizes a real RIFF/WAVE "
+        "PCM16 file per payload (sample rule s_i = ((i*2654435761+n) % "
+        "65536) - 32768 over the byte length n), genuinely parses the "
+        "container + PCM frames with the stdlib wave reader "
+        "(functions/wav_codec.py), and computes RMS from the DECODED "
+        "samples. The sum of squares is exact int64 on both engines, so "
+        "sqrt(sum_sq/n_samples)/32768 is bit-identical (IEEE division + "
+        "correctly-rounded sqrt + exact power-of-two scale) — no "
+        "rounding needed. NotImplementedError remains only for "
+        "perceptual codecs (mp3/opus) with no in-container library.",
     scale_notes="One mapInPandas pass over projected (doc_id, payload) "
                 "batches — the same no-shuffle scan-transform envelope as "
                 "the other multimodal kernels. A real extractor emits a "
@@ -192,4 +207,4 @@ def audio_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
     )
-    return d.mapInPandas(audio_feature_batches, AUDIO_FEATURE_SCHEMA)
+    return d.mapInPandas(wav_feature_batches, AUDIO_FEATURE_SCHEMA)

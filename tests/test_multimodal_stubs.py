@@ -1,24 +1,161 @@
-"""Multimodal kernel contracts: the codec steps are stubs (no PIL /
-audio libs in this container) and must say so loudly, while the fake
-deterministic paths — what the oracles restate — stay stable."""
+"""Multimodal codec contracts.
+
+PNG and WAV/PCM16 now decode for real with stdlib-only codecs
+(functions/png_codec.py, functions/wav_codec.py); the
+NotImplementedError gate remains only for formats with no in-container
+library (JPEG, mp3, …). These tests pin both halves: the real paths
+decode end-to-end (including foreign-filtered PNGs the engine's own
+encoder never emits), and the gate still fires loudly for the rest.
+"""
 
 from __future__ import annotations
 
+import struct
+import zlib
+
+import numpy as np
 import pandas as pd
 import pytest
 
 from pubsub2bq_spark.functions import multimodal as mm
+from pubsub2bq_spark.functions.png_codec import (
+    PNG_SIG,
+    _chunk,
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
+from pubsub2bq_spark.functions.wav_codec import decode_wav_s16, encode_wav_s16
 
 
-def test_real_codec_paths_raise_without_libraries():
+def test_non_png_non_wav_codecs_still_raise():
     if mm._HAS_PIL:  # pragma: no cover - container has no PIL
-        pytest.skip("PIL present; stub contract not applicable")
+        pytest.skip("PIL present; gate not applicable to images")
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG....")
+        mm.decode_image(b"\xff\xd8\xff\xe0JFIF....")  # JPEG magic
     with pytest.raises(NotImplementedError):
-        mm.resize_image(b"\x89PNG....")
+        mm.resize_image(b"\xff\xd8\xff\xe0JFIF....")
     with pytest.raises(NotImplementedError):
-        mm.extract_audio_features(b"RIFF....")
+        mm.extract_audio_features(b"ID3\x04....")  # mp3 tag magic
+
+
+def test_png_roundtrip_all_color_types():
+    rng = np.random.default_rng(7)
+    for shape in [(25, 79), (33, 17, 3), (9, 9, 4)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, ch, out = decode_png(encode_png(px))
+        assert (h, w) == shape[:2]
+        assert ch == (1 if len(shape) == 2 else shape[2])
+        assert np.array_equal(out if len(shape) == 3 else out[:, :, 0], px)
+
+
+def _forward_filter(arr: np.ndarray, ftype: int, ch: int) -> bytes:
+    """Spec-forward scanline filtering (the encoder side the engine's own
+    encode_png never uses beyond type 0) — ground truth for the decoder."""
+    h, stride = arr.shape
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = arr[y].astype(np.int32)
+        line = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[x] = (cur[x] - pred) & 0xFF
+        out.append(ftype)
+        out.extend(line.astype(np.uint8).tobytes())
+        prev = cur
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+@pytest.mark.parametrize("ch", [1, 3])
+def test_decode_reverses_foreign_filters(ftype, ch):
+    rng = np.random.default_rng(ftype * 10 + ch)
+    h, w = 11, 13
+    px = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+    raw = _forward_filter(px, ftype, ch)
+    color_type = 0 if ch == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    dw, dh, dch, out = decode_png(png)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert np.array_equal(out.reshape(h, w * ch), px)
+
+
+def test_decode_rejects_unsupported_variants():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    bad = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\0" * 36))
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_resize_nearest_floor_mapping():
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = resize_nearest(px, 8, 6)
+    assert out.shape == (6, 8)
+    # output (x=5, y=4) must read source (5*4//8, 4*3//6) = (2, 2)
+    assert out[4, 5] == px[2, 2]
+
+
+def test_synth_png_decodes_to_rule_dims_and_pixel_sum():
+    for payload in [b"abc", b"x" * 300, b"q" * 553]:
+        n = len(payload)
+        png = mm.synth_png_from_bytes(payload)
+        w, h, ch, px = decode_png(png)
+        assert (w, h, ch) == (n % 64 + 16, (n // 64) % 64 + 16, 1)
+        assert int(px.sum(dtype=np.int64)) == w * h * (w + h - 2) // 2
+
+
+def test_resize_image_real_png_end_to_end():
+    png = mm.synth_png_from_bytes(b"y" * 400)
+    w, h, _ch, _px = decode_png(png)
+    out = mm.resize_image(png)
+    ow, oh, _oc, opx = decode_png(out)
+    assert max(ow, oh) == mm.RESIZE_TARGET
+    assert ow == max(1, (w * mm.RESIZE_TARGET) // max(w, h))
+    assert oh == max(1, (h * mm.RESIZE_TARGET) // max(w, h))
+    # nearest-neighbor of gray (x+y): corner pixels map to source corners
+    assert opx[0, 0, 0] == 0
+    assert opx[-1, -1, 0] == (w - 1) + (h - 1)
+
+
+def test_wav_roundtrip_and_real_rms():
+    samples = np.array([0, 1000, -32768, 32767, 5], dtype=np.int16)
+    rate, back = decode_wav_s16(encode_wav_s16(samples, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(back, samples)
+    wav = mm.synth_wav_from_bytes(b"z" * 300)
+    feats = mm.extract_audio_features(wav)
+    n = 300
+    ns = n // 4 + 8
+    sq = sum((((i * 2654435761 + n) % 65536) - 32768) ** 2 for i in range(ns))
+    assert feats["n_samples"] == ns
+    assert feats["sum_sq"] == sq
+    import math
+
+    assert feats["rms"] == math.sqrt(sq / ns) / 32768.0
 
 
 def test_fake_resize_preserves_aspect_and_bounds():
@@ -44,11 +181,11 @@ def test_kernels_consume_and_emit_arrow_batch_shapes():
     pdf = pd.DataFrame(
         {"doc_id": [1, 2], "payload": [b"abc", b"x" * 300]}
     )
-    (resized,) = list(mm.resize_meta_batches(iter([pdf])))
+    (resized,) = list(mm.png_resize_batches(iter([pdf])))
     assert list(resized.columns) == [
-        "doc_id", "n_bytes", "width", "height", "out_w", "out_h"
+        "doc_id", "n_bytes", "width", "height", "px_sum", "out_w", "out_h"
     ]
     assert resized["n_bytes"].tolist() == [3, 300]
-    (audio,) = list(mm.audio_feature_batches(iter([pdf])))
+    (audio,) = list(mm.wav_feature_batches(iter([pdf])))
     assert list(audio.columns) == ["doc_id", "n_bytes", "n_windows", "rms"]
     assert audio["n_windows"].tolist() == [1, 2]
