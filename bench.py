@@ -148,6 +148,11 @@ HEADLINE = [
     # and the per-corpus-cell tokenizer-quality rollup.
     "semantic_decontaminate",
     "tokenizer_fertility",
+    # Round-9 additions: the multimodal verbs now decode REAL PNG/WAV
+    # payloads inside their kernels (stdlib codecs) — their cost is no
+    # longer byte-length arithmetic, so they join the headline set.
+    "image_resize",
+    "audio_feature",
 ]
 
 
@@ -291,39 +296,65 @@ def _parse_bench_tail(tail: str) -> dict | None:
     """
     import re
 
+    queries: dict | None = None
+    partial = False
     start = tail.rfind('"queries"')
-    if start < 0:
-        return None
-    brace = tail.find("{", start)
-    if brace < 0:
-        return None
-    depth = 0
-    end = -1
-    for i in range(brace, len(tail)):
-        c = tail[i]
-        if c == "{":
-            depth += 1
-        elif c == "}":
-            depth -= 1
-            if depth == 0:
-                end = i + 1
-                break
-    if end < 0:
-        return None
-    try:
-        queries = json.loads(tail[brace:end])
-    except ValueError:
-        return None
-    if not isinstance(queries, dict) or not queries:
-        return None
+    if start >= 0:
+        brace = tail.find("{", start)
+        if brace >= 0:
+            depth = 0
+            end = -1
+            for i in range(brace, len(tail)):
+                c = tail[i]
+                if c == "{":
+                    depth += 1
+                elif c == "}":
+                    depth -= 1
+                    if depth == 0:
+                        end = i + 1
+                        break
+            if end > 0:
+                try:
+                    parsed = json.loads(tail[brace:end])
+                    if isinstance(parsed, dict) and parsed:
+                        queries = parsed
+                except ValueError:
+                    pass
+    if queries is None:
+        # FRONT-truncated capture (r8 postmortem): the tail starts
+        # mid-queries-dict, so the '"queries"' key itself is gone and no
+        # balanced object exists. The well-formed `"key": number` pairs
+        # survive; harvest them up to the dict's closing `}, "sf"` and
+        # mark the recovery partial (the first, cut-off pair never
+        # matches — its opening quote is lost with the head).
+        region = tail
+        close = re.search(r'\}\s*,\s*"sf"\s*:', tail)
+        if close:
+            region = tail[: close.start()]
+        pairs = re.findall(r'"([A-Za-z_][A-Za-z0-9_]*)"\s*:\s*(-?\d+(?:\.\d+)?)', region)
+        scalar_fields = {"value", "sf", "n", "rc", "cpus"}
+        harvested = {
+            k: float(v) for k, v in pairs
+            if k not in scalar_fields and not k.startswith("calibration_")
+        }
+        if len(harvested) < 8:  # too few to be a bench queries dict
+            return None
+        queries, partial = harvested, True
     out: dict = {"queries": queries}
-    for field in ("value", "sf", "calibration_range_sum_sec"):
+    if partial:
+        out["partial_tail"] = True
+    for field in ("value", "sf"):
         m = re.search(r'"%s":\s*([0-9.eE+-]+)' % field, tail)
         if m:
             try:
                 out[field] = float(m.group(1))
             except ValueError:
                 pass
+    for m in re.finditer(r'"(calibration_\w+_sec)":\s*([0-9.eE+-]+)', tail):
+        try:
+            out[m.group(1)] = float(m.group(2))
+        except ValueError:
+            pass
     return out
 
 
@@ -390,34 +421,111 @@ DRIFT_CALIBRATION_TOLERANCE = 0.25
 
 def _drift_warning(
     drift: float,
-    calibration: float | None,
-    prior_calib: float | None,
+    calibrations: dict[str, float] | None,
+    prior_calibs: dict[str, float] | None,
 ) -> str | None:
-    """Surface — never silently normalize — a large median drift the
-    pure-compute calibration probe does not corroborate. A slow box
-    raises the median AND the probe together; a code regression in a
-    shared helper (materialize / fan_out / load / session conf) raises
-    only the median, because the probe runs no operator code. Returns
-    the warning text, or None when the drift is small, corroborated, or
-    no calibration pair exists to check against."""
-    if not calibration or not prior_calib:
+    """Surface — never silently normalize — a large median drift no
+    calibration probe corroborates. A slow box raises the median AND at
+    least one probe; a code regression in a shared helper (materialize
+    / fan_out / load / session conf) raises only the median, because
+    the probes run no operator code. ``calibrations``/``prior_calibs``
+    map probe-leg name (``calibration_*_sec``) → seconds; corroboration
+    is the MAX leg ratio over legs present in BOTH captures, because
+    different environmental causes move different legs (r9 bisect: a
+    1.48× same-code session slowdown left the pure-compute leg FLAT —
+    only scan/scheduling legs can co-move with real queries there).
+    Returns the warning text; when the drift is large but NO common leg
+    exists, returns a weaker warning instead of None (ADVICE r8: a
+    missing calibration pair must not silently read as corroborated)."""
+    if drift <= 1.0 + DRIFT_CALIBRATION_TOLERANCE:
         return None
-    calib_ratio = calibration / prior_calib
-    if (
-        drift <= 1.0 + DRIFT_CALIBRATION_TOLERANCE
-        or drift <= calib_ratio * (1.0 + DRIFT_CALIBRATION_TOLERANCE)
-    ):
+    common = {
+        k: calibrations[k] / prior_calibs[k]
+        for k in (calibrations or {})
+        if (prior_calibs or {}).get(k)
+    }
+    if not common:
+        return (
+            f"**UNVERIFIABLE DRIFT**: median query drift is {drift:.2f}× "
+            "but the prior capture carries no calibration probe to check "
+            "it against — a box slowdown and a fleet-wide shared-helper "
+            "regression are indistinguishable here. The ratios below are "
+            "drift-normalized anyway (the alternative mass-flags every "
+            "query on a merely-slow box); treat 'no flags' as "
+            "conditional and re-run against a calibrated capture."
+        )
+    best_leg = max(common, key=lambda k: common[k])
+    if drift <= common[best_leg] * (1.0 + DRIFT_CALIBRATION_TOLERANCE):
         return None
+    legs = ", ".join(
+        f"{k}: {common[k]:.2f}× ({prior_calibs[k]}s → {calibrations[k]}s)"
+        for k in sorted(common)
+    )
     return (
         f"**UNEXPLAINED UNIFORM SLOWDOWN**: median query drift is "
-        f"{drift:.2f}× but the pure-compute calibration probe moved "
-        f"only {calib_ratio:.2f}× ({prior_calib}s → {calibration}s). "
-        "A slow box shows up in BOTH numbers; a regression in a shared "
+        f"{drift:.2f}× but no calibration probe moved with it ({legs}). "
+        "A slow box shows up in the probes too; a regression in a shared "
         "helper (materialize / fan_out / load / session conf) shows up "
         "only in the median. Treat this run as suspect: diff the "
         "shared-helper code paths before trusting the per-query "
-        "'no flags' verdict below."
+        "'no flags' verdict below. The 'suspect (raw)' list under the "
+        "table shows the rows the normalization absolved."
     )
+
+
+# Per-key CAUSE of the fixed term (VERDICT r8 #8: the compare doc's
+# footnotes must name each key's actual fixed cost, not repeat one
+# boilerplate sentence).
+FIXED_COST_CAUSE = {
+    "transform_with_state": "streaming-query startup: micro-batch "
+        "machinery + Python state-worker spin-up + checkpoint setup "
+        "(measured 3.74s at sf0.001 where per-batch work ≈ 0)",
+    "stream_replay": "TWO streaming-query startups by construction "
+        "(initial run, then seek-to-offset replay); measured 3.59s at "
+        "sf0.001",
+    "ann_ivf_kmeans": "k-means|| seeding chain: ~15 eager bounded "
+        "materialize() jobs whose scheduling latency, not data, "
+        "dominates at bench scale",
+    "semdedup": "the same k-means|| quantizer-seeding chain as "
+        "ann_ivf_kmeans (added r6); intra-cell pair work is the "
+        "variable part",
+    "ann_ivf_hier": "two-level seeding: k-means|| + supercell-Lloyd "
+        "chain (~15 eager jobs; 4.48s at sf0.001 vs 5.54s at sf0.1)",
+    "rerank_topk": "hybrid_retrieve's candidate materialize chain "
+        "(fused candidates + distinct-term relation) runs before any "
+        "reranking work",
+    "bpe_pack": "iterative BPE merge-round job chain under the learned "
+        "vocab; per-row packing is the variable part",
+    "curriculum_order": "two-phase exact staging: a fixed chain of "
+        "small ranking jobs",
+    "bpe_apply": "BPE merge-table application job chain; fixed at "
+        "bench scale",
+    "bpe_train": "iterative BPE vocabulary-training rounds: one small "
+        "job per merge round",
+    "kmeans_parallel_init": "k-means|| oversampling init rounds: fixed "
+        "chain of small jobs",
+}
+
+
+# Manual, evidence-cited adjudication of a drift warning, keyed to the
+# EXACT prior capture it explains (a new prior capture invalidates the
+# entry automatically). An entry downgrades the banner from UNEXPLAINED
+# to EXPLAINED and keeps the machine-readable output clean — it must
+# cite measured evidence, never a theory.
+DRIFT_EXPLANATIONS = {
+    "BENCH_r08.json": (
+        "r9 bisect (VERDICT r8 #1): the EXACT r7-capture code (commit "
+        "5a74fde, predating every round-8 change) re-run on this box "
+        "measured 119.8s total vs its original 80.9s capture — median "
+        "1.25× vs the r8 capture — while its pure-compute probe ran "
+        "FLAT (0.166s vs 0.179s). Same code, same probe shape, slower "
+        "queries: the drift is environmental (I/O + task-scheduling "
+        "contention the range-sum leg is blind to), not a round-8/9 "
+        "code regression. Evidence: docs/bench_rebaseline_r7code.json. "
+        "The scan_agg + jobs calibration legs added this round make "
+        "future environmental drifts self-corroborating."
+    ),
+}
 
 
 def compare_to_prior_rounds(
@@ -425,18 +533,20 @@ def compare_to_prior_rounds(
     total: float,
     remeasured: dict[str, float],
     drift: float | None = None,
-    calibration: float | None = None,
-) -> None:
+    calibrations: dict[str, float] | None = None,
+) -> str | None:
     """Regression gate: compare this run against the latest BENCH_r*.json
     and write docs/BENCH_COMPARE.md flagging per-query slowdowns beyond
     REGRESSION_FACTOR — so 'which queries regressed since round N' is a
     mechanical read, not a diff session. ``remeasured`` holds the
     isolated min-of-3 for queries the interleaved rounds flagged, so
     noise spikes can't masquerade as (or hide) a real regression.
-    Report only; stdout stays the driver's single JSON line."""
+    Report only; stdout stays the driver's single JSON line. Returns
+    the drift warning (if any) so the caller can mark the run suspect
+    in its machine-readable output."""
     loaded = load_prior()
     if loaded is None:
-        return
+        return None
     prior_name, prior = loaded
     prior_path = prior_name
     prior_q: dict[str, float] = prior.get("queries", {})
@@ -450,14 +560,31 @@ def compare_to_prior_rounds(
     # calibration probe (identical JVM work each round, no operator
     # code) is immune to the latter, so a large median drift the probe
     # does not corroborate must be surfaced, not normalized away.
-    drift_warning = _drift_warning(
-        drift, calibration, prior.get("calibration_range_sum_sec")
-    )
+    prior_calibs = {
+        k: v for k, v in prior.items()
+        if k.startswith("calibration_") and isinstance(v, (int, float)) and v
+    }
+    drift_warning = _drift_warning(drift, calibrations, prior_calibs)
+    drift_explained = None
+    if drift_warning and prior_name in DRIFT_EXPLANATIONS:
+        drift_explained = (
+            f"**DRIFT EXPLAINED (measured)** — the {drift:.2f}× drift vs "
+            f"this capture is adjudicated by evidence, not theory: "
+            + DRIFT_EXPLANATIONS[prior_name]
+        )
+        drift_warning = None
     lines = [
         "# Bench comparison (generated by bench.py — do not edit)",
         "",
-        f"Current run vs `{prior_path}` "
-        f"(total {prior.get('value', '?')}s → {total}s; session drift "
+        f"Current run vs `{prior_path}`"
+        + (
+            " (PARTIALLY recovered from a front-truncated tail capture — "
+            "per-query timings harvested by regex, scalar totals may be "
+            "missing)"
+            if prior.get("partial_tail")
+            else ""
+        )
+        + f" (total {prior.get('value', '?')}s → {total}s; session drift "
         f"{drift:.2f}× — the median raw now/prior over common stable "
         "queries, divided out of every ratio below so uniform "
         "machine/JVM speed changes between capture sessions don't "
@@ -471,6 +598,8 @@ def compare_to_prior_rounds(
     ]
     if drift_warning:
         lines += [drift_warning, ""]
+    if drift_explained:
+        lines += [drift_explained, ""]
     lines += [
         "| query | prior (s) | now (s) | isolated (s) | ratio | flag |",
         "|---|---|---|---|---|---|",
@@ -500,17 +629,36 @@ def compare_to_prior_rounds(
             f"| {key} | {was} | {now} | {iso_s} | {ratio:.2f}×{note} | {flag} |"
         )
     lines += ["", f"Flagged: {', '.join(flagged) if flagged else 'none'}", ""]
+    if drift_warning:
+        # ADVICE r8: an uncorroborated uniform slowdown must not read as
+        # a clean verdict. Name the rows the normalization absolved so a
+        # reader (or the next round's bisect) starts from the worst raw
+        # offenders instead of from "no flags".
+        suspects = sorted(
+            (
+                (now / prior_q[k], k)
+                for k, now in timings.items()
+                if prior_q.get(k, 0.0) > 0.1
+            ),
+            reverse=True,
+        )[:10]
+        lines += [
+            "Suspect (raw, un-normalized) — worst now/prior ratios the "
+            "drift normalization absolved; bisect from here if the "
+            "slowdown turns out to be code:",
+            "",
+        ] + [f"- `{k}`: {r:.2f}× raw" for r, k in suspects] + [""]
     if any(k in timings for k in FIXED_COST):
         lines += [
             "Fixed-cost decomposition (ratios above compare the "
-            "variable component):",
+            "variable component; each key's fixed term and its cause):",
             "",
         ] + [
-            f"- `{k}`: ~{v}s of the headline time is a per-op constant "
-            "(stream startup for the streaming keys; eager seeding-"
-            "chain job overhead for the k-means||-built indexes — "
-            "measured flat across sf0.001→sf0.1); the remainder is "
-            "work that scales with data."
+            f"- `{k}`: ~{v}s fixed — "
+            + FIXED_COST_CAUSE.get(
+                k, "per-op constant measured flat across sf0.001→sf0.1"
+            )
+            + "; the remainder is work that scales with data."
             for k, v in FIXED_COST.items()
             if k in timings
         ] + [""]
@@ -525,11 +673,12 @@ def compare_to_prior_rounds(
     try:
         with open(out, "w") as f:
             f.write("\n".join(lines))
-        warn = " + UNEXPLAINED UNIFORM SLOWDOWN" if drift_warning else ""
+        warn = " + DRIFT WARNING" if drift_warning else ""
         print(f"bench-compare: {len(flagged)} regression(s){warn} vs "
               f"{os.path.basename(prior_path)} -> {out}", file=sys.stderr)
     except OSError:
         pass
+    return drift_warning
 
 
 def main() -> None:
@@ -591,37 +740,77 @@ def main() -> None:
         remeasured[key] = iso
         timings[key] = min(timings[key], iso)
 
-    # Environment calibration: a fixed pure-compute JVM query (no IO, no
-    # shuffle — one whole-stage-codegen range sum). Identical work every
-    # round, so round-over-round drift in THIS number is machine speed,
-    # not code: it lets a reader split "the operators regressed" from
-    # "the box was slower" when comparing BENCH_r{N} files. (Observed in
-    # round 5: a uniform ~1.2x inflation on untouched queries across a
-    # whole session.) Measured BEFORE the compare so the report can
-    # cross-check the timing-derived median drift against it.
-    def _calibrate() -> float:
+    # Environment calibration: THREE fixed probes whose round-over-round
+    # drift is machine/environment speed, not code — they run no operator
+    # code, so they let a reader split "the operators regressed" from
+    # "the box was slower" when comparing BENCH_r{N} files. Three legs
+    # because different environmental causes move different resources
+    # (r9 bisect: re-running the exact r7-capture code on the r8/r9 box
+    # reproduced the 1.48× query slowdown while the pure-compute leg was
+    # FLAT — the contention was in I/O + task scheduling, which the
+    # range-sum leg is blind to):
+    #   * range_sum  — whole-stage-codegen compute, no I/O, no shuffle;
+    #   * scan_agg   — parquet scan + decode + small shuffle over a FIXED
+    #     path (sf0.01 lineitem, independent of SPARK_GRAFT_SF_DIR so the
+    #     number is comparable across rounds);
+    #   * jobs       — 30 trivial actions: per-job scheduler/py4j
+    #     round-trip latency, the term that dominates multi-stage
+    #     queries under CPU contention.
+    # Measured BEFORE the compare so the report can cross-check the
+    # timing-derived median drift against the MAX leg ratio.
+    def _calibrate_compute() -> float:
         t0 = time.perf_counter()
         spark.range(0, 2_000_000_000, 1, 32).agg({"id": "sum"}).collect()
         return time.perf_counter() - t0
 
-    _calibrate()  # warm
-    calibration = round(min(_calibrate() for _ in range(3)), 3)
+    _CALIB_SCAN_PATH = "/root/testdata/sf0.01/lineitem.parquet"
+
+    def _calibrate_scan() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(_CALIB_SCAN_PATH)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg({"l_extendedprice": "sum", "l_quantity": "avg", "*": "count"})
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    def _calibrate_jobs() -> float:
+        t0 = time.perf_counter()
+        for _ in range(30):
+            spark.range(2).count()
+        return time.perf_counter() - t0
+
+    calibrations: dict[str, float] = {}
+    for name, fn in (
+        ("calibration_range_sum_sec", _calibrate_compute),
+        ("calibration_scan_agg_sec", _calibrate_scan),
+        ("calibration_jobs_sec", _calibrate_jobs),
+    ):
+        try:
+            fn()  # warm
+            calibrations[name] = round(min(fn() for _ in range(3)), 3)
+        except Exception:  # a probe must never sink the bench run
+            pass
 
     total = round(sum(timings.values()), 3)
-    compare_to_prior_rounds(timings, total, remeasured, drift, calibration)
-
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-                "calibration_range_sum_sec": calibration,
-            }
-        )
+    drift_warning = compare_to_prior_rounds(
+        timings, total, remeasured, drift, calibrations
     )
+
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        **calibrations,
+    }
+    if drift_warning:
+        # ADVICE r8: a run whose uniform slowdown no probe corroborates
+        # must not be machine-readable as clean.
+        result["drift_unexplained"] = True
+    print(json.dumps(result))
     spark.stop()
 
 

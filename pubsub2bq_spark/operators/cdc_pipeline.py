@@ -153,7 +153,10 @@ def dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("data")
         ),
     )
-    p._deliver(tampered, epoch_id=0)
+    # Distinct manual epoch: the streaming run above already delivered
+    # AND committed epoch 0, and delivery is exactly-once per epoch —
+    # reusing id 0 here would read as a replay and no-op (r9).
+    p._deliver(tampered, epoch_id=999_000)
     return (
         p.read_dlq()
         .groupBy("dlq_reason", "delivery_attempts")

@@ -139,7 +139,30 @@ def _first_occurrence_rebuild(chunks: DataFrame) -> DataFrame:
     first occurrence of every chunk (one map-side-combinable min on the
     chunk key), then rebuild each document from its surviving chunks in
     position order."""
-    pos = F.col("doc_id") * _POS_STRIDE + F.col("idx")
+    # Composite-key guard (ADVICE r8): the BIGINT encoding is only a
+    # total order of (doc_id, idx) while 0 <= idx < stride and
+    # doc_id >= 0 — a 100k-chunk document or a negative id would
+    # silently collide keys ACROSS documents and corrupt the election.
+    # The branch lives inside the pos expression itself (an unused
+    # assert column would be pruned by Catalyst), so violations raise
+    # at scan time instead of producing wrong dedup output.
+    pos = F.when(
+        (F.col("idx") >= 0)
+        & (F.col("idx") < _POS_STRIDE)
+        & (F.col("doc_id") >= 0),
+        F.col("doc_id") * _POS_STRIDE + F.col("idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit("paragraph-dedup position key overflow: (doc_id, idx) ="),
+                F.col("doc_id").cast("string"),
+                F.col("idx").cast("string"),
+                F.lit(f"violates 0 <= idx < {_POS_STRIDE}, doc_id >= 0 — "
+                      "re-shard oversized documents upstream"),
+            )
+        ).cast("bigint")
+    )
     firsts = chunks.groupBy("chunk").agg(F.min(pos).alias("keep_key"))
     # MERGE hints: the first-occurrence map and the rebuilt-doc relation
     # both scale with the corpus, but Catalyst's ~20-byte string-width

@@ -282,6 +282,23 @@ def _semdedup_oracle() -> str:
 def _quantizer_build(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
+    """(cent, asgn) — the shared SemDeDup quantizer, built ONCE per
+    (session, sf_dir) via session_artifact (VERDICT r8 #4: the three
+    consumers each paid the ~4s seeding-chain job overhead; a real
+    deployment trains the quantizer once and serves every dedup/decon
+    pass from it). The build is a deterministic function of sf_dir, so
+    the cached (cent, asgn) is bit-identical to a per-key rebuild."""
+    from pubsub2bq_spark.tables import session_artifact
+
+    return session_artifact(
+        spark, "semdedup_quantizer", sf_dir,
+        lambda: _quantizer_build_impl(spark, sf_dir),
+    )
+
+
+def _quantizer_build_impl(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """(cent, asgn) — the shared SemDeDup quantizer: load embeddings,
     size k = max(floor, ceil(sqrt(n))) via a one-row scalar probe,
     train k-means|| seeds on the bounded deterministic sample, refine

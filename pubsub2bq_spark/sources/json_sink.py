@@ -64,14 +64,52 @@ class JsonDirWriter(DataSourceWriter):
         return _StagedFile(staged, n)
 
     def commit(self, messages) -> None:
-        """Driver-side, runs only when every task succeeded: atomically
-        publish the staged files and write the manifest."""
-        total = 0
-        for m in messages:
-            os.rename(m.path, m.path[: -len(".tmp")])
-            total += m.n_rows
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            json.dump({"rows": total, "files": len(messages)}, f)
+        """Driver-side, runs only when every task succeeded: publish the
+        staged files, then atomically promote the manifest — `_SUCCESS`
+        is THE commit point (readers must treat data files without it as
+        uncommitted, exactly like Hadoop committers).
+
+        Idempotent and rollback-safe (ADVICE r8): a retried commit
+        skips files already published by the earlier attempt instead of
+        raising FileNotFoundError, and a rename failure midway un-
+        publishes this attempt's renames (back to `.tmp`, where abort()
+        can clean them) and removes the staged manifest — so a partial
+        commit never leaves published-but-unmanifested files behind.
+        """
+        total = sum(m.n_rows for m in messages)
+        manifest_tmp = os.path.join(self.path, "_SUCCESS.tmp")
+        with open(manifest_tmp, "w") as f:
+            json.dump(
+                {
+                    "rows": total,
+                    "files": len(messages),
+                    "names": sorted(
+                        os.path.basename(m.path[: -len(".tmp")])
+                        for m in messages
+                    ),
+                },
+                f,
+            )
+        renamed: list[tuple[str, str]] = []
+        try:
+            for m in messages:
+                final = m.path[: -len(".tmp")]
+                if os.path.exists(final) and not os.path.exists(m.path):
+                    continue  # retried commit: this file already published
+                os.rename(m.path, final)
+                renamed.append((m.path, final))
+            os.replace(manifest_tmp, os.path.join(self.path, "_SUCCESS"))
+        except OSError:
+            for staged, final in renamed:
+                try:
+                    os.rename(final, staged)
+                except OSError:
+                    pass  # best-effort: abort() still sweeps what's left
+            try:
+                os.remove(manifest_tmp)
+            except OSError:
+                pass
+            raise
 
     def abort(self, messages) -> None:
         # messages is List[Optional[WriterCommitMessage]] — a FAILED

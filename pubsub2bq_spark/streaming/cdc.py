@@ -139,9 +139,66 @@ class CdcPipeline:
         if remaining > 0:
             time.sleep(remaining)
 
+    # ---- exactly-once delivery machinery ----------------------------------
+    #
+    # foreachBatch + a plain parquet append is only at-least-once: a
+    # crash BETWEEN the sink write and the checkpoint commit replays the
+    # epoch and duplicates its rows. Delivery is therefore idempotent
+    # per epoch (the standard foreachBatch exactly-once idiom):
+    #   1. every epoch's files get DETERMINISTIC names (batch{N}-i),
+    #      and a replayed epoch scrubs its stragglers before rewriting —
+    #      a half-delivered epoch can never double;
+    #   2. a delivery-commit marker (checkpoint-adjacent) is written
+    #      after the WHOLE delivery (sink + DLQ + nack cleanup); a
+    #      replay that finds the marker skips straight to the offset
+    #      commit — covering a crash between marker and checkpoint.
+    # Layout stays FLAT files in sink_dir, so the TTL pass (file mtime =
+    # fragment delivery time) and every existing reader are unchanged.
+
+    _current_epoch: int | None = None
+
+    @property
+    def _commit_dir(self) -> str:
+        return os.path.join(self.spec.checkpoint_dir, "delivery_commits")
+
+    def _delivery_marker(self, epoch_id: int) -> str:
+        return os.path.join(self._commit_dir, f"epoch-{epoch_id}")
+
+    def _atomic_append(self, df: DataFrame, dest_dir: str, prefix: str) -> None:
+        """Idempotent append of one epoch's rows: scrub this prefix's
+        stragglers (a killed earlier attempt), stage with Spark, then
+        publish parts under deterministic names. The dot-prefixed stage
+        dir is invisible to parquet discovery and the TTL listing."""
+        if os.path.isdir(dest_dir):
+            for name in os.listdir(dest_dir):
+                if name.startswith(prefix):
+                    try:
+                        os.remove(os.path.join(dest_dir, name))
+                    except OSError:
+                        pass
+        stage = os.path.join(dest_dir, f".stage-{prefix}")
+        df.write.mode("overwrite").parquet(stage)
+        i = 0
+        for name in sorted(os.listdir(stage)):
+            if name.endswith(".parquet"):
+                os.replace(
+                    os.path.join(stage, name),
+                    os.path.join(dest_dir, f"{prefix}{i}.parquet"),
+                )
+                i += 1
+        shutil.rmtree(stage, ignore_errors=True)
+
     def _write_sink(self, projected: DataFrame) -> None:
-        """The one fallible delivery hop (tests inject transient faults here)."""
-        projected.write.mode("append").parquet(self.spec.sink_dir)
+        """The one fallible delivery hop (tests inject transient faults
+        here). Inside an epoch the write is idempotent (deterministic
+        per-epoch file names, replay scrubs first); outside an epoch
+        (batch utilities) it degrades to a plain append."""
+        if self._current_epoch is None:
+            projected.write.mode("append").parquet(self.spec.sink_dir)
+        else:
+            self._atomic_append(
+                projected, self.spec.sink_dir, f"batch{self._current_epoch}-"
+            )
 
     def _deliver(self, messages: DataFrame, epoch_id: int) -> None:
         """One micro-batch delivery. Order of operations matters:
@@ -150,6 +207,12 @@ class CdcPipeline:
         messages dead-letter only AFTER a successful sink write so a
         still-failing batch can't double-DLQ them."""
         spec = self.spec
+        if os.path.exists(self._delivery_marker(epoch_id)):
+            # Crash landed between the delivery marker and the offset
+            # commit: this epoch's rows are already fully delivered —
+            # replaying them would duplicate. Let the engine commit.
+            return
+        self._current_epoch = epoch_id
         valid, corrupt = split_corrupt(messages, "data", spec.topic_schema)
 
         nacks = self._nack_counts()
@@ -175,12 +238,15 @@ class CdcPipeline:
         try:
             self._write_sink(projected)
         except SchemaMismatchError:
+            self._current_epoch = None
             raise  # permanent: halt (never reached — project raises earlier)
         except Exception:
             # Transient delivery failure → NACK: log one failed attempt per
             # message and fail the batch so offsets stay uncommitted and
-            # the source redelivers after the backoff.
+            # the source redelivers after the backoff. Epoch state resets
+            # so batch utilities outside _deliver see plain-append mode.
             self._record_nacks(deliverable)
+            self._current_epoch = None
             raise
 
         if exhausted is not None:
@@ -204,6 +270,14 @@ class CdcPipeline:
         # Frontier batch committed: its delivery state is settled.
         shutil.rmtree(self._nack_dir, ignore_errors=True)
 
+        # Delivery complete (sink + DLQ + nack state): write the epoch's
+        # commit marker so a crash before the OFFSET commit replays as a
+        # no-op instead of a duplicate delivery.
+        os.makedirs(self._commit_dir, exist_ok=True)
+        with open(self._delivery_marker(epoch_id), "w"):
+            pass
+        self._current_epoch = None
+
         # Post-commit retention pass (runs only when a TTL is configured).
         self.enforce_table_retention(now_s=time.time())
 
@@ -211,14 +285,18 @@ class CdcPipeline:
         out = df.withColumn("dlq_reason", F.lit(reason))
         if "delivery_attempts" not in df.columns:
             out = out.withColumn("delivery_attempts", F.lit(attempts))
-        (
-            out.select(
-                "data", "ordering_key", "attributes", "ts_ms",
-                "dlq_reason", "delivery_attempts",
-            )
-            .write.mode("append")
-            .parquet(self.spec.dlq_dir)
+        rows = out.select(
+            "data", "ordering_key", "attributes", "ts_ms",
+            "dlq_reason", "delivery_attempts",
         )
+        if self._current_epoch is None:
+            rows.write.mode("append").parquet(self.spec.dlq_dir)
+        else:
+            # Same exactly-once discipline as the sink: one deterministic
+            # prefix per (epoch, reason), replay scrubs before rewriting.
+            self._atomic_append(
+                rows, self.spec.dlq_dir, f"batch{self._current_epoch}-{reason}-"
+            )
 
     # ---- run ---------------------------------------------------------------
     def run_available_now(self) -> None:
@@ -238,6 +316,22 @@ class CdcPipeline:
             if "SchemaMismatchError" in str(ex) or "table schema mismatch" in str(ex):
                 raise SchemaMismatchError(str(ex)) from ex
             raise
+
+    def run_processing_time(self, interval: str = "1 second"):
+        """Start the pipeline under a processing-time trigger — the
+        production mode (the AvailableNow twin drains-and-stops for
+        deterministic tests). Returns the live StreamingQuery; the
+        caller owns stop()/awaitTermination. Exactly-once under
+        kill-mid-batch comes from the epoch-idempotent delivery
+        (deterministic per-epoch file names + delivery-commit marker),
+        exercised by tests/test_cdc_golden.py's soak test."""
+        return (
+            self.message_stream()
+            .writeStream.foreachBatch(self._deliver)
+            .option("checkpointLocation", self.spec.checkpoint_dir)
+            .trigger(processingTime=interval)
+            .start()
+        )
 
     # ---- taps ---------------------------------------------------------------
     def read_sink(self) -> DataFrame:

@@ -310,11 +310,30 @@ def _drop_dead_blocks(spark) -> None:
     are NON-EVICTABLE (the checkpoint is the only copy), so a long
     multi-key probe session accumulates dead pinned blocks until
     execution memory can't acquire a page (observed: executor
-    SparkOutOfMemoryError at 32x after ~16 measurements). Each timed
-    run rebuilds its frames from scratch, so dropping everything
-    between measurements is safe and keeps measurements independent."""
-    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        jrdd.unpersist(False)
+    SparkOutOfMemoryError at 32x after ~16 measurements).
+
+    SAFETY CONTRACT (ADVICE r8 #5): unpersisting a localCheckpointed
+    RDD makes any still-referenced frame UNRECOMPUTABLE (the blocks
+    were its only copy — lineage is truncated), not lazily rebuilt.
+    This is safe here ONLY because every timed run rebuilds its frames
+    from scratch; the session-artifact caches (tables.session_artifact)
+    would violate that by handing back a frame whose blocks we just
+    dropped, so they are cleared FIRST. A future probe refactor that
+    reuses frames across measurements must stop calling this.
+
+    The persistent-RDD listing has no public PySpark API (SparkContext
+    exposes no getPersistentRDDs); the private _jsc handle is gated so
+    a version that removes it degrades to clearing only the SQL cache
+    rather than crashing the probe."""
+    from pubsub2bq_spark.tables import clear_session_artifacts
+
+    clear_session_artifacts()
+    jsc = getattr(spark.sparkContext, "_jsc", None)
+    if jsc is not None:
+        for jrdd in jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+    else:  # pragma: no cover - future pyspark without _jsc
+        spark.catalog.clearCache()
 
 
 if __name__ == "__main__":

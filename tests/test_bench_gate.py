@@ -145,17 +145,119 @@ def test_drift_deflation_kills_uniform_slowdown_flags():
     assert bench._gate_flags(key, (fixed + 3.0) * 1.4, fixed + 0.7, 1.4)
 
 
-def test_drift_warning_fires_only_when_probe_disagrees():
-    """The calibration cross-check: a slow box (probe moved too) stays
-    quiet, a median the probe can't explain warns, and missing
-    calibration data never crashes the compare."""
+def test_drift_warning_fires_only_when_no_probe_corroborates():
+    """The calibration cross-check: a slow box (some probe moved too)
+    stays quiet, a median NO probe can explain warns, and a missing
+    calibration pair yields a weaker warning — never silence (ADVICE
+    r8: a truncated prior must not read as corroborated)."""
+    C = "calibration_range_sum_sec"
     # box slowdown: median 1.4x AND probe 1.4x — corroborated, quiet
-    assert bench._drift_warning(1.4, 0.25, 0.179) is None
+    assert bench._drift_warning(1.4, {C: 0.25}, {C: 0.179}) is None
     # the r8 shape: median 1.38x, probe FASTER (0.15 vs 0.179) — warn
-    w = bench._drift_warning(1.38, 0.15, 0.179)
+    w = bench._drift_warning(1.38, {C: 0.15}, {C: 0.179})
     assert w and "UNEXPLAINED UNIFORM SLOWDOWN" in w
     # small drift never warns regardless of the probe
-    assert bench._drift_warning(1.1, 0.15, 0.179) is None
-    # no calibration pair: no check possible
-    assert bench._drift_warning(2.0, None, 0.179) is None
-    assert bench._drift_warning(2.0, 0.15, None) is None
+    assert bench._drift_warning(1.1, {C: 0.15}, {C: 0.179}) is None
+    # no calibration pair + large drift: WEAKER warning, not silence
+    w2 = bench._drift_warning(2.0, None, {C: 0.179})
+    assert w2 and "UNVERIFIABLE DRIFT" in w2
+    w3 = bench._drift_warning(2.0, {C: 0.15}, None)
+    assert w3 and "UNVERIFIABLE DRIFT" in w3
+    # no pair + small drift: still quiet
+    assert bench._drift_warning(1.1, None, None) is None
+
+
+def test_drift_warning_any_leg_corroborates():
+    """Multi-leg corroboration (r9): the r8/r9 box slowdown left the
+    pure-compute leg flat while scan/scheduling legs moved — ANY common
+    leg moving with the median must quiet the warning."""
+    now = {
+        "calibration_range_sum_sec": 0.15,   # flat
+        "calibration_jobs_sec": 2.1,          # 1.4x — co-moved
+    }
+    prior = {
+        "calibration_range_sum_sec": 0.179,
+        "calibration_jobs_sec": 1.5,
+    }
+    assert bench._drift_warning(1.45, now, prior) is None
+    # but if every common leg is flat, warn — even when the now-side has
+    # extra legs the prior lacks
+    now_flat = {
+        "calibration_range_sum_sec": 0.15,
+        "calibration_jobs_sec": 1.5,
+        "calibration_scan_agg_sec": 0.3,     # no prior counterpart
+    }
+    w = bench._drift_warning(1.45, now_flat, prior)
+    assert w and "UNEXPLAINED UNIFORM SLOWDOWN" in w
+
+
+def test_parse_bench_tail_recovers_front_truncated_capture():
+    """r8 postmortem: the driver's tail can ALSO lose the front of the
+    queries dict itself (tail starts mid-pair, the '"queries"' key is
+    gone). The well-formed pairs must be harvested and the recovery
+    marked partial."""
+    tail = (
+        't": 0.458, "filter_pred": 0.198, "groupby_agg": 0.348,'
+        ' "join_inner": 0.281, "join_broadcast": 0.354, "join_asof": 0.303,'
+        ' "count_distinct": 0.61, "window_rank": 0.201,'
+        ' "topk_per_group": 0.342, "semdedup": 5.438},'
+        ' "sf": 0.1, "calibration_range_sum_sec": 0.151}\n'
+    )
+    got = bench._parse_bench_tail(tail)
+    assert got is not None
+    assert got["partial_tail"] is True
+    # the cut-off first pair ('t": 0.458') must NOT appear
+    assert "t" not in got["queries"]
+    assert got["queries"]["filter_pred"] == 0.198
+    assert got["queries"]["semdedup"] == 5.438
+    assert len(got["queries"]) == 9
+    assert got["sf"] == 0.1
+    assert got["calibration_range_sum_sec"] == 0.151
+    # scalar fields never leak into queries
+    assert "sf" not in got["queries"]
+
+
+def test_load_prior_prefers_latest_recoverable_capture():
+    """With front-truncation recovery, BENCH_r08 (parsed:null, queries
+    dict cut at the front) is usable again — the gate must compare to
+    the LATEST round, not silently fall back to r7."""
+    loaded = bench.load_prior()
+    assert loaded is not None
+    name, prior = loaded
+    assert name == "BENCH_r08.json"
+    assert len(prior["queries"]) > 50
+    assert prior.get("calibration_range_sum_sec") == 0.151
+
+
+def test_drift_explanation_downgrades_banner(tmp_path, monkeypatch):
+    """An evidence-cited DRIFT_EXPLANATIONS entry keyed to the exact
+    prior capture downgrades UNEXPLAINED→EXPLAINED (and the caller's
+    machine-readable suspect flag with it); any other prior keeps the
+    banner. The entry dies automatically with a new prior capture."""
+    import json
+    import os
+
+    tail = (
+        ' "headline_queries_total_wall", "value": 10.0, "unit": "sec",'
+        ' "queries": {' + ", ".join(f'"q{i}": 1.0' for i in range(10)) + '},'
+        ' "sf": 0.1, "calibration_range_sum_sec": 0.179}\n'
+    )
+    with open(tmp_path / "BENCH_r98.json", "w") as f:
+        json.dump({"parsed": None, "tail": tail, "n": 1}, f)
+    os.makedirs(tmp_path / "docs", exist_ok=True)
+    real_dirname = os.path.dirname
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    try:
+        timings = {f"q{i}": 1.5 for i in range(10)}  # uniform 1.5x drift
+        calib = {"calibration_range_sum_sec": 0.179}  # flat probe
+        w = bench.compare_to_prior_rounds(timings, 15.0, {}, None, calib)
+        assert w and "UNEXPLAINED" in w
+        monkeypatch.setitem(
+            bench.DRIFT_EXPLANATIONS, "BENCH_r98.json", "measured: test"
+        )
+        w2 = bench.compare_to_prior_rounds(timings, 15.0, {}, None, calib)
+        assert w2 is None
+        report = (tmp_path / "docs" / "BENCH_COMPARE.md").read_text()
+        assert "DRIFT EXPLAINED (measured)" in report
+    finally:
+        monkeypatch.setattr(bench.os.path, "dirname", real_dirname)

@@ -116,3 +116,36 @@ def test_selection_funnel_composes_gate_then_dedup(spark):
         F.sum("n_chunks").alias("t"), F.sum("n_kept").alias("k")
     ).collect()[0]
     assert agg["k"] < agg["t"]
+
+
+def test_pos_key_overflow_raises_instead_of_colliding(spark):
+    """ADVICE r8: a chunk index >= _POS_STRIDE (or a negative doc_id)
+    must fail loudly — the composite BIGINT would otherwise collide
+    keys across documents and silently corrupt the election."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from pubsub2bq_spark.operators.data_selection import (
+        _POS_STRIDE,
+        _first_occurrence_rebuild,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, 0, "ok"), (1, _POS_STRIDE, "overflow")],
+        "doc_id long, idx int, chunk string",
+    )
+    with pytest.raises(SparkRuntimeException, match="position key overflow"):
+        _first_occurrence_rebuild(bad).collect()
+
+    neg = spark.createDataFrame(
+        [(-1, 0, "neg")], "doc_id long, idx int, chunk string"
+    )
+    with pytest.raises(SparkRuntimeException, match="position key overflow"):
+        _first_occurrence_rebuild(neg).collect()
+
+    ok = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "a"), (2, 1, "b")],
+        "doc_id long, idx int, chunk string",
+    )
+    rows = {r["doc_id"]: r["n_kept"] for r in _first_occurrence_rebuild(ok).collect()}
+    assert rows == {1: 1, 2: 1}  # doc 2 keeps only 'b'; 'a' elected to doc 1

@@ -343,3 +343,54 @@ def test_python_datasink_commit_protocol(spark):
     # and the registered operator round-trips (driver-twin covers hash)
     n = all_queries()["python_datasink"].spark(spark, SF_SMOKE).count()
     assert n == nation.count()
+
+
+def test_python_datasink_commit_idempotent_and_rolls_back(tmp_path):
+    """ADVICE r8: commit() must (a) tolerate a retry after a partial
+    earlier attempt (already-published files are skipped, not a
+    FileNotFoundError), and (b) un-publish this attempt's renames when
+    a rename fails midway, leaving only .tmp files for abort()."""
+    import json as _json
+    import os
+
+    from pubsub2bq_spark.sources.json_sink import JsonDirWriter, _StagedFile
+
+    out = str(tmp_path)
+    w = JsonDirWriter({"path": out})
+
+    def stage(name, rows=1):
+        p = os.path.join(out, f"{name}.json.tmp")
+        with open(p, "w") as f:
+            f.write('{"x": 1}\n' * rows)
+        return _StagedFile(p, rows)
+
+    # (a) retry shape: file A already published by a prior attempt
+    # (staged gone, final present), file B still staged.
+    a, b = stage("part-a"), stage("part-b")
+    os.rename(a.path, a.path[: -len(".tmp")])
+    w.commit([a, b])  # must not raise
+    assert os.path.exists(os.path.join(out, "part-a.json"))
+    assert os.path.exists(os.path.join(out, "part-b.json"))
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert _json.load(f)["files"] == 2
+    for p in os.listdir(out):
+        os.remove(os.path.join(out, p))
+
+    # (b) rollback shape: file D's staged copy vanishes (simulated task
+    # cleanup race) — commit must fail, but file C must be BACK in
+    # staged form and no final/.tmp-manifest files may remain.
+    c, d = stage("part-c"), stage("part-d")
+    os.remove(d.path)
+    try:
+        w.commit([c, d])
+        raised = False
+    except OSError:
+        raised = True
+    assert raised
+    assert os.path.exists(c.path)  # un-published back to .tmp
+    assert not os.path.exists(os.path.join(out, "part-c.json"))
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_SUCCESS.tmp"))
+    # abort() sweeps the restaged file
+    w.abort([c, None])
+    assert not os.path.exists(c.path)
