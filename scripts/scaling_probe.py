@@ -289,8 +289,23 @@ def main() -> int:
             + f" | {exp:.2f} | {pq} |"
         )
     lines.append("")
+    # Preserve the recall-probe's marker-delimited section (written by
+    # scripts/recall_probe.py) across regenerations of this file.
+    preserved = ""
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            old = f.read()
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from recall_probe import RECALL_BEGIN, RECALL_END
+
+        if RECALL_BEGIN in old and RECALL_END in old:
+            preserved = (
+                "\n"
+                + old[old.index(RECALL_BEGIN): old.index(RECALL_END) + len(RECALL_END)]
+                + "\n"
+            )
     with open(args.out, "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + preserved)
     print(f"wrote {args.out}")
 
     if not args.keep:

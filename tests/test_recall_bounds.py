@@ -1,0 +1,57 @@
+"""Recall bounds for the cell-probed semantic ops (VERDICT r8 #5):
+brute-force-truth recall at a 4x synthetic scale-up must stay above the
+stated bounds — the GSEM_NBR recall/cost knob's contract. Measured by
+scripts/recall_probe.py (numbers also in docs/SCALING.md); a quantizer
+or candidate-generation regression that silently sheds recall fails
+here instead of shipping.
+
+Measured at base sf0.001 x4 (2000 vectors, deterministic build):
+semdedup 0.8914, global_semdedup 0.9383, semantic_decontaminate 0.7366
+(sf0.1 x4: 0.9003 / 0.9394 / 0.7804 — docs/SCALING.md).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def recalls(spark, tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from recall_probe import build_scaled_embeddings, measure_recalls
+
+    from pubsub2bq_spark import tables
+
+    # The module-scoped artifact cache may hold quantizers for other
+    # sf_dirs; the scaled workdir is unique so no invalidation needed —
+    # but clear anyway so this module measures a cold, reproducible build.
+    tables.clear_session_artifacts()
+    workdir = str(tmp_path_factory.mktemp("recall4x"))
+    sf_dir = build_scaled_embeddings(spark, SF_SMOKE, 4, workdir)
+    return measure_recalls(spark, sf_dir)
+
+
+def test_global_semdedup_recall_bound(recalls):
+    assert recalls["recall_global_semdedup"] >= 0.92
+
+
+def test_neighbor_probe_strictly_beats_in_cell_only(recalls):
+    """The knob must buy something: probing GSEM_NBR neighbor cells has
+    to recover strictly more true duplicates than in-cell-only."""
+    assert recalls["recall_global_semdedup"] > recalls["recall_semdedup"]
+    assert recalls["recall_semdedup"] >= 0.85  # blind-spot baseline
+
+
+def test_semantic_decontaminate_recall_bound(recalls):
+    assert recalls["recall_semantic_decontaminate"] >= 0.70
+
+
+def test_truth_sets_nontrivial(recalls):
+    """The bounds only mean something if the truth sets are big enough
+    to make recall a real fraction, not a 3-sample coin flip."""
+    assert recalls["n_true_dropped"] >= 100
+    assert recalls["n_true_contaminated"] >= 100
