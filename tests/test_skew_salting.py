@@ -165,3 +165,109 @@ class TestSaltedJoinProperties:
             assert got.count() == sum(n * (n - 1) // 2 for n in sizes)
 
         check()
+
+
+class TestSkewSplitProof:
+    """VERDICT r8 #7 — the measured skew-split bound: a synthetic hot
+    bucket owning 30% of a 32x-scaled relation must not concentrate its
+    pair work on one reducer. Work share per output partition is the
+    direct determinant of reducer task time for this compute-bound
+    stage, so the bound is stated on measured partition shares."""
+
+    N_TOTAL = 10_000          # 32x the unit fixture's ~300 rows
+    N_HOT = 3_000             # hot bucket owns 30% of all rows
+
+    def _relation(self, spark):
+        hot = spark.range(self.N_HOT).select(
+            F.col("id").alias("doc_id"), F.lit("HOT").alias("bk")
+        )
+        cold = spark.range(self.N_TOTAL - self.N_HOT).select(
+            (F.col("id") + 1_000_000).alias("doc_id"),
+            # ~50 rows per cold bucket: realistic non-hot band buckets
+            F.concat(F.lit("c"), (F.col("id") % 140).cast("string")).alias("bk"),
+        )
+        return hot.unionByName(cold)
+
+    def _partition_shares(self, pairs):
+        """Hot-pair count per ACTUAL output partition of the join."""
+        import pyspark.sql.functions as F2
+
+        per = (
+            pairs.filter(F2.col("bk_a") == "HOT")
+            .withColumn("pid", F2.spark_partition_id())
+            .groupBy("pid")
+            .agg(F2.count(F2.lit(1)).alias("n"))
+            .collect()
+        )
+        total = sum(r.n for r in per)
+        return max(r.n for r in per) / total, total
+
+    def test_salted_join_bounds_max_partition_share(self, spark):
+        """No reducer may own more than 2x the ideal 1/_N_BAND_SALT
+        share of the hot bucket's pairs (measured, not asserted from
+        the key layout) — while the UNSALTED twin concentrates ~all
+        hot pairs on one partition, proving the measurement detects
+        the imbalance the salting exists to fix."""
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        old_aqe = spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+        )
+        # Force a real shuffle join: at test size Spark would broadcast
+        # and the partition shares would measure the scan, not the
+        # reducers this test is about. At corpus scale neither side is
+        # broadcastable, so the shuffle join IS the production shape.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # AQE's partition coalescing folds the test-sized shuffle (10k
+        # rows) into ONE 64MB-target partition, which would measure the
+        # coalescer, not the key layout. At corpus scale every salt
+        # group exceeds the advisory size and stays its own reducer, so
+        # the un-coalesced layout is the production shape under test.
+        old_coal = spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", None
+        )
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            rel = self._relation(spark)
+            expected_hot_pairs = self.N_HOT * (self.N_HOT - 1) // 2
+
+            salted_share, n_salted = self._partition_shares(
+                _salted_self_join(rel, ["bk"])
+            )
+            assert n_salted == expected_hot_pairs  # nothing lost/duplicated
+            ideal = 1.0 / _N_BAND_SALT
+            assert salted_share <= 2 * ideal, (
+                f"hot-pair share {salted_share:.3f} exceeds 2x ideal "
+                f"{ideal:.3f} — a reducer owns too much of the hot bucket"
+            )
+
+            # Unsalted twin: the same measurement must show the
+            # pathology (one partition owning the hot bucket outright).
+            a = rel.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("bk").alias("bk_a")
+            )
+            b = rel.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("bk").alias("bk_b")
+            )
+            plain = a.join(
+                b,
+                (F.col("bk_a") == F.col("bk_b"))
+                & (F.col("doc_id_a") < F.col("doc_id_b")),
+            )
+            plain_share, n_plain = self._partition_shares(plain)
+            assert n_plain == expected_hot_pairs
+            assert plain_share > 0.9, (
+                "the unsalted twin should concentrate the hot bucket on "
+                f"one reducer (got max share {plain_share:.3f}) — if it "
+                "doesn't, this test is measuring the wrong thing"
+            )
+        finally:
+            for key, val in (
+                ("spark.sql.autoBroadcastJoinThreshold", old),
+                ("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe),
+                ("spark.sql.adaptive.coalescePartitions.enabled", old_coal),
+            ):
+                if val is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, val)
