@@ -153,6 +153,10 @@ HEADLINE = [
     # longer byte-length arithmetic, so they join the headline set.
     "image_resize",
     "audio_feature",
+    "audio_resample",
+    # Serve-from-disk IVF: build once (shared cache), persist partitioned
+    # by cell, answer the probe query from the reloaded files.
+    "ann_index_persist",
 ]
 
 

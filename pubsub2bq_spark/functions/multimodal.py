@@ -327,6 +327,59 @@ def wav_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
+RESAMPLE_FACTOR = 2  # 16 kHz → 8 kHz decimation (the ASR downsample)
+
+
+def wav_resample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the REAL audio 'resample' verb: synthesize
+    a WAV per payload, decode it, decimate by RESAMPLE_FACTOR (every
+    k-th frame — the exact-integer downsample, so oracles restate it),
+    re-encode at rate/k, and RE-DECODE the output file — the reported
+    sample count and RMS come out of the second decode, not the rule."""
+    import math
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "sr_in": [], "sr_out": [],
+            "n_in": [], "n_out": [], "rms_out": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            rate_in, s_in = decode_wav_s16(synth_wav_from_bytes(payload))
+            resampled = encode_wav_s16(
+                s_in[::RESAMPLE_FACTOR], rate_in // RESAMPLE_FACTOR
+            )
+            rate_out, s_out = decode_wav_s16(resampled)
+            n_out = int(s_out.size)
+            sum_sq = int(np.sum(s_out.astype(np.int64) ** 2))
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(n)
+            rows["sr_in"].append(rate_in)
+            rows["sr_out"].append(rate_out)
+            rows["n_in"].append(int(s_in.size))
+            rows["n_out"].append(n_out)
+            rows["rms_out"].append(
+                math.sqrt(sum_sq / n_out) / 32768.0 if n_out else 0.0
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "sr_in": pd.Series(rows["sr_in"], dtype="int32"),
+                "sr_out": pd.Series(rows["sr_out"], dtype="int32"),
+                "n_in": pd.Series(rows["n_in"], dtype="int64"),
+                "n_out": pd.Series(rows["n_out"], dtype="int64"),
+                "rms_out": pd.Series(rows["rms_out"], dtype="float64"),
+            }
+        )
+
+
+WAV_RESAMPLE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, sr_in int, sr_out int, "
+    "n_in bigint, n_out bigint, rms_out double"
+)
+
+
 def audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: binary `payload` → fixed-width feature row
     (md5-rule stand-in — the plumbing twin of wav_feature_batches)."""

@@ -1,10 +1,14 @@
 """Multimodal-column operators: SURVEY.md §2.10 (U8) + U1/U2 pandas-UDF
 surface.
 
-`documents.text` stands in for opaque media payloads (UTF-8 bytes as
-the binary column) since the container ships no codecs; the decode is
-the deterministic fake from functions/multimodal.py, but the Spark
-plumbing — binary columns, Arrow batches, mapInPandas schema — is the
+`documents.text` seeds the payloads. The plumbing keys
+(multimodal_meta / frame_sample) treat the UTF-8 bytes as an opaque
+payload and decode with the deterministic byte-length fake; the codec
+keys (image_resize / audio_feature / audio_resample) synthesize REAL
+PNG / WAV files from engine-portable rules and run genuine stdlib
+decode→transform→re-encode→re-decode loops (functions/png_codec.py,
+functions/wav_codec.py). Either way the Spark shape — binary columns,
+Arrow batches, mapInPandas schemas, projection-before-fan-out — is the
 real 100 TB design.
 """
 
@@ -23,9 +27,11 @@ from pubsub2bq_spark.functions.multimodal import (
     DECODE_META_SCHEMA,
     PNG_RESIZE_SCHEMA,
     RESIZE_TARGET,
+    WAV_RESAMPLE_SCHEMA,
     decode_meta_batches,
     png_resize_batches,
     wav_feature_batches,
+    wav_resample_batches,
 )
 from pubsub2bq_spark.registry import register
 from pubsub2bq_spark.tables import fan_out, load
@@ -208,3 +214,50 @@ def audio_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
     )
     return d.mapInPandas(wav_feature_batches, AUDIO_FEATURE_SCHEMA)
+
+
+@register(
+    "audio_resample",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        )
+        SELECT d.doc_id,
+               CAST(d.n AS BIGINT)                         AS n_bytes,
+               CAST(16000 AS INTEGER)                      AS sr_in,
+               CAST(8000 AS INTEGER)                       AS sr_out,
+               CAST(d.n // 4 + 8 AS BIGINT)                AS n_in,
+               CAST((d.n // 4 + 8 + 1) // 2 AS BIGINT)     AS n_out,
+               sqrt(CAST(sum(((t.i * 2654435761 + d.n) % 65536 - 32768)
+                             * ((t.i * 2654435761 + d.n) % 65536 - 32768))
+                         AS DOUBLE)
+                    / ((d.n // 4 + 8 + 1) // 2)) / 32768.0 AS rms_out
+        FROM d, LATERAL (
+            SELECT unnest(range(0, d.n // 4 + 8, 2)) AS i
+        ) t
+        GROUP BY d.doc_id, d.n
+    """,
+    doc="Audio resampling (U8 'resample' verb), REAL end-to-end for "
+        "WAV: the kernel synthesizes a real 16 kHz PCM16 file per "
+        "payload, genuinely decodes it, decimates by 2 (every other "
+        "frame — the exact-integer downsample), re-encodes at 8 kHz, "
+        "and RE-DECODES the output — reported sample count, rate and "
+        "RMS come out of the second container parse, not the "
+        "generation rule. The oracle restates the even-index sample "
+        "rule; the RMS is bit-identical (exact int64 sum of squares, "
+        "IEEE division, correctly-rounded sqrt, power-of-two scale).",
+    scale_notes="Same no-shuffle scan-transform envelope as the other "
+                "multimodal kernels: project to (doc_id, payload), one "
+                "Arrow-batched mapInPandas pass, numpy-vectorized "
+                "decimation per payload. Output frames are half the "
+                "input size, so downstream partitions shrink — the "
+                "resample belongs BEFORE any shuffle that moves audio.",
+)
+def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(wav_resample_batches, WAV_RESAMPLE_SCHEMA)

@@ -189,3 +189,27 @@ def test_kernels_consume_and_emit_arrow_batch_shapes():
     (audio,) = list(mm.wav_feature_batches(iter([pdf])))
     assert list(audio.columns) == ["doc_id", "n_bytes", "n_windows", "rms"]
     assert audio["n_windows"].tolist() == [1, 2]
+
+
+def test_wav_resample_kernel_real_roundtrip():
+    """audio_resample's kernel must report features measured from the
+    RE-DECODED 8 kHz file: half the frames (ceil), halved rate, RMS of
+    the even-index samples."""
+    import math
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [b"abc", b"x" * 301]})
+    (out,) = list(mm.wav_resample_batches(iter([pdf])))
+    assert list(out.columns) == [
+        "doc_id", "n_bytes", "sr_in", "sr_out", "n_in", "n_out", "rms_out"
+    ]
+    for _, r in out.iterrows():
+        n = int(r["n_bytes"])
+        ns = n // 4 + 8
+        assert r["sr_in"] == 16000 and r["sr_out"] == 8000
+        assert r["n_in"] == ns
+        assert r["n_out"] == (ns + 1) // 2
+        sq = sum(
+            (((i * 2654435761 + n) % 65536) - 32768) ** 2
+            for i in range(0, ns, 2)
+        )
+        assert r["rms_out"] == math.sqrt(sq / ((ns + 1) // 2)) / 32768.0
