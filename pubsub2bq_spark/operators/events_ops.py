@@ -953,3 +953,72 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "stream_dedup_watermark",
+    # Deterministic under AvailableNow: the self-union delivers every
+    # event exactly twice, dropDuplicatesWithinWatermark keeps ONE row
+    # per event_id (all duplicates arrive inside the watermark by
+    # construction), so the deduped stream is exactly the events table
+    # and the batch-side rollup is plain SQL.
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Structured Streaming exactly-once-per-key ingestion: the events "
+        "stream UNIONed with itself (every event delivered twice — the "
+        "at-least-once-broker shape) is deduplicated with "
+        "dropDuplicatesWithinWatermark on event_id under a 10-minute "
+        "event-time watermark, then rolled up per event_type. The "
+        "dedup-state API the `dedup` key's batch twin documents, "
+        "actually driven end-to-end.",
+    scale_notes="dropDuplicatesWithinWatermark is THE bounded-state "
+                "streaming dedup: plain dropDuplicates keeps every seen "
+                "key forever (state grows with the corpus), the "
+                "watermark variant evicts keys older than the delay — "
+                "state is bounded by the duplicate-arrival window, not "
+                "the stream length. Dedup state shuffles on event_id "
+                "(the dedup key), so it scales out with executors; at "
+                "100 TB/day the watermark delay is the broker's "
+                "redelivery horizon, keeping state at "
+                "O(events-per-delay-window).",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.tables import normalize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def one_stream():
+        return normalize_events(
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    doubled = one_stream().unionByName(one_stream())
+    deduped = (
+        doubled.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = f"sdw_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )
