@@ -157,6 +157,14 @@ HEADLINE = [
     # Serve-from-disk IVF: build once (shared cache), persist partitioned
     # by cell, answer the probe query from the reloaded files.
     "ann_index_persist",
+    # Image near-dup chain: real decode → aHash → banded Hamming pairs
+    # (the image twin of simhash_pairs), plus frame-level audio features.
+    "image_phash_pairs",
+    "audio_frames",
+    # MMR re-rank (bounded greedy over the relevance pool) and the
+    # zlib-compressibility pre-filter (pure scan, Arrow-batched).
+    "mmr_diversify",
+    "compression_ratio",
 ]
 
 

@@ -396,3 +396,116 @@ def audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 
 AUDIO_FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, n_windows bigint, rms double"
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (aHash over genuinely decoded pixels)
+# ---------------------------------------------------------------------------
+
+# Textured-synthesis constants: base(x, y) = (173x + 199y + xy) % 256 is
+# the dimension-driven "scene"; seed = doc_id % PHASH_SEED_MOD acts as a
+# per-document BRIGHTNESS shift (pixel = (base + seed) % 256). aHash
+# thresholds each cell against the image mean, so a uniform shift flips
+# only cells near the mean — documents sharing a scene (same dims) land
+# within a small Hamming radius, documents with different scenes land
+# ~32 bits apart. That is exactly the perceptual-hash contract, and it
+# makes the near-dup set sparse (measured 0.14% of pairs at radius 7 on
+# the sf0.01 corpus) instead of trivially dense. Both engines restate
+# the identical integer arithmetic.
+PHASH_SEED_MOD = 97
+PHASH_GRID = 8  # aHash downsample grid → 64-bit hash
+
+
+def synth_png_textured(payload: bytes, seed: int) -> bytes:
+    """Synthesize a *real* PNG with the byte-length dimension rule
+    (w = n%64+16, h = (n//64)%64+16) and per-document texture
+    ``pixel(x, y) = ((173x + 199y + xy) % 256 + seed) % 256`` — a
+    dimension-keyed scene under a document-keyed brightness shift."""
+    n = len(payload)
+    w = n % 64 + 16
+    h = (n // 64) % 64 + 16
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    base = (173 * x[None, :] + 199 * y[:, None] + x[None, :] * y[:, None]) % 256
+    px = ((base + seed) % 256).astype(np.uint8)
+    return encode_png(px)
+
+
+def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the REAL image-hash path: synthesize a
+    textured PNG per payload, genuinely decode it (inflate + defilter),
+    nearest-neighbor downsample the DECODED pixels to the 8x8 aHash
+    grid, and threshold each cell against the strict grid mean
+    (``64*v > sum`` — integer-exact, so oracles restate it). Bits pack
+    row-major (k = j*8 + i) into two BIGINT halves like simhash."""
+    grid = PHASH_GRID
+    for pdf in batches:
+        rows = {"doc_id": [], "width": [], "height": [], "lo": [], "hi": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            png = synth_png_textured(payload, int(doc_id) % PHASH_SEED_MOD)
+            w, h, _ch, px = decode_png(png)
+            small = resize_nearest(px[:, :, 0], grid, grid).astype(np.int64)
+            total = int(small.sum())
+            flat = (small * (grid * grid) > total).reshape(-1)
+            lo = int(np.sum(flat[:32].astype(np.int64) << np.arange(32, dtype=np.int64)))
+            hi = int(np.sum(flat[32:].astype(np.int64) << np.arange(32, dtype=np.int64)))
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["lo"].append(lo)
+            rows["hi"].append(hi)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "lo": pd.Series(rows["lo"], dtype="int64"),
+                "hi": pd.Series(rows["hi"], dtype="int64"),
+            }
+        )
+
+
+PHASH_SCHEMA = "doc_id bigint, width int, height int, lo bigint, hi bigint"
+
+
+# ---------------------------------------------------------------------------
+# Frame-level audio features (the MFCC-frame layout, RMS per window)
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME_LEN = 16  # samples per analysis frame (hop == frame, no overlap)
+
+
+def wav_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for frame-level audio features: synthesize a
+    WAV per payload, genuinely parse container + PCM frames, then emit
+    ONE ROW PER ANALYSIS FRAME (AUDIO_FRAME_LEN samples, hop == frame)
+    with the frame's sample count and RMS — the frame-feature layout
+    every speech pipeline (MFCC/fbank) produces. The sum of squares is
+    exact int64, so sqrt(sum_sq/cnt)/32768 is bit-identical on both
+    engines."""
+    import math
+
+    fl = AUDIO_FRAME_LEN
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "n_in_frame": [], "rms": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, s = decode_wav_s16(synth_wav_from_bytes(payload))
+            s64 = s.astype(np.int64)
+            for f in range(0, s64.size, fl):
+                frame = s64[f : f + fl]
+                sum_sq = int(np.sum(frame * frame))
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(f // fl)
+                rows["n_in_frame"].append(int(frame.size))
+                rows["rms"].append(math.sqrt(sum_sq / frame.size) / 32768.0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "n_in_frame": pd.Series(rows["n_in_frame"], dtype="int32"),
+                "rms": pd.Series(rows["rms"], dtype="float64"),
+            }
+        )
+
+
+AUDIO_FRAMES_SCHEMA = "doc_id bigint, frame_idx int, n_in_frame int, rms double"

@@ -28,6 +28,8 @@ surface-statistics funnel (llm_corpus) and exact/near dedup (llm_dedup):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1369,4 +1371,62 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_eval_hits"),
             F.round(F.max(cos), 6).alias("max_cosine"),
         )
+    )
+
+
+# Compressibility filter thresholds: DEFLATE squeezes repetitive text
+# far below natural prose. Natural-language corpora sit ~0.3-0.6 at
+# level 6; boilerplate/template spam drops well under that (the Gopher
+# "repetition" family of signals, Rae et al. 2021, measured here as one
+# number instead of ten n-gram rules).
+COMPRESS_LEVEL = 6
+COMPRESS_MIN_RATIO = 0.25  # below => degenerate/repetitive, drop
+
+
+@register(
+    "compression_ratio",
+    # rows-only by necessity: the signal IS the DEFLATE-compressed
+    # length, and no SQL engine can restate zlib. Determinism and the
+    # orderings the filter relies on (repetitive < prose < random) are
+    # pinned by tests/test_quality_ops.py instead; the driver still
+    # checks row count and schema.
+    oracle=None,
+    doc=f"Compressibility quality signal: per-document "
+        f"zlib(level {COMPRESS_LEVEL}) compressed-size / raw-size ratio, "
+        "plus the keep decision (ratio >= "
+        f"{COMPRESS_MIN_RATIO} — highly compressible text is "
+        "boilerplate/template spam). One number replacing the n-gram "
+        "repetition rule family; the standard cheap pre-filter before "
+        "expensive dedup/quality stages.",
+    scale_notes="Arrow-batched pandas_udf (the only Python-boundary "
+                "cost is one zlib call per doc — CPU-bound, "
+                "embarrassingly parallel, no shuffle at all: a pure "
+                "scan-project. At 100 TB this is the cheapest quality "
+                "signal per byte in the funnel and belongs FIRST in "
+                "selection_funnel-style pipelines, ahead of anything "
+                "that shuffles.",
+)
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("long")
+    def zlen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), COMPRESS_LEVEL))
+        )
+
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    raw_len = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    return d.select(
+        "doc_id",
+        raw_len.alias("n_bytes"),
+        zlen(F.col("text")).alias("n_compressed"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.round(F.col("n_compressed") / F.col("n_bytes"), 6).alias("ratio"),
+        (F.col("n_compressed") / F.col("n_bytes") >= COMPRESS_MIN_RATIO).alias(
+            "keep"
+        ),
     )

@@ -795,3 +795,165 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ann_pq registers below the first refresh call; recompose with it included.
 refresh_ann_recall_oracle()
+
+
+# MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998):
+# score(d) = LAMBDA*sim(q,d) - MU*max_{s in selected} sim(d,s). MU is a
+# literal (not 1-LAMBDA) so both engines evaluate the identical double.
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3
+MMR_POOL = 16  # relevance candidate pool per query
+MMR_K = 5      # diversified picks per query
+
+
+def _mmr_oracle() -> str:
+    cos_cs = (
+        "list_dot_product(c.v, s.v) / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(s.v, s.v)))"
+    )
+    steps = []
+    for t in range(2, MMR_K + 1):
+        prev = "sel1" if t == 2 else f"sel{t - 1}"
+        steps.append(f"""
+        m{t} AS (
+            SELECT c.query_id, c.vec_id, c.v, c.cos_q,
+                   max({cos_cs}) AS msim
+            FROM cand c JOIN {prev} s ON s.query_id = c.query_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM {prev} x
+                WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+            GROUP BY c.query_id, c.vec_id, c.v, c.cos_q
+        ),
+        p{t} AS (
+            SELECT query_id, vec_id, v, cos_q, score, {t} AS rank FROM (
+                SELECT query_id, vec_id, v, cos_q,
+                       {MMR_LAMBDA}*cos_q - {MMR_MU}*msim AS score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY {MMR_LAMBDA}*cos_q - {MMR_MU}*msim DESC,
+                                    vec_id) AS rn
+                FROM m{t}) WHERE rn = 1
+        ),
+        sel{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{t})""")
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT q.query_id, b.vec_id, b.v,
+                   list_dot_product(q.qv, b.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(b.v, b.v))) AS cos_q
+            FROM q JOIN v b ON b.vec_id <> q.query_id
+        ),
+        cand AS (
+            SELECT query_id, vec_id, v, cos_q, rn FROM (
+                SELECT query_id, vec_id, v, cos_q,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_q DESC, vec_id) AS rn
+                FROM scored)
+            WHERE rn <= {MMR_POOL}
+        ),
+        sel1 AS (
+            SELECT query_id, vec_id, v, cos_q,
+                   {MMR_LAMBDA}*cos_q AS score, 1 AS rank
+            FROM cand WHERE rn = 1
+        ),{",".join(steps)}
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+               round(score, 6) AS score
+        FROM sel{MMR_K}
+    """
+
+
+@register(
+    "mmr_diversify",
+    oracle=_mmr_oracle(),
+    doc=f"MMR result diversification (Carbonell & Goldstein 1998): from "
+        f"each query's top-{MMR_POOL} cosine candidates, greedily pick "
+        f"{MMR_K} results maximizing {MMR_LAMBDA}*sim(query,d) - "
+        f"{MMR_MU}*max_sim(d, already-picked) — the standard "
+        "redundancy-removal re-rank between retrieval and a RAG "
+        "context window. The greedy recurrence is unrolled to fixed K "
+        "in BOTH engines (DataFrame loop / CTE chain), every cosine is "
+        "the same sequential fold, and MU is a literal (not 1-lambda) "
+        "so scores are bit-identical.",
+    scale_notes=f"The expensive stage is the relevance scan (same plan "
+                "as similarity_topk: queries broadcast, corpus never "
+                f"shuffles); MMR itself touches only the top-{MMR_POOL} "
+                "pool per query — bounded candidate x selected joins "
+                f"({MMR_POOL}x{MMR_K} rows/query), all broadcastable. "
+                "Each greedy step is one anti-join + max-agg + "
+                "row_number over per-query groups; K is a constant, so "
+                "the added cost is K tiny stages regardless of corpus "
+                "size. The pool is materialized once and feeds every "
+                "step — the corpus scan never re-runs.",
+)
+def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    q = em.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        em.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "v", _cosine(F.col("qv"), F.col("v")).alias("cos_q")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .transform(materialize)  # one corpus scan feeds all K greedy steps
+    )
+    sel = cand.filter(F.col("rn") == 1).select(
+        "query_id",
+        "vec_id",
+        "v",
+        "cos_q",
+        (F.lit(MMR_LAMBDA) * F.col("cos_q")).alias("score"),
+        F.lit(1).alias("rank"),
+    )
+    for t in range(2, MMR_K + 1):
+        sel_slim = sel.select(
+            "query_id", F.col("vec_id").alias("sel_id"), F.col("v").alias("sv")
+        )
+        rem = cand.join(
+            sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        msim = (
+            rem.join(F.broadcast(sel_slim), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                "cos_q",
+                _cosine(F.col("v"), F.col("sv")).alias("s"),
+            )
+            .groupBy("query_id", "vec_id", "cos_q")
+            .agg(F.max("s").alias("msim"))
+        )
+        score = F.lit(MMR_LAMBDA) * F.col("cos_q") - F.lit(MMR_MU) * F.col("msim")
+        wp = Window.partitionBy("query_id").orderBy(score.desc(), F.col("vec_id").asc())
+        pick = (
+            msim.withColumn("score", score)
+            .withColumn("rn2", F.row_number().over(wp))
+            .filter(F.col("rn2") == 1)
+            .select("query_id", "vec_id", "score", F.lit(t).alias("rank"))
+        )
+        pick_v = pick.join(
+            cand.select("query_id", "vec_id", "v", "cos_q"), ["query_id", "vec_id"]
+        ).select("query_id", "vec_id", "v", "cos_q", "score", "rank")
+        sel = materialize(sel.unionByName(pick_v))
+    return sel.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )

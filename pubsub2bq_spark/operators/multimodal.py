@@ -34,7 +34,7 @@ from pubsub2bq_spark.functions.multimodal import (
     wav_resample_batches,
 )
 from pubsub2bq_spark.registry import register
-from pubsub2bq_spark.tables import fan_out, load
+from pubsub2bq_spark.tables import fan_out, load, materialize
 
 
 @register(
@@ -261,3 +261,239 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
     )
     return d.mapInPandas(wav_resample_batches, WAV_RESAMPLE_SCHEMA)
+
+
+_PHASH_RADIUS = 7  # 8 bands x 8 bits; dist <= 7 => one band equal (pigeonhole)
+
+
+def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, width, height, lo, hi): 64-bit aHash of each document's
+    synthesized-and-genuinely-decoded image, packed like simhash."""
+    from pubsub2bq_spark.functions.multimodal import PHASH_SCHEMA, phash_batches
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(phash_batches, PHASH_SCHEMA)
+
+
+def _phash_oracle_ctes() -> str:
+    """Shared DuckDB CTEs restating the textured-synthesis + aHash
+    arithmetic: dims from byte length, scene (173x+199y+xy)%256 under a
+    brightness shift seed = doc_id%97, 8x8 nearest-neighbor sample at
+    exact floor indices, strict-mean threshold (64*v > sum), bits packed
+    row-major (k = j*8+i) into lo/hi BIGINT halves."""
+    from pubsub2bq_spark.functions.multimodal import PHASH_GRID, PHASH_SEED_MOD
+
+    g = PHASH_GRID
+    return f"""
+        m AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) % 64 + 16            AS w,
+                   (octet_length(encode(text)) // 64) % 64 + 16    AS h,
+                   doc_id % {PHASH_SEED_MOD}                       AS seed
+            FROM documents
+        ),
+        cells AS (
+            SELECT m.doc_id, m.w, m.h,
+                   gj.j * {g} + gi.i AS k,
+                   ((173 * ((gi.i * m.w) // {g})
+                     + 199 * ((gj.j * m.h) // {g})
+                     + ((gi.i * m.w) // {g}) * ((gj.j * m.h) // {g})) % 256
+                    + m.seed) % 256 AS v
+            FROM m,
+                 unnest(range({g})) AS gj(j),
+                 unnest(range({g})) AS gi(i)
+        ),
+        sums AS (
+            SELECT doc_id, sum(v) AS total FROM cells GROUP BY doc_id
+        ),
+        bits AS (
+            SELECT c.doc_id, c.k,
+                   CASE WHEN {g * g} * c.v > s.total THEN 1 ELSE 0 END AS b
+            FROM cells c JOIN sums s USING (doc_id)
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN k < 32
+                                 THEN b * (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo,
+                   CAST(sum(CASE WHEN k >= 32
+                                 THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi
+            FROM bits GROUP BY doc_id
+        )
+    """
+
+
+@register(
+    "image_phash",
+    oracle=f"""
+        WITH {_phash_oracle_ctes()}
+        SELECT m.doc_id,
+               CAST(m.w AS INTEGER)  AS width,
+               CAST(m.h AS INTEGER)  AS height,
+               fp.lo                 AS phash_lo,
+               fp.hi                 AS phash_hi,
+               printf('%08x%08x', fp.hi, fp.lo) AS phash_hex
+        FROM m JOIN fp USING (doc_id)
+    """,
+    doc="Perceptual image hash (aHash), REAL end-to-end: the kernel "
+        "synthesizes a textured PNG per payload (dimension-keyed scene "
+        "under a document-keyed brightness shift), genuinely decodes it "
+        "(zlib inflate + scanline defilter), downsamples the DECODED "
+        "pixels to the 8x8 aHash grid with exact-floor nearest-neighbor, "
+        "and thresholds each cell against the strict grid mean "
+        "(64*v > sum — integer-exact). 64 bits pack row-major into two "
+        "BIGINT halves plus a hex rendering. The oracle restates the "
+        "synthesis + hash arithmetic in pure integer SQL.",
+    scale_notes="Same no-shuffle envelope as the other multimodal "
+                "kernels: project to (doc_id, payload), one Arrow-batched "
+                "mapInPandas pass, numpy-vectorized decode+hash per row. "
+                "The output row is ~30 bytes regardless of image size — "
+                "the hash table is what shuffles downstream, never "
+                "pixels. At 100 TB the payload column holds object-store "
+                "references; the hash pass is the scan that turns images "
+                "into a joinable relation.",
+)
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _phash_table(spark, sf_dir)
+    return fp.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("lo").alias("phash_lo"),
+        F.col("hi").alias("phash_hi"),
+        F.format_string("%08x%08x", "hi", "lo").alias("phash_hex"),
+    )
+
+
+@register(
+    "image_phash_pairs",
+    oracle=f"""
+        WITH {_phash_oracle_ctes()},
+        melted AS (
+            SELECT doc_id, lo, hi, t.k,
+                   ((CASE WHEN t.k < 4 THEN lo ELSE hi END)
+                    >> (8 * (t.k % 4))) & 255 AS bv
+            FROM fp, unnest(range(0, 8)) AS t(k)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+        FROM melted a
+        JOIN melted b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {_PHASH_RADIUS}
+    """,
+    doc="Image near-duplicate pairs over perceptual hashes of genuinely "
+        "decoded pixels: the 64-bit aHash split into 8 8-bit bands; "
+        "images within Hamming distance <= 7 MUST share an exact band "
+        "(pigeonhole), so the candidate join is a band equi-join — never "
+        "all-pairs — and the exact popcount filter prunes band "
+        "coincidences. The brightness-shifted texture makes this a true "
+        "perceptual test: same-scene documents under different exposure "
+        "land within the radius, different scenes ~32 bits apart "
+        "(measured 172 pairs of 124,750 possible at sf0.01).",
+    scale_notes="The image twin of simhash_pairs: the melt emits 8 "
+                "rows/doc of (band_idx, band_val, two bigints) — pixels "
+                "never shuffle, only 30-byte hash rows. Hot bands (e.g. "
+                "flat images hashing to all-zeros) fragment-replicate "
+                "via _salted_self_join; emit-on-first-matching-band "
+                "keeps the pair set duplicate-free without a second "
+                "DISTINCT shuffle. The popcount distance check is "
+                "whole-stage codegen, no UDF.",
+)
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.operators.llm_dedup import _salted_self_join
+
+    fp = _phash_table(spark, sf_dir).select("doc_id", "lo", "hi")
+    melted = (
+        fp.select(
+            "doc_id",
+            "lo",
+            "hi",
+            F.explode(F.array(*[F.lit(k) for k in range(8)])).alias("k"),
+        )
+        .select(
+            "doc_id",
+            "lo",
+            "hi",
+            "k",
+            F.expr(
+                "shiftright(CASE WHEN k < 4 THEN lo ELSE hi END, 8 * (k % 4)) & 255"
+            ).alias("bv"),
+        )
+        .transform(materialize)  # one hash pass feeds both join sides
+    )
+    pairs = _salted_self_join(melted, ["k", "bv"])
+    ham = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
+    match_mask = " + ".join(
+        f"(CASE WHEN shiftright({'lo' if k < 4 else 'hi'}_a"
+        f" ^ {'lo' if k < 4 else 'hi'}_b, {8 * (k % 4)}) & 255 = 0"
+        f" THEN {1 << k} ELSE 0 END)"
+        for k in range(8)
+    )
+    first_match = F.expr(f"(({match_mask}) & (shiftleft(1, k_a) - 1)) = 0")
+    return pairs.filter(first_match & (ham <= _PHASH_RADIUS)).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        ham.cast("int").alias("hamming"),
+    )
+
+
+@register(
+    "audio_frames",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n, n // 4 + 8 AS ns FROM d
+        ),
+        fr AS (
+            SELECT doc_id, n, ns, f.start,
+                   least(ns - f.start, 16) AS cnt
+            FROM s, LATERAL (SELECT unnest(range(0, ns, 16)) AS start) f
+        )
+        SELECT fr.doc_id,
+               CAST(fr.start // 16 AS INTEGER) AS frame_idx,
+               CAST(fr.cnt AS INTEGER)         AS n_in_frame,
+               sqrt(CAST(sum(((t.i * 2654435761 + fr.n) % 65536 - 32768)
+                             * ((t.i * 2654435761 + fr.n) % 65536 - 32768))
+                         AS DOUBLE) / fr.cnt) / 32768.0 AS rms
+        FROM fr, LATERAL (
+            SELECT unnest(range(fr.start, fr.start + fr.cnt)) AS i
+        ) t
+        GROUP BY fr.doc_id, fr.start, fr.cnt
+    """,
+    doc="Frame-level audio features (the MFCC/fbank frame layout): the "
+        "kernel synthesizes a real PCM16 WAV per payload, genuinely "
+        "parses container + frames, and emits one row per 16-sample "
+        "analysis window (hop == frame) with the window's RMS — the "
+        "row-expansion shape every speech pipeline produces before "
+        "frame-level modeling. Exact int64 sum of squares, so the RMS "
+        "is bit-identical on both engines.",
+    scale_notes="One Arrow-batched mapInPandas pass over projected "
+                "(doc_id, payload); expansion happens inside the kernel "
+                "(numpy reshape, no per-frame Python). Output rows are "
+                "fixed-width (~20 bytes), so a 30 s clip becomes ~3000 "
+                "tiny rows — the frame table shuffles cheaply into "
+                "whatever keyed aggregate consumes it, and the audio "
+                "bytes themselves never leave the scan stage.",
+)
+def audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        AUDIO_FRAMES_SCHEMA,
+        wav_frame_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(wav_frame_batches, AUDIO_FRAMES_SCHEMA)

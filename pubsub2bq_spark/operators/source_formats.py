@@ -338,3 +338,33 @@ def python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.json")
         .json(out)
     )
+
+
+@register(
+    "xml_load",
+    oracle=_ORACLE,
+    doc="XML source round-trip through Spark 4's native XML data source "
+        "(rowTag-delimited records, explicit schema on read — the "
+        "feeds-and-exports format enterprise ingest still speaks).",
+    scale_notes="XML parse is the heaviest row-wise text path (tag "
+                "soup, no pushdown, no pruning) but splits per file and "
+                "parallelizes like JSON; the engine treats it strictly "
+                "as an ingest boundary — staging converts to parquet "
+                "before anything joins it.",
+)
+def xml_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = scratch_dir("xmlq_")
+    (
+        _slice(spark, sf_dir)
+        .write.mode("overwrite")
+        .option("rowTag", "li")
+        .format("xml")
+        .save(f"{tmp}/li")
+    )
+    back = (
+        spark.read.schema(_SLICE_SCHEMA)
+        .option("rowTag", "li")
+        .format("xml")
+        .load(f"{tmp}/li")
+    )
+    return _agg(back)

@@ -123,6 +123,15 @@ PLAN_KEYS = [
     "containment_dedup", # rare-gram blocking + doc-keyed count chain
     "semantic_decontaminate",  # directed cell-pair train x eval probe
     "tokenizer_fertility",     # vocab join + corpus-cell aggregate
+    # Round-9 additions (stream_dedup_watermark is streaming — its
+    # bounded-state property is asserted in tests/test_streaming.py).
+    "image_phash",        # no-shuffle Arrow kernel scan
+    "image_phash_pairs",  # banded Hamming self-join over hash rows
+    "audio_frames",       # kernel-side row expansion, no shuffle
+    "ann_index_persist",
+    "audio_resample",
+    "mmr_diversify",      # broadcast relevance scan + K bounded greedy stages
+    "compression_ratio",  # pure scan-project, ArrowEvalPython only
 ]
 
 

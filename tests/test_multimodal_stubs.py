@@ -213,3 +213,105 @@ def test_wav_resample_kernel_real_roundtrip():
             for i in range(0, ns, 2)
         )
         assert r["rms_out"] == math.sqrt(sq / ((ns + 1) // 2)) / 32768.0
+
+
+def test_phash_brightness_invariance_and_scene_separation():
+    """The perceptual contract: a brightness shift (same scene) moves the
+    aHash at most a few bits; a different scene (different dims) lands
+    far away."""
+
+    def ahash(payload: bytes, seed: int) -> int:
+        png = mm.synth_png_textured(payload, seed)
+        _w, _h, _ch, px = decode_png(png)
+        small = resize_nearest(px[:, :, 0], mm.PHASH_GRID, mm.PHASH_GRID).astype(
+            np.int64
+        )
+        flat = (small * (mm.PHASH_GRID**2) > int(small.sum())).reshape(-1)
+        return int(sum(1 << k for k in range(64) if flat[k]))
+
+    base = b"x" * 200
+    h0 = ahash(base, 10)
+    h_bright = ahash(base, 14)  # same scene, shifted exposure
+    h_other = ahash(b"y" * 1333, 10)  # different dims => different scene
+    near = bin(h0 ^ h_bright).count("1")
+    far = bin(h0 ^ h_other).count("1")
+    assert near <= 7, near
+    assert far > 15, far
+
+
+def test_phash_kernel_matches_integer_restatement():
+    """The kernel's decode→downsample→threshold pipeline must reproduce
+    the pure-integer arithmetic the oracle states."""
+    pdf = pd.DataFrame(
+        {"doc_id": [3, 41], "payload": [b"q" * 157, b"z" * 999]}
+    )
+    (out,) = list(mm.phash_batches(iter([pdf])))
+    for _, row in out.iterrows():
+        n = 157 if row["doc_id"] == 3 else 999
+        w, h = n % 64 + 16, (n // 64) % 64 + 16
+        seed = int(row["doc_id"]) % mm.PHASH_SEED_MOD
+        v = np.array(
+            [
+                [
+                    ((173 * ((i * w) // 8) + 199 * ((j * h) // 8)
+                      + ((i * w) // 8) * ((j * h) // 8)) % 256 + seed) % 256
+                    for i in range(8)
+                ]
+                for j in range(8)
+            ],
+            dtype=np.int64,
+        )
+        flat = (v * 64 > int(v.sum())).reshape(-1)
+        lo = int(sum(1 << k for k in range(32) if flat[k]))
+        hi = int(sum(1 << (k - 32) for k in range(32, 64) if flat[k]))
+        assert (row["width"], row["height"]) == (w, h)
+        assert (row["lo"], row["hi"]) == (lo, hi)
+
+
+def test_wav_frame_kernel_covers_all_samples_once():
+    """Frame rows must partition the decoded sample array: counts sum to
+    n_samples, the tail frame is short, and each RMS comes from the
+    decoded samples of that window."""
+    import math
+
+    payload = b"a" * 100  # n_samples = 100//4 + 8 = 33 => frames 16,16,1
+    pdf = pd.DataFrame({"doc_id": [7], "payload": [payload]})
+    (out,) = list(mm.wav_frame_batches(iter([pdf])))
+    assert list(out["n_in_frame"]) == [16, 16, 1]
+    assert list(out["frame_idx"]) == [0, 1, 2]
+    _rate, s = decode_wav_s16(mm.synth_wav_from_bytes(payload))
+    s64 = s.astype(np.int64)
+    for _, row in out.iterrows():
+        f0 = int(row["frame_idx"]) * mm.AUDIO_FRAME_LEN
+        frame = s64[f0 : f0 + mm.AUDIO_FRAME_LEN]
+        want = math.sqrt(int(np.sum(frame * frame)) / frame.size) / 32768.0
+        assert row["rms"] == want
+
+
+def test_image_phash_pairs_equals_bruteforce(spark):
+    """Pigeonhole completeness on real data: the banded pair join must
+    emit EXACTLY the Hamming<=radius pairs a brute-force all-pairs scan
+    of the hash table finds — no duplicates, no misses."""
+    import itertools
+
+    from pubsub2bq_spark.operators.multimodal import (
+        _PHASH_RADIUS,
+        image_phash,
+        image_phash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hashes = {
+        r["doc_id"]: (int(r["phash_lo"]) | (int(r["phash_hi"]) << 32))
+        for r in image_phash(spark, sf).collect()
+    }
+    want = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= _PHASH_RADIUS
+    }
+    got_rows = image_phash_pairs(spark, sf).collect()
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in got_rows}
+    assert len(got_rows) == len(got)  # emit-on-first-band => no dup rows
+    assert got == want
+    assert want  # the fixture actually contains near-dup pairs

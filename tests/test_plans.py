@@ -328,3 +328,40 @@ class TestRound5Plans:
         assert "SortMergeJoin" not in plan
         assert "ShuffledHashJoin" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestRound9Plans:
+    """Plan gates for the round-9 multimodal chain: hash rows shuffle,
+    pixels never do."""
+
+    def test_image_phash_kernel_scan_no_join(self, spark):
+        """The hash pass is a scan → (fan-out) → Arrow kernel pipeline:
+        no join, no aggregate — any Exchange may only be the sub-core
+        fan-out repartition, never a keyed shuffle."""
+        plan = plan_of(spark, "image_phash")
+        assert "Join" not in plan
+        assert "HashAggregate" not in plan
+        assert "hashpartitioning" not in plan
+
+    def test_image_phash_pairs_salted_band_join(self, spark):
+        """The image twin of simhash_pairs must keep its plan shape:
+        salted single band join (no cold/hot Union), popcount distance
+        in codegen, and — critically — the join operand is the 30-byte
+        hash relation, never pixel or payload columns."""
+        plan = plan_of(spark, "image_phash_pairs")
+        assert "_sj" in plan and "_salt" in plan
+        assert "Union" not in plan
+        assert "CartesianProduct" not in plan
+        # payload bytes must not survive past the kernel into the join
+        join_section = (
+            plan[plan.find("SortMergeJoin"):] if "SortMergeJoin" in plan else plan
+        )
+        assert "payload" not in join_section
+
+    def test_audio_frames_expansion_inside_kernel(self, spark):
+        """Frame expansion happens inside the Arrow kernel — the plan has
+        no generator/explode node and no keyed shuffle after the kernel."""
+        plan = plan_of(spark, "audio_frames")
+        assert "Generate" not in plan  # no JVM-side explode
+        assert "Join" not in plan
+        assert "hashpartitioning" not in plan

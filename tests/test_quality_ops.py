@@ -377,3 +377,45 @@ def test_quality_ensemble_zscores_center_and_flag_tail(spark):
     assert abs(row["mu"]) < 0.05
     # the gate flags a real but minority tail
     assert 0 < row["n_flagged"] < row["n"] / 2
+
+
+class TestCompressionRatio:
+    """Contracts for the rows-only compressibility signal (no SQL engine
+    can restate zlib, so the orderings the filter relies on are pinned
+    here instead of in an oracle)."""
+
+    def test_orderings_and_determinism(self, spark, tmp_path):
+        from pubsub2bq_spark.operators.llm_quality import compression_ratio
+
+        docs = [
+            (1, "spam " * 60, "en", "s", 300),            # repetitive
+            (2, "the quick brown fox jumps over the lazy dog while "
+                "seventy peculiar zebras quietly examined jagged "
+                "formations beyond the misty valley floor today", "en", "s", 143),
+            (3, "kq7x!Rz@9mWv#2pLc$5nTb&8dHj*4fGs^1aYe~6uIo+3cXw"
+                "zR!7qK@x9#vWm2$pL5c&nT8b*dH4j^fG1s~aY6e+uI3oXc", "en", "s", 95),
+        ]
+        sf = str(tmp_path)
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{sf}/documents.parquet")
+        r1 = {r["doc_id"]: r.asDict() for r in compression_ratio(spark, sf).collect()}
+        r2 = {r["doc_id"]: r.asDict() for r in compression_ratio(spark, sf).collect()}
+        assert r1 == r2  # deterministic
+        assert r1[1]["ratio"] < r1[2]["ratio"] < r1[3]["ratio"]  # spam < prose < noise
+        assert not r1[1]["keep"]   # repetitive text is dropped
+        assert r1[2]["keep"] and r1[3]["keep"]
+        for r in r1.values():  # the ratio column restates the two lengths
+            assert r["ratio"] == round(r["n_compressed"] / r["n_bytes"], 6)
+
+    def test_real_corpus_rowcount_and_bounds(self, spark):
+        from pubsub2bq_spark.operators.llm_quality import compression_ratio
+
+        out = compression_ratio(spark, "/root/testdata/sf0.001").collect()
+        import duckdb
+
+        n = duckdb.sql(
+            "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchone()[0]
+        assert len(out) == n
+        assert all(0 < r["ratio"] <= 1.5 for r in out)
