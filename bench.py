@@ -160,6 +160,7 @@ HEADLINE = [
     # Image near-dup chain: real decode → aHash → banded Hamming pairs
     # (the image twin of simhash_pairs), plus frame-level audio features.
     "image_phash_pairs",
+    "image_dedup_clusters",
     "audio_frames",
     # MMR re-rank (bounded greedy over the relevance pool) and the
     # zlib-compressibility pre-filter (pure scan, Arrow-batched).

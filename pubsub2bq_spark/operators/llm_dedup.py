@@ -521,6 +521,51 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_MAX_ITERS = 30
 
 
+def min_label_components(pairs: DataFrame, op_name: str = "dedup_clusters") -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected candidate-pair graph. ``pairs``: (src, dst) with one row
+    per edge direction-agnostic; returns (doc_id, cluster_id). Shared by
+    the text (minhash) and image (phash) dedup-cluster keys."""
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).transform(materialize)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .transform(materialize)
+    )
+    def propagate(lbl: DataFrame) -> DataFrame:
+        neighbor_min = (
+            edges.join(lbl, edges.src == lbl.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        return lbl.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+        )
+
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(_CLUSTER_MAX_ITERS):
+        # Two propagation hops per materialization: near-dup components are
+        # shallow, and the localCheckpoint + convergence action dominate the
+        # per-round cost — doubling the hop count halves the rounds without
+        # changing the fixpoint.
+        labels = propagate(propagate(labels)).transform(materialize)
+        # Min-label mass is strictly decreasing until the fixpoint.
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"{op_name} did not converge in {_CLUSTER_MAX_ITERS} iterations"
+        )
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+
 @register(
     "dedup_clusters",
     oracle=_minhash_sig_sql().replace("WITH", "WITH RECURSIVE", 1)
@@ -562,43 +607,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(materialize)
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .transform(materialize)
-    )
-    def propagate(lbl: DataFrame) -> DataFrame:
-        neighbor_min = (
-            edges.join(lbl, edges.src == lbl.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        return lbl.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
-        )
-
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(_CLUSTER_MAX_ITERS):
-        # Two propagation hops per materialization: near-dup components are
-        # shallow, and the localCheckpoint + convergence action dominate the
-        # per-round cost — doubling the hop count halves the rounds without
-        # changing the fixpoint.
-        labels = propagate(propagate(labels)).transform(materialize)
-        # Min-label mass is strictly decreasing until the fixpoint.
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {_CLUSTER_MAX_ITERS} iterations"
-        )
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return min_label_components(pairs)
 
 
 @register(

@@ -497,3 +497,57 @@ def audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
     )
     return d.mapInPandas(wav_frame_batches, AUDIO_FRAMES_SCHEMA)
+
+
+@register(
+    "image_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_phash_oracle_ctes()},
+        melted AS (
+            SELECT doc_id, lo, hi, t.k,
+                   ((CASE WHEN t.k < 4 THEN lo ELSE hi END)
+                    >> (8 * (t.k % 4))) & 255 AS bv
+            FROM fp, unnest(range(0, 8)) AS t(k)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM melted a
+            JOIN melted b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) <= {_PHASH_RADIUS}
+        ),
+        edges AS (
+            SELECT src, dst FROM pairs
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM pairs
+        ),
+        verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach AS (
+            SELECT doc_id, doc_id AS label FROM verts
+            UNION
+            SELECT e.dst AS doc_id, r.label
+            FROM reach r JOIN edges e ON r.doc_id = e.src
+        )
+        SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+    doc="Image near-duplicate clusters: connected components over the "
+        "image_phash_pairs candidate graph (perceptual hashes of "
+        "genuinely decoded pixels), each image labeled with its "
+        "component's minimum doc_id — the canonical-representative step "
+        "that turns pairwise image matches into dedup groups, the image "
+        "twin of dedup_clusters. Min-label propagation shared with the "
+        "text key (min_label_components); recursive-CTE closure oracle.",
+    scale_notes="Same loop cost model as dedup_clusters: each iteration "
+                "is one edge-label join + min-agg keyed on doc_id, state "
+                "is 2 longs/vertex, iterations ~ component diameter "
+                "(shallow for near-dup graphs). The edges come from the "
+                "banded Hamming join — pixels decoded once in the hash "
+                "pass, never touched again.",
+)
+def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.operators.llm_dedup import min_label_components
+
+    pairs = image_phash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return min_label_components(pairs, op_name="image_dedup_clusters")

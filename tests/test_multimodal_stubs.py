@@ -315,3 +315,35 @@ def test_image_phash_pairs_equals_bruteforce(spark):
     assert len(got_rows) == len(got)  # emit-on-first-band => no dup rows
     assert got == want
     assert want  # the fixture actually contains near-dup pairs
+
+
+def test_image_dedup_clusters_equals_union_find(spark):
+    """Component labels must equal a brute-force union-find over the
+    pair graph, with min-doc_id as the canonical representative."""
+    from pubsub2bq_spark.operators.multimodal import (
+        image_dedup_clusters,
+        image_phash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r["doc_a"], r["doc_b"]) for r in image_phash_pairs(spark, sf).collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in image_dedup_clusters(spark, sf).collect()
+    }
+    assert got == want
+    assert want  # fixture produces at least one component
