@@ -4,12 +4,17 @@ surface.
 `documents.text` seeds the payloads. The plumbing keys
 (multimodal_meta / frame_sample) treat the UTF-8 bytes as an opaque
 payload and decode with the deterministic byte-length fake; the codec
-keys (image_resize / audio_feature / audio_resample) synthesize REAL
-PNG / WAV files from engine-portable rules and run genuine stdlib
-decode→transform→re-encode→re-decode loops (functions/png_codec.py,
-functions/wav_codec.py). Either way the Spark shape — binary columns,
-Arrow batches, mapInPandas schemas, projection-before-fan-out — is the
-real 100 TB design.
+keys (image_resize / audio_feature / audio_resample / audio_frames)
+synthesize REAL PNG / WAV files from engine-portable rules and run
+genuine stdlib decode→transform→re-encode→re-decode loops
+(functions/png_codec.py, functions/wav_codec.py). The r9 dedup chain
+then CONSUMES the decoded pixels: image_phash (aHash over the decoded
+8x8 downsample) → image_phash_pairs (banded Hamming self-join — the
+image twin of simhash_pairs) → image_dedup_clusters (connected
+components, canonical image per group). Either way the Spark shape —
+binary columns, Arrow batches, mapInPandas schemas,
+projection-before-fan-out, hash rows (never pixels) on the shuffle —
+is the real 100 TB design.
 """
 
 from __future__ import annotations
