@@ -166,6 +166,8 @@ HEADLINE = [
     # zlib-compressibility pre-filter (pure scan, Arrow-batched).
     "mmr_diversify",
     "compression_ratio",
+    # Winnowing passage-overlap detection (df-capped fingerprint join).
+    "winnow_matches",
 ]
 
 

@@ -1189,3 +1189,157 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+# Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+# algorithm): per-WINDOW minimum of rolling gram hashes. Unlike the
+# min-k sketch (doc_fingerprint), winnowing is POSITIONAL: any substring
+# shared by two documents of length >= WIN_GRAM + WIN_W - 1 chars is
+# GUARANTEED to contribute at least one common fingerprint.
+WIN_GRAM = 16     # rolling character-gram width
+WIN_W = 8         # winnowing window (grams per window)
+WIN_DF_CAP = 8    # fingerprints in more docs are boilerplate — dropped
+WIN_MIN_SHARED = 3  # pair match threshold
+
+_WIN_FPS_CTE = f"""
+    winh AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(lower(text)) - {WIN_GRAM} + 2, 2)),
+                   i -> md5(substr(lower(text), CAST(i AS INT), {WIN_GRAM}))) AS h
+        FROM documents
+    ),
+    winfps AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(h) - {WIN_W} + 1, 1) + 1),
+                   j -> list_min(list_slice(h, CAST(j AS INT),
+                                            CAST(j AS INT) + {WIN_W} - 1)))) AS fp
+        FROM winh
+    )
+"""
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fps): the per-document winnowing fingerprint set —
+    entirely map-side (gram hashing, window minima, distinct all happen
+    inside one projection; document bodies never leave the scan task)."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    low = d.select("doc_id", F.lower(F.col("text")).alias("t"))
+    gram_positions = F.sequence(
+        F.lit(1), F.greatest(F.length("t") - F.lit(WIN_GRAM - 1), F.lit(1))
+    )
+    hs = low.select(
+        "doc_id",
+        F.transform(
+            gram_positions, lambda i: F.md5(F.substr(F.col("t"), i, F.lit(WIN_GRAM)))
+        ).alias("h"),
+    ).transform(materialize)
+    # The materialize barrier above is CORRECTNESS-OF-COST, not style:
+    # Catalyst's projection collapse would otherwise substitute the
+    # whole gram-hash transform() into every window's slice() below —
+    # len(text) md5 calls PER WINDOW instead of per document, an O(len²)
+    # blowup that measured as a never-finishing straggler at sf0.1.
+    window_starts = F.sequence(
+        F.lit(1), F.greatest(F.size("h") - F.lit(WIN_W - 1), F.lit(1))
+    )
+    return hs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                window_starts,
+                lambda j: F.array_min(F.slice(F.col("h"), j, F.lit(WIN_W))),
+            )
+        ).alias("fps"),
+    )
+
+
+@register(
+    "winnow_fingerprint",
+    oracle=f"""
+        WITH {_WIN_FPS_CTE}
+        SELECT doc_id,
+               CAST(len(fp) AS BIGINT) AS n_fps,
+               list_min(fp)            AS min_fp,
+               list_max(fp)            AS max_fp
+        FROM winfps
+    """,
+    doc=f"Winnowing document fingerprints (Schleimer et al. 2003, the "
+        f"MOSS algorithm): rolling {WIN_GRAM}-char gram hashes, minimum "
+        f"per {WIN_W}-gram window, distinct per document. Positional "
+        "guarantee the min-k sketch (doc_fingerprint) lacks: any shared "
+        f"substring of >= {WIN_GRAM + WIN_W - 1} chars yields a common "
+        "fingerprint. Reported per doc: fingerprint count + min/max.",
+    scale_notes="Map-side, no shuffle — gram hashing and the window "
+                "minima are two pipelined projections over the scan "
+                "separated by a materialize barrier (without it, "
+                "Catalyst's projection collapse re-evaluates the whole "
+                "gram transform per window — a measured O(len²) "
+                "blowup); document bodies never shuffle. Expected "
+                "fingerprint density is 2/(w+1) of gram positions, so "
+                "the sketch is ~4x smaller than the gram stream before "
+                "anything leaves the task.",
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _winnow_fps(spark, sf_dir).select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+@register(
+    "winnow_matches",
+    oracle=f"""
+        WITH {_WIN_FPS_CTE},
+        m AS (SELECT doc_id, unnest(fp) AS fp FROM winfps),
+        df AS (SELECT fp, count(*) AS d FROM m GROUP BY fp),
+        kept AS (SELECT m.doc_id, m.fp FROM m JOIN df USING (fp)
+                 WHERE df.d <= {WIN_DF_CAP})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {WIN_MIN_SHARED}
+    """,
+    doc=f"Winnowing overlap detection: documents sharing >= "
+        f"{WIN_MIN_SHARED} window fingerprints (each witnessing a "
+        f">= {WIN_GRAM + WIN_W - 1}-char shared substring), fingerprints "
+        f"in > {WIN_DF_CAP} documents dropped as boilerplate. The "
+        "local-overlap complement to minhash (global Jaccard) and "
+        "simhash (global Hamming): detects copied PASSAGES, not just "
+        "near-identical documents — the plagiarism/citation shape.",
+    scale_notes=f"The df cap bounds every fingerprint bucket at "
+                f"{WIN_DF_CAP} docs, so the self-join's per-bucket pair "
+                f"work is <= C({WIN_DF_CAP},2) — no salting needed; "
+                "boilerplate (the only source of hot buckets) is "
+                "precisely what the cap drops. The df relation is "
+                "corpus-scaled, hence the merge hint (the r8 static-"
+                "mis-broadcast class); shuffles carry (fp, doc_id) "
+                "pairs, never text.",
+)
+def winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        _winnow_fps(spark, sf_dir)
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .transform(materialize)  # one fingerprint pass feeds df + both join sides
+    )
+    df = m.groupBy("fp").agg(F.count(F.lit(1)).alias("d"))
+    kept = m.join(
+        df.filter(F.col("d") <= WIN_DF_CAP).hint("merge"), "fp"
+    ).select("doc_id", "fp")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(
+            b.hint("merge"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_MIN_SHARED)
+    )

@@ -133,6 +133,8 @@ PLAN_KEYS = [
     "audio_resample",
     "mmr_diversify",      # broadcast relevance scan + K bounded greedy stages
     "compression_ratio",  # pure scan-project, ArrowEvalPython only
+    "winnow_fingerprint", # map-side window-min sketch, no shuffle
+    "winnow_matches",     # df-capped fingerprint self-join
 ]
 
 

@@ -267,3 +267,54 @@ def test_semantic_decontaminate_flags_only_true_train_hits(spark):
         assert r["max_cosine"] <= round(t["mx"], 6) + 1e-9
     # recall of the nprobe-bounded candidate pass vs the planted truth
     assert len(out) >= 0.5 * len(truth)
+
+
+class TestWinnowing:
+    """Winnowing contracts: the positional guarantee (shared substring of
+    >= GRAM+W-1 chars => shared fingerprint) and boilerplate df-capping."""
+
+    def _write_docs(self, spark, tmp_path, docs):
+        sf = str(tmp_path)
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{sf}/documents.parquet")
+        return sf
+
+    def test_shared_substring_guarantee(self, spark, tmp_path):
+        from pubsub2bq_spark.operators.llm_dedup import (
+            WIN_GRAM,
+            WIN_W,
+            _winnow_fps,
+        )
+
+        shared = "the quick brown fox jumps over it"  # 33 >= GRAM+W-1 = 23
+        assert len(shared) >= WIN_GRAM + WIN_W - 1
+        docs = [
+            "completely unrelated opening text here " + shared,
+            shared + " and then a totally different continuation block",
+            "no overlap with anything else in this corpus whatsoever!!",
+        ]
+        sf = self._write_docs(spark, tmp_path, docs)
+        fps = {r["doc_id"]: set(r["fps"]) for r in _winnow_fps(spark, sf).collect()}
+        assert fps[0] & fps[1]          # guaranteed common fingerprint
+        # the unrelated doc shares nothing with either neighbor
+        assert not fps[2] & fps[0]
+        assert not fps[2] & fps[1]
+
+    def test_boilerplate_df_cap_drops_universal_fingerprints(self, spark, tmp_path):
+        from pubsub2bq_spark.operators.llm_dedup import (
+            WIN_DF_CAP,
+            winnow_matches,
+        )
+
+        # every doc carries the same boilerplate banner; pairwise overlap
+        # beyond it does not exist, so after the df cap there are no
+        # matches at all.
+        banner = "copyright two thousand twenty four all rights reserved "
+        docs = [
+            banner + f"unique body text number {i} with its own words {i*7}"
+            for i in range(WIN_DF_CAP + 4)
+        ]
+        sf = self._write_docs(spark, tmp_path, docs)
+        assert winnow_matches(spark, sf).count() == 0
