@@ -196,17 +196,17 @@ REGRESSION_FACTOR = 1.5
 FIXED_COST = {
     "transform_with_state": 3.7,  # measured 3.74s at sf0.001 (min of 3)
     "stream_replay": 3.6,         # measured 3.59s at sf0.001 (min of 3)
-    "ann_ivf_kmeans": 4.0,        # ~85% fixed of r5's 4.703s (see above)
-    # semdedup gained the same seeding chain in r6 (VERDICT r5 #5); its
-    # fixed term is the same chain at the same bench scale. The r5
-    # baseline (2.39s) predates the chain — the first r6-vs-r5 compare
-    # flags it and KNOWN_SEMANTIC_CHANGES carries the explanation; from
-    # r7 the gate tracks its variable component like ann_ivf_kmeans's.
-    "semdedup": 4.0,
-    # Two-level IVF: the k-means|| seeding + supercell-Lloyd chain is
-    # ~15 eager bounded jobs — measured 4.48s at sf0.001 vs 5.54s at
-    # sf0.1 (min of 3, r8 probe), so ~4.4s is scale-flat.
-    "ann_ivf_hier": 4.4,
+    # r9 re-measured the k-means||-seeded family AFTER the session-level
+    # quantizer/index cache landed (r9 commit 77e8037): the seeding
+    # chain now runs once per (session, sf) and min-of-N reflects the
+    # CACHED cost. sf0.001/sf0.1 min-of-3, one session: ann_ivf_kmeans
+    # 0.66/0.52, semdedup 0.99/1.41, ann_ivf_hier 0.78/1.07. Constants
+    # sit slightly below the smallest observation so the variable
+    # component stays positive against both the pre-cache r8 priors and
+    # the cached r9+ captures.
+    "ann_ivf_kmeans": 0.4,
+    "semdedup": 0.8,
+    "ann_ivf_hier": 0.6,
     # retrieve-then-rerank: hybrid_retrieve's materialize chain (fused
     # candidates + distinct-term relation) — measured 2.02s at sf0.001
     # vs 3.26s at sf0.1 (min of 3, r8 probe).
@@ -221,6 +221,14 @@ FIXED_COST = {
     "bpe_apply": 2.0,           # 2.106 / 2.305
     "bpe_train": 1.8,           # 2.040 / 1.890
     "kmeans_parallel_init": 1.2,  # 1.275 / 1.593
+    # r9 iterative additions, min-of-3 at sf0.001 vs sf0.1 (one
+    # session): image_dedup_clusters 10.2/9.2 (bench-context min 6.8 —
+    # the convergence loop's eager jobs dominate at every test SF, with
+    # ~3s run-to-run jitter), mmr_diversify 4.3/2.6 (bench 1.9 — K
+    # materialize+window stages). Constants below the smallest observed
+    # context so the variable term stays positive everywhere.
+    "image_dedup_clusters": 6.0,
+    "mmr_diversify": 1.5,
 }
 
 # A flag must be actionable: beyond the ratio, the variable component

@@ -135,7 +135,13 @@ def test_drift_deflation_kills_uniform_slowdown_flags():
     fixed-cost-dominated keys into 8x 'variable regressions'. With the
     session median divided out, uniform slowdown never flags — while a
     genuinely localized regression still does."""
-    key = "ann_ivf_kmeans"
+    # Uses the stream-startup key: its fixed term is large and stable
+    # (the r9 quantizer cache shrank the seeding-family constants, so a
+    # 1.3x drift on fixed+0.16 no longer clears the decomposed abs
+    # floor for those keys — which is correct gate behavior, but the
+    # property under test here needs a fixed term big enough that the
+    # drift-amplified wiggle would flag without deflation).
+    key = "transform_with_state"
     fixed = bench.FIXED_COST[key]
     was, now = fixed + 0.16, (fixed + 0.16) * 1.3  # raw 1.3x drift
     assert bench._gate_flags(key, now, was)            # undeflated: flags
