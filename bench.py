@@ -168,6 +168,8 @@ HEADLINE = [
     "compression_ratio",
     # Winnowing passage-overlap detection (df-capped fingerprint join).
     "winnow_matches",
+    # Interpolated Kneser-Ney bigram LM scoring (the KenLM standard).
+    "kneser_ney_logprob",
 ]
 
 
@@ -506,14 +508,15 @@ FIXED_COST_CAUSE = {
     "stream_replay": "TWO streaming-query startups by construction "
         "(initial run, then seek-to-offset replay); measured 3.59s at "
         "sf0.001",
-    "ann_ivf_kmeans": "k-means|| seeding chain: ~15 eager bounded "
-        "materialize() jobs whose scheduling latency, not data, "
-        "dominates at bench scale",
-    "semdedup": "the same k-means|| quantizer-seeding chain as "
-        "ann_ivf_kmeans (added r6); intra-cell pair work is the "
+    "ann_ivf_kmeans": "residual post-cache constant: the r9 session "
+        "quantizer cache builds the k-means|| seeding once per "
+        "(session, sf); min-of-N sees only cached reload + bounded "
+        "probe jobs (0.52-0.66s measured)",
+    "semdedup": "residual post-cache constant (shared quantizer cache "
+        "with ann_ivf_kmeans since r9); intra-cell pair work is the "
         "variable part",
-    "ann_ivf_hier": "two-level seeding: k-means|| + supercell-Lloyd "
-        "chain (~15 eager jobs; 4.48s at sf0.001 vs 5.54s at sf0.1)",
+    "ann_ivf_hier": "residual post-cache constant of the two-level "
+        "build (0.78s at sf0.001 vs 1.07s at sf0.1, cached)",
     "rerank_topk": "hybrid_retrieve's candidate materialize chain "
         "(fused candidates + distinct-term relation) runs before any "
         "reranking work",
@@ -527,6 +530,12 @@ FIXED_COST_CAUSE = {
         "job per merge round",
     "kmeans_parallel_init": "k-means|| oversampling init rounds: fixed "
         "chain of small jobs",
+    "image_dedup_clusters": "min-label convergence loop: eager "
+        "propagate+checkpoint+probe jobs per round dominate at every "
+        "test SF (9-10s isolated, ~7s bench-context; ~3s jitter)",
+    "mmr_diversify": "K-1 greedy steps, each an eager materialize + "
+        "window stage over the bounded candidate pool; corpus scan "
+        "runs once",
 }
 
 

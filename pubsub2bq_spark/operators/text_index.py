@@ -237,3 +237,113 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bigram_nll"),
         )
     )
+
+
+KN_DISCOUNT = 0.75  # Kneser-Ney absolute discount (the KenLM default)
+
+
+@register(
+    "kneser_ney_logprob",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT doc_id,
+                   t[CAST(i AS INT)]     AS w1,
+                   t[CAST(i AS INT) + 1] AS w2
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+                FROM toks
+            )
+        ),
+        pc   AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+        hc   AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1),
+        n1h  AS (SELECT w1, count(*) AS n1h FROM pc GROUP BY w1),
+        cont AS (SELECT w2, count(*) AS cont FROM pc GROUP BY w2),
+        bt   AS (SELECT CAST(count(*) AS DOUBLE) AS btypes FROM pc)
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(-ln((pc.c12 - {KN_DISCOUNT}) / hc.c1
+                             + {KN_DISCOUNT} * n1h.n1h / hc.c1
+                               * (cont.cont / bt.btypes))), 6) AS kn_nll
+        FROM bigrams b
+        JOIN pc   USING (w1, w2)
+        JOIN hc   USING (w1)
+        JOIN n1h  USING (w1)
+        JOIN cont USING (w2)
+        CROSS JOIN bt
+        GROUP BY b.doc_id
+    """,
+    doc=f"Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; "
+        f"the KenLM/CCNet standard, absolute discount D={KN_DISCOUNT}): "
+        "P(w2|w1) = max(c12-D,0)/c1 + D·N1+(w1,·)/c1 · "
+        "P_cont(w2), with the continuation probability "
+        "N1+(·,w2)/N1+(·,·) — 'how many contexts has w2 followed' "
+        "instead of raw frequency, the fix for the 'san FRANCISCO' "
+        "over-count that add-one smoothing (bigram_logprob) cannot "
+        "express. Per-document mean NLL; every LM bigram is observed "
+        "in-corpus (the model is trained on the scored corpus), so the "
+        "discounted term is always positive and no unseen-history "
+        "backoff path is needed.",
+    scale_notes="One tokenization feeds everything: the bigram relation "
+                "is materialized once, the TYPE relation (pc) is "
+                "materialized once and derives all three KN statistics "
+                "(history continuations, left-context counts, total "
+                "types) as partial-agg rollups of itself — corpus text "
+                "shuffles exactly once into (w1,w2) keys. Scoring joins "
+                "are keyed on w1 / (w1,w2) / w2 — sort-merge, "
+                "co-partitionable; the type-count scalar is a broadcast. "
+                "At 100 TB hash the grams to int64 first (same note as "
+                "bigram_logprob).",
+)
+def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+        ).alias("t"),
+    )
+    n = F.size("t")
+    starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = (
+        toks.select("doc_id", "t", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+        .transform(materialize)  # one tokenization feeds all statistics
+    )
+    pc = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .transform(materialize)  # the type relation derives 3 KN stats
+    )
+    hc = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    n1h = pc.groupBy("w1").agg(F.count(F.lit(1)).alias("n1h"))
+    cont = pc.groupBy("w2").agg(F.count(F.lit(1)).alias("cont"))
+    bt = pc.agg(F.count(F.lit(1)).cast("double").alias("btypes"))
+    d_ = F.lit(KN_DISCOUNT)
+    p_kn = (F.col("c12") - d_) / F.col("c1") + d_ * F.col("n1h") / F.col(
+        "c1"
+    ) * (F.col("cont") / F.col("btypes"))
+    return (
+        bigrams.join(pc, ["w1", "w2"])
+        .join(hc, ["w1"])
+        .join(n1h, ["w1"])
+        .join(cont, ["w2"])
+        .crossJoin(F.broadcast(bt))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p_kn)), 6).alias("kn_nll"),
+        )
+    )

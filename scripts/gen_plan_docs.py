@@ -135,6 +135,7 @@ PLAN_KEYS = [
     "compression_ratio",  # pure scan-project, ArrowEvalPython only
     "winnow_fingerprint", # map-side window-min sketch, no shuffle
     "winnow_matches",     # df-capped fingerprint self-join
+    "kneser_ney_logprob", # one gram shuffle, stat rollups of the type relation
 ]
 
 

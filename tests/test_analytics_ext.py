@@ -218,3 +218,58 @@ class TestDatasetMixture:
         a = sorted(map(tuple, out.collect()))
         b = sorted(map(tuple, dataset_mixture(spark, SF_SMOKE).collect()))
         assert a == b
+
+
+def test_kneser_ney_matches_hand_computation(spark, tmp_path):
+    """The operator's NLL must equal an independent pure-Python
+    interpolated-KN computation (not just the DuckDB restatement), and
+    the implied model must normalize: sum_w2 P_KN(w2|w1) == 1."""
+    import math
+    from collections import Counter
+
+    from pubsub2bq_spark.operators.text_index import (
+        KN_DISCOUNT,
+        kneser_ney_logprob,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "a cat and a dog met"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    bigrams = []
+    for _i, t in docs:
+        w = t.split()
+        bigrams += list(zip(w, w[1:]))
+    c12 = Counter(bigrams)
+    c1 = Counter(w1 for w1, _ in bigrams)
+    n1h = Counter(w1 for w1, _ in c12)          # distinct continuations
+    cont = Counter(w2 for _, w2 in c12)         # distinct left contexts
+    btypes = len(c12)
+    D = KN_DISCOUNT
+
+    def p_kn(w1, w2):
+        return (c12[(w1, w2)] - D) / c1[w1] + D * n1h[w1] / c1[w1] * (
+            cont[w2] / btypes
+        )
+
+    # normalization: summing over every w2 in the vocab must give 1
+    vocab = set(w2 for _, w2 in bigrams) | set(w1 for w1, _ in bigrams)
+    for w1 in c1:
+        total = sum(max(c12[(w1, w2)] - D, 0.0) / c1[w1] for w2 in vocab)
+        total += D * n1h[w1] / c1[w1] * sum(cont[w2] / btypes for w2 in vocab)
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+
+    got = {r["doc_id"]: r for r in kneser_ney_logprob(spark, sf).collect()}
+    for i, t in docs:
+        w = t.split()
+        bs = list(zip(w, w[1:]))
+        want = round(sum(-math.log(p_kn(a, b)) for a, b in bs) / len(bs), 6)
+        assert got[i]["n_bigrams"] == len(bs)
+        assert abs(got[i]["kn_nll"] - want) < 1e-6, (i, got[i]["kn_nll"], want)
