@@ -170,6 +170,8 @@ HEADLINE = [
     "winnow_matches",
     # Interpolated Kneser-Ney bigram LM scoring (the KenLM standard).
     "kneser_ney_logprob",
+    # Real AVI container parse, one row per decoded frame.
+    "video_frames",
 ]
 
 

@@ -7,7 +7,8 @@ payload and decode with the deterministic byte-length fake; the codec
 keys (image_resize / audio_feature / audio_resample / audio_frames)
 synthesize REAL PNG / WAV files from engine-portable rules and run
 genuine stdlib decode→transform→re-encode→re-decode loops
-(functions/png_codec.py, functions/wav_codec.py). The r9 dedup chain
+(functions/png_codec.py, functions/wav_codec.py, functions/avi_codec.py
+— video_frames parses a real RIFF/AVI container). The r9 dedup chain
 then CONSUMES the decoded pixels: image_phash (aHash over the decoded
 8x8 downsample) → image_phash_pairs (banded Hamming self-join — the
 image twin of simhash_pairs) → image_dedup_clusters (connected
@@ -556,3 +557,58 @@ def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return min_label_components(pairs, op_name="image_dedup_clusters")
+
+
+@register(
+    "video_frames",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) % 64 + 16         AS w,
+                   (octet_length(encode(text)) // 64) % 64 + 16 AS h,
+                   octet_length(encode(text)) % 5 + 1           AS nf
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(t.f AS INTEGER) AS frame_idx,
+               CAST(m.w AS INTEGER) AS width,
+               CAST(m.h AS INTEGER) AS height,
+               CAST(m.w AS BIGINT) * m.h * (m.w + m.h - 2) // 2
+                   + CAST(m.w AS BIGINT) * m.h * t.f AS px_sum
+        FROM m, LATERAL (SELECT unnest(range(m.nf)) AS f) t
+    """,
+    doc="Video frame extraction (U8 'frame-sample' verb), REAL "
+        "end-to-end for AVI: the kernel synthesizes a real RIFF/AVI "
+        "container per payload (uncompressed 8-bit DIB frames, frame "
+        "count and dims from the byte-length rules), genuinely parses "
+        "the container — hdrl/strf BITMAPINFOHEADER for dimensions, "
+        "movi '00db' chunks defrosted from bottom-up 4-byte-aligned DIB "
+        "rows (functions/avi_codec.py) — and emits one row per DECODED "
+        "frame with its measured pixel sum. With png_codec (image) and "
+        "wav_codec (audio) this closes the real-decode loop for all "
+        "three U8 media families; NotImplementedError remains only for "
+        "compressed codecs (H.264/JPEG/mp3) with no in-container "
+        "library. The oracle restates the generation rules: "
+        "px_sum(f) = w*h*(w+h-2)/2 + w*h*f.",
+    scale_notes="Same no-shuffle envelope as the other multimodal "
+                "kernels: project to (doc_id, payload), one Arrow-"
+                "batched mapInPandas pass; frame expansion happens "
+                "inside the kernel (numpy per frame), so the exchange "
+                "never carries pixels. At 100 TB, video payloads are "
+                "object-store references and frame sampling belongs in "
+                "this scan stage — emit features or sampled frames, "
+                "never the full decoded stream.",
+)
+def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        VIDEO_FRAMES_SCHEMA,
+        video_frame_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(video_frame_batches, VIDEO_FRAMES_SCHEMA)

@@ -136,6 +136,7 @@ PLAN_KEYS = [
     "winnow_fingerprint", # map-side window-min sketch, no shuffle
     "winnow_matches",     # df-capped fingerprint self-join
     "kneser_ney_logprob", # one gram shuffle, stat rollups of the type relation
+    "video_frames",       # kernel-side frame expansion, no shuffle
 ]
 
 

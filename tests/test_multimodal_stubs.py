@@ -347,3 +347,34 @@ def test_image_dedup_clusters_equals_union_find(spark):
     }
     assert got == want
     assert want  # fixture produces at least one component
+
+
+def test_avi_roundtrip_and_rejections():
+    """The AVI codec must round-trip frames exactly through the real
+    RIFF container layout and reject unsupported variants loudly."""
+    from pubsub2bq_spark.functions.avi_codec import decode_avi, encode_avi
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(13, 22), dtype=np.uint8) for _ in range(4)]
+    w, h, out = decode_avi(encode_avi(frames))
+    assert (w, h) == (22, 13) and len(out) == 4
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF but not AVI
+    with pytest.raises(ValueError):
+        decode_avi(b"\x00" * 32)
+
+
+def test_video_frame_kernel_decodes_real_container():
+    """Kernel rows must come from the DECODED frames: count follows the
+    byte rule, and each px_sum equals the closed form of the decoded
+    x+y+f texture."""
+    payload = b"m" * 321  # n_frames = 321%5+1 = 2, w = 321%64+16 = 17, h = 5+16 = 21
+    pdf = pd.DataFrame({"doc_id": [9], "payload": [payload]})
+    (out,) = list(mm.video_frame_batches(iter([pdf])))
+    w, h = 321 % 64 + 16, (321 // 64) % 64 + 16
+    assert list(out["frame_idx"]) == [0, 1]
+    assert set(zip(out["width"], out["height"])) == {(w, h)}
+    for f, px in zip(out["frame_idx"], out["px_sum"]):
+        assert px == w * h * (w + h - 2) // 2 + w * h * int(f)
