@@ -120,8 +120,11 @@ PROBE_KEYS = [
 # Keys whose WORK grows with scale on both axes by construction (query
 # count x corpus density for ann_ivf; cell density squared for semdedup —
 # both use a FIXED cell count at test scale where production scales
-# cells with the corpus); report time/scale as the per-query exponent.
-QUERY_SCALED = {"ann_ivf", "semdedup"}
+# cells with the corpus; mmr_diversify/similarity_topk score a query set
+# that grows with the corpus through an exact O(q*n) relevance scan —
+# the documented exact baseline whose scale path is the IVF family);
+# report time/scale as the per-query exponent.
+QUERY_SCALED = {"ann_ivf", "semdedup", "mmr_diversify", "similarity_topk"}
 
 
 def _key_space_widths(spark, base_sf: str) -> dict[str, int]:
