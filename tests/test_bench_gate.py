@@ -223,16 +223,89 @@ def test_parse_bench_tail_recovers_front_truncated_capture():
     assert "sf" not in got["queries"]
 
 
-def test_load_prior_prefers_latest_recoverable_capture():
-    """With front-truncation recovery, BENCH_r08 (parsed:null, queries
-    dict cut at the front) is usable again — the gate must compare to
-    the LATEST round, not silently fall back to r7."""
+def test_load_prior_prefers_latest_recoverable_capture(tmp_path, monkeypatch):
+    """With front-truncation recovery, a newest capture whose `parsed`
+    is null but whose tail holds the queries dict is usable — the gate
+    must compare to the LATEST round, not silently fall back a round.
+
+    VERDICT r9 #1: asserted against a synthetic directory, NOT the live
+    repo — the driver drops a new BENCH_r{N}.json after every round, so
+    any literal-filename assertion on the real tree re-breaks each
+    round."""
+    import json
+    import os
+
+    # Older round: fully parsed, healthy.
+    with open(tmp_path / "BENCH_r07.json", "w") as f:
+        json.dump(
+            {
+                "parsed": {
+                    "queries": {f"q{i}": 1.0 for i in range(60)},
+                    "sf": 0.1,
+                    "calibration_range_sum_sec": 0.179,
+                }
+            },
+            f,
+        )
+    # Newest round: parsed:null, queries only recoverable from the tail
+    # (front-truncated — starts mid-pair, '"queries"' key gone).
+    tail = (
+        't": 0.458, '
+        + ", ".join(f'"q{i}": 0.5' for i in range(60))
+        + ', "sf": 0.1, "calibration_range_sum_sec": 0.151}\n'
+    )
+    with open(tmp_path / "BENCH_r08.json", "w") as f:
+        json.dump({"parsed": None, "tail": tail, "n": 1}, f)
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+
     loaded = bench.load_prior()
     assert loaded is not None
     name, prior = loaded
+    # the recoverable NEWEST file wins, not the older fully-parsed one
     assert name == "BENCH_r08.json"
     assert len(prior["queries"]) > 50
     assert prior.get("calibration_range_sum_sec") == 0.151
+    assert prior.get("partial_tail") is True
+
+
+def test_load_prior_on_live_repo_is_latest_round_present():
+    """The live-tree companion to the synthetic test above: whatever
+    BENCH_r*.json files the driver has dropped, load_prior must return
+    a usable queries dict from the highest-numbered recoverable one —
+    asserted structurally, never by literal filename."""
+    import glob
+    import os
+    import re
+
+    loaded = bench.load_prior()
+    assert loaded is not None
+    name, prior = loaded
+    assert prior.get("queries")
+    root = os.path.dirname(os.path.abspath(bench.__file__))
+    rounds = sorted(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    )
+    got = int(re.search(r"BENCH_r(\d+)\.json$", name).group(1))
+    # must be one of the rounds present, and no LATER round may be
+    # recoverable (walking back from the newest is only legal across
+    # genuinely unusable captures)
+    assert got in rounds
+    for later in (r for r in rounds if r > got):
+        path = os.path.join(root, f"BENCH_r{later:02d}.json")
+        import json
+
+        with open(path) as f:
+            wrapper = json.load(f)
+        parsed = wrapper.get("parsed") if "queries" not in wrapper else wrapper
+        has_parsed_queries = isinstance(parsed, dict) and parsed.get("queries")
+        has_tail = isinstance(wrapper.get("tail"), str) and (
+            bench._parse_bench_tail(wrapper["tail"]) is not None
+        )
+        assert not (has_parsed_queries or has_tail), (
+            f"BENCH_r{later:02d}.json is recoverable but load_prior chose {name}"
+        )
 
 
 def test_drift_explanation_downgrades_banner(tmp_path, monkeypatch):
