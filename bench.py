@@ -362,7 +362,8 @@ def _parse_bench_tail(tail: str) -> dict | None:
         scalar_fields = {"value", "sf", "n", "rc", "cpus"}
         harvested = {
             k: float(v) for k, v in pairs
-            if k not in scalar_fields and not k.startswith("calibration_")
+            if k not in scalar_fields
+            and not k.startswith(("calibration_", "stream_throughput_"))
         }
         if len(harvested) < 8:  # too few to be a bench queries dict
             return None
@@ -377,7 +378,9 @@ def _parse_bench_tail(tail: str) -> dict | None:
                 out[field] = float(m.group(1))
             except ValueError:
                 pass
-    for m in re.finditer(r'"(calibration_\w+_sec)":\s*([0-9.eE+-]+)', tail):
+    for m in re.finditer(
+        r'"((?:calibration|stream_throughput)_\w+)":\s*([0-9.eE+-]+)', tail
+    ):
         try:
             out[m.group(1)] = float(m.group(2))
         except ValueError:
@@ -562,12 +565,56 @@ DRIFT_EXPLANATIONS = {
 }
 
 
+def _stream_throughput_section(
+    prior: dict, stream_metrics: dict, drift: float
+) -> tuple[list[str], bool]:
+    """BENCH_COMPARE section + flag for the sustained-throughput leg
+    (VERDICT r9 #2). Gated on ``stream_throughput_busy_sec`` — total
+    busy seconds delivering the fixed sf workload, drift-normalized
+    like every other timing, with the decomposed-key 1.0s noise floor
+    (micro-batch scheduling jitter). rows/sec and batch p50 ride along
+    as the deployment-sizing figures."""
+    now_busy = stream_metrics.get("stream_throughput_busy_sec")
+    if now_busy is None:
+        return [], False
+    lines = [
+        "Streaming throughput (CDC pipeline under processing-time "
+        "trigger, full events table):",
+        "",
+        f"- rows: {stream_metrics.get('stream_throughput_rows')} · "
+        f"rows/sec (busy): "
+        f"{stream_metrics.get('stream_throughput_rows_per_sec')} · "
+        f"batch p50: "
+        f"{stream_metrics.get('stream_throughput_batch_p50_sec')}s · "
+        f"busy total: {now_busy}s",
+    ]
+    was_busy = prior.get("stream_throughput_busy_sec")
+    if was_busy is None:
+        lines += ["- no prior capture carries the leg yet — baseline round.", ""]
+        return lines, False
+    now_v = now_busy / drift
+    ratio = now_v / was_busy if was_busy > 0 else float("inf")
+    flagged = (
+        ratio > REGRESSION_FACTOR
+        and now_v - was_busy > MIN_ABS_REGRESSION_DECOMPOSED
+    )
+    verdict = "**REGRESSED**" if flagged else "ok"
+    lines += [
+        f"- vs prior: busy {was_busy}s → {now_busy}s "
+        f"(drift-normalized ratio {ratio:.2f}×, floor "
+        f"{MIN_ABS_REGRESSION_DECOMPOSED}s) — {verdict}",
+        "",
+    ]
+    return lines, flagged
+
+
 def compare_to_prior_rounds(
     timings: dict[str, float],
     total: float,
     remeasured: dict[str, float],
     drift: float | None = None,
     calibrations: dict[str, float] | None = None,
+    stream_metrics: dict | None = None,
 ) -> str | None:
     """Regression gate: compare this run against the latest BENCH_r*.json
     and write docs/BENCH_COMPARE.md flagging per-query slowdowns beyond
@@ -662,7 +709,13 @@ def compare_to_prior_rounds(
         lines.append(
             f"| {key} | {was} | {now} | {iso_s} | {ratio:.2f}×{note} | {flag} |"
         )
+    stream_lines, stream_flag = _stream_throughput_section(
+        prior, stream_metrics or {}, drift
+    )
+    if stream_flag:
+        flagged.append("stream_throughput(busy)")
     lines += ["", f"Flagged: {', '.join(flagged) if flagged else 'none'}", ""]
+    lines += stream_lines
     if drift_warning:
         # ADVICE r8: an uncorroborated uniform slowdown must not read as
         # a clean verdict. Name the rows the normalization absolved so a
@@ -824,12 +877,43 @@ def main() -> None:
         try:
             fn()  # warm
             calibrations[name] = round(min(fn() for _ in range(3)), 3)
-        except Exception:  # a probe must never sink the bench run
-            pass
+        except Exception as ex:  # a probe must never sink the bench run —
+            # but a silently missing leg weakens the multi-leg drift
+            # corroboration (ADVICE r9): name the casualty.
+            print(
+                f"bench: calibration leg {name} FAILED ({ex!r}) — "
+                "absent from this capture",
+                file=sys.stderr,
+            )
+
+    # Sustained streaming throughput (VERDICT r9 #2): the CDC pipeline
+    # under its production processing-time trigger over the full spooled
+    # events table. One warm-up run (stream-startup JIT), then the
+    # measured run; failure never sinks the bench but is named.
+    stream_metrics: dict = {}
+    try:
+        from pubsub2bq_spark.streaming.throughput import (
+            measure_stream_throughput,
+        )
+
+        measure_stream_throughput(spark, sf_dir)  # warm
+        m = measure_stream_throughput(spark, sf_dir)
+        stream_metrics = {
+            "stream_throughput_rows": m["rows"],
+            "stream_throughput_busy_sec": m["busy_sec"],
+            "stream_throughput_rows_per_sec": m["rows_per_sec"],
+            "stream_throughput_batch_p50_sec": m["batch_p50_sec"],
+        }
+    except Exception as ex:
+        print(
+            f"bench: stream_throughput leg FAILED ({ex!r}) — "
+            "figures absent from this capture",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     drift_warning = compare_to_prior_rounds(
-        timings, total, remeasured, drift, calibrations
+        timings, total, remeasured, drift, calibrations, stream_metrics
     )
 
     result = {
@@ -839,6 +923,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         **calibrations,
+        **stream_metrics,
     }
     if drift_warning:
         # ADVICE r8: a run whose uniform slowdown no probe corroborates

@@ -497,8 +497,20 @@ _EV_SINK = T.StructType(
                 "with executors; the checkpoint is the only coordination.",
 )
 def cdc_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tmp = scratch_dir("cdc_events_")
-    spec = CdcPipelineSpec(
+    spec = events_cdc_spec(scratch_dir("cdc_events_"))
+    spool_events(spark, sf_dir, spec)
+    p = CdcPipeline(spark, spec)
+    p.run_available_now()
+    return read_events_sink(p)
+
+
+def events_cdc_spec(
+    tmp: str, max_files_per_trigger: int | None = None
+) -> CdcPipelineSpec:
+    """The events-table CDC pipeline spec under a scratch root — shared
+    by the AvailableNow correctness query and the sustained-throughput
+    measurement (streaming/throughput.py)."""
+    return CdcPipelineSpec(
         spool_dir=os.path.join(tmp, "spool"),
         sink_dir=os.path.join(tmp, "sink"),
         dlq_dir=os.path.join(tmp, "dlq"),
@@ -510,8 +522,22 @@ def cdc_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_include="events",
         ordering_key=("event_id",),
         retry=RetryPolicy(max_attempts=2, backoff_seconds=0.0),
+        max_files_per_trigger=max_files_per_trigger,
     )
-    ev = fan_out(load(spark, sf_dir, "events"), spark)
+
+
+def spool_events(
+    spark: SparkSession,
+    sf_dir: str,
+    spec: CdcPipelineSpec,
+    segments: int | None = None,
+) -> None:
+    """Encode every `events` row as a Debezium-style envelope ('error'
+    events are deletes carrying only `before`) and write the spool as
+    newline-JSON segments. The segment count follows fan_out's
+    partitioning (or an explicit ``segments``), so max_files_per_trigger
+    slices the spool into a multi-batch feed."""
+    ev = fan_out(load(spark, sf_dir, "events"), spark, target=segments)
     payload = F.struct("event_id", "user_id", "event_type", "value", "props")
     is_del = F.col("event_type") == "error"
     (
@@ -527,8 +553,9 @@ def cdc_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .json(spec.spool_dir)
     )
-    p = CdcPipeline(spark, spec)
-    p.run_available_now()
+
+
+def read_events_sink(p: CdcPipeline) -> DataFrame:
     return p.read_sink().select(
         "event_id",
         "user_id",
@@ -537,6 +564,37 @@ def cdc_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__deleted",
         "ingest_region",
     )
+
+
+@register(
+    "stream_throughput",
+    oracle="""
+        SELECT event_id, user_id, event_type, round(value, 4) AS value,
+               CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted,
+               CAST(NULL AS VARCHAR) AS ingest_region
+        FROM events
+    """,
+    doc="The CDC pipeline under its PRODUCTION trigger: the same events "
+        "feed as cdc_stream_events, but delivered by "
+        "run_processing_time() in flow-controlled micro-batches "
+        "(maxFilesPerTrigger — the Pub/Sub max_outstanding analog) "
+        "instead of the deterministic AvailableNow drain. The oracle "
+        "asserts that sustained micro-batch delivery lands the exact "
+        "same sink as the test trigger — no row lost, duplicated, or "
+        "re-projected differently across batch boundaries. The bench "
+        "harness reads the same run's StreamingQueryProgress to publish "
+        "rows/sec + median batch latency (streaming/throughput.py).",
+    scale_notes="Spool parse → validate → project → sink append are all "
+                "map-side; busy-time rows/sec scales linearly with "
+                "executors (no shuffle between source and sink). "
+                "Measured r10 at sf0.1 (100k events, local[32]): see "
+                "stream_throughput_* fields in BENCH_r10.json.",
+)
+def stream_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.streaming.throughput import measure_stream_throughput
+
+    m = measure_stream_throughput(spark, sf_dir)
+    return read_events_sink(m["pipeline"])
 
 
 def _derby_url(spark: SparkSession, db_dir: str) -> str:

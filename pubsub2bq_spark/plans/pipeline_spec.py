@@ -76,3 +76,9 @@ class CdcPipelineSpec:
     schema_revision_id: str = "rev1"
     retry: RetryPolicy = field(default_factory=lambda: RetryPolicy(backoff_seconds=0.0))
     delivery: DeliveryConfig = field(default_factory=DeliveryConfig)
+    # Micro-batch admission control for the file source (the Pub/Sub
+    # flow-control analog: max_outstanding_messages). None = take all
+    # available files per trigger (the drain-fast default); set it to
+    # force a steady multi-batch cadence, e.g. for sustained-throughput
+    # measurement under a processing-time trigger.
+    max_files_per_trigger: int | None = None

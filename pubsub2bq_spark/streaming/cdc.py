@@ -53,10 +53,12 @@ class CdcPipeline:
 
     # ---- source + publisher side -----------------------------------------
     def envelope_stream(self) -> DataFrame:
-        return (
-            self.spark.readStream.schema(self.spec.envelope_schema)
-            .json(self.spec.spool_dir)
-        )
+        reader = self.spark.readStream.schema(self.spec.envelope_schema)
+        if self.spec.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", self.spec.max_files_per_trigger
+            )
+        return reader.json(self.spec.spool_dir)
 
     def _publish(self, envelopes: DataFrame) -> DataFrame:
         """Unwrap + rewrite, then encode as Pub/Sub-style messages:
@@ -212,7 +214,19 @@ class CdcPipeline:
             # commit: this epoch's rows are already fully delivered —
             # replaying them would duplicate. Let the engine commit.
             return
+        # Epoch state is scoped strictly to this delivery: ANY exception
+        # escaping below (sink write, DLQ write, marker write) must not
+        # leave a stale epoch on the pipeline object — a later
+        # out-of-epoch _write_sink/_write_dlq would otherwise scrub that
+        # epoch's already-published files (ADVICE r9).
         self._current_epoch = epoch_id
+        try:
+            self._deliver_epoch(messages, epoch_id)
+        finally:
+            self._current_epoch = None
+
+    def _deliver_epoch(self, messages: DataFrame, epoch_id: int) -> None:
+        spec = self.spec
         valid, corrupt = split_corrupt(messages, "data", spec.topic_schema)
 
         nacks = self._nack_counts()
@@ -238,15 +252,14 @@ class CdcPipeline:
         try:
             self._write_sink(projected)
         except SchemaMismatchError:
-            self._current_epoch = None
             raise  # permanent: halt (never reached — project raises earlier)
         except Exception:
             # Transient delivery failure → NACK: log one failed attempt per
             # message and fail the batch so offsets stay uncommitted and
-            # the source redelivers after the backoff. Epoch state resets
-            # so batch utilities outside _deliver see plain-append mode.
+            # the source redelivers after the backoff. (_deliver's finally
+            # resets the epoch so batch utilities outside the epoch see
+            # plain-append mode.)
             self._record_nacks(deliverable)
-            self._current_epoch = None
             raise
 
         if exhausted is not None:
@@ -276,7 +289,6 @@ class CdcPipeline:
         os.makedirs(self._commit_dir, exist_ok=True)
         with open(self._delivery_marker(epoch_id), "w"):
             pass
-        self._current_epoch = None
 
         # Post-commit retention pass (runs only when a TTL is configured).
         self.enforce_table_retention(now_s=time.time())
