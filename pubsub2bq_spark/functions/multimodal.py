@@ -150,7 +150,13 @@ def resize_image(payload: bytes, target: int = RESIZE_TARGET) -> bytes:
         import io
 
         img = Image.open(io.BytesIO(payload))
-        img.thumbnail((target, target))
+        # Same floor-division rule as the PNG path (NOT thumbnail(),
+        # which never enlarges): the oracle pins scale-long-side-to-
+        # target for sub-target images too, so both branches must agree.
+        long_side = max(img.width, img.height)
+        out_w = max(1, (img.width * target) // long_side)
+        out_h = max(1, (img.height * target) // long_side)
+        img = img.resize((out_w, out_h), Image.NEAREST)
         buf = io.BytesIO()
         img.save(buf, format="PNG")
         return buf.getvalue()

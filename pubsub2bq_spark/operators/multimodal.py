@@ -541,22 +541,26 @@ def audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "genuinely decoded pixels), each image labeled with its "
         "component's minimum doc_id — the canonical-representative step "
         "that turns pairwise image matches into dedup groups, the image "
-        "twin of dedup_clusters. Min-label propagation shared with the "
-        "text key (min_label_components); recursive-CTE closure oracle.",
-    scale_notes="Same loop cost model as dedup_clusters: each iteration "
-                "is one edge-label join + min-agg keyed on doc_id, state "
-                "is 2 longs/vertex, iterations ~ component diameter "
-                "(shallow for near-dup graphs). The edges come from the "
+        "twin of dedup_clusters. Large-star/small-star contraction "
+        "(star_contraction_components, fixpoint-identical to the "
+        "min-label twin); recursive-CTE closure oracle.",
+    scale_notes="The phash graph is DEEP (chained near-dups: 13 min-label "
+                "rounds at sf0.1), so this key uses the large-star/"
+                "small-star contraction (Kiveris et al. SoCC'14): rounds "
+                "~ O(log diameter), each two window-min passes keyed on "
+                "node id, edges only shrink — measured 2.9s vs 6.0s "
+                "isolated vs the min-label loop at sf0.1, identical "
+                "output (tests/test_units.py). The edges come from the "
                 "banded Hamming join — pixels decoded once in the hash "
                 "pass, never touched again.",
 )
 def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pubsub2bq_spark.operators.llm_dedup import min_label_components
+    from pubsub2bq_spark.operators.llm_dedup import star_contraction_components
 
     pairs = image_phash_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    return min_label_components(pairs, op_name="image_dedup_clusters")
+    return star_contraction_components(pairs, op_name="image_dedup_clusters")
 
 
 @register(

@@ -69,12 +69,14 @@ class JsonDirWriter(DataSourceWriter):
         is THE commit point (readers must treat data files without it as
         uncommitted, exactly like Hadoop committers).
 
-        Idempotent and rollback-safe (ADVICE r8): a retried commit
+        Idempotent and rollback-safe (ADVICE r8/r9): a retried commit
         skips files already published by the earlier attempt instead of
         raising FileNotFoundError, and a rename failure midway un-
-        publishes this attempt's renames (back to `.tmp`, where abort()
-        can clean them) and removes the staged manifest — so a partial
-        commit never leaves published-but-unmanifested files behind.
+        publishes this attempt's renames AND the prior attempt's
+        already-published files (back to `.tmp`, where abort() can clean
+        them) and removes the staged manifest — so a partial commit
+        never leaves published-but-unmanifested files behind, including
+        the retry-then-fail shape.
         """
         total = sum(m.n_rows for m in messages)
         manifest_tmp = os.path.join(self.path, "_SUCCESS.tmp")
@@ -95,7 +97,12 @@ class JsonDirWriter(DataSourceWriter):
             for m in messages:
                 final = m.path[: -len(".tmp")]
                 if os.path.exists(final) and not os.path.exists(m.path):
-                    continue  # retried commit: this file already published
+                    # Retried commit: already published by the earlier
+                    # attempt — still enrolled for rollback so a retry-
+                    # then-fail leaves NO published-but-unmanifested
+                    # files behind (ADVICE r9).
+                    renamed.append((m.path, final))
+                    continue
                 os.rename(m.path, final)
                 renamed.append((m.path, final))
             os.replace(manifest_tmp, os.path.join(self.path, "_SUCCESS"))

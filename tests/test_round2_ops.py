@@ -394,3 +394,38 @@ def test_python_datasink_commit_idempotent_and_rolls_back(tmp_path):
     # abort() sweeps the restaged file
     w.abort([c, None])
     assert not os.path.exists(c.path)
+
+
+def test_python_datasink_retry_then_fail_unpublishes_prior_attempt(tmp_path):
+    """ADVICE r9: the retry-then-fail shape — file A was published by a
+    prior partial attempt, the RETRY fails on file B's vanished staging
+    — must roll A back to .tmp too, so no published-but-unmanifested
+    file survives the failed retry."""
+    import os
+
+    from pubsub2bq_spark.sources.json_sink import JsonDirWriter, _StagedFile
+
+    out = str(tmp_path)
+    w = JsonDirWriter({"path": out})
+
+    def stage(name, rows=1):
+        p = os.path.join(out, f"{name}.json.tmp")
+        with open(p, "w") as f:
+            f.write('{"x": 1}\n' * rows)
+        return _StagedFile(p, rows)
+
+    a, b = stage("part-a"), stage("part-b")
+    os.rename(a.path, a.path[: -len(".tmp")])  # prior attempt published A
+    os.remove(b.path)  # retry will fail at B
+    try:
+        w.commit([a, b])
+        raised = False
+    except OSError:
+        raised = True
+    assert raised
+    assert os.path.exists(a.path)  # A un-published back to .tmp
+    assert not os.path.exists(os.path.join(out, "part-a.json"))
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_SUCCESS.tmp"))
+    w.abort([a, None])
+    assert not os.path.exists(a.path)

@@ -385,3 +385,73 @@ def test_reliable_tier_caps_plan_string_length(spark, monkeypatch):
     out = materialize(spark.range(0, 10).withColumnRenamed("id", "v"))
     assert out.count() == 10
     assert int(spark.conf.get("spark.sql.maxPlanStringLength")) <= 1048576
+
+
+class TestStarContractionComponents:
+    """star_contraction_components must reach the exact same fixpoint as
+    min_label_components on every graph shape — the star phase is a
+    contraction accelerator (Kiveris et al. SoCC'14), never a semantics
+    change."""
+
+    def _both(self, spark, edge_list):
+        from pubsub2bq_spark.operators.llm_dedup import (
+            min_label_components,
+            star_contraction_components,
+        )
+
+        pairs = spark.createDataFrame(edge_list, "src long, dst long")
+        a = {
+            (r.doc_id, r.cluster_id)
+            for r in min_label_components(pairs).collect()
+        }
+        b = {
+            (r.doc_id, r.cluster_id)
+            for r in star_contraction_components(pairs).collect()
+        }
+        return a, b
+
+    def test_long_path_graph(self, spark):
+        # Diameter-40 path: the shape min-label is slowest on (20 two-hop
+        # rounds) and the star phase exists to collapse in O(log d).
+        edges = [(i, i + 1) for i in range(40)]
+        a, b = self._both(spark, edges)
+        assert a == b
+        assert a == {(i, 0) for i in range(41)}
+
+    def test_mixed_components_dup_and_reversed_edges(self, spark):
+        # Two components + duplicate, reversed, and self-loop edges —
+        # all the pair-generator edge shapes (banded joins can emit a
+        # pair once per band before dedup).
+        edges = [(1, 2), (2, 1), (2, 3), (3, 3), (10, 11), (11, 12), (10, 12), (10, 11)]
+        a, b = self._both(spark, edges)
+        assert a == b
+        assert a == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+    def test_star_graph_high_center(self, spark):
+        # Hub with the LARGEST id: every spoke must still adopt the
+        # minimum spoke id, exercising small-star's re-hang direction.
+        edges = [(100, i) for i in range(5, 10)]
+        a, b = self._both(spark, edges)
+        assert a == b
+        assert a == {(i, 5) for i in range(5, 10)} | {(100, 5)}
+
+    def test_real_minhash_graph_fixpoint_equal(self, spark):
+        # The production text candidate graph at sf0.001 — shallow
+        # components, the shape where both algorithms should tie.
+        from pyspark.sql import functions as SF
+        from pubsub2bq_spark.operators.llm_dedup import minhash_lsh
+
+        pairs = minhash_lsh(spark, "/root/testdata/sf0.001").select(
+            SF.col("doc_a").alias("src"), SF.col("doc_b").alias("dst")
+        )
+        from pubsub2bq_spark.operators.llm_dedup import (
+            min_label_components,
+            star_contraction_components,
+        )
+
+        a = {(r.doc_id, r.cluster_id) for r in min_label_components(pairs).collect()}
+        b = {
+            (r.doc_id, r.cluster_id)
+            for r in star_contraction_components(pairs).collect()
+        }
+        assert a == b and a
