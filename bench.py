@@ -225,13 +225,17 @@ FIXED_COST = {
     "bpe_apply": 2.0,           # 2.106 / 2.305
     "bpe_train": 1.8,           # 2.040 / 1.890
     "kmeans_parallel_init": 1.2,  # 1.275 / 1.593
-    # r9 iterative additions, min-of-3 at sf0.001 vs sf0.1 (one
-    # session): image_dedup_clusters 10.2/9.2 (bench-context min 6.8 —
-    # the convergence loop's eager jobs dominate at every test SF, with
-    # ~3s run-to-run jitter), mmr_diversify 4.3/2.6 (bench 1.9 — K
-    # materialize+window stages). Constants below the smallest observed
-    # context so the variable term stays positive everywhere.
-    "image_dedup_clusters": 6.0,
+    # image_dedup_clusters RE-MEASURED r10 after the large-star/
+    # small-star switch (VERDICT r9 #3: the recalibration discipline —
+    # the constant must come DOWN with the fix so a future regression
+    # can't hide inside the old subtraction): min-of-3 one session,
+    # sf0.001 4.43s / sf0.1 6.22s, warm bench context 3.47s (was
+    # 10.2/9.2 under the min-label loop). Star rounds + the 2-hop exact finish are ~6 eager jobs
+    # total vs min-label's 13 convergence rounds. mmr_diversify r9:
+    # 4.3/2.6 (bench 1.9 — K materialize+window stages). Constants
+    # below the smallest observed context so the variable term stays
+    # positive everywhere.
+    "image_dedup_clusters": 3.0,
     "mmr_diversify": 1.5,
 }
 
@@ -509,7 +513,11 @@ def _drift_warning(
 FIXED_COST_CAUSE = {
     "transform_with_state": "streaming-query startup: micro-batch "
         "machinery + Python state-worker spin-up + checkpoint setup "
-        "(measured 3.74s at sf0.001 where per-batch work ≈ 0)",
+        "(measured 3.74s at sf0.001 where per-batch work ≈ 0). r10 "
+        "isolation (VERDICT r9 #4): min-of-3 one session, sf0.001 "
+        "10.98s vs sf0.1 9.50s — the 100× input is NOT slower, so the "
+        "r8→r9 variable-term growth was startup jitter (first-run "
+        "spread 66s→11s at sf0.001), not data-dependent cost",
     "stream_replay": "TWO streaming-query startups by construction "
         "(initial run, then seek-to-offset replay); measured 3.59s at "
         "sf0.001",
@@ -535,9 +543,9 @@ FIXED_COST_CAUSE = {
         "job per merge round",
     "kmeans_parallel_init": "k-means|| oversampling init rounds: fixed "
         "chain of small jobs",
-    "image_dedup_clusters": "min-label convergence loop: eager "
-        "propagate+checkpoint+probe jobs per round dominate at every "
-        "test SF (9-10s isolated, ~7s bench-context; ~3s jitter)",
+    "image_dedup_clusters": "star-contraction rounds + 2-hop exact "
+        "finish (r10): ~6 eager window/checkpoint jobs regardless of "
+        "SF (4.4s isolated at sf0.001 where per-edge work ≈ 0)",
     "mmr_diversify": "K-1 greedy steps, each an eager materialize + "
         "window stage over the bounded candidate pool; corpus scan "
         "runs once",

@@ -583,7 +583,12 @@ def min_label_components(pairs: DataFrame, op_name: str = "dedup_clusters") -> D
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
-_STAR_MAX_ROUNDS = 8
+# Star rounds run in bursts of _STAR_ROUNDS_PER_TRY, each burst followed
+# by an exact-finish attempt; _STAR_MAX_ROUNDS_TOTAL bounds the whole
+# contraction (heights halve per round, so 32 rounds covers diameters
+# past 2^32 — unreachable at any physical corpus size).
+_STAR_ROUNDS_PER_TRY = 8
+_STAR_MAX_ROUNDS_TOTAL = 32
 
 
 def star_contraction_components(
@@ -645,6 +650,57 @@ def star_contraction_components(
         anchors = withm.select("src", F.col("m").alias("dst"))
         return re_hung.union(anchors).distinct()
 
+    def finish(e: DataFrame, vertices: DataFrame) -> DataFrame | None:
+        """Exact 2-hop min-label propagation over the contracted edges
+        (components are preserved by both star operations — paper Lemma
+        1/2), seeded with the full original vertex set. Near-star graphs
+        take one adopting round + one changed==0 confirm. Returns None
+        (instead of raising) when the round cap is hit — the caller
+        resumes star contraction, so a graph the early-stop heuristic
+        released too deep still terminates correctly. e is materialized
+        each star round, so the doubled view is two cheap checkpoint
+        reads — no eager action needed here."""
+        bidir = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+        def hop(lbl: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+            neighbor_min = (
+                bidir.join(lbl, bidir.src == lbl.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            return lbl.join(neighbor_min, "doc_id", "left").select(
+                "doc_id",
+                *carry,
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+
+        labels = vertices.withColumn("label", F.col("doc_id"))
+        for _ in range(_CLUSTER_MAX_ITERS):
+            stepped = hop(
+                hop(
+                    labels.withColumn("label0", F.col("label")),
+                    carry=("label0",),
+                ),
+                carry=("label0",),
+            )
+            obs = Observation()
+            observed = stepped.observe(
+                obs,
+                F.count(F.when(F.col("label") != F.col("label0"), True)).alias(
+                    "changed"
+                ),
+            ).drop("label0")
+            labels = materialize(observed)
+            if obs.get["changed"] == 0:
+                return labels.select(
+                    "doc_id", F.col("label").alias("cluster_id")
+                )
+        return None
+
     edges = (
         pairs.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -661,67 +717,35 @@ def star_contraction_components(
         .distinct()
     )
     prev_count: int | None = None
-    for _ in range(_STAR_MAX_ROUNDS):
-        obs = Observation()
-        stepped = small_star(large_star(edges)).observe(
-            obs, F.count(F.lit(1)).alias("n_edges")
-        )
-        edges = materialize(stepped)
-        cur = obs.get["n_edges"]
-        # Early-stop HEURISTIC only: once a round shrinks the edge set
-        # by <5% the remaining contraction is a short tail the exact
-        # 2-hop finish below absorbs cheaper than more star rounds
-        # (measured on the sf0.1 image graph: rounds 2-4 moved 19 of
-        # 4576 edges). Exactness never depends on stopping here.
-        if prev_count is not None and prev_count - cur < 0.05 * prev_count:
-            break
-        prev_count = cur
-
-    # Exact finish: 2-hop min-label propagation over the contracted
-    # edges (components are preserved by both star operations — paper
-    # Lemma 1/2), seeded with the full original vertex set. Near-star
-    # graphs take one adopting round + one changed==0 confirm.
-    # edges is already materialized each round, so the doubled view is
-    # two cheap checkpoint reads — no eager action needed here either.
-    bidir = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rounds_done = 0
+    while rounds_done < _STAR_MAX_ROUNDS_TOTAL:
+        for _ in range(_STAR_ROUNDS_PER_TRY):
+            obs = Observation()
+            stepped = small_star(large_star(edges)).observe(
+                obs, F.count(F.lit(1)).alias("n_edges")
+            )
+            edges = materialize(stepped)
+            rounds_done += 1
+            cur = obs.get["n_edges"]
+            # Early-stop HEURISTIC only: once a round shrinks the edge
+            # set by <5% the remaining contraction is usually a short
+            # tail the exact 2-hop finish absorbs cheaper than more star
+            # rounds (measured on the sf0.1 image graph: rounds 2-4
+            # moved 19 of 4576 edges). Exactness never depends on it:
+            # if the finish fails to converge (a graph can shed <5% of
+            # its edges per round while still deep — e.g. a slow-
+            # contracting path dwarfed by an attached star), the outer
+            # loop resumes contraction and tries again.
+            if prev_count is not None and prev_count - cur < 0.05 * prev_count:
+                break
+            prev_count = cur
+        labels = finish(edges, vertices)
+        if labels is not None:
+            return labels
+    raise RuntimeError(
+        f"{op_name} did not converge within {_STAR_MAX_ROUNDS_TOTAL} star "
+        f"rounds + {_CLUSTER_MAX_ITERS}-round finishes"
     )
-
-    def hop(lbl: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
-        neighbor_min = (
-            bidir.join(lbl, bidir.src == lbl.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        return lbl.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            *carry,
-            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
-                "label"
-            ),
-        )
-
-    labels = vertices.withColumn("label", F.col("doc_id"))
-    for _ in range(_CLUSTER_MAX_ITERS):
-        stepped = hop(
-            hop(labels.withColumn("label0", F.col("label")), carry=("label0",)),
-            carry=("label0",),
-        )
-        obs = Observation()
-        observed = stepped.observe(
-            obs,
-            F.count(F.when(F.col("label") != F.col("label0"), True)).alias(
-                "changed"
-            ),
-        ).drop("label0")
-        labels = materialize(observed)
-        if obs.get["changed"] == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"{op_name} did not converge in {_CLUSTER_MAX_ITERS} iterations"
-        )
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
 

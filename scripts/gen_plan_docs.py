@@ -127,7 +127,7 @@ PLAN_KEYS = [
     # bounded-state property is asserted in tests/test_streaming.py).
     "image_phash",        # no-shuffle Arrow kernel scan
     "image_phash_pairs",  # banded Hamming self-join over hash rows
-    "image_dedup_clusters",  # min-label propagation over phash edges
+    "image_dedup_clusters",  # star contraction over phash edges (r10)
     "audio_frames",       # kernel-side row expansion, no shuffle
     "ann_index_persist",
     "audio_resample",

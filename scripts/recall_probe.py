@@ -159,8 +159,22 @@ def update_scaling_md(path: str, stats: dict, base_sf: str, scale: int) -> None:
         "base-SF 4x so a quantizer regression that silently sheds recall "
         "fails a test instead of shipping.",
         "",
-        RECALL_END,
     ]
+    if "mmr_objective_vs_exhaustive_min" in stats:
+        section += [
+            "MMR quality (r10): greedy mmr_diversify vs the exhaustive "
+            f"C(16,5)-subset optimum of the MMR set objective over "
+            f"{stats['n_mmr_queries']} queries — objective ratio min "
+            f"{stats['mmr_objective_vs_exhaustive_min']} / mean "
+            f"{stats['mmr_objective_vs_exhaustive_mean']}, relevance "
+            f"retention vs plain top-K "
+            f"{stats['mmr_relevance_retention_mean']}, max-redundancy "
+            f"delta {stats['mmr_max_redundancy_delta_mean']} (≤0 = never "
+            "more redundant than top-K). Bounds pinned in "
+            "tests/test_recall_bounds.py.",
+            "",
+        ]
+    section.append(RECALL_END)
     text = ""
     if os.path.exists(path):
         with open(path) as f:
@@ -173,6 +187,98 @@ def update_scaling_md(path: str, stats: dict, base_sf: str, scale: int) -> None:
         text = text.rstrip("\n") + "\n\n" + "\n".join(section) + "\n"
     with open(path, "w") as f:
         f.write(text)
+
+
+
+
+def measure_mmr_quality(spark, sf_dir: str) -> dict[str, float | int]:
+    """Greedy-MMR quality vs the exhaustive subset optimum (VERDICT r9
+    #7): how much of the diversity/relevance objective does the greedy
+    sequential pick (the production operator) actually capture?
+
+    Truth: for each query, enumerate ALL C(MMR_POOL, MMR_K) candidate
+    subsets (4368 at 16-choose-5 — the probe pays the combinatorial cost
+    once, offline) and maximize the order-insensitive MMR set objective
+        F(S) = LAMBDA * sum_{d in S} cos(q,d)
+             - MU * sum_{d in S} max_{s in S, s != d} cos(d,s),
+    the standard set restatement of Carbonell & Goldstein's sequential
+    rule (each pick's redundancy charged against its nearest selected
+    neighbor). Also reports the trade the operator makes vs plain
+    relevance top-K: retained relevance mass and redundancy reduction.
+
+    Driver-side arrays here are bounded by construction: n_queries x
+    MMR_POOL pool rows and n_queries x MMR_K picks — probe-scale only,
+    never corpus-sized."""
+    import itertools
+
+    import numpy as np
+
+    from pubsub2bq_spark.operators.llm_similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_MU,
+        MMR_POOL,
+        mmr_diversify,
+    )
+    from pubsub2bq_spark.tables import load
+
+    emb_rows = (
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    )
+    vecs = {int(r.vec_id) for r in emb_rows}
+    V = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for r in emb_rows}
+    unit = {k: v / np.linalg.norm(v) for k, v in V.items()}
+
+    picks: dict[int, list[int]] = {}
+    for r in mmr_diversify(spark, sf_dir).collect():
+        picks.setdefault(int(r.query_id), []).append((int(r.rank), int(r.vec_id)))
+    assert set(picks) == {v for v in vecs if v % 100 == 0}
+
+    def fset(q, S):
+        rel = sum(float(unit[q] @ unit[d]) for d in S)
+        red = sum(
+            max(float(unit[d] @ unit[s]) for s in S if s != d) for d in S
+        )
+        return MMR_LAMBDA * rel - MMR_MU * red
+
+    ratios, rel_ratios, red_ratios, beats_topk = [], [], [], 0
+    for q, ranked in picks.items():
+        greedy = [d for _, d in sorted(ranked)]
+        # pool: top-MMR_POOL by cos(q, .) excluding q, ties by vec_id asc
+        # (cand's exact definition).
+        others = sorted(
+            (d for d in vecs if d != q),
+            key=lambda d: (-float(unit[q] @ unit[d]), d),
+        )
+        pool = others[:MMR_POOL]
+        assert set(greedy) <= set(pool)
+        best = max(
+            fset(q, list(S)) for S in itertools.combinations(pool, MMR_K)
+        )
+        topk = pool[:MMR_K]
+        g, t = fset(q, greedy), fset(q, topk)
+        ratios.append(g / best if best > 0 else 1.0)
+        rel_g = sum(float(unit[q] @ unit[d]) for d in greedy)
+        rel_t = sum(float(unit[q] @ unit[d]) for d in topk)
+        rel_ratios.append(rel_g / rel_t if rel_t > 0 else 1.0)
+        red_g = max(
+            float(unit[a] @ unit[b]) for a, b in itertools.combinations(greedy, 2)
+        )
+        red_t = max(
+            float(unit[a] @ unit[b]) for a, b in itertools.combinations(topk, 2)
+        )
+        red_ratios.append(red_g - red_t)
+        if g >= t - 1e-12:
+            beats_topk += 1
+
+    return {
+        "n_mmr_queries": len(picks),
+        "mmr_objective_vs_exhaustive_min": round(float(np.min(ratios)), 4),
+        "mmr_objective_vs_exhaustive_mean": round(float(np.mean(ratios)), 4),
+        "mmr_relevance_retention_mean": round(float(np.mean(rel_ratios)), 4),
+        "mmr_max_redundancy_delta_mean": round(float(np.mean(red_ratios)), 4),
+        "mmr_objective_geq_topk_frac": round(beats_topk / len(picks), 4),
+    }
 
 
 def main() -> int:
@@ -191,6 +297,7 @@ def main() -> int:
     try:
         sf_dir = build_scaled_embeddings(spark, args.sf, args.scale, workdir)
         stats = measure_recalls(spark, sf_dir)
+        stats.update(measure_mmr_quality(spark, sf_dir))
         update_scaling_md(args.out, stats, args.sf, args.scale)
         print(json.dumps({"base_sf": args.sf, "scale": args.scale, **stats}))
     finally:

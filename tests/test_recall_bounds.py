@@ -55,3 +55,41 @@ def test_truth_sets_nontrivial(recalls):
     to make recall a real fraction, not a 3-sample coin flip."""
     assert recalls["n_true_dropped"] >= 100
     assert recalls["n_true_contaminated"] >= 100
+
+
+@pytest.fixture(scope="module")
+def mmr_quality(spark, tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from recall_probe import build_scaled_embeddings, measure_mmr_quality
+
+    from pubsub2bq_spark import tables
+
+    tables.clear_session_artifacts()
+    workdir = str(tmp_path_factory.mktemp("mmr4x"))
+    sf_dir = build_scaled_embeddings(spark, SF_SMOKE, 4, workdir)
+    return measure_mmr_quality(spark, sf_dir)
+
+
+def test_mmr_greedy_near_exhaustive_optimum(mmr_quality):
+    """VERDICT r9 #7: the greedy pick must capture nearly all of the
+    exhaustive C(16,5)-subset optimum of the MMR set objective.
+    Measured at base sf0.001 x4: min ratio 1.0 (greedy IS optimal on
+    every query); pinned with slack for tie-order sensitivity."""
+    assert mmr_quality["mmr_objective_vs_exhaustive_min"] >= 0.97
+    assert mmr_quality["mmr_objective_vs_exhaustive_mean"] >= 0.99
+
+
+def test_mmr_trade_is_bounded_and_directional(mmr_quality):
+    """The diversity trade must (a) retain nearly all relevance mass vs
+    plain top-K (measured 0.9931) and (b) never score below top-K on
+    the very objective it optimizes."""
+    assert mmr_quality["mmr_relevance_retention_mean"] >= 0.95
+    assert mmr_quality["mmr_objective_geq_topk_frac"] == 1.0
+    # redundancy never increases vs top-K (<= 0 delta, measured -0.0)
+    assert mmr_quality["mmr_max_redundancy_delta_mean"] <= 1e-9
+
+
+def test_mmr_query_set_nontrivial(mmr_quality):
+    assert mmr_quality["n_mmr_queries"] >= 20

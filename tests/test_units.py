@@ -455,3 +455,20 @@ class TestStarContractionComponents:
             for r in star_contraction_components(pairs).collect()
         }
         assert a == b and a
+
+    def test_finish_nonconvergence_resumes_contraction(self, spark, monkeypatch):
+        # Force the worst shape: finish gets only 2 rounds (covers
+        # diameter 4) and each star burst is a single round — the first
+        # finish attempts MUST fail on a diameter-64 path, and the outer
+        # loop must keep contracting until one succeeds.
+        from pubsub2bq_spark.operators import llm_dedup
+
+        monkeypatch.setattr(llm_dedup, "_CLUSTER_MAX_ITERS", 2)
+        monkeypatch.setattr(llm_dedup, "_STAR_ROUNDS_PER_TRY", 1)
+        edges = [(i, i + 1) for i in range(64)]
+        pairs = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in llm_dedup.star_contraction_components(pairs).collect()
+        }
+        assert got == {(i, 0) for i in range(65)}
