@@ -215,16 +215,21 @@ FIXED_COST = {
     # candidates + distinct-term relation) — measured 2.02s at sf0.001
     # vs 3.26s at sf0.1 (min of 3, r8 probe).
     "rerank_topk": 2.0,
-    # r8 probe, min of 3 at sf0.001 vs sf0.1 — all scale-flat within
-    # noise (iterative BPE merge rounds / two-phase staging / k-means||
-    # rounds are fixed job chains; the per-row work is absorbed by idle
-    # cores at bench scale). Constants set slightly below the sf0.001
-    # min so the variable component stays positive.
-    "bpe_pack": 2.2,            # 2.319 / 2.412
-    "curriculum_order": 1.5,    # 1.632 / 2.045
-    "bpe_apply": 2.0,           # 2.106 / 2.305
-    "bpe_train": 1.8,           # 2.040 / 1.890
-    "kmeans_parallel_init": 1.2,  # 1.275 / 1.593
+    # r10 re-measured the BPE-vocab and bigram-LM consumers AFTER the
+    # shared session artifacts landed (cached_vocab_pieces, _doc_nll,
+    # _staged_nll — the r8 quantizer-cache pattern): each key now reads
+    # the once-per-(session, sf) artifact instead of retraining the
+    # merge/scoring chain. Warm min-of-3, sf0.001 / sf0.1:
+    # bpe_apply 0.52/0.64, bpe_pack 0.58/0.53, curriculum_order
+    # 0.94/0.61 (hash-identical outputs, verified vs the DuckDB oracle).
+    # Constants re-set slightly below the smallest observation so a
+    # future regression can't hide inside the old subtraction.
+    # bpe_train still trains per call BY DESIGN (it IS the training op).
+    "bpe_pack": 0.4,
+    "curriculum_order": 0.5,
+    "bpe_apply": 0.4,
+    "bpe_train": 1.8,           # r8: 2.040 / 1.890 (unchanged path)
+    "kmeans_parallel_init": 1.2,  # r8: 1.275 / 1.593
     # image_dedup_clusters RE-MEASURED r10 after the large-star/
     # small-star switch (VERDICT r9 #3: the recalibration discipline —
     # the constant must come DOWN with the fix so a future regression
@@ -533,12 +538,13 @@ FIXED_COST_CAUSE = {
     "rerank_topk": "hybrid_retrieve's candidate materialize chain "
         "(fused candidates + distinct-term relation) runs before any "
         "reranking work",
-    "bpe_pack": "iterative BPE merge-round job chain under the learned "
-        "vocab; per-row packing is the variable part",
-    "curriculum_order": "two-phase exact staging: a fixed chain of "
-        "small ranking jobs",
-    "bpe_apply": "BPE merge-table application job chain; fixed at "
-        "bench scale",
+    "bpe_pack": "residual post-cache constant (shared tokenizer "
+        "artifact since r10); per-row packing is the variable part",
+    "curriculum_order": "residual post-cache constant (shared "
+        "bigram-LM + staging artifacts since r10); the within-stage "
+        "shuffle position is the variable part",
+    "bpe_apply": "residual post-cache constant (shared tokenizer "
+        "artifact since r10); the vocab join is the variable part",
     "bpe_train": "iterative BPE vocabulary-training rounds: one small "
         "job per merge round",
     "kmeans_parallel_init": "k-means|| oversampling init rounds: fixed "

@@ -486,9 +486,7 @@ def _decontaminate_oracle() -> str:
                 "and exactly the contamination you want surfaced.",
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pubsub2bq_spark.operators.training_prep import (
-        _bpe_learned_vocab_pieces,
-    )
+    from pubsub2bq_spark.operators.training_prep import cached_vocab_pieces
 
     d = fan_out(load(spark, sf_dir, "documents"), spark)
     docwp = (
@@ -501,7 +499,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("wpos0") + 1).alias("wpos"), "word")
         .transform(materialize)  # vocab build + the token-stream join
     )
-    vocabp = _bpe_learned_vocab_pieces(docwp.select("word"), spark)
+    # Same learned tokenizer as bpe_apply/bpe_pack (the word stream is
+    # the identical documents tokenization) — shared via the session
+    # cache instead of retraining the merge chain per op.
+    vocabp = cached_vocab_pieces(spark, sf_dir)
     tokp = (
         docwp.join(vocabp, "word")
         .select(

@@ -102,8 +102,19 @@ _NLL_CTES = """
 
 def _doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bigrams, nll): the Spark twin of the _NLL_CTES chain,
-    materialized (the LM scoring pass runs once; gate/staging consumers
-    read the cache)."""
+    built ONCE per (session, sf_dir) via session_artifact (r10, the
+    quantizer/tokenizer cache pattern): perplexity_filter,
+    curriculum_order and mixture_curriculum all score under the SAME
+    corpus bigram LM — a deterministic function of sf_dir — so per-op
+    re-scoring was bench artifact, not design."""
+    from pubsub2bq_spark.tables import session_artifact
+
+    return session_artifact(
+        spark, "doc_nll", sf_dir, lambda: _doc_nll_impl(spark, sf_dir)
+    )
+
+
+def _doc_nll_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark)
     toks = d.select(
         "doc_id",
@@ -736,7 +747,17 @@ def _staged_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, rnll, stage): curriculum_order's exact-quartile stage
     assignment — two-phase range-partitioned global rank + closed-form
     ntile — extracted so mixture_curriculum can consume the stages
-    without paying for the within-stage shuffle position."""
+    without paying for the within-stage shuffle position. Session-
+    cached like _doc_nll (deterministic function of sf_dir; both
+    curriculum keys read the same staging)."""
+    from pubsub2bq_spark.tables import session_artifact
+
+    return session_artifact(
+        spark, "staged_nll", sf_dir, lambda: _staged_nll_impl(spark, sf_dir)
+    )
+
+
+def _staged_nll_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll = _doc_nll(spark, sf_dir).select(
         "doc_id", F.round("nll", 6).alias("rnll")
     )

