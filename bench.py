@@ -211,10 +211,11 @@ FIXED_COST = {
     "ann_ivf_kmeans": 0.4,
     "semdedup": 0.8,
     "ann_ivf_hier": 0.6,
-    # retrieve-then-rerank: hybrid_retrieve's materialize chain (fused
-    # candidates + distinct-term relation) — measured 2.02s at sf0.001
-    # vs 3.26s at sf0.1 (min of 3, r8 probe).
-    "rerank_topk": 2.0,
+    # retrieve-then-rerank: r10 moved the fused candidate set into the
+    # session cache (shared with hybrid_retrieve), so rerank pays only
+    # its own pair-scoring joins — warm min-of-3 re-measured 0.89s at
+    # sf0.001 / 0.98s at sf0.1 (was 2.02/3.26 pre-cache).
+    "rerank_topk": 0.7,
     # r10 re-measured the BPE-vocab and bigram-LM consumers AFTER the
     # shared session artifacts landed (cached_vocab_pieces, _doc_nll,
     # _staged_nll — the r8 quantizer-cache pattern): each key now reads
@@ -535,9 +536,9 @@ FIXED_COST_CAUSE = {
         "variable part",
     "ann_ivf_hier": "residual post-cache constant of the two-level "
         "build (0.78s at sf0.001 vs 1.07s at sf0.1, cached)",
-    "rerank_topk": "hybrid_retrieve's candidate materialize chain "
-        "(fused candidates + distinct-term relation) runs before any "
-        "reranking work",
+    "rerank_topk": "residual post-cache constant (fused candidate "
+        "set shared with hybrid_retrieve since r10); the pair-scoring "
+        "joins are the variable part",
     "bpe_pack": "residual post-cache constant (shared tokenizer "
         "artifact since r10); per-row packing is the variable part",
     "curriculum_order": "residual post-cache constant (shared "

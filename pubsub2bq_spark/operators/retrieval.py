@@ -240,6 +240,26 @@ def _hybrid_oracle() -> str:
                 "and in parallel; fusion adds no corpus-sized shuffle.",
 )
 def hybrid_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fused_candidates(spark, sf_dir)
+
+
+def _fused_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached fused top-FUSE_K candidate set (r10, the shared-
+    artifact pattern): hybrid_retrieve IS this relation and rerank_topk
+    re-scores it, so the BM25 + dense + RRF fusion chain — a
+    deterministic function of sf_dir — builds once per (session, sf)
+    instead of once per consumer."""
+    from pubsub2bq_spark.tables import session_artifact
+
+    return session_artifact(
+        spark,
+        "hybrid_fused",
+        sf_dir,
+        lambda: materialize(_fused_candidates_impl(spark, sf_dir)),
+    )
+
+
+def _fused_candidates_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from pubsub2bq_spark.operators.llm_similarity import similarity_topk
@@ -301,9 +321,9 @@ def hybrid_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    cand = hybrid_retrieve(spark, sf_dir).select(
+    cand = _fused_candidates(spark, sf_dir).select(
         "query_id", "doc_id", "rrf", F.col("rank").alias("prev_rank")
-    ).transform(materialize)  # bounded (queries x FUSE_K); 4 consumers
+    )  # bounded (queries x FUSE_K), already session-materialized
     d = fan_out(load(spark, sf_dir, "documents"), spark)
     tf = (
         d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
