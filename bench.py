@@ -60,6 +60,9 @@ HEADLINE = [
     "ann_ivf",
     "ann_ivf_kmeans",
     "ann_pq",
+    # IVF-PQ (r10): residual product quantization inside IVF cells —
+    # the FAISS-default serving combination.
+    "ann_ivfpq",
     "multimodal_meta",
     "doc_fingerprint",
     "dedup_clusters",

@@ -513,6 +513,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(recall_of(ann_ivf(spark, sf_dir), "ivf"))
         .unionByName(recall_of(ann_ivf_kmeans(spark, sf_dir), "ivf_kmeans"))
         .unionByName(recall_of(ann_pq(spark, sf_dir), "pq"))
+        .unionByName(recall_of(ann_ivfpq(spark, sf_dir), "ivfpq"))
     )
     return per_q.groupBy("method").agg(
         F.round(F.avg("recall"), 6).alias("avg_recall"),
@@ -522,7 +523,8 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANN_METHODS = (("lsh", "ann_lsh"), ("ivf", "ann_ivf"),
-                ("ivf_kmeans", "ann_ivf_kmeans"), ("pq", "ann_pq"))
+                ("ivf_kmeans", "ann_ivf_kmeans"), ("pq", "ann_pq"),
+                ("ivfpq", "ann_ivfpq"))
 
 
 def refresh_ann_recall_oracle() -> None:
@@ -793,7 +795,231 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ann_pq registers below the first refresh call; recompose with it included.
+@register(
+    "ann_ivfpq",
+    oracle=f"""
+        WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r FROM embeddings),
+        v AS (
+            SELECT vec_id,
+                   list_transform(r, x -> x / sqrt(list_dot_product(r, r))) AS v
+            FROM raw
+        ),
+        cent AS (
+            SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT {N_CELLS}
+        ),
+        dist AS (
+            SELECT a.vec_id, a.v, c.cid, c.cv,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(a.v, c.cv)
+                                / (sqrt(list_dot_product(a.v, a.v))
+                                   * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                c.cid ASC) AS rn
+            FROM v a CROSS JOIN cent c
+        ),
+        res AS (
+            SELECT vec_id, cid,
+                   list_transform(list_zip(v, cv), s -> s[1] - s[2]) AS r
+            FROM dist WHERE rn = 1
+        ),
+        cb AS (
+            -- lowest NON-CENTROID vec_ids: a centroid's residual is the
+            -- zero vector (it is its own nearest cell), so a codebook
+            -- drawn from the {N_CELLS} lowest ids would be all-zero and
+            -- every reconstruction would collapse to the cell center
+            SELECT vec_id AS kid, r FROM res
+            WHERE vec_id NOT IN (SELECT cid FROM cent)
+            ORDER BY vec_id LIMIT {PQ_K}
+        ),
+        cbs AS (
+            SELECT kid, t.m AS m,
+                   list_slice(r, t.m * {PQ_SUB} + 1, t.m * {PQ_SUB} + {PQ_SUB}) AS csub
+            FROM cb, unnest(range(0, {PQ_M})) AS t(m)
+        ),
+        dbs AS (
+            SELECT vec_id, t.m AS m,
+                   list_slice(r, t.m * {PQ_SUB} + 1, t.m * {PQ_SUB} + {PQ_SUB}) AS sub
+            FROM res, unnest(range(0, {PQ_M})) AS t(m)
+        ),
+        dist0 AS (
+            SELECT d.vec_id, d.m, c.kid,
+                   list_dot_product(d.sub, d.sub)
+                   - 2 * list_dot_product(d.sub, c.csub)
+                   + list_dot_product(c.csub, c.csub) AS d2
+            FROM dbs d JOIN cbs c USING (m)
+        ),
+        codes AS (
+            SELECT vec_id, m, kid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                             ORDER BY d2 ASC, kid ASC) AS rn
+                FROM dist0
+            ) WHERE rn = 1
+        ),
+        recon AS (
+            SELECT k.vec_id, flatten(list(c.csub ORDER BY k.m)) AS rhat
+            FROM codes k JOIN cbs c ON k.m = c.m AND k.kid = c.kid
+            GROUP BY k.vec_id
+        ),
+        probes AS (
+            SELECT d.vec_id AS query_id,
+                   list_transform(list_zip(d.v, d.cv), s -> s[1] - s[2]) AS qr,
+                   d.cid
+            FROM dist d WHERE d.rn <= {N_PROBE} AND d.vec_id % 100 = 0
+        ),
+        cand AS (SELECT a.vec_id, a.cid, r.rhat
+                 FROM res a JOIN recon r USING (vec_id)),
+        scored AS (
+            SELECT p.query_id, b.vec_id,
+                   list_dot_product(p.qr, p.qr)
+                   - 2 * list_dot_product(p.qr, b.rhat)
+                   + list_dot_product(b.rhat, b.rhat) AS adc
+            FROM probes p JOIN cand b
+              ON p.cid = b.cid AND p.query_id <> b.vec_id
+        )
+        SELECT query_id, vec_id, round(adc, 6) AS adc_dist, rank FROM (
+            SELECT query_id, vec_id, adc,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adc ASC, vec_id ASC) AS INT)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= {PQ_TOPK}
+    """,
+    doc=f"IVF-PQ ANN (Jegou et al. — the FAISS-default combination and "
+        "the actual 100 TB serving layout): ann_ivf's coarse quantizer "
+        f"(the {N_CELLS} lowest-vec_id unit vectors) routes every vector "
+        "to its nearest cell, the RESIDUAL v − centroid is product-"
+        f"quantized ({PQ_M} subspaces × {PQ_K} codes, deterministic "
+        f"codebook from the {PQ_K} lowest vec_ids' residuals), and "
+        f"queries probe their {N_PROBE} nearest cells ranking candidates "
+        "by asymmetric distance between the QUERY RESIDUAL (q − probed "
+        "centroid) and the reconstructed database residual — "
+        "||q − (c + r̂)||² = ||(q − c) − r̂||², the standard per-cell "
+        "query-residual identity. Residual encoding is what makes PQ "
+        "codes tight: within a cell the residual spread is a fraction "
+        "of the full-space spread, so the same code budget quantizes "
+        "finer than flat ann_pq. Every distance is a single index-"
+        "ordered fold on both engines (engine-exact, ann_pq's "
+        "discipline).",
+    scale_notes=f"THE production ANN layout: {PQ_M} one-byte codes + one "
+                "cell id per vector (~32x memory vs floats) partitioned "
+                "by cell id on disk, centroids + residual codebook "
+                "broadcast-size. Search touches nprobe/k of the corpus "
+                "and reads codes, never vectors; the ADC per candidate "
+                "is O(M) adds off a per-(query, cell) lookup table "
+                "(here the equivalent single-fold dot, engine-exact). "
+                "Assignment + encoding are one broadcast join + "
+                "map-side argmin each. Recall tunes via N_CELLS x "
+                "N_PROBE x PQ_K without re-sharding; k-means-refined "
+                "codebooks (ann_ivf_kmeans's lift) are the offline "
+                "training step at real scale.",
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    raw = fan_out(load(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", _dvec("embedding").alias("r")
+    )
+    em = raw.select(
+        "vec_id",
+        F.expr(
+            "transform(r, x -> x / sqrt(aggregate(zip_with(r, r, (a, b) -> a * b), "
+            "cast(0.0 as double), (acc, x) -> acc + x)))"
+        ).alias("v"),
+    )
+    cent = (
+        em.orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    dist = (
+        em.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "v", "cid", "cv",
+            _cosine(F.col("v"), F.col("cv")).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+    )
+    res = dist.filter(F.col("rn") == 1).select(
+        "vec_id",
+        "cid",
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
+    )
+    res = materialize(res)  # assignment + residuals feed codebook, codes, search
+    sub_arr = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> slice(r, m * {PQ_SUB} + 1, {PQ_SUB}))"
+    )
+    # Lowest NON-CENTROID ids: a centroid's residual is the zero vector
+    # (it is its own nearest cell), so a codebook from the raw lowest
+    # ids would be all-zero (the 0.04-recall bug this comment records).
+    cbs = (
+        res.join(
+            cent.select(F.col("cid").alias("vec_id")), "vec_id", "left_anti"
+        )
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("kid"), F.posexplode(sub_arr).alias("m", "csub"))
+    )
+    dbs = res.select("vec_id", F.posexplode(sub_arr).alias("m", "sub"))
+    d2 = (
+        _dot(F.col("sub"), F.col("sub"))
+        - 2 * _dot(F.col("sub"), F.col("csub"))
+        + _dot(F.col("csub"), F.col("csub"))
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("kid").asc()
+    )
+    codes = (
+        dbs.join(F.broadcast(cbs), "m")
+        .select("vec_id", "m", "kid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "kid")
+    )
+    recon = (
+        codes.join(F.broadcast(cbs), ["m", "kid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(m, csub))), s -> s.csub)"
+                )
+            ).alias("rhat")
+        )
+    )
+    probes = dist.filter(
+        (F.col("rn") <= N_PROBE) & (F.col("vec_id") % 100 == 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("qr"),
+        "cid",
+    )
+    cand = res.select("vec_id", "cid").join(recon, "vec_id")
+    adc = (
+        _dot(F.col("qr"), F.col("qr"))
+        - 2 * _dot(F.col("qr"), F.col("rhat"))
+        + _dot(F.col("rhat"), F.col("rhat"))
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id", "vec_id", F.round("adc", 6).alias("adc_dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ann_pq/ann_ivfpq register below the first refresh call; recompose with
+# them included.
 refresh_ann_recall_oracle()
 
 

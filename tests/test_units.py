@@ -207,6 +207,29 @@ class TestLshQuality:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.2, f"PQ recall below floor: {recall:.2f}"
 
+    def test_ivfpq_recall_nontrivial_and_codebook_nonzero(self, spark):
+        """ann_ivfpq (residual PQ inside IVF cells, untrained codebooks)
+        must beat chance (10/499 ~ 0.02) by an order of magnitude
+        (measured 0.20 at sf0.01 — bounded above by ann_ivf's 0.46
+        candidate recall, degraded by residual quantization exactly as
+        ann_pq is). Floor 0.1 also guards the zero-codebook regression:
+        a codebook drawn from centroid rows (residual = 0) collapses
+        every reconstruction to the cell center and recall to ~0.04."""
+        from pubsub2bq_spark.registry import all_queries
+
+        qs = all_queries()
+        sf = "/root/testdata/sf0.01"
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in qs["similarity_topk"].spark(spark, sf).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in qs["ann_ivfpq"].spark(spark, sf).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.1, f"IVF-PQ recall below floor: {recall:.2f}"
+
     def test_minhash_candidates_are_similar(self, spark):
         """MinHash-LSH candidates should overwhelmingly be pairs with real
         token overlap (precision sanity)."""
