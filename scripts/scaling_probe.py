@@ -124,7 +124,8 @@ PROBE_KEYS = [
 # that grows with the corpus through an exact O(q*n) relevance scan —
 # the documented exact baseline whose scale path is the IVF family);
 # report time/scale as the per-query exponent.
-QUERY_SCALED = {"ann_ivf", "semdedup", "mmr_diversify", "similarity_topk"}
+QUERY_SCALED = {"ann_ivf", "ann_ivfpq", "semdedup", "mmr_diversify",
+                "similarity_topk"}
 
 
 def _key_space_widths(spark, base_sf: str) -> dict[str, int]:
