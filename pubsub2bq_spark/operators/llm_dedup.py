@@ -407,9 +407,22 @@ def _sh_bitval(j: int) -> Column:
 
 
 def _sh_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, b0..b63): majority-vote fingerprint bits. The aggregate
-    carries 64 branch-free bit sums + one count; the sign-of-sums vote
-    sum(±1) > 0 is applied after as 2*s > n (identical majority)."""
+    """(doc_id, b0..b63): majority-vote fingerprint bits, session-cached
+    (r10) — simhash and simhash_pairs both read the same fingerprint
+    relation, and the 64-bit-sum aggregate is the expensive half of
+    both keys."""
+    from pubsub2bq_spark.tables import session_artifact
+
+    return session_artifact(
+        spark, "simhash_bits", sf_dir,
+        lambda: materialize(_sh_bits_impl(spark, sf_dir)),
+    )
+
+
+def _sh_bits_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregate carries 64 branch-free bit sums + one count; the
+    sign-of-sums vote sum(±1) > 0 is applied after as 2*s > n
+    (identical majority)."""
     sums = [F.sum(_sh_bitval(j)).alias(f"s{j}") for j in range(_SIMHASH_BITS)]
     agg = (
         _sh_tok_spark(spark, sf_dir)
