@@ -727,19 +727,18 @@ def star_contraction_components(
                 )
         return None
 
-    edges = (
-        pairs.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .transform(materialize)
-    )
-    # Original vertex set, BEFORE contraction rewires edges: the final
-    # labels must cover every input vertex even as star rounds move it
-    # to the dst-only side of the forest.
-    # Derived from the materialized edge frame and consumed once in the
-    # finish seed — needs no eager action of its own.
+    raw = pairs.select("src", "dst").transform(materialize)
+    edges = raw.filter(F.col("src") != F.col("dst"))
+    # Original vertex set, BEFORE the self-loop filter AND before
+    # contraction rewires edges: a doc whose only pair is (x, x) must
+    # still come out as its own singleton cluster — the same output
+    # min_label_components gives it — and the final labels must cover
+    # every input vertex even as star rounds move it to the dst-only
+    # side of the forest. Derived from the one materialized raw frame
+    # and consumed once per finish seed — no eager action of its own.
     vertices = (
-        edges.select(F.col("src").alias("doc_id"))
-        .union(edges.select(F.col("dst").alias("doc_id")))
+        raw.select(F.col("src").alias("doc_id"))
+        .union(raw.select(F.col("dst").alias("doc_id")))
         .distinct()
     )
     prev_count: int | None = None

@@ -208,7 +208,6 @@ class CdcPipeline:
         sink and DLQ untouched and the checkpoint un-advanced; exhausted
         messages dead-letter only AFTER a successful sink write so a
         still-failing batch can't double-DLQ them."""
-        spec = self.spec
         if os.path.exists(self._delivery_marker(epoch_id)):
             # Crash landed between the delivery marker and the offset
             # commit: this epoch's rows are already fully delivered —

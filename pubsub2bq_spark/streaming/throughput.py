@@ -85,11 +85,28 @@ def measure_stream_throughput(
     p = CdcPipeline(spark, spec)
     t0 = time.perf_counter()
     query = p.run_processing_time(interval)
+    # recentProgress is a RING BUFFER capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100): a run
+    # with more micro-batches — or a long idle tail emitting no-data
+    # progress events — evicts early non-empty batches, undercounting
+    # delivered rows and busy seconds (ADVICE r10). Accumulate
+    # incrementally keyed by batchId inside the poll loop instead of
+    # trusting any single capped snapshot.
+    by_batch: dict[int, dict] = {}
+
+    def _snapshot() -> None:
+        for pr in _progress_dicts(query):
+            bid = pr.get("batchId")
+            if bid is not None:
+                by_batch[bid] = pr
+
     try:
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
-            progs = _progress_dicts(query)
-            delivered = sum(int(pr.get("numInputRows", 0)) for pr in progs)
+            _snapshot()
+            delivered = sum(
+                int(pr.get("numInputRows", 0)) for pr in by_batch.values()
+            )
             status = query.status
             if (
                 delivered >= expected
@@ -104,17 +121,29 @@ def measure_stream_throughput(
                 f"{timeout_s}s (delivered so far: {delivered})"
             )
         wall = time.perf_counter() - t0
-        progs = _progress_dicts(query)
+        _snapshot()
     finally:
         query.stop()
         query.awaitTermination()
 
-    batches = [pr for pr in progs if int(pr.get("numInputRows", 0)) > 0]
-    durations = [
+    batches = [
+        pr for pr in by_batch.values() if int(pr.get("numInputRows", 0)) > 0
+    ]
+    durations = sorted(
         pr["durationMs"]["triggerExecution"] / 1000.0
         for pr in batches
         if pr.get("durationMs", {}).get("triggerExecution") is not None
-    ]
+    )
+
+    def _pct(q: float) -> float | None:
+        # Nearest-rank percentile: the reference's continuous-delivery
+        # contract (dataFreshness: 0s) is about WORST-CASE staleness,
+        # so the tail figures matter as much as the median.
+        if not durations:
+            return None
+        idx = min(len(durations) - 1, int(round(q * (len(durations) - 1))))
+        return round(durations[idx], 3)
+
     busy = sum(durations)
     return {
         "rows": expected,
@@ -125,5 +154,7 @@ def measure_stream_throughput(
         "batch_p50_sec": round(statistics.median(durations), 3)
         if durations
         else None,
+        "batch_p95_sec": _pct(0.95),
+        "batch_p99_sec": _pct(0.99),
         "pipeline": p,
     }

@@ -91,6 +91,11 @@ def probe(spark, sf_dir: str, n_files: int, bounded: bool) -> dict:
         )
     out_rows = spark.table(sink).count()
     shutil.rmtree(os.path.dirname(spool), ignore_errors=True)
+    # triggerExecution may be absent from a progress event (ADVICE r10)
+    # — filter Nones before sorting, as streaming/throughput.py does.
+    batch_ms = sorted(
+        b["batch_ms"] for b in batches if b["batch_ms"] is not None
+    )
     return {
         "mode": "withinWatermark" if bounded else "plain dropDuplicates",
         "unique_events": raw.count(),
@@ -99,9 +104,9 @@ def probe(spark, sf_dir: str, n_files: int, bounded: bool) -> dict:
         "peak_state_rows": max(b["state_rows"] for b in batches),
         "final_state_rows": batches[-1]["state_rows"],
         "total_evicted": sum(b["evicted"] for b in batches),
-        "median_batch_ms": sorted(b["batch_ms"] for b in batches)[
-            len(batches) // 2
-        ],
+        "median_batch_ms": batch_ms[len(batch_ms) // 2]
+        if batch_ms
+        else None,
     }
 
 

@@ -479,6 +479,16 @@ class TestStarContractionComponents:
         }
         assert a == b and a
 
+    def test_self_loop_only_vertex_kept_as_singleton(self, spark):
+        # A doc whose ONLY pair is (x, x) must come out as its own
+        # singleton cluster, exactly as min_label emits it (ADVICE r10:
+        # seeding vertices after the src != dst filter silently dropped
+        # it, breaking the same-fixpoint contract).
+        edges = [(7, 7), (1, 2)]
+        a, b = self._both(spark, edges)
+        assert a == b
+        assert a == {(7, 7), (1, 1), (2, 1)}
+
     def test_finish_nonconvergence_resumes_contraction(self, spark, monkeypatch):
         # Force the worst shape: finish gets only 2 rounds (covers
         # diameter 4) and each star burst is a single round — the first
