@@ -376,7 +376,9 @@ def _parse_bench_tail(tail: str) -> dict | None:
         harvested = {
             k: float(v) for k, v in pairs
             if k not in scalar_fields
-            and not k.startswith(("calibration_", "stream_throughput_"))
+            and not k.startswith(
+                ("calibration_", "stream_throughput_", "build_")
+            )
         }
         if len(harvested) < 8:  # too few to be a bench queries dict
             return None
@@ -392,7 +394,8 @@ def _parse_bench_tail(tail: str) -> dict | None:
             except ValueError:
                 pass
     for m in re.finditer(
-        r'"((?:calibration|stream_throughput)_\w+)":\s*([0-9.eE+-]+)', tail
+        r'"((?:calibration|stream_throughput|build)_\w+)":\s*([0-9.eE+-]+)',
+        tail,
     ):
         try:
             out[m.group(1)] = float(m.group(2))
@@ -590,8 +593,11 @@ def _stream_throughput_section(
     (VERDICT r9 #2). Gated on ``stream_throughput_busy_sec`` — total
     busy seconds delivering the fixed sf workload, drift-normalized
     like every other timing, with the decomposed-key 1.0s noise floor
-    (micro-batch scheduling jitter). rows/sec and batch p50 ride along
-    as the deployment-sizing figures."""
+    (micro-batch scheduling jitter). rows/sec and the batch latency
+    distribution (p50/p95/p99 — the reference's continuous-delivery
+    contract is about WORST-CASE staleness, VERDICT r10 #4) ride along
+    as the deployment-sizing figures, compared round-over-round when
+    the prior capture carries them."""
     now_busy = stream_metrics.get("stream_throughput_busy_sec")
     if now_busy is None:
         return [], False
@@ -602,8 +608,10 @@ def _stream_throughput_section(
         f"- rows: {stream_metrics.get('stream_throughput_rows')} · "
         f"rows/sec (busy): "
         f"{stream_metrics.get('stream_throughput_rows_per_sec')} · "
-        f"batch p50: "
-        f"{stream_metrics.get('stream_throughput_batch_p50_sec')}s · "
+        f"batch p50/p95/p99: "
+        f"{stream_metrics.get('stream_throughput_batch_p50_sec')}s / "
+        f"{stream_metrics.get('stream_throughput_batch_p95_sec')}s / "
+        f"{stream_metrics.get('stream_throughput_batch_p99_sec')}s · "
         f"busy total: {now_busy}s",
     ]
     was_busy = prior.get("stream_throughput_busy_sec")
@@ -621,8 +629,129 @@ def _stream_throughput_section(
         f"- vs prior: busy {was_busy}s → {now_busy}s "
         f"(drift-normalized ratio {ratio:.2f}×, floor "
         f"{MIN_ABS_REGRESSION_DECOMPOSED}s) — {verdict}",
-        "",
     ]
+    was_rate = prior.get("stream_throughput_rows_per_sec")
+    now_rate = stream_metrics.get("stream_throughput_rows_per_sec")
+    if was_rate and now_rate:
+        lines.append(
+            f"- rows/sec: {was_rate} → {now_rate} "
+            f"({now_rate / was_rate:.2f}× — informational; the gate is "
+            "busy seconds, which drift-normalizes)"
+        )
+    tail_pairs = []
+    for q in ("p50", "p95", "p99"):
+        was_q = prior.get(f"stream_throughput_batch_{q}_sec")
+        now_q = stream_metrics.get(f"stream_throughput_batch_{q}_sec")
+        if was_q and now_q:
+            tail_pairs.append(f"{q} {was_q}s → {now_q}s")
+    if tail_pairs:
+        lines.append("- batch latency vs prior: " + " · ".join(tail_pairs))
+    lines.append("")
+    return lines, flagged
+
+
+# Artifact BUILD-cost legs (VERDICT r10 #2): the r10 session-cache work
+# made the registered keys warm-path scans of artifacts built once per
+# (session, sf) — the right 100 TB design, but it left the artifact
+# BUILD time ungated: a build regression was invisible behind warm
+# numbers. Each leg below evicts EXACTLY its own artifact (dependencies
+# stay warm, so image_phash_pairs times the band join, not a second
+# decode pass) and times the cold rebuild, min-of-3 evict-then-build.
+# The builders are eager (materialize() inside session_artifact's build
+# lambda), so the call duration IS the build cost.
+ARTIFACT_BUILD_LEGS = (
+    # (artifact cache key, module, build-trigger attribute)
+    ("minhash_lsh_pairs", "pubsub2bq_spark.operators.llm_dedup", "minhash_lsh"),
+    ("simhash_bits", "pubsub2bq_spark.operators.llm_dedup", "_sh_bits"),
+    ("doc_nll", "pubsub2bq_spark.operators.llm_quality", "_doc_nll"),
+    ("staged_nll", "pubsub2bq_spark.operators.llm_quality", "_staged_nll"),
+    (
+        "semdedup_quantizer",
+        "pubsub2bq_spark.operators.llm_quality",
+        "_quantizer_build",
+    ),
+    ("image_phash_table", "pubsub2bq_spark.operators.multimodal", "_phash_table"),
+    (
+        "image_phash_pairs",
+        "pubsub2bq_spark.operators.multimodal",
+        "image_phash_pairs",
+    ),
+    ("hybrid_fused", "pubsub2bq_spark.operators.retrieval", "_fused_candidates"),
+    (
+        "bpe_vocab_pieces",
+        "pubsub2bq_spark.operators.training_prep",
+        "cached_vocab_pieces",
+    ),
+)
+
+
+def _artifact_build_legs(spark, sf_dir: str) -> dict[str, float]:
+    """Cold build cost per shared session artifact, min-of-3 (each
+    measurement evicts the artifact first). Published as
+    ``build_<name>_sec`` fields and gated in BENCH_COMPARE. A failing
+    leg never sinks the bench run but is named on stderr (the missing
+    row weakens the gate, so silence is not an option)."""
+    import importlib
+
+    from pubsub2bq_spark.tables import drop_session_artifact
+
+    out: dict[str, float] = {}
+    for name, module, attr in ARTIFACT_BUILD_LEGS:
+        try:
+            fn = getattr(importlib.import_module(module), attr)
+            times = []
+            for _ in range(3):
+                drop_session_artifact(spark, name, sf_dir)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir)
+                times.append(time.perf_counter() - t0)
+            out[f"build_{name}_sec"] = round(min(times), 3)
+        except Exception as ex:
+            print(
+                f"bench: build leg {name} FAILED ({ex!r}) — "
+                "absent from this capture",
+                file=sys.stderr,
+            )
+    return out
+
+
+def _build_cost_section(
+    prior: dict, build_metrics: dict, drift: float
+) -> tuple[list[str], list[str]]:
+    """BENCH_COMPARE section + flags for the artifact build legs.
+    Same discipline as the per-query gate: drift-normalized ratio vs
+    the prior capture, decomposed-key noise floor (builds are many-job
+    materialize chains — they jitter like the seeding chains do)."""
+    if not build_metrics:
+        return [], []
+    lines = [
+        "Artifact build cost (cold, min-of-3 evict-then-rebuild; the "
+        "registered keys serve these artifacts warm, so THIS is where "
+        "a build regression shows):",
+        "",
+        "| artifact | prior (s) | now (s) | ratio | flag |",
+        "|---|---|---|---|---|",
+    ]
+    flagged = []
+    for field in sorted(build_metrics):
+        name = field[len("build_"):-len("_sec")]
+        now = build_metrics[field]
+        was = prior.get(field)
+        if not was:
+            lines.append(f"| {name} | — | {now} | — | new |")
+            continue
+        now_v = now / drift
+        ratio = now_v / was if was > 0 else float("inf")
+        flag = (
+            "**REGRESSED**"
+            if ratio > REGRESSION_FACTOR
+            and now_v - was > MIN_ABS_REGRESSION_DECOMPOSED
+            else ""
+        )
+        if flag:
+            flagged.append(f"build:{name}")
+        lines.append(f"| {name} | {was} | {now} | {ratio:.2f}× | {flag} |")
+    lines.append("")
     return lines, flagged
 
 
@@ -633,6 +762,7 @@ def compare_to_prior_rounds(
     drift: float | None = None,
     calibrations: dict[str, float] | None = None,
     stream_metrics: dict | None = None,
+    build_metrics: dict | None = None,
 ) -> str | None:
     """Regression gate: compare this run against the latest BENCH_r*.json
     and write docs/BENCH_COMPARE.md flagging per-query slowdowns beyond
@@ -732,8 +862,13 @@ def compare_to_prior_rounds(
     )
     if stream_flag:
         flagged.append("stream_throughput(busy)")
+    build_lines, build_flags = _build_cost_section(
+        prior, build_metrics or {}, drift
+    )
+    flagged += build_flags
     lines += ["", f"Flagged: {', '.join(flagged) if flagged else 'none'}", ""]
     lines += stream_lines
+    lines += build_lines
     if drift_warning:
         # ADVICE r8: an uncorroborated uniform slowdown must not read as
         # a clean verdict. Name the rows the normalization absolved so a
@@ -921,6 +1056,8 @@ def main() -> None:
             "stream_throughput_busy_sec": m["busy_sec"],
             "stream_throughput_rows_per_sec": m["rows_per_sec"],
             "stream_throughput_batch_p50_sec": m["batch_p50_sec"],
+            "stream_throughput_batch_p95_sec": m["batch_p95_sec"],
+            "stream_throughput_batch_p99_sec": m["batch_p99_sec"],
         }
     except Exception as ex:
         print(
@@ -929,9 +1066,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Artifact build-cost legs run LAST: every headline query must see
+    # the warm artifacts (the registered keys' steady-state), and the
+    # evict-rebuild cycles must not perturb the timed rounds.
+    build_metrics = _artifact_build_legs(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     drift_warning = compare_to_prior_rounds(
-        timings, total, remeasured, drift, calibrations, stream_metrics
+        timings, total, remeasured, drift, calibrations, stream_metrics,
+        build_metrics,
     )
 
     result = {
@@ -942,6 +1085,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         **calibrations,
         **stream_metrics,
+        **build_metrics,
     }
     if drift_warning:
         # ADVICE r8: a run whose uniform slowdown no probe corroborates

@@ -290,16 +290,21 @@ KN_DISCOUNT = 0.75  # Kneser-Ney absolute discount (the KenLM default)
         "in-corpus (the model is trained on the scored corpus), so the "
         "discounted term is always positive and no unseen-history "
         "backoff path is needed.",
-    scale_notes="One tokenization feeds everything: the bigram relation "
-                "is materialized once, the TYPE relation (pc) is "
-                "materialized once and derives all three KN statistics "
-                "(history continuations, left-context counts, total "
-                "types) as partial-agg rollups of itself — corpus text "
-                "shuffles exactly once into (w1,w2) keys. Scoring joins "
-                "are keyed on w1 / (w1,w2) / w2 — sort-merge, "
-                "co-partitionable; the type-count scalar is a broadcast. "
-                "At 100 TB hash the grams to int64 first (same note as "
-                "bigram_logprob).",
+    scale_notes="Token-scale data shuffles EXACTLY ONCE (r11, closing "
+                "the r10 bench flag): the exploded bigram stream goes "
+                "straight from the scan into a map-side-combined "
+                "(doc_id, w1, w2) count — never materialized at token "
+                "grain — and every KN statistic (pair counts, history "
+                "counts as sum-of-c12, continuations, total types) "
+                "rolls up from that per-doc TYPE relation or from pc. "
+                "Scoring is one small type-level join chain producing "
+                "-ln P per (w1, w2), then one join of the per-doc type "
+                "counts against it and a weighted per-doc mean — the "
+                "instance-grain relation the old plan shuffled four "
+                "times no longer exists. Type joins are keyed on w1 / "
+                "(w1,w2) / w2 — sort-merge, co-partitionable; the "
+                "type-count scalar is a broadcast. At 100 TB hash the "
+                "grams to int64 first (same note as bigram_logprob).",
 )
 def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark)
@@ -313,21 +318,25 @@ def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    bigrams = (
-        toks.select("doc_id", "t", F.explode(starts).alias("i"))
-        .select(
-            "doc_id",
-            F.element_at("t", F.col("i")).alias("w1"),
-            F.element_at("t", F.col("i") + 1).alias("w2"),
-        )
-        .transform(materialize)  # one tokenization feeds all statistics
+    bigrams = toks.select("doc_id", "t", F.explode(starts).alias("i")).select(
+        "doc_id",
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.element_at("t", F.col("i") + 1).alias("w2"),
+    )
+    # The ONE token-scale shuffle: per-doc bigram-type counts, partial-
+    # aggregated map-side. Feeds both the corpus statistics and the
+    # final scoring join.
+    per_doc = (
+        bigrams.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(materialize)
     )
     pc = (
-        bigrams.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .transform(materialize)  # the type relation derives 3 KN stats
+        per_doc.groupBy("w1", "w2")
+        .agg(F.sum("c").alias("c12"))
+        .transform(materialize)  # the type relation derives all KN stats
     )
-    hc = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    hc = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     n1h = pc.groupBy("w1").agg(F.count(F.lit(1)).alias("n1h"))
     cont = pc.groupBy("w2").agg(F.count(F.lit(1)).alias("cont"))
     bt = pc.agg(F.count(F.lit(1)).cast("double").alias("btypes"))
@@ -335,15 +344,20 @@ def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_kn = (F.col("c12") - d_) / F.col("c1") + d_ * F.col("n1h") / F.col(
         "c1"
     ) * (F.col("cont") / F.col("btypes"))
-    return (
-        bigrams.join(pc, ["w1", "w2"])
-        .join(hc, ["w1"])
+    score = (
+        pc.join(hc, ["w1"])
         .join(n1h, ["w1"])
         .join(cont, ["w2"])
         .crossJoin(F.broadcast(bt))
+        .select("w1", "w2", (-F.log(p_kn)).alias("t_nll"))
+    )
+    return (
+        per_doc.join(score, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(-F.log(p_kn)), 6).alias("kn_nll"),
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * F.col("t_nll")) / F.sum("c"), 6
+            ).alias("kn_nll"),
         )
     )

@@ -227,6 +227,19 @@ def clear_session_artifacts() -> None:
     _ARTIFACT_CACHE.clear()
 
 
+def drop_session_artifact(spark: SparkSession, name: str, sf_dir: str) -> bool:
+    """Evict ONE cached artifact so the next consumer rebuilds it cold —
+    the bench's build-cost legs (VERDICT r10 #2) need per-artifact cold
+    rebuilds without invalidating the artifacts a leg depends on (e.g.
+    re-measuring the image_phash_pairs band join must keep the phash
+    TABLE warm, or the leg times the decode pass twice). The evicted
+    frame's checkpoint blocks are reclaimed by the ContextCleaner once
+    unreferenced; at bench scale they are MB-sized. Returns whether the
+    key was present."""
+    cache = _ARTIFACT_CACHE.get(spark.sparkContext.applicationId, {})
+    return cache.pop((name, sf_dir), None) is not None
+
+
 def agg_first(df: DataFrame, *exprs):
     """Scalar probe: a full map-side-combined aggregate whose only
     driver traffic is the single result row (constant bytes regardless
