@@ -240,6 +240,121 @@ def schema_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reg.parse(wire, data_col="data", revision_col="revision_id")
 
 
+def _compat_fixture_registry():
+    """Five revisions of the reference's users topic schema, chosen so
+    the pairwise verdicts exercise every compatibility class: r2 adds a
+    nullable field (FULL vs r1), r3 adds a REQUIRED field (FORWARD-only
+    vs r1), r4 drops required `zipcode` (BACKWARD-only vs r1 — the
+    hard-halt evolution, /root/reference/README.md:441-450), r5 changes
+    `zipcode`'s type (NONE vs r1)."""
+    from pubsub2bq_spark.streaming.schema_registry import SchemaRegistry
+
+    f, L, S, D = T.StructField, T.LongType(), T.StringType(), T.DoubleType()
+    base = [f("id", L, False), f("email", S, True), f("zipcode", L, False)]
+    reg = SchemaRegistry()
+    reg.add("r1", T.StructType(base))
+    reg.add("r2", T.StructType(base + [f("age", L, True)]))
+    reg.add("r3", T.StructType(base + [f("score", D, False)]))
+    reg.add("r4", T.StructType(base[:2]))
+    reg.add("r5", T.StructType(base[:2] + [f("zipcode", S, False)]))
+    return reg
+
+
+# The oracle restates the reader/writer resolution RULES in SQL over an
+# embedded (rev, field, type, nullable) relation mirroring the fixture
+# — an independent derivation of every pair's verdict, not a dump of
+# the expected output.
+_SCHEMA_COMPAT_SQL = """
+    WITH fields(rev, fname, ftype, is_nullable) AS (
+        SELECT * FROM (VALUES
+            ('r1','id','bigint',false), ('r1','email','varchar',true),
+            ('r1','zipcode','bigint',false),
+            ('r2','id','bigint',false), ('r2','email','varchar',true),
+            ('r2','zipcode','bigint',false), ('r2','age','bigint',true),
+            ('r3','id','bigint',false), ('r3','email','varchar',true),
+            ('r3','zipcode','bigint',false), ('r3','score','double',false),
+            ('r4','id','bigint',false), ('r4','email','varchar',true),
+            ('r5','id','bigint',false), ('r5','email','varchar',true),
+            ('r5','zipcode','varchar',false)
+        ) v
+    ),
+    revs AS (SELECT DISTINCT rev FROM fields),
+    pairs AS (
+        SELECT a.rev AS old_rev, b.rev AS new_rev
+        FROM revs a JOIN revs b ON a.rev <> b.rev
+    ),
+    verdicts AS (
+        SELECT p.old_rev, p.new_rev,
+            NOT EXISTS (
+                SELECT 1 FROM fields r WHERE r.rev = p.new_rev AND (
+                    (NOT r.is_nullable AND NOT EXISTS (
+                        SELECT 1 FROM fields w
+                        WHERE w.rev = p.old_rev AND w.fname = r.fname))
+                    OR EXISTS (
+                        SELECT 1 FROM fields w
+                        WHERE w.rev = p.old_rev AND w.fname = r.fname
+                          AND (w.ftype <> r.ftype
+                               OR (w.is_nullable AND NOT r.is_nullable)))
+                )
+            ) AS backward,
+            NOT EXISTS (
+                SELECT 1 FROM fields r WHERE r.rev = p.old_rev AND (
+                    (NOT r.is_nullable AND NOT EXISTS (
+                        SELECT 1 FROM fields w
+                        WHERE w.rev = p.new_rev AND w.fname = r.fname))
+                    OR EXISTS (
+                        SELECT 1 FROM fields w
+                        WHERE w.rev = p.new_rev AND w.fname = r.fname
+                          AND (w.ftype <> r.ftype
+                               OR (w.is_nullable AND NOT r.is_nullable)))
+                )
+            ) AS forward
+        FROM pairs p
+    )
+    SELECT old_rev, new_rev, backward, forward,
+           CASE WHEN backward AND forward THEN 'FULL'
+                WHEN backward THEN 'BACKWARD'
+                WHEN forward THEN 'FORWARD'
+                ELSE 'NONE' END AS verdict
+    FROM verdicts
+"""
+
+
+@register(
+    "schema_compat",
+    oracle=_SCHEMA_COMPAT_SQL,
+    doc="Schema-revision compatibility verdicts (completes D5, VERDICT "
+        "r10 #5): classify every ordered revision pair in the registry "
+        "as BACKWARD / FORWARD / FULL / NONE per the standard registry "
+        "reader-writer rules — the check a schema registry performs "
+        "before accepting revision 3afd3cc8 "
+        "(/root/reference/README.md:293-295). Add-nullable is FULL, "
+        "add-required is FORWARD-only, drop-required is BACKWARD-only "
+        "(forward-BREAKING: the zipcode hard-halt, README.md:441-450 — "
+        "tests/test_cdc_golden.py ties the forward=false verdict to "
+        "mismatch_halt's actual halt), type change is NONE.",
+    scale_notes="Control-plane metadata: the registry is KB-sized DDL "
+                "history regardless of corpus size, so the pairwise "
+                "check is a driver-side verdict over StructTypes — the "
+                "one place collect-free discipline does not apply "
+                "because there is no data, only schemas.",
+)
+def schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = _compat_fixture_registry()
+    rows = []
+    for old in reg.revision_ids():
+        for new in reg.revision_ids():
+            if old == new:
+                continue
+            backward, forward, verdict = reg.compat(old, new)
+            rows.append((old, new, backward, forward, verdict))
+    return spark.createDataFrame(
+        rows,
+        "old_rev string, new_rev string, backward boolean, "
+        "forward boolean, verdict string",
+    )
+
+
 AVRO_WIRE_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -61,6 +61,15 @@ class SchemaRegistry:
         self._revisions[revision_id] = schema
         self._persist()
 
+    def revision_ids(self) -> list[str]:
+        return list(self._revisions)
+
+    def compat(self, old_id: str, new_id: str) -> tuple[bool, bool, str]:
+        """(backward, forward, verdict) between two registered revisions
+        — the check a registry performs before accepting a revision
+        (see module-level :func:`compatibility`)."""
+        return compatibility(self._revisions[old_id], self._revisions[new_id])
+
     def superset_fields(self) -> list[T.StructField]:
         seen: dict[str, T.StructField] = {}
         for schema in self._revisions.values():
@@ -89,3 +98,55 @@ class SchemaRegistry:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+
+def _reads(reader: T.StructType, writer: T.StructType) -> bool:
+    """Can data written under ``writer`` be consumed by a reader
+    expecting ``reader``? The standard registry reader/writer rules
+    (Confluent/Avro resolution, with StructType ``nullable`` standing in
+    for has-default):
+
+    * a reader field ABSENT from the writer must be nullable (the
+      reader fills NULL — the sink NULL-fill rule,
+      /root/reference/README.md:363-371);
+    * a field present in both must keep its exact type (no promotion
+      lattice — the reference's topic schema pins BigQuery-exact types,
+      terraform/main.tf:358-374);
+    * a reader may not TIGHTEN nullability: if the writer could emit
+      NULL, a non-nullable reader field breaks;
+    * writer-only fields are ignored by the reader (topic-schema-wins
+      projection, README.md:288-290).
+    """
+    writer_fields = {f.name: f for f in writer.fields}
+    for f in reader.fields:
+        w = writer_fields.get(f.name)
+        if w is None:
+            if not f.nullable:
+                return False
+        elif w.dataType != f.dataType or (w.nullable and not f.nullable):
+            return False
+    return True
+
+
+def compatibility(old: T.StructType, new: T.StructType) -> tuple[bool, bool, str]:
+    """(backward, forward, verdict) for evolving ``old`` → ``new``,
+    per the standard schema-registry compatibility classes:
+
+    * BACKWARD — a NEW reader consumes OLD data (add-nullable evolves
+      safely; the class a registry checks before accepting a revision,
+      README.md:293-295);
+    * FORWARD — an OLD reader consumes NEW data (dropping a required
+      field breaks this — EXACTLY the zipcode hard-halt,
+      README.md:441-450: the sink still demands the column the new
+      revision stopped writing);
+    * FULL — both; NONE — neither (e.g. a type change).
+    """
+    backward = _reads(new, old)
+    forward = _reads(old, new)
+    verdict = (
+        "FULL" if backward and forward
+        else "BACKWARD" if backward
+        else "FORWARD" if forward
+        else "NONE"
+    )
+    return backward, forward, verdict

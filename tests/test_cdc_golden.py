@@ -488,3 +488,36 @@ def test_deliver_replay_after_marker_is_noop(spark, tmp):
     # while a NEW epoch with the same payload appends normally
     p._deliver(msgs, epoch_id=8)
     assert p.read_sink().count() == 6
+
+
+def test_forward_breaking_verdict_is_the_hard_halt_evolution(spark, tmp):
+    """schema_compat ties to mismatch_halt (VERDICT r10 #5): the
+    registry's compatibility verdict and the pipeline's hard halt are
+    the same fact stated twice. Dropping required `zipcode` (fixture
+    pair r1 -> r4) is forward-BREAKING — an old reader, i.e. the
+    standing sink contract, cannot consume data that stopped carrying
+    the column — and the live delivery path refuses exactly that
+    evolution with SchemaMismatchError before writing a row."""
+    from pubsub2bq_spark.operators.cdc_semantics import (
+        _compat_fixture_registry,
+    )
+
+    reg = _compat_fixture_registry()
+    backward, forward, verdict = reg.compat("r1", "r4")
+    assert (backward, forward, verdict) == (True, False, "BACKWARD")
+
+    spec = make_spec(tmp, fx.SINK_SCHEMA_V1)
+    fx.write_segment(spec.spool_dir, "000_snapshot", fx.snapshot_events())
+    p = CdcPipeline(spark, spec)
+    p.run_available_now()
+    spec.sink_schema = fx.SINK_SCHEMA_V2  # the r1 -> r4 shape, live
+    fx.write_segment(spec.spool_dir, "001_insert996", fx.insert_996())
+    with pytest.raises(SchemaMismatchError):
+        p.run_available_now()
+
+    # The NONE verdict (type change, r1 -> r5) breaks BOTH directions —
+    # a fortiori refused, since the halt fires on the weaker forward
+    # break alone. add-nullable (r1 -> r2) is FULL: the evolution the
+    # pipeline accepts and NULL-fills (golden scenario 3).
+    assert reg.compat("r1", "r5")[2] == "NONE"
+    assert reg.compat("r1", "r2")[2] == "FULL"
