@@ -322,6 +322,17 @@ KNOWN_SEMANTIC_CHANGES = {
         "fixed job overhead ann_ivf_kmeans carries (~15 eager "
         "materialize jobs); the intra-cell pair work is unchanged."
     ),
+    "image_dedup_clusters": (
+        "r11 replaces the hard-coded star contraction with the adaptive "
+        "CC selector (VERDICT r10 #6, llm_dedup.adaptive_components): a "
+        "2-round min-label probe measures frontier shrinkage, then "
+        "switches to star on the deep sf0.1 image graph. The probe costs "
+        "~1.9s of extra eager rounds at sf0.1 (measured 4.75s min-of-3 "
+        "vs 2.86s r10) and is the price of never-DNF robustness on ANY "
+        "graph shape; at sf0.001 the selector correctly STAYS on "
+        "min-label and the key got cheaper (2.28s vs 4.43s r10). Flag "
+        "clears when BENCH_r11 becomes the baseline."
+    ),
 }
 
 
@@ -556,9 +567,11 @@ FIXED_COST_CAUSE = {
         "job per merge round",
     "kmeans_parallel_init": "k-means|| oversampling init rounds: fixed "
         "chain of small jobs",
-    "image_dedup_clusters": "star-contraction rounds + 2-hop exact "
-        "finish (r10): ~6 eager window/checkpoint jobs regardless of "
-        "SF (4.4s isolated at sf0.001 where per-edge work ≈ 0)",
+    "image_dedup_clusters": "adaptive-selector probe (2 min-label "
+        "rounds) + star-contraction rounds + 2-hop exact finish (r11): "
+        "a fixed count of eager window/checkpoint jobs regardless of "
+        "SF; at sf0.001 the selector stays on min-label entirely "
+        "(2.28s min-of-3, cheaper than r10's star-only 4.43s)",
     "mmr_diversify": "K-1 greedy steps, each an eager materialize + "
         "window stage over the bounded candidate pool; corpus scan "
         "runs once",

@@ -552,6 +552,20 @@ def min_label_components(pairs: DataFrame, op_name: str = "dedup_clusters") -> D
     undirected candidate-pair graph. ``pairs``: (src, dst) with one row
     per edge direction-agnostic; returns (doc_id, cluster_id). Shared by
     the text (minhash) and image (phash) dedup-cluster keys."""
+    labels = _min_label_run(pairs, stall=None)
+    if labels is None:
+        raise RuntimeError(
+            f"{op_name} did not converge in {_CLUSTER_MAX_ITERS} iterations"
+        )
+    return labels
+
+
+def _min_label_run(pairs: DataFrame, stall) -> DataFrame | None:
+    """Min-label propagation core. ``stall(history)`` — called after
+    each non-converged round with the changed-row counts so far — may
+    return True to abandon the run (the adaptive selector's switch
+    signal). Returns the (doc_id, cluster_id) frame, or None when
+    stalled or the round cap was hit."""
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).transform(materialize)
@@ -575,6 +589,7 @@ def min_label_components(pairs: DataFrame, op_name: str = "dedup_clusters") -> D
 
     from pyspark.sql import Observation
 
+    history: list[int] = []
     for _ in range(_CLUSTER_MAX_ITERS):
         # Two propagation hops per materialization: near-dup components
         # are shallow, and the eager per-round action dominates the cost
@@ -600,13 +615,13 @@ def min_label_components(pairs: DataFrame, op_name: str = "dedup_clusters") -> D
             ),
         ).drop("label0")
         labels = materialize(observed)
-        if obs.get["changed"] == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"{op_name} did not converge in {_CLUSTER_MAX_ITERS} iterations"
-        )
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+        changed = obs.get["changed"]
+        if changed == 0:
+            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+        history.append(changed)
+        if stall is not None and stall(history):
+            return None
+    return None
 
 
 # Star rounds run in bursts of _STAR_ROUNDS_PER_TRY, each burst followed
@@ -773,6 +788,54 @@ def star_contraction_components(
     )
 
 
+# Adaptive selector tuning (VERDICT r10 #6). The probe gives min-label
+# _ADAPTIVE_PROBE_ROUNDS double-hop rounds for free; from then on a
+# round whose changed count fails to shrink below _ADAPTIVE_SHRINK of
+# the previous round's is the deep-component signature (shallow near-dup
+# graphs collapse the frontier geometrically and converge in ~2 rounds;
+# a path/replicated graph sheds a near-constant number per round). Tails
+# under _ADAPTIVE_MIN_FRONTIER rows finish cheaper in min-label than a
+# star restart regardless of ratio.
+_ADAPTIVE_PROBE_ROUNDS = 2
+_ADAPTIVE_SHRINK = 0.5
+_ADAPTIVE_MIN_FRONTIER = 64
+
+
+def adaptive_components(
+    pairs: DataFrame, op_name: str = "dedup_clusters"
+) -> DataFrame:
+    """Connected components with MEASURED algorithm selection (VERDICT
+    r10 #6): min-label propagation is cheapest on the shallow graphs
+    text near-dup candidates form (converges in ~2 rounds), but needs
+    one round per two hops of component diameter — the replicated image
+    graph DNF'd it at 4× (docs/ROUND10_NOTES.md) while star contraction
+    finished in O(log d) rounds. Instead of hard-coding the choice per
+    caller, probe with min-label and watch the observed changed-row
+    counts: a frontier still above _ADAPTIVE_MIN_FRONTIER that shrank
+    less than _ADAPTIVE_SHRINK× in the last round (checked once the
+    _ADAPTIVE_PROBE_ROUNDS warm-up has run) is the deep-graph signature
+    — abandon and run star contraction on the original pairs. A cap hit
+    without the signature ALSO falls back to star, so no graph shape can
+    DNF. Both algorithms share one fixpoint (tests/test_units.py), so
+    the selection is output-invisible; the probe costs at most the
+    bounded min-label rounds already paid.
+
+    Why not select on a precomputed graph statistic: diameter IS the
+    deciding property and estimating it costs the same propagation
+    rounds the probe already runs — the probe is the measurement."""
+
+    def stall(history: list[int]) -> bool:
+        return (
+            len(history) >= _ADAPTIVE_PROBE_ROUNDS
+            and history[-1] > _ADAPTIVE_MIN_FRONTIER
+            and history[-1] > _ADAPTIVE_SHRINK * history[-2]
+        )
+
+    labels = _min_label_run(pairs, stall=stall)
+    if labels is not None:
+        return labels
+    return star_contraction_components(pairs, op_name=op_name)
+
 
 @register(
     "dedup_clusters",
@@ -811,16 +874,19 @@ def star_contraction_components(
                 "and star contraction measure equal). localCheckpoint "
                 "truncates lineage so plan size stays O(1) per round; "
                 "convergence rides the propagate job as an observe() "
-                "metric, one action per round. For DEEP graphs the "
-                "fixpoint-identical star_contraction_components (used by "
-                "image_dedup_clusters) swaps in behind the same "
-                "signature; semantics are unchanged.",
+                "metric, one action per round. The algorithm is AUTO-"
+                "selected (r11, adaptive_components): the min-label probe "
+                "watches its own changed-row counts and switches to the "
+                "fixpoint-identical star contraction when the frontier "
+                "stops shrinking — so a deep text graph cannot DNF the "
+                "way the 4× image graph did, with zero extra cost on the "
+                "shallow graphs this key actually sees.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    return min_label_components(pairs)
+    return adaptive_components(pairs)
 
 
 @register(

@@ -572,22 +572,24 @@ def audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(star_contraction_components, fixpoint-identical to the "
         "min-label twin); recursive-CTE closure oracle.",
     scale_notes="The phash graph is DEEP (chained near-dups: 13 min-label "
-                "rounds at sf0.1), so this key uses the large-star/"
-                "small-star contraction (Kiveris et al. SoCC'14): rounds "
-                "~ O(log diameter), each two window-min passes keyed on "
-                "node id, edges only shrink — measured 2.9s vs 6.0s "
-                "isolated vs the min-label loop at sf0.1, identical "
-                "output (tests/test_units.py). The edges come from the "
-                "banded Hamming join — pixels decoded once in the hash "
-                "pass, never touched again.",
+                "rounds at sf0.1), which the adaptive selector "
+                "(adaptive_components, r11) detects from the probe's own "
+                "changed-row counts and switches to large-star/small-star "
+                "contraction (Kiveris et al. SoCC'14): rounds ~ O(log "
+                "diameter), each two window-min passes keyed on node id, "
+                "edges only shrink — star measured 2.9s vs 6.0s isolated "
+                "vs the min-label loop at sf0.1, identical output "
+                "(tests/test_units.py). The edges come from the banded "
+                "Hamming join — pixels decoded once in the hash pass, "
+                "never touched again.",
 )
 def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pubsub2bq_spark.operators.llm_dedup import star_contraction_components
+    from pubsub2bq_spark.operators.llm_dedup import adaptive_components
 
     pairs = image_phash_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    return star_contraction_components(pairs, op_name="image_dedup_clusters")
+    return adaptive_components(pairs, op_name="image_dedup_clusters")
 
 
 @register(

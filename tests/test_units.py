@@ -489,6 +489,74 @@ class TestStarContractionComponents:
         assert a == b
         assert a == {(7, 7), (1, 1), (2, 1)}
 
+    def test_adaptive_switches_to_star_on_deep_graph(self, spark, monkeypatch):
+        # A diameter-300 path sheds a near-constant frontier per
+        # min-label round — the deep-graph signature the probe watches
+        # for. The selector must hand off to star contraction after the
+        # probe rounds (not grind 75 two-hop rounds), and the output
+        # must be the shared fixpoint.
+        from pubsub2bq_spark.operators import llm_dedup
+
+        calls = []
+        real = llm_dedup.star_contraction_components
+
+        def spy(pairs, op_name="dedup_clusters"):
+            calls.append(op_name)
+            return real(pairs, op_name)
+
+        monkeypatch.setattr(llm_dedup, "star_contraction_components", spy)
+        n = 300
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "src long, dst long"
+        )
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in llm_dedup.adaptive_components(pairs).collect()
+        }
+        assert calls == ["dedup_clusters"], "probe did not trigger the switch"
+        assert got == {(i, 0) for i in range(n + 1)}
+
+    def test_adaptive_keeps_min_label_on_shallow_graph(self, spark, monkeypatch):
+        # Star/shallow graphs converge inside the probe — the selector
+        # must NOT pay a star restart there (the text minhash case).
+        from pubsub2bq_spark.operators import llm_dedup
+
+        def boom(pairs, op_name="dedup_clusters"):
+            raise AssertionError("star must not run on a shallow graph")
+
+        monkeypatch.setattr(llm_dedup, "star_contraction_components", boom)
+        pairs = spark.createDataFrame(
+            [(100, i) for i in range(5, 10)] + [(200, 201), (201, 202)],
+            "src long, dst long",
+        )
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in llm_dedup.adaptive_components(pairs).collect()
+        }
+        assert got == {(i, 5) for i in range(5, 10)} | {(100, 5)} | {
+            (200, 200), (201, 200), (202, 200)
+        }
+
+    def test_adaptive_small_tail_finishes_in_min_label(self, spark, monkeypatch):
+        # A frontier below _ADAPTIVE_MIN_FRONTIER never switches even
+        # when the shrink ratio is high: the tail is cheaper to finish
+        # in min-label than a star restart.
+        from pubsub2bq_spark.operators import llm_dedup
+
+        def boom(pairs, op_name="dedup_clusters"):
+            raise AssertionError("star must not run under the frontier floor")
+
+        monkeypatch.setattr(llm_dedup, "star_contraction_components", boom)
+        # diameter-20 path: slow shrink ratio but frontier ≤ 21 < 64
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "src long, dst long"
+        )
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in llm_dedup.adaptive_components(pairs).collect()
+        }
+        assert got == {(i, 0) for i in range(21)}
+
     def test_finish_nonconvergence_resumes_contraction(self, spark, monkeypatch):
         # Force the worst shape: finish gets only 2 rounds (covers
         # diameter 4) and each star burst is a single round — the first
