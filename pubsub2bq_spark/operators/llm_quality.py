@@ -382,6 +382,77 @@ def _neighbor_cells(cent: DataFrame) -> DataFrame:
     )
 
 
+# Cells up to this many members run the vectorized per-cell kernel (one
+# Arrow group per cell, blocked GEMM inside); a cell beyond it would put
+# an unbounded m^2 task on one worker, so those route through the
+# fragment-replicate salted pair join instead. At ceil(sqrt(n)) sizing a
+# cell only crosses this when the quantizer is badly skewed.
+_SEMDEDUP_KERNEL_CAP = 4096
+# Row-block size for the chunked Gram products inside the kernel: peak
+# kernel memory is B*m floats, never m^2.
+_SEMDEDUP_GEMM_BLOCK = 1024
+
+SEMDEDUP_OUT_SCHEMA = "vec_id bigint, dup_of bigint, cosine double"
+
+
+def _semdedup_cell_kernel(pdf):
+    """One quantizer cell: emit (vec_id, dup_of, cosine) for every
+    vector whose cosine to a LOWER-id clustermate exceeds SEMDEDUP_TAU,
+    dup_of = the lowest qualifying id. Dense math — normalize once,
+    blocked Gram products — instead of exploding m^2 pair rows that
+    each carry two vectors through a shuffle (VERDICT r10 #7: pair
+    generation dominated the 32x probe at 30.7s). float64 throughout;
+    the emitted cosine rounds HALF_UP like Spark's F.round."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    X = np.asarray(
+        [np.asarray(x, dtype=np.float64) for x in pdf["v"].iloc[order]]
+    )
+    m = len(ids)
+    if m < 2:
+        return pd.DataFrame({"vec_id": [], "dup_of": [], "cosine": []}).astype(
+            {"vec_id": "int64", "dup_of": "int64", "cosine": "float64"}
+        )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Xn = X / np.sqrt((X * X).sum(axis=1))[:, None]
+    out_id, out_dup, out_cos = [], [], []
+    for i0 in range(1, m, _SEMDEDUP_GEMM_BLOCK):
+        i1 = min(i0 + _SEMDEDUP_GEMM_BLOCK, m)
+        # Rows i0..i1 against ALL lower-sorted columns (< i1); ids are
+        # sorted, so column j < row i means ids[j] < ids[i] and the
+        # FIRST qualifying column is the lowest qualifying id.
+        g = Xn[i0:i1] @ Xn[:i1].T
+        col = np.arange(i1)
+        with np.errstate(invalid="ignore"):
+            qual = (g > SEMDEDUP_TAU) & (col[None, :] < np.arange(i0, i1)[:, None])
+        has = qual.any(axis=1)
+        if not has.any():
+            continue
+        rows = np.nonzero(has)[0]
+        firsts = qual[rows].argmax(axis=1)
+        out_id.append(ids[i0:i1][rows])
+        out_dup.append(ids[firsts])
+        out_cos.append(g[rows, firsts])
+    if not out_id:
+        return pd.DataFrame({"vec_id": [], "dup_of": [], "cosine": []}).astype(
+            {"vec_id": "int64", "dup_of": "int64", "cosine": "float64"}
+        )
+    cos = np.concatenate(out_cos)
+    return pd.DataFrame(
+        {
+            "vec_id": np.concatenate(out_id),
+            "dup_of": np.concatenate(out_dup),
+            # HALF_UP at 6 decimals (cosines here are > TAU > 0), the
+            # same rule F.round applies to doubles.
+            "cosine": np.floor(cos * 1e6 + 0.5) / 1e6,
+        }
+    )
+
+
 @register(
     "semdedup",
     oracle=_semdedup_oracle(),
@@ -410,21 +481,41 @@ def _neighbor_cells(cent: DataFrame) -> DataFrame:
                 "r5 #5 asked for: k-means|| seeds (L=2k oversampling, "
                 "weighted mini-Lloyd) + ONE corpus Lloyd round — "
                 "learned centroids bound the worst cell on skewed "
-                "embeddings where first-n-by-id centroids let one cell "
-                "absorb whole foreign clusters (see tests/"
-                "test_quality_ops.py::TestSemDedupQuantizer). The "
-                "intra-cell self-join routes through "
-                "llm_dedup._salted_self_join (cid key, vec_id salt): "
-                "cells over 64 members fragment-replicate across 8 "
-                "salts so no reducer owns a whole hot cell. The prune "
-                "decision is per-vector-local given its cell pairs — "
-                "no global structure, no iteration.",
+                "embeddings (see tests/test_quality_ops.py::"
+                "TestSemDedupQuantizer). Intra-cell pair scoring (r11, "
+                "VERDICT r10 #7): cells up to _SEMDEDUP_KERNEL_CAP "
+                "members run a vectorized Arrow kernel — one group per "
+                "cell, blocked Gram products, only the O(dups) result "
+                "rows leave the worker — replacing the exploded pair "
+                "join whose m^2 rows each shuffled TWO 64-dim vectors "
+                "(the 32x probe's dominant term, 30.7s → ~3s measured). "
+                "Pathologically hot cells (quantizer skew) still route "
+                "through llm_dedup._salted_self_join so no single task "
+                "owns an unbounded m^2; both paths emit identical rows "
+                "and the union is exact.",
 )
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubsub2bq_spark.operators.llm_dedup import _salted_self_join
 
     _, asgn = _quantizer_build(spark, sf_dir)
-    pr = _salted_self_join(asgn, ["cid"], id_col="vec_id")
+    counts = asgn.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
+    hot_cells = (
+        counts.filter(F.col("_n") > _SEMDEDUP_KERNEL_CAP)
+        .select("cid")
+        .withColumn("_hot", F.lit(True))
+        .transform(materialize)  # ≤ n / CAP rows — broadcast-sized
+    )
+    tagged = asgn.join(F.broadcast(hot_cells), ["cid"], "left")
+    dense = (
+        tagged.filter(F.col("_hot").isNull())
+        .select("cid", "vec_id", "v")
+        .groupBy("cid")
+        .applyInPandas(_semdedup_cell_kernel, SEMDEDUP_OUT_SCHEMA)
+    )
+    hot = tagged.filter(F.col("_hot").isNotNull()).select(
+        "cid", "vec_id", "v"
+    )
+    pr = _salted_self_join(hot, ["cid"], id_col="vec_id")
     cos = _cosine(F.col("v_a"), F.col("v_b"))
     pairs = (
         pr.select(
@@ -435,7 +526,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") > SEMDEDUP_TAU)
     )
     w_min = Window.partitionBy("vec_id").orderBy(F.col("lower_id").asc())
-    return (
+    hot_out = (
         pairs.withColumn("rn", F.row_number().over(w_min))
         .filter(F.col("rn") == 1)
         .select(
@@ -444,6 +535,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+    return dense.unionByName(hot_out)
 
 
 # Cross-cell recovery for SemDeDup's documented blind spot (VERDICT r7
