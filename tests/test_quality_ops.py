@@ -380,9 +380,33 @@ def test_quality_ensemble_zscores_center_and_flag_tail(spark):
 
 
 class TestCompressionRatio:
-    """Contracts for the rows-only compressibility signal (no SQL engine
-    can restate zlib, so the orderings the filter relies on are pinned
-    here instead of in an oracle)."""
+    """Contracts for the compressibility signal (no SQL engine can
+    restate zlib, so the driver oracle is a pinned golden table and the
+    orderings the filter relies on are pinned here)."""
+
+    def test_golden_oracle_rederives(self):
+        """The committed golden module (the driver oracle for
+        compression_ratio) must equal a fresh pure-Python derivation —
+        a zlib/container change fails HERE loudly instead of silently
+        failing the driver gate."""
+        import importlib
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        try:
+            gen = importlib.import_module("gen_compression_golden")
+        finally:
+            sys.path.pop(0)
+        from pubsub2bq_spark.operators import _compression_golden as g
+
+        rows = gen.golden_rows()
+        assert g.N_ROWS == len(rows)
+        import duckdb
+
+        got = duckdb.sql(g.COMPRESSION_GOLDEN_SQL).fetchall()
+        assert sorted(got) == [
+            (d, nb, nc, r, k) for d, nb, nc, r, k in rows
+        ], "golden table drifted from the pure-Python derivation — rerun scripts/gen_compression_golden.py and investigate why"
 
     def test_orderings_and_determinism(self, spark, tmp_path):
         from pubsub2bq_spark.operators.llm_quality import compression_ratio

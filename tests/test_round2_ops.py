@@ -283,8 +283,10 @@ class TestEmptyInputs:
 
 class TestBinaryLoadContent:
     def test_md5_matches_hashlib_over_same_files(self, spark):
-        """binary_load is rows-only in the driver (the oracle can't reach
-        the filesystem); check content-exactness here against hashlib."""
+        """Content-exactness against hashlib (independent of the DuckDB
+        read_blob oracle, which only runs at the driver's sf0.01). The
+        fingerprint is md5 over the UPPERCASE HEX encoding — DuckDB's
+        md5() only accepts VARCHAR, so both engines hash the encoding."""
         import glob
         import os
 
@@ -295,7 +297,10 @@ class TestBinaryLoadContent:
         expected = {}
         for p in glob.glob(f"{SF_SMOKE}/*.parquet"):
             raw = open(p, "rb").read()
-            expected[os.path.basename(p)] = (len(raw), hashlib.md5(raw).hexdigest())
+            expected[os.path.basename(p)] = (
+                len(raw),
+                hashlib.md5(raw.hex().upper().encode("ascii")).hexdigest(),
+            )
         assert got == expected
 
 
