@@ -33,8 +33,8 @@ SURVEY2_KEYS = frozenset({
     "unwrap", "deleted_rewrite", "schema_project", "null_fill",
     "scan_all", "project_compute", "filter_pred",
     # §2.3 schema/DDL
-    "insert_values", "ddl_evolution", "schema_revision", "mismatch_halt",
-    "table_ttl",
+    "insert_values", "ddl_evolution", "schema_revision", "schema_compat",
+    "mismatch_halt", "table_ttl",
     # §2.4 delivery/state
     "latest_per_key", "watermark_window", "tumbling_agg", "sliding_agg",
     "session_agg", "dedup", "stateful_running", "ack_deadline",
