@@ -456,6 +456,122 @@ def _semdedup_cell_kernel(pdf):
     )
 
 
+def _vec_matrix(series):
+    """float64 matrix from an Arrow group's vector column."""
+    import numpy as np
+
+    return np.asarray(
+        [np.asarray(x, dtype=np.float64) for x in series]
+    )
+
+
+def _gram_hits(Xn, Yn, tau, block=_SEMDEDUP_GEMM_BLOCK):
+    """Qualifying entries of the bipartite cosine matrix Xn @ Yn.T,
+    yielded per row-block as (row_idx, col_idx, cos) — peak memory
+    block*|Y|, never |X|*|Y|. Inputs are row-normalized."""
+    import numpy as np
+
+    for i0 in range(0, len(Xn), block):
+        i1 = min(i0 + block, len(Xn))
+        g = Xn[i0:i1] @ Yn.T
+        with np.errstate(invalid="ignore"):
+            ii, jj = np.nonzero(g > tau)
+        if len(ii):
+            yield ii + i0, jj, g[ii, jj]
+
+
+def _gsem_cross_kernel(pdf):
+    """One candidate cell pair (cl, ch) of global_semdedup: members of
+    cl arrive tagged side=0, members of ch side=1. Emit, per HIGHER
+    vec_id with any qualifying cross pair, its scope-winner — the
+    lowest qualifying partner and that pair's cosine (min over scope
+    winners downstream = min over all candidates, since scopes
+    partition the candidate set: every vector lives in exactly one
+    cell, so a pair appears in exactly one (cl, ch) group)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"vec_id": [], "dup_of": [], "cosine": []}).astype(
+        {"vec_id": "int64", "dup_of": "int64", "cosine": "float64"}
+    )
+    xs = pdf[pdf["side"] == 0]
+    ys = pdf[pdf["side"] == 1]
+    if xs.empty or ys.empty:
+        return empty
+    idx = xs["vec_id"].to_numpy(dtype=np.int64)
+    idy = ys["vec_id"].to_numpy(dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        X = _vec_matrix(xs["v"])
+        Y = _vec_matrix(ys["v"])
+        Xn = X / np.sqrt((X * X).sum(axis=1))[:, None]
+        Yn = Y / np.sqrt((Y * Y).sum(axis=1))[:, None]
+    his, los, cos = [], [], []
+    for ii, jj, c in _gram_hits(Xn, Yn, SEMDEDUP_TAU):
+        his.append(np.maximum(idx[ii], idy[jj]))
+        los.append(np.minimum(idx[ii], idy[jj]))
+        cos.append(c)
+    if not his:
+        return empty
+    hi = np.concatenate(his)
+    lo = np.concatenate(los)
+    c = np.concatenate(cos)
+    order = np.lexsort((lo, hi))
+    hi, lo, c = hi[order], lo[order], c[order]
+    first = np.unique(hi, return_index=True)[1]
+    return pd.DataFrame(
+        {
+            "vec_id": hi[first],
+            "dup_of": lo[first],
+            "cosine": np.floor(c[first] * 1e6 + 0.5) / 1e6,
+        }
+    )
+
+
+def _decon_kernel(pdf):
+    """One directed (train cell, eval cell) scope of
+    semantic_decontaminate: train members side=0, eval members side=1.
+    Emit per train vector the scope-partial (hit count, raw max
+    cosine); the final groupBy sums counts and maxes the maxes — both
+    distributive over the scope partition (each (train, eval) pair
+    appears in exactly one scope: fixed cell assignments, distinct
+    (tcid, ecid) rows)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"vec_id": [], "n_hits": [], "max_cos": []}).astype(
+        {"vec_id": "int64", "n_hits": "int64", "max_cos": "float64"}
+    )
+    ts = pdf[pdf["side"] == 0]
+    es = pdf[pdf["side"] == 1]
+    if ts.empty or es.empty:
+        return empty
+    idt = ts["vec_id"].to_numpy(dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        T = _vec_matrix(ts["v"])
+        E = _vec_matrix(es["v"])
+        Tn = T / np.sqrt((T * T).sum(axis=1))[:, None]
+        En = E / np.sqrt((E * E).sum(axis=1))[:, None]
+    rows, cs = [], []
+    for ii, _jj, c in _gram_hits(Tn, En, SEMDEDUP_TAU):
+        rows.append(ii)
+        cs.append(c)
+    if not rows:
+        return empty
+    r = np.concatenate(rows)
+    c = np.concatenate(cs)
+    uniq, inv = np.unique(r, return_inverse=True)
+    n_hits = np.bincount(inv)
+    max_cos = np.full(len(uniq), -np.inf)
+    np.maximum.at(max_cos, inv, c)
+    return pd.DataFrame(
+        {
+            "vec_id": idt[uniq],
+            "n_hits": n_hits.astype(np.int64),
+            "max_cos": max_cos,
+        }
+    )
+
+
 @register(
     "semdedup",
     oracle=_semdedup_oracle(),
@@ -691,15 +807,22 @@ def _salted_pair_join(asgn: DataFrame, npairs: DataFrame) -> DataFrame:
     scale_notes="Candidate generation stays bounded at every level: "
                 "the neighbor ranking is the k-row centroid table "
                 "against itself (k^2 = n distance ops at k = sqrt(n), "
-                "one side broadcast, never the corpus), the pair list "
-                "is ≤ k·GSEM_NBR rows and broadcast into both member "
-                "streams, and the member join keys on (cl, ch, salt) "
-                "via _salted_pair_join — pairs touching a hot cell "
-                "fragment-replicate so no reducer owns |cl|·|ch| "
-                "work. Added pair volume is ≤ GSEM_NBR × the in-cell "
-                "work, keeping the whole build at the n^1.5 SemDeDup "
-                "budget; raising GSEM_NBR trades linearly more pair "
-                "work for recall, exactly like IVF nprobe.",
+                "one side broadcast, never the corpus), and the pair "
+                "list is ≤ k·GSEM_NBR rows broadcast into both member "
+                "streams. Pair SCORING is vectorized since r11 (the "
+                "32x probe measured the exploded pair join at 97s, "
+                "exponent 1.12): cold cells and cold (cl, ch) pairs "
+                "run per-group Arrow kernels (blocked Gram products, "
+                "scope winners — valid because fixed assignments "
+                "partition the candidate pairs) and only O(dups) rows "
+                "leave the workers — 32x re-measured 4.1s, exponent "
+                "0.22. Scopes touching a hot cell keep the (cl, ch, "
+                "salt) fragment-replicate join so no task owns "
+                "|cl|·|ch| work. Added pair volume is ≤ GSEM_NBR × "
+                "the in-cell work, keeping the whole build at the "
+                "n^1.5 SemDeDup budget; raising GSEM_NBR trades "
+                "linearly more pair work for recall, exactly like "
+                "IVF nprobe.",
 )
 def global_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubsub2bq_spark.operators.llm_dedup import _salted_self_join
@@ -714,15 +837,85 @@ def global_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(materialize)  # broadcast into both member streams
     )
-    pr = _salted_self_join(asgn, ["cid"], id_col="vec_id")
-    incell = pr.select(
+    # Same kernel/hot split as semdedup (r11, VERDICT r10 #7 follow-up:
+    # the 32x probe put global_semdedup at 97s exponent 1.12 — the m^2
+    # exploded pair rows, in-cell AND cross-cell, each shuffling two
+    # vectors). Cold cells/pairs run the per-group Arrow kernels, which
+    # emit SCOPE WINNERS — valid because cells (and distinct (cl, ch)
+    # pairs over fixed assignments) partition the candidate pairs, so
+    # the final min-lower window over winners equals the window over
+    # all qualifying pairs. Hot cells/pairs (quantizer skew) keep the
+    # fragment-replicate joins, which emit raw qualifying pairs into
+    # the same window.
+    counts = asgn.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
+    hot_cells = (
+        counts.filter(F.col("_n") > _SEMDEDUP_KERNEL_CAP)
+        .select("cid")
+        .withColumn("_hot", F.lit(True))
+        .transform(materialize)
+    )
+    tagged = asgn.join(F.broadcast(hot_cells), ["cid"], "left")
+    cold = tagged.filter(F.col("_hot").isNull()).select("cid", "vec_id", "v")
+    hot = tagged.filter(F.col("_hot").isNotNull()).select(
+        "cid", "vec_id", "v"
+    )
+
+    incell_dense = (
+        cold.groupBy("cid")
+        .applyInPandas(_semdedup_cell_kernel, SEMDEDUP_OUT_SCHEMA)
+        .select(
+            "vec_id",
+            F.col("dup_of").alias("lower_id"),
+            F.lit(0).alias("cross_cell"),
+            F.col("cosine").alias("cos"),
+        )
+    )
+    pr = _salted_self_join(hot, ["cid"], id_col="vec_id")
+    incell_hot = pr.select(
         F.col("vec_id_b").alias("vec_id"),
         F.col("vec_id_a").alias("lower_id"),
         F.lit(0).alias("cross_cell"),
         _cosine(F.col("v_a"), F.col("v_b")).alias("cos"),
+    ).filter(F.col("cos") > SEMDEDUP_TAU)
+
+    hot_pairs = (
+        npairs.join(
+            F.broadcast(hot_cells.select(F.col("cid").alias("cl"))),
+            "cl",
+            "left_semi",
+        )
+        .unionByName(
+            npairs.join(
+                F.broadcast(hot_cells.select(F.col("cid").alias("ch"))),
+                "ch",
+                "left_semi",
+            )
+        )
+        .distinct()
+        .transform(materialize)
     )
-    xp = _salted_pair_join(asgn, npairs)
-    xcell = xp.select(
+    cold_pairs = npairs.join(hot_pairs, ["cl", "ch"], "left_anti").transform(
+        materialize  # broadcast into both kernel member streams
+    )
+    xm = cold.join(
+        F.broadcast(cold_pairs), cold["cid"] == cold_pairs["cl"]
+    ).select("cl", "ch", "vec_id", "v", F.lit(0).alias("side"))
+    ym = cold.join(
+        F.broadcast(cold_pairs), cold["cid"] == cold_pairs["ch"]
+    ).select("cl", "ch", "vec_id", "v", F.lit(1).alias("side"))
+    xcell_dense = (
+        xm.unionByName(ym)
+        .groupBy("cl", "ch")
+        .applyInPandas(_gsem_cross_kernel, SEMDEDUP_OUT_SCHEMA)
+        .select(
+            "vec_id",
+            F.col("dup_of").alias("lower_id"),
+            F.lit(1).alias("cross_cell"),
+            F.col("cosine").alias("cos"),
+        )
+    )
+    xp = _salted_pair_join(asgn, hot_pairs.select("cl", "ch"))
+    xcell_hot = xp.select(
         F.greatest("vec_id_x", "vec_id_y").alias("vec_id"),
         F.least("vec_id_x", "vec_id_y").alias("lower_id"),
         F.lit(1).alias("cross_cell"),
@@ -730,8 +923,11 @@ def global_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # elementwise products and norm factors commute, so the value is
         # bit-identical under either orientation anyway.
         _cosine(F.col("v_x"), F.col("v_y")).alias("cos"),
-    )
-    pairs = incell.unionByName(xcell).filter(F.col("cos") > SEMDEDUP_TAU)
+    ).filter(F.col("cos") > SEMDEDUP_TAU)
+
+    pairs = incell_dense.unionByName(incell_hot).unionByName(
+        xcell_dense
+    ).unionByName(xcell_hot)
     w_min = Window.partitionBy("vec_id").orderBy(F.col("lower_id").asc())
     return (
         pairs.withColumn("rn", F.row_number().over(w_min))
@@ -1421,17 +1617,22 @@ def _semantic_decontaminate_oracle() -> str:
         "miss.",
     scale_notes="The quantizer chain is SemDeDup's (sample-trained "
                 "k-means||, one Lloyd round, all artifacts bounded and "
-                "broadcast). The train×eval join keys on (train cell, "
-                "eval cell, salt): the bounded directed pair list "
+                "broadcast); the bounded directed pair list "
                 "(≤ k·(2·GSEM_NBR)+k rows) broadcasts into both member "
-                f"streams, the TRAIN side hash-fragments into "
+                "streams. Pair SCORING is vectorized since r11 (32x "
+                "probe 15.3s → 2.7s, exponent 0.77 → 0.22): cold "
+                "(tcid, ecid) scopes run one Arrow kernel per scope "
+                "emitting per-train-vector (count, max-cos) partials — "
+                "distributive over the scope partition, so the final "
+                "map-side-combinable aggregate merges them exactly. "
+                "Scopes touching a hot cell keep the (tcid, ecid, "
+                f"salt) join: the TRAIN side hash-fragments into "
                 f"{_DECON_SALT} salts and the ~10% eval side replicates "
-                "across them, so no reducer owns a whole |train-cell| × "
-                "|eval-cell| product even on a hot cell. Total pair "
-                "work stays at the SemDeDup n^1.5 budget times the "
-                "eval fraction; the final per-train-vector aggregate is "
-                "map-side combinable. Raising GSEM_NBR buys recall "
-                "linearly, exactly like IVF nprobe.",
+                "across them, so no reducer owns a |train-cell| × "
+                "|eval-cell| product. Total pair work stays at the "
+                "SemDeDup n^1.5 budget times the eval fraction; "
+                "raising GSEM_NBR buys recall linearly, exactly like "
+                "IVF nprobe.",
 )
 def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubsub2bq_spark.operators.ml_ops import _kpp_u16
@@ -1451,10 +1652,62 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         < F.lit(65536)
     )
     sp = asgn.withColumn("isev", isev)
+    # Kernel/hot split (r11, same shape as semdedup/global_semdedup):
+    # cold directed cell pairs run one Arrow kernel per (tcid, ecid)
+    # scope emitting per-train-vector partials (hit count, raw max
+    # cosine) — both distributive over the scope partition, since each
+    # (train, eval) pair appears in exactly one distinct cp row. Pairs
+    # touching a hot cell keep the fragment-replicate salted join.
+    counts = asgn.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
+    hot_cells = (
+        counts.filter(F.col("_n") > _SEMDEDUP_KERNEL_CAP)
+        .select("cid")
+        .transform(materialize)
+    )
+    hot_cp = (
+        cp.join(
+            F.broadcast(hot_cells.select(F.col("cid").alias("tcid"))),
+            "tcid",
+            "left_semi",
+        )
+        .unionByName(
+            cp.join(
+                F.broadcast(hot_cells.select(F.col("cid").alias("ecid"))),
+                "ecid",
+                "left_semi",
+            )
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    cold_cp = cp.join(hot_cp, ["tcid", "ecid"], "left_anti").transform(
+        materialize
+    )
+
+    tm = (
+        sp.filter(~F.col("isev"))
+        .select(F.col("cid").alias("tcid"), "vec_id", "v")
+        .join(F.broadcast(cold_cp), "tcid")
+        .select("tcid", "ecid", "vec_id", "v", F.lit(0).alias("side"))
+    )
+    em = (
+        sp.filter(F.col("isev"))
+        .select(F.col("cid").alias("ecid"), "vec_id", "v")
+        .join(F.broadcast(cold_cp), "ecid")
+        .select("tcid", "ecid", "vec_id", "v", F.lit(1).alias("side"))
+    )
+    dense = (
+        tm.unionByName(em)
+        .groupBy("tcid", "ecid")
+        .applyInPandas(
+            _decon_kernel, "vec_id bigint, n_hits bigint, max_cos double"
+        )
+    )
+
     t = (
         sp.filter(~F.col("isev"))
         .select(F.col("cid").alias("tcid"), "vec_id", "v")
-        .join(F.broadcast(cp), "tcid")
+        .join(F.broadcast(hot_cp), "tcid")
         .withColumn(
             "_salt",
             F.pmod(F.xxhash64("vec_id"), F.lit(_DECON_SALT)).cast("int"),
@@ -1467,7 +1720,7 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("evid"),
             F.col("v").alias("ev"),
         )
-        .join(F.broadcast(cp), "ecid")
+        .join(F.broadcast(hot_cp), "ecid")
         .withColumn(
             "_sj",
             F.explode(F.array(*[F.lit(s) for s in range(_DECON_SALT)])),
@@ -1480,12 +1733,20 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (t["_salt"] == e["_sj"]),
     )
     cos = _cosine(F.col("v"), F.col("ev"))
-    return (
+    hot_partials = (
         cand.filter(cos > SEMDEDUP_TAU)
         .groupBy("vec_id")
         .agg(
-            F.count(F.lit(1)).alias("n_eval_hits"),
-            F.round(F.max(cos), 6).alias("max_cosine"),
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max(cos).alias("max_cos"),
+        )
+    )
+    return (
+        dense.unionByName(hot_partials)
+        .groupBy("vec_id")
+        .agg(
+            F.sum("n_hits").alias("n_eval_hits"),
+            F.round(F.max("max_cos"), 6).alias("max_cosine"),
         )
     )
 
