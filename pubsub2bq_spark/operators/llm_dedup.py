@@ -59,6 +59,77 @@ def text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JAC_KERNEL_CAP = 4096  # block members before the salted-join fallback
+_JAC_TAU = 0.6
+
+
+def _jaccard_block_kernel(pdf):
+    """One (lang, source, len_band) block: emit every qualifying pair
+    (doc_a < doc_b, jaccard > tau) with the exact set-Jaccard. Binary
+    doc×vocab matrix; one blocked Gram product yields every
+    intersection size at once (counts ≤ |tok| stay exact in float32);
+    union = |A| + |B| − inter from the set sizes; the division runs in
+    float64 on exact integers — identical to the JVM expression. A
+    zero union (two letter-free docs) is masked out, matching Spark's
+    NULL-dropped 0/0."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
+        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+    )
+    m = len(pdf)
+    if m < 2:
+        return empty
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    toklists = pdf["tok"].iloc[order]
+    vocab: dict = {}
+    rows, cols = [], []
+    nt = np.zeros(m, dtype=np.int64)
+    for i, ts in enumerate(toklists):
+        nt[i] = len(ts)
+        for t in ts:
+            j = vocab.setdefault(t, len(vocab))
+            rows.append(i)
+            cols.append(j)
+    if not vocab:
+        return empty
+    X = np.zeros((m, len(vocab)), dtype=np.float32)
+    X[rows, cols] = 1.0
+    out_a, out_b, out_j = [], [], []
+    block = 1024
+    for i0 in range(1, m, block):
+        i1 = min(i0 + block, m)
+        inter = (X[i0:i1] @ X[:i1].T).astype(np.float64)
+        union = (nt[i0:i1, None] + nt[None, :i1]).astype(np.float64) - inter
+        col = np.arange(i1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = inter / union
+            qual = (
+                (jac > _JAC_TAU)
+                & (union > 0)
+                & (col[None, :] < np.arange(i0, i1)[:, None])
+            )
+        ii, jj = np.nonzero(qual)
+        if len(ii):
+            out_a.append(ids[jj])
+            out_b.append(ids[ii + i0])
+            out_j.append(jac[ii, jj])
+    if not out_a:
+        return empty
+    j = np.concatenate(out_j)
+    return pd.DataFrame(
+        {
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "jaccard": np.floor(j * 1e6 + 0.5) / 1e6,
+        }
+    )
+
+
+
 @register(
     "ngram_jaccard",
     oracle="""
@@ -81,10 +152,20 @@ def text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Token-set Jaccard near-dup with blocking on (lang, source, "
         "100-char length band); emits pairs with similarity > 0.6.",
-    scale_notes="Blocking keys turn the quadratic all-pairs into a "
-                "per-bucket join — the shuffle is on the block key, and "
-                "bucket sizes stay bounded. The un-blocked fallback is "
-                "minhash_lsh below.",
+    scale_notes="Blocking keys turn the quadratic all-pairs into "
+                "per-bucket work — the shuffle is on the block key, and "
+                "bucket sizes stay bounded. Pair SCORING is vectorized "
+                "since r11 (the 32x probe measured the exploded "
+                "self-join at 53.7s, exponent 1.24 — every pair row "
+                "carried BOTH token arrays): blocks up to 4096 members "
+                "run one Arrow kernel per block (binary doc×vocab "
+                "matrix, one Gram product yields every intersection "
+                "size; unions from the set sizes) and only qualifying "
+                "(id, id, jaccard) rows leave the worker — re-measured "
+                "3.2s at 32x (same-session min-of-3), exponent flat. "
+                "Bigger blocks keep the fragment-replicate salted "
+                "self-join. The un-blocked fallback is minhash_lsh "
+                "below.",
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark)
@@ -94,29 +175,64 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
         F.array_distinct(_tokens(F.col("text"))).alias("tok"),
-    ).transform(materialize)  # both self-join sides read one tokenization pass
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok"))).cast("double")
-    union = F.size(F.array_distinct(F.concat(F.col("a.tok"), F.col("b.tok"))))
+    ).transform(materialize)  # kernel groups + hot fallback read one pass
+    # Pair scoring vectorized (r11): the blocked self-join exploded
+    # every within-block pair as a row carrying BOTH token arrays
+    # (53.7s at the 32x probe, exponent 1.24); blocks up to
+    # _JAC_KERNEL_CAP members instead run one Arrow kernel per
+    # (lang, source, len_band) block — binary doc×vocab matrix, one
+    # Gram product gives every intersection size, unions come from the
+    # set sizes — and only the qualifying (id, id, jaccard) rows leave
+    # the worker. Bigger blocks keep the fragment-replicate salted
+    # self-join; both paths emit identical rows.
+    counts = toks.groupBy("lang", "source", "len_band").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # Two tiers, measured in one session at 1x/32x (min-of-3): routing
+    # tiny blocks to the exploded JVM join looked attractive (saves
+    # ~1.5s of Python-worker overhead at 1x) but costs 3x at 32x
+    # (9.2s vs 3.2s — the small-block tail still explodes millions of
+    # array-carrying pair rows), so every block up to the cap runs the
+    # kernel and only unbounded-m^2 monsters take the salted join.
+    kernel_blocks = (
+        counts.filter(F.col("_n") <= _JAC_KERNEL_CAP)
+        .select("lang", "source", "len_band")
+        .withColumn("_kern", F.lit(True))
+        .transform(materialize)
+    )
+    tagged = toks.join(
+        F.broadcast(kernel_blocks), ["lang", "source", "len_band"], "left"
+    )
+    dense = (
+        tagged.filter(F.col("_kern").isNotNull())
+        .select("lang", "source", "len_band", "doc_id", "tok")
+        .groupBy("lang", "source", "len_band")
+        .applyInPandas(
+            _jaccard_block_kernel,
+            "doc_a bigint, doc_b bigint, jaccard double",
+        )
+    )
+    hot = tagged.filter(F.col("_kern").isNull()).select(
+        "lang", "source", "len_band", "doc_id", "tok"
+    )
+    pr = _salted_self_join(hot, ["lang", "source", "len_band"])
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b"))).cast(
+        "double"
+    )
+    union = F.size(F.array_distinct(F.concat(F.col("tok_a"), F.col("tok_b"))))
     # nullif guard (ADVICE r4): two letter-free docs in one block give
     # 0/0 — Spark yields NULL (pair dropped) but DuckDB IEEE float ops
     # can yield NaN/inf; nullif on BOTH sides pins the semantics.
     jac = inter / F.nullif(union.cast("double"), F.lit(0.0))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.len_band") == F.col("b.len_band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac > 0.6)
+    hot_out = (
+        pr.filter(jac > 0.6)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
             F.round(jac, 6).alias("jaccard"),
         )
     )
+    return dense.unionByName(hot_out)
 
 
 def _shingles(t: Column) -> Column:
@@ -1040,6 +1156,147 @@ _aq()["dedup_corpus"].oracle = _dedup_corpus_oracle()
 
 LEV_PREFIX = 64
 LEV_MAX = 10
+_LEV_KERNEL_CAP = 4096   # block members before fragment-pair salting
+_LEV_SALT = 8            # fragments per over-cap block
+_LEV_PAIR_CHUNK = 1_000_000  # pairs per vectorized Myers batch
+
+
+def _myers_prep(heads):
+    """Per-group preprocessing for the bit-parallel DP: lengths, the
+    Peq character-mask table (one uint64 per (doc, char) — a <=64-char
+    pattern fits one word), and text char codes."""
+    import numpy as np
+
+    m = len(heads)
+    lens = np.array([len(h) for h in heads], dtype=np.int64)
+    maxlen = int(lens.max()) if m else 0
+    cidx = {c: i for i, c in enumerate(sorted({c for h in heads for c in h}))}
+    one = np.uint64(1)
+    peq = np.zeros((m, max(len(cidx), 1)), dtype=np.uint64)
+    tcodes = np.full((m, max(maxlen, 1)), -1, dtype=np.int64)
+    for i, h in enumerate(heads):
+        for p, ch in enumerate(h):
+            peq[i, cidx[ch]] |= one << np.uint64(p)
+            tcodes[i, p] = cidx[ch]
+    return lens, peq, tcodes, maxlen
+
+
+def _myers_lev(prep, pa, pb):
+    """Levenshtein for the pair index arrays (pa = pattern row, pb =
+    text row), vectorized ACROSS PAIRS: bit-parallel DP (Myers, JACM
+    1999, in Hyyrö's 2001 formulation) — each of the <=64 text steps
+    is ~12 numpy word ops over the pair vector, never a 64x64 table."""
+    import numpy as np
+
+    lens, peq, tcodes, maxlen = prep
+    one = np.uint64(1)
+    pl, tl = lens[pa], lens[pb]
+    score = pl.copy()
+    pv = np.full(len(pa), ~np.uint64(0), dtype=np.uint64)
+    mv = np.zeros(len(pa), dtype=np.uint64)
+    bit = np.where(
+        pl > 0, one << np.clip(pl - 1, 0, 63).astype(np.uint64), np.uint64(0)
+    )
+    for j in range(maxlen):
+        active = j < tl
+        tc = tcodes[pb, j]
+        eq = np.where(
+            active & (tc >= 0), peq[pa, np.maximum(tc, 0)], np.uint64(0)
+        )
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        score = np.where(
+            active,
+            score
+            + ((ph & bit) != 0).astype(np.int64)
+            - ((mh & bit) != 0).astype(np.int64),
+            score,
+        )
+        ph = (ph << one) | one
+        mh = mh << one
+        pv_n = mh | ~(xv | ph)
+        mv_n = ph & xv
+        pv = np.where(active, pv_n, pv)
+        mv = np.where(active, mv_n, mv)
+    return np.where(pl == 0, tl, score)  # empty pattern: lev = |text|
+
+
+def _lev_block_kernel(pdf):
+    """One pair-scope of edit_distance_pairs: a whole (lang, band)
+    block (all rows side 0 — triangular, every i<j pair), or one
+    fragment-pair group of an over-cap block (side 0 vs side 1 —
+    full bipartite cross; fixed fragment assignments make the groups a
+    partition of the block's pairs, so each unordered pair is scored
+    exactly once). Emits every pair with lev <= LEV_MAX."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "lev": []}).astype(
+        {"doc_a": "int64", "doc_b": "int64", "lev": "int32"}
+    )
+    cross = bool((pdf["side"] == 1).any())
+    if cross:
+        a_rows = pdf[pdf["side"] == 0]
+        b_rows = pdf[pdf["side"] == 1]
+        if a_rows.empty or b_rows.empty:
+            return empty
+        ids = np.concatenate(
+            [
+                a_rows["doc_id"].to_numpy(dtype=np.int64),
+                b_rows["doc_id"].to_numpy(dtype=np.int64),
+            ]
+        )
+        heads = [
+            "" if h is None else str(h)
+            for h in list(a_rows["head"]) + list(b_rows["head"])
+        ]
+        na = len(a_rows)
+        prep = _myers_prep(heads)
+        a_idx = np.arange(na)
+        b_idx = np.arange(na, len(heads))
+        # chunk the bipartite cross over pattern rows
+        rows_per_chunk = max(1, _LEV_PAIR_CHUNK // max(len(b_idx), 1))
+        chunks = [
+            (
+                np.repeat(a_idx[r0 : r0 + rows_per_chunk], len(b_idx)),
+                np.tile(b_idx, min(rows_per_chunk, na - r0)),
+            )
+            for r0 in range(0, na, rows_per_chunk)
+        ]
+    else:
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        heads = ["" if h is None else str(h) for h in pdf["head"].iloc[order]]
+        prep = _myers_prep(heads)
+        ii, jj = np.triu_indices(m, k=1)
+        chunks = [
+            (ii[c0 : c0 + _LEV_PAIR_CHUNK], jj[c0 : c0 + _LEV_PAIR_CHUNK])
+            for c0 in range(0, len(ii), _LEV_PAIR_CHUNK)
+        ]
+    out_a, out_b, out_l = [], [], []
+    for pa, pb in chunks:
+        score = _myers_lev(prep, pa, pb)
+        q = score <= LEV_MAX
+        if q.any():
+            ia, ib = ids[pa[q]], ids[pb[q]]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_l.append(score[q])
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "lev": np.concatenate(out_l).astype(np.int32),
+        }
+    )
 
 
 @register(
@@ -1063,13 +1320,23 @@ LEV_MAX = 10
         "level companion to the token-set (ngram_jaccard) and sketch "
         "(minhash/simhash) dedup family; both engines implement the same "
         "DP metric.",
-    scale_notes="Levenshtein is O(m·n) per pair — the blocking is what "
-                "makes it survivable: pairs only form inside (lang, "
-                "band) blocks and the prefix cap bounds per-pair cost at "
-                f"{LEV_PREFIX}². The blocked relation is checkpointed so "
-                "prefix extraction runs once. At 100 TB this runs as the "
-                "verify stage AFTER a sketch pass (minhash_verified "
-                "pattern), never as the candidate generator.",
+    scale_notes="Pairs only form inside (lang, band) blocks and the "
+                f"prefix cap bounds per-pair cost at {LEV_PREFIX} "
+                "chars. The DP is bit-parallel since r11 (Myers JACM "
+                "1999 / Hyyrö 2001): a 64-char pattern fits one uint64, "
+                "so a pair costs ~12 word ops per text char instead of "
+                "a 64×64 DP table, vectorized across pairs in Arrow "
+                "kernels — one per block up to 4096 members, and "
+                "FRAGMENT-PAIR groups (hash members into 8 fragments; "
+                "each (s1,s2) group scores one bipartite cross) above "
+                "that, so no task owns a whole m². The exploded "
+                "self-join DNF'd the 32x probe past 9 minutes; the "
+                "kernel completes it in 90s — the residual exponent is "
+                "the block-quadratic PAIR VOLUME itself, which is this "
+                "key's semantics: at 100 TB it runs as the verify stage "
+                "AFTER a sketch pass (minhash_verified pattern) where "
+                "candidates are output-sized, never as the candidate "
+                "generator over raw blocks.",
 )
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark)
@@ -1079,22 +1346,61 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 50).cast("bigint").alias("band"),
         F.substring("text", 1, LEV_PREFIX).alias("head"),
     ).transform(materialize)
-    a, b2 = b.alias("a"), b.alias("b2")
-    lev = F.levenshtein(F.col("a.head"), F.col("b2.head"))
-    return (
-        a.join(
-            b2,
-            (F.col("a.lang") == F.col("b2.lang"))
-            & (F.col("a.band") == F.col("b2.band"))
-            & (F.col("a.doc_id") < F.col("b2.doc_id")),
-        )
-        .filter(lev <= LEV_MAX)
+    counts = b.groupBy("lang", "band").agg(F.count(F.lit(1)).alias("_n"))
+    kernel_blocks = (
+        counts.filter(F.col("_n") <= _LEV_KERNEL_CAP)
+        .select("lang", "band")
+        .withColumn("_kern", F.lit(True))
+        .transform(materialize)
+    )
+    tagged = b.join(F.broadcast(kernel_blocks), ["lang", "band"], "left")
+    schema = "doc_a bigint, doc_b bigint, lev int"
+    dense = (
+        tagged.filter(F.col("_kern").isNotNull())
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b2.doc_id").alias("doc_b"),
-            lev.cast("int").alias("lev"),
+            "lang", "band", "doc_id", "head", F.lit(0).alias("side")
+        )
+        .groupBy("lang", "band")
+        .applyInPandas(_lev_block_kernel, schema)
+    )
+    # Over-cap blocks: FRAGMENT-PAIR decomposition — hash members into
+    # _LEV_SALT fragments; group (s1, s2) holds fragment s1 as side 0
+    # and fragment s2 as side 1 (s1 < s2, bipartite cross) or just
+    # fragment s1 (s1 == s2, triangular). Fixed fragment assignments
+    # partition the block's pairs, so the kernel scores each unordered
+    # pair exactly once, and no single task owns the whole m^2 —
+    # the same insurance the salted JOIN gave, minus its exploded
+    # array-carrying pair rows.
+    hot = (
+        tagged.filter(F.col("_kern").isNull())
+        .select("lang", "band", "doc_id", "head")
+        .withColumn(
+            "_s",
+            F.pmod(F.xxhash64("doc_id"), F.lit(_LEV_SALT)).cast("int"),
         )
     )
+    part0 = hot.withColumn(
+        "_t", F.explode(F.sequence(F.col("_s"), F.lit(_LEV_SALT - 1)))
+    ).select(
+        "lang", "band", "doc_id", "head",
+        F.col("_s").alias("s1"), F.col("_t").alias("s2"),
+        F.lit(0).alias("side"),
+    )
+    part1 = (
+        hot.filter(F.col("_s") > 0)
+        .withColumn("_t", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
+        .select(
+            "lang", "band", "doc_id", "head",
+            F.col("_t").alias("s1"), F.col("_s").alias("s2"),
+            F.lit(1).alias("side"),
+        )
+    )
+    hot_out = (
+        part0.unionByName(part1)
+        .groupBy("lang", "band", "s1", "s2")
+        .applyInPandas(_lev_block_kernel, schema)
+    )
+    return dense.unionByName(hot_out)
 
 
 @register(

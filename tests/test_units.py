@@ -573,3 +573,103 @@ class TestStarContractionComponents:
             for r in llm_dedup.star_contraction_components(pairs).collect()
         }
         assert got == {(i, 0) for i in range(65)}
+
+
+class TestMyersLevKernel:
+    """The bit-parallel Levenshtein kernel (edit_distance_pairs) must
+    equal the textbook DP exactly, in both scope modes."""
+
+    @staticmethod
+    def _lev_dp(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    def _fuzz_heads(self, seed):
+        import random
+
+        random.seed(seed)
+        alphabet = "abcd"
+        heads = [""]
+        for _ in range(70):
+            if random.random() < 0.6:
+                h = list(random.choice(heads))
+                for _ in range(random.randint(0, 12)):
+                    if not h:
+                        break
+                    p = random.randrange(len(h))
+                    op = random.random()
+                    if op < 0.33:
+                        h[p] = random.choice(alphabet)
+                    elif op < 0.66:
+                        del h[p]
+                    else:
+                        h.insert(p, random.choice(alphabet))
+                heads.append("".join(h)[:64])
+            else:
+                heads.append(
+                    "".join(
+                        random.choice(alphabet)
+                        for _ in range(random.randint(0, 64))
+                    )
+                )
+        return heads
+
+    def test_triangular_and_fragment_modes_match_dp(self):
+        import pandas as pd
+
+        from pubsub2bq_spark.operators.llm_dedup import (
+            LEV_MAX,
+            _LEV_SALT,
+            _lev_block_kernel,
+        )
+
+        heads = self._fuzz_heads(11)
+        ids = list(range(len(heads)))
+        want = {}
+        for i in ids:
+            for j in ids[i + 1:]:
+                d = self._lev_dp(heads[i], heads[j])
+                if d <= LEV_MAX:
+                    want[(i, j)] = d
+
+        pdf = pd.DataFrame(
+            {"doc_id": ids, "head": heads, "side": [0] * len(ids)}
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.lev
+            for r in _lev_block_kernel(pdf).itertuples()
+        }
+        assert got == want
+
+        # fragment-pair decomposition: every unordered pair scored
+        # exactly once across the (s1, s2) groups
+        salts = {i: hash((i, "x")) % _LEV_SALT for i in ids}
+        got2 = {}
+        for s1 in range(_LEV_SALT):
+            for s2 in range(s1, _LEV_SALT):
+                rows = [
+                    (i, heads[i], 0)
+                    for i in ids
+                    if salts[i] == s1
+                ] + (
+                    [(i, heads[i], 1) for i in ids if salts[i] == s2]
+                    if s1 < s2
+                    else []
+                )
+                g = pd.DataFrame(rows, columns=["doc_id", "head", "side"])
+                if len(g):
+                    for r in _lev_block_kernel(g).itertuples():
+                        k = (r.doc_a, r.doc_b)
+                        assert k not in got2, f"pair {k} scored twice"
+                        got2[k] = r.lev
+        assert got2 == want
