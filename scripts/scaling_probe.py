@@ -125,7 +125,7 @@ PROBE_KEYS = [
 # the documented exact baseline whose scale path is the IVF family);
 # report time/scale as the per-query exponent.
 QUERY_SCALED = {"ann_ivf", "ann_ivfpq", "semdedup", "mmr_diversify",
-                "similarity_topk"}
+                "similarity_topk", "rag_retrieve"}
 
 
 def _key_space_widths(spark, base_sf: str) -> dict[str, int]:
