@@ -175,6 +175,13 @@ HEADLINE = [
     "kneser_ney_logprob",
     # Real AVI container parse, one row per decoded frame.
     "video_frames",
+    # Round-11 additions: the three pair keys rewritten onto Arrow
+    # kernels (Gram-product Jaccard, LSH-bucket cosine, bit-parallel
+    # Levenshtein) join the gate so a kernel regression can't hide
+    # outside the headline set.
+    "ngram_jaccard",
+    "embedding_dedup",
+    "edit_distance_pairs",
 ]
 
 
