@@ -219,7 +219,11 @@ FIXED_COST = {
     # component stays positive against both the pre-cache r8 priors and
     # the cached r9+ captures.
     "ann_ivf_kmeans": 0.4,
-    "semdedup": 0.8,
+    # semdedup RE-MEASURED r11 after the per-cell Gram kernel (the
+    # recalibration discipline — the constant comes DOWN with the fix):
+    # min-of-3 one session, sf0.001 0.96 / sf0.1 0.89, warm bench
+    # context 0.67-0.81. Constant below the smallest observation.
+    "semdedup": 0.6,
     "ann_ivf_hier": 0.6,
     # retrieve-then-rerank: r10 moved the fused candidate set into the
     # session cache (shared with hybrid_retrieve), so rerank pays only
@@ -251,7 +255,12 @@ FIXED_COST = {
     # 4.3/2.6 (bench 1.9 — K materialize+window stages). Constants
     # below the smallest observed context so the variable term stays
     # positive everywhere.
-    "image_dedup_clusters": 3.0,
+    # image_dedup_clusters RE-MEASURED r11 after the adaptive selector:
+    # sf0.001 2.15 min-of-3 (selector stays on min-label — cheaper than
+    # the old constant), sf0.1 3.1-4.6 (probe + star rounds). Constant
+    # below the smallest observation so the variable term stays
+    # positive everywhere.
+    "image_dedup_clusters": 2.0,
     "mmr_diversify": 1.5,
     # r11: the key is fixture-driven (3 seed rows + a bounded spool) —
     # Derby embedded-DB spin-up + one streaming-query startup, with NO
