@@ -590,10 +590,13 @@ FIXED_COST_CAUSE = {
     "kmeans_parallel_init": "k-means|| oversampling init rounds: fixed "
         "chain of small jobs",
     "image_dedup_clusters": "adaptive-selector probe (2 min-label "
-        "rounds) + star-contraction rounds + 2-hop exact finish (r11): "
+        "rounds) + star-contraction rounds + 2-hop exact finish: "
         "a fixed count of eager window/checkpoint jobs regardless of "
         "SF; at sf0.001 the selector stays on min-label entirely "
-        "(2.28s min-of-3, cheaper than r10's star-only 4.43s)",
+        "(2.28s min-of-3, cheaper than r10's star-only 4.43s). r12: "
+        "the probe's partial labels now CONTRACT the graph star sees "
+        "(VERDICT r11 #1) — sf0.1 min-of-3 3.85s seeded vs 4.15s "
+        "discard-and-restart, same session",
     "mmr_diversify": "K-1 greedy steps, each an eager materialize + "
         "window stage over the bounded candidate pool; corpus scan "
         "runs once",

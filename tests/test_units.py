@@ -516,6 +516,42 @@ class TestStarContractionComponents:
         assert calls == ["dedup_clusters"], "probe did not trigger the switch"
         assert got == {(i, 0) for i in range(n + 1)}
 
+    def test_adaptive_switch_seeds_star_from_probe(self, spark, monkeypatch):
+        # On a switch the probe's partial labels must contract the graph
+        # BEFORE star runs (VERDICT r11 #1: the probe pays for itself):
+        # star receives label-vertices, never more edges than the input,
+        # and the mapped-back output is still the shared fixpoint. Shape:
+        # a deep path (forces the switch) + attached wide stars (the
+        # probe fully collapses these in its 2 rounds, so contraction
+        # must shrink the edge set star sees).
+        from pubsub2bq_spark.operators import llm_dedup
+
+        seen = {}
+        real = llm_dedup.star_contraction_components
+
+        def spy(pairs, op_name="dedup_clusters"):
+            seen["n_edges"] = pairs.count()
+            return real(pairs, op_name)
+
+        monkeypatch.setattr(llm_dedup, "star_contraction_components", spy)
+        n = 300
+        path = [(i, i + 1) for i in range(n)]
+        # 40 spokes hung off vertex 0: collapsed by the probe round 1.
+        stars = [(0, 1000 + j) for j in range(40)]
+        pairs = spark.createDataFrame(path + stars, "src long, dst long")
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in llm_dedup.adaptive_components(pairs).collect()
+        }
+        assert "n_edges" in seen, "probe did not trigger the switch"
+        assert seen["n_edges"] < len(path) + len(stars), (
+            "star received the raw pairs — probe labels were discarded"
+        )
+        want = {(i, 0) for i in range(n + 1)} | {
+            (1000 + j, 0) for j in range(40)
+        }
+        assert got == want
+
     def test_adaptive_keeps_min_label_on_shallow_graph(self, spark, monkeypatch):
         # Star/shallow graphs converge inside the probe — the selector
         # must NOT pay a star restart there (the text minhash case).
