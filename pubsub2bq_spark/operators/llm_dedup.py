@@ -61,17 +61,26 @@ def text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JAC_KERNEL_CAP = 4096  # block members before the salted-join fallback
 _JAC_TAU = 0.6
+# Byte cap for any single dense doc×vocab-chunk slab inside the kernel
+# (ADVICE r11: a full m×V matrix is O(m·V) — 4096 vocabulary-diverse
+# docs × ~1M distinct tokens would be tens of GB; the Gram blocks were
+# bounded but X itself was not). 64 MB keeps the worker's peak at
+# slab + accumulated lower-triangle Gram (≤ m²/2 · 4 B = 32 MB at cap).
+_JAC_DENSE_BUDGET = 64 << 20
 
 
 def _jaccard_block_kernel(pdf):
     """One (lang, source, len_band) block: emit every qualifying pair
     (doc_a < doc_b, jaccard > tau) with the exact set-Jaccard. Binary
-    doc×vocab matrix; one blocked Gram product yields every
-    intersection size at once (counts ≤ |tok| stay exact in float32);
-    union = |A| + |B| − inter from the set sizes; the division runs in
-    float64 on exact integers — identical to the JVM expression. A
-    zero union (two letter-free docs) is masked out, matching Spark's
-    NULL-dropped 0/0."""
+    doc×vocab matrix, densified one VOCAB CHUNK at a time under
+    _JAC_DENSE_BUDGET bytes so kernel memory is O(m·Vc + m·block) —
+    never O(m·V) — while the blocked Gram product still yields every
+    intersection size exactly (per-chunk partial counts are integers
+    ≤ |tok|, exact in float32, and their sum across chunks stays
+    exact); union = |A| + |B| − inter from the set sizes; the division
+    runs in float64 on exact integers — identical to the JVM
+    expression. A zero union (two letter-free docs) is masked out,
+    matching Spark's NULL-dropped 0/0."""
     import numpy as np
     import pandas as pd
 
@@ -96,13 +105,32 @@ def _jaccard_block_kernel(pdf):
             cols.append(j)
     if not vocab:
         return empty
-    X = np.zeros((m, len(vocab)), dtype=np.float32)
-    X[rows, cols] = 1.0
-    out_a, out_b, out_j = [], [], []
+    nv = len(vocab)
+    rs = np.asarray(rows, dtype=np.int64)
+    cs = np.asarray(cols, dtype=np.int64)
+    order2 = np.argsort(cs, kind="stable")
+    rs, cs = rs[order2], cs[order2]
+    vc = max(1, _JAC_DENSE_BUDGET // (4 * m))
     block = 1024
-    for i0 in range(1, m, block):
+    starts = list(range(1, m, block))
+    # Lower-triangle Gram accumulators, one per row block — float32
+    # partial intersection counts, summed over vocab chunks.
+    inters = [
+        np.zeros((min(i0 + block, m) - i0, min(i0 + block, m)), np.float32)
+        for i0 in starts
+    ]
+    for v0 in range(0, nv, vc):
+        v1 = min(v0 + vc, nv)
+        lo, hi = np.searchsorted(cs, v0), np.searchsorted(cs, v1)
+        xc = np.zeros((m, v1 - v0), dtype=np.float32)
+        xc[rs[lo:hi], cs[lo:hi] - v0] = 1.0
+        for bi, i0 in enumerate(starts):
+            i1 = min(i0 + block, m)
+            inters[bi] += xc[i0:i1] @ xc[:i1].T
+    out_a, out_b, out_j = [], [], []
+    for bi, i0 in enumerate(starts):
         i1 = min(i0 + block, m)
-        inter = (X[i0:i1] @ X[:i1].T).astype(np.float64)
+        inter = inters[bi].astype(np.float64)
         union = (nt[i0:i1, None] + nt[None, :i1]).astype(np.float64) - inter
         col = np.arange(i1)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -124,6 +152,15 @@ def _jaccard_block_kernel(pdf):
         {
             "doc_a": np.concatenate(out_a),
             "doc_b": np.concatenate(out_b),
+            # floor(x*1e6+0.5)/1e6 == DuckDB round(x, 6) (std::round on
+            # the double) for the positive ratios emitted here. Spark's
+            # F.round (HALF_UP on the shortest decimal repr) — the rule
+            # the hot/JVM paths apply — can disagree by 1e-6 only when
+            # x*1e6's float error crosses a .5 boundary, which needs a
+            # denominator with a factor 2^7/5^7 (> any block size here);
+            # accepted divergence, and the driver's exact hash would
+            # surface it (ADVICE r11). Same convention in llm_quality /
+            # llm_similarity kernels and gen_compression_golden.
             "jaccard": np.floor(j * 1e6 + 0.5) / 1e6,
         }
     )
@@ -1276,14 +1313,19 @@ def _lev_block_kernel(pdf):
     fragment-pair group of an over-cap block (side 0 vs side 1 —
     full bipartite cross; fixed fragment assignments make the groups a
     partition of the block's pairs, so each unordered pair is scored
-    exactly once). Emits every pair with lev <= LEV_MAX."""
+    exactly once). Emits every pair with lev <= LEV_MAX. The scoring
+    mode comes from the explicit per-group ``cross`` column (s1 != s2,
+    constant within a group — ADVICE r11: inferring cross from the
+    presence of side==1 rows would silently re-score fragment s1's
+    internal pairs as TRIANGULAR when a cross group arrives with its
+    side-1 fragment empty, duplicating group (s1,s1)'s output)."""
     import numpy as np
     import pandas as pd
 
     empty = pd.DataFrame({"doc_a": [], "doc_b": [], "lev": []}).astype(
         {"doc_a": "int64", "doc_b": "int64", "lev": "int32"}
     )
-    cross = bool((pdf["side"] == 1).any())
+    cross = bool(pdf["cross"].iloc[0])
     if cross:
         a_rows = pdf[pdf["side"] == 0]
         b_rows = pdf[pdf["side"] == 1]
@@ -1405,7 +1447,8 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = (
         tagged.filter(F.col("_kern").isNotNull())
         .select(
-            "lang", "band", "doc_id", "head", F.lit(0).alias("side")
+            "lang", "band", "doc_id", "head",
+            F.lit(0).alias("side"), F.lit(False).alias("cross"),
         )
         .groupBy("lang", "band")
         .applyInPandas(_lev_block_kernel, schema)
@@ -1432,6 +1475,7 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "band", "doc_id", "head",
         F.col("_s").alias("s1"), F.col("_t").alias("s2"),
         F.lit(0).alias("side"),
+        (F.col("_s") != F.col("_t")).alias("cross"),
     )
     part1 = (
         hot.filter(F.col("_s") > 0)
@@ -1440,6 +1484,7 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", "band", "doc_id", "head",
             F.col("_t").alias("s1"), F.col("_s").alias("s2"),
             F.lit(1).alias("side"),
+            F.lit(True).alias("cross"),
         )
     )
     hot_out = (

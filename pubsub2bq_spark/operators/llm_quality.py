@@ -449,8 +449,9 @@ def _semdedup_cell_kernel(pdf):
         {
             "vec_id": np.concatenate(out_id),
             "dup_of": np.concatenate(out_dup),
-            # HALF_UP at 6 decimals (cosines here are > TAU > 0), the
-            # same rule F.round applies to doubles.
+            # Rounds like DuckDB round(x, 6) on positive doubles; see
+            # the accepted-divergence note vs F.round in
+            # llm_dedup._jaccard_block_kernel (ADVICE r11).
             "cosine": np.floor(cos * 1e6 + 0.5) / 1e6,
         }
     )

@@ -611,6 +611,61 @@ class TestStarContractionComponents:
         assert got == {(i, 0) for i in range(65)}
 
 
+class TestJaccardBlockKernel:
+    """The vocab-chunked Gram kernel (ADVICE r11: dense m×V slabs OOM on
+    vocabulary-diverse blocks) must emit exactly the brute-force pair
+    set regardless of chunk width."""
+
+    def _brute(self, docs):
+        out = set()
+        items = sorted(docs.items())
+        for i, (ida, ta) in enumerate(items):
+            for idb, tb in items[i + 1:]:
+                sa, sb = set(ta), set(tb)
+                union = len(sa | sb)
+                if union and len(sa & sb) / union > 0.6:
+                    out.add((ida, idb, round(len(sa & sb) / union, 6)))
+        return out
+
+    def _kernel_pairs(self, docs):
+        import pandas as pd
+        from pubsub2bq_spark.operators.llm_dedup import _jaccard_block_kernel
+
+        pdf = pd.DataFrame(
+            {"doc_id": list(docs), "tok": [docs[k] for k in docs]}
+        )
+        got = _jaccard_block_kernel(pdf)
+        return {
+            (int(a), int(b), float(j))
+            for a, b, j in zip(got.doc_a, got.doc_b, got.jaccard)
+        }
+
+    def test_chunked_equals_brute_force(self, monkeypatch):
+        import random
+
+        from pubsub2bq_spark.operators import llm_dedup
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(300)]
+        docs = {}
+        for d in range(60):
+            base = rng.sample(vocab, rng.randint(3, 25))
+            docs[d] = base
+            if rng.random() < 0.4:  # plant near-dups
+                twin = base[: max(1, len(base) - 1)]
+                docs[1000 + d] = twin
+        docs[2000] = []  # letter-free doc: 0/0 must be masked
+        docs[2001] = []
+        want = self._brute(docs)
+        full = self._kernel_pairs(docs)
+        assert full == want and want
+        # Force many vocab chunks (budget → 1-2 columns per slab) and
+        # require bit-identical output.
+        monkeypatch.setattr(llm_dedup, "_JAC_DENSE_BUDGET", 4 * 70 * 2)
+        chunked = self._kernel_pairs(docs)
+        assert chunked == full
+
+
 class TestMyersLevKernel:
     """The bit-parallel Levenshtein kernel (edit_distance_pairs) must
     equal the textbook DP exactly, in both scope modes."""
@@ -679,7 +734,12 @@ class TestMyersLevKernel:
                     want[(i, j)] = d
 
         pdf = pd.DataFrame(
-            {"doc_id": ids, "head": heads, "side": [0] * len(ids)}
+            {
+                "doc_id": ids,
+                "head": heads,
+                "side": [0] * len(ids),
+                "cross": [False] * len(ids),
+            }
         )
         got = {
             (r.doc_a, r.doc_b): r.lev
@@ -694,18 +754,39 @@ class TestMyersLevKernel:
         for s1 in range(_LEV_SALT):
             for s2 in range(s1, _LEV_SALT):
                 rows = [
-                    (i, heads[i], 0)
+                    (i, heads[i], 0, s1 < s2)
                     for i in ids
                     if salts[i] == s1
                 ] + (
-                    [(i, heads[i], 1) for i in ids if salts[i] == s2]
+                    [(i, heads[i], 1, True) for i in ids if salts[i] == s2]
                     if s1 < s2
                     else []
                 )
-                g = pd.DataFrame(rows, columns=["doc_id", "head", "side"])
+                g = pd.DataFrame(
+                    rows, columns=["doc_id", "head", "side", "cross"]
+                )
                 if len(g):
                     for r in _lev_block_kernel(g).itertuples():
                         k = (r.doc_a, r.doc_b)
                         assert k not in got2, f"pair {k} scored twice"
                         got2[k] = r.lev
         assert got2 == want
+
+    def test_cross_group_with_empty_side_emits_nothing(self):
+        # ADVICE r11: a cross (s1, s2) group whose side-1 fragment is
+        # empty must NOT fall back to triangular scoring — that would
+        # re-emit fragment s1's internal pairs already owned by group
+        # (s1, s1). The explicit cross flag makes this structural.
+        import pandas as pd
+
+        from pubsub2bq_spark.operators.llm_dedup import _lev_block_kernel
+
+        g = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "head": ["abc", "abd", "abe"],
+                "side": [0, 0, 0],
+                "cross": [True, True, True],
+            }
+        )
+        assert len(_lev_block_kernel(g)) == 0
