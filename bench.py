@@ -182,6 +182,9 @@ HEADLINE = [
     "ngram_jaccard",
     "embedding_dedup",
     "edit_distance_pairs",
+    # Round-12 addition: the composed sketch→verify edit-distance
+    # pipeline (LSH candidates → bit-parallel Levenshtein verify).
+    "edit_verified",
 ]
 
 

@@ -1495,6 +1495,94 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense.unionByName(hot_out)
 
 
+def _lev_pair_batches(it):
+    """edit_verified's verify stage: each Arrow batch carries candidate
+    pairs with both heads inline; score every pair once with the shared
+    bit-parallel Myers/Hyyrö kernel and emit only (doc_a, doc_b, lev)
+    rows under the threshold. Cost is PAIR-sized (one <=64-step DP per
+    candidate, vectorized across the batch) — never block-quadratic."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        if not len(pdf):
+            continue
+        heads = [
+            "" if h is None else str(h)
+            for h in list(pdf["head_a"]) + list(pdf["head_b"])
+        ]
+        na = len(pdf)
+        prep = _myers_prep(heads)
+        score = _myers_lev(prep, np.arange(na), np.arange(na, 2 * na))
+        q = score <= LEV_MAX
+        if q.any():
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"].to_numpy(dtype=np.int64)[q],
+                    "doc_b": pdf["doc_b"].to_numpy(dtype=np.int64)[q],
+                    "lev": score[q].astype(np.int32),
+                }
+            )
+
+
+@register(
+    "edit_verified",
+    oracle=_minhash_sig_sql()
+    + f"""
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bk FROM banded) a
+            JOIN (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bk FROM banded) b
+              ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        heads AS (
+            SELECT doc_id, substr(text, 1, {LEV_PREFIX}) AS head
+            FROM documents
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(ha.head, hb.head) AS INTEGER) AS lev
+        FROM cand c
+        JOIN heads ha ON ha.doc_id = c.doc_a
+        JOIN heads hb ON hb.doc_id = c.doc_b
+        WHERE levenshtein(ha.head, hb.head) <= {LEV_MAX}
+    """,
+    doc="The composed sketch→verify near-dup pipeline for EDIT DISTANCE "
+        "(VERDICT r11 #6): MinHash-LSH candidate generation (recall) "
+        "followed by exact bit-parallel Levenshtein verification over "
+        f"the first {LEV_PREFIX} chars (precision, threshold {LEV_MAX}) "
+        "— the 100 TB headline for character-level dedup. "
+        "edit_distance_pairs stays as the documented exact-stage key "
+        "(length-band blocks, no sketch); minhash_verified is the "
+        "token-set-Jaccard sibling of this composition.",
+    scale_notes="The verify cost is CANDIDATE-sized, not block-"
+                "quadratic: LSH bounds the pair count (banded join, "
+                "salted hot buckets), the heads join is two hash joins "
+                "keyed on doc_id moving 64-char prefixes, and the Myers "
+                "kernel scores each pair once in ~12 word-ops per text "
+                "char, vectorized across each Arrow batch. At 100 TB "
+                "the sketch stage is the only corpus-sized pass.",
+)
+def edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = minhash_lsh(spark, sf_dir)
+    heads = fan_out(load(spark, sf_dir, "documents"), spark).select(
+        "doc_id", F.substring("text", 1, LEV_PREFIX).alias("head")
+    )
+    pairs = cand.join(
+        heads.select(
+            F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a")
+        ),
+        "doc_a",
+    ).join(
+        heads.select(
+            F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b")
+        ),
+        "doc_b",
+    )
+    return pairs.mapInPandas(
+        _lev_pair_batches, "doc_a bigint, doc_b bigint, lev int"
+    )
+
+
 @register(
     "canonical_dedup",
     oracle="""
