@@ -128,7 +128,7 @@ _LLM_PREFIXES = (
     "doc_chunk", "feature_hash", "negative_sample", "sequence_pack",
     "dataset_mixture", "corpus_shuffle", "mixture_temperature",
     "shard_manifest", "dup_passage", "incremental_dedup",
-    "canonical_dedup", "edit_distance", "ngram_jaccard",
+    "canonical_dedup", "edit_distance", "edit_verified", "ngram_jaccard",
 )
 
 

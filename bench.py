@@ -685,8 +685,30 @@ def _stream_throughput_section(
             f"({now_rate / was_rate:.2f}× — informational; the gate is "
             "busy seconds, which drift-normalizes)"
         )
+    # p95 batch latency is GATED too (VERDICT r11 #5): the reference's
+    # continuous-delivery contract (dataFreshness: 0s) is about
+    # worst-case staleness a sink consumer observes, and total busy
+    # seconds can stay flat while the tail stretches (fewer, slower
+    # batches). Drift-normalized like busy, with the plain-batch 0.5s
+    # noise floor — a single micro-batch's scheduling jitter.
+    was_p95 = prior.get("stream_throughput_batch_p95_sec")
+    now_p95 = stream_metrics.get("stream_throughput_batch_p95_sec")
+    if was_p95 and now_p95:
+        p95_v = now_p95 / drift
+        p95_ratio = p95_v / was_p95 if was_p95 > 0 else float("inf")
+        p95_flag = (
+            p95_ratio > REGRESSION_FACTOR
+            and p95_v - was_p95 > MIN_ABS_REGRESSION
+        )
+        flagged = flagged or p95_flag
+        lines.append(
+            f"- batch p95 vs prior: {was_p95}s → {now_p95}s "
+            f"(drift-normalized ratio {p95_ratio:.2f}×, floor "
+            f"{MIN_ABS_REGRESSION}s) — "
+            f"{'**REGRESSED**' if p95_flag else 'ok'}"
+        )
     tail_pairs = []
-    for q in ("p50", "p95", "p99"):
+    for q in ("p50", "p99"):
         was_q = prior.get(f"stream_throughput_batch_{q}_sec")
         now_q = stream_metrics.get(f"stream_throughput_batch_{q}_sec")
         if was_q and now_q:
@@ -908,7 +930,7 @@ def compare_to_prior_rounds(
         prior, stream_metrics or {}, drift
     )
     if stream_flag:
-        flagged.append("stream_throughput(busy)")
+        flagged.append("stream_throughput(busy/p95)")
     build_lines, build_flags = _build_cost_section(
         prior, build_metrics or {}, drift
     )

@@ -1,0 +1,393 @@
+"""Pure-stdlib baseline-JPEG codec (struct + numpy) for the multimodal verbs.
+
+The container ships no image libraries, but baseline sequential DCT JPEG
+is decodable with nothing beyond ``struct`` and numpy — the format is
+public (ITU-T T.81 / ISO 10918-1). This module implements the minimal
+honest subset the engine needs, in the same spirit as png_codec.py
+(VERDICT r11 #7 — the last honest multimodal gap):
+
+* :func:`encode_jpeg_gray` — 8-bit grayscale, baseline sequential, one
+  component, standard Annex K luminance Huffman tables, a caller-chosen
+  flat quantization table. Real forward DCT → quantize → Huffman
+  entropy coding with byte stuffing.
+* :func:`decode_jpeg` — parses SOI/APP/DQT/SOF0/DHT/SOS, Huffman-decodes
+  the entropy stream (DC prediction, AC run-length, EOB/ZRL),
+  dequantizes, inverse-DCTs, level-shifts and crops. Grayscale
+  (1-component) baseline only; progressive / arithmetic / subsampled
+  color are rejected loudly rather than mis-decoded.
+* :func:`synth_jpeg_from_bytes` — the text-fixture bridge: dimensions
+  from the same byte-length rule as the PNG path, pixels CONSTANT per
+  8×8 block (v = (11·bx + 7·by) mod 256). With a flat quant table of
+  8, a constant block's only nonzero coefficient is the DC term
+  8·(v−128), which quantizes and reconstructs EXACTLY — so the decoded
+  image equals the synthesized one bit-for-bit and an oracle can state
+  the pixel sum in closed form despite JPEG being lossy in general.
+
+Everything is numpy-vectorized per image; inside an Arrow batch the
+per-row Python overhead is one function call, matching the engine's
+"Python only in batched kernels" rule (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_SIG = b"\xff\xd8"
+
+# Zigzag scan order (T.81 Figure 5): zigzag index -> raster index.
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Standard luminance Huffman tables (T.81 Annex K.3): BITS counts per
+# code length 1..16, then the symbol values in code order.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 Annex C code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, the decoder-side view."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+# Orthonormal 8x8 DCT-II basis: A @ x @ A.T gives exactly the T.81
+# coefficient definition (F(0,0) = 8 * mean of the level-shifted block).
+_A = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _c = np.sqrt(1 / 8) if _u == 0 else np.sqrt(2 / 8)
+        _A[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _blocks_of(px: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad to 8x8 multiples (edge-replicate, the T.81 recommendation)
+    and return (blocks[by, bx, 8, 8] float64 level-shifted, bw, bh)."""
+    h, w = px.shape
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    pad = np.pad(px.astype(np.float64) - 128.0,
+                 ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    return (
+        pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3),
+        bw,
+        bh,
+    )
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 B.1.1.5)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, bits): T.81 F.1.2.1 magnitude category + appended bits
+    (ones'-complement representation for negatives)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_gray(px: np.ndarray, quant: int = 8) -> bytes:
+    """Encode an 8-bit grayscale image as baseline sequential JPEG with
+    a FLAT quantization table (every entry = ``quant``) and the Annex K
+    luminance Huffman tables."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    blocks, bw, bh = _blocks_of(px)
+    coefs = np.einsum("ux,byxz,vz->byuv", _A, blocks, _A)
+    q = np.rint(coefs / float(quant)).astype(np.int64)
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bwr = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = q[by, bx].reshape(64)[_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, length = dc_codes[size]
+            bwr.write(code, length)
+            bwr.write(bits, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bwr.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = ac_codes[(run << 4) | size]
+                bwr.write(code, length)
+                bwr.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bwr.write(code, length)
+
+    qtab = np.full(64, quant, dtype=np.uint8)[_UNZIGZAG][_ZIGZAG]
+    # (flat table: the zigzag permutation is the identity on it, but
+    # keep the transform explicit for non-flat callers.)
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qtab)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_DC_VALS)) + b"\x00"
+    out += bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_AC_VALS)) + b"\x10"
+    out += bytes(_AC_BITS) + bytes(_AC_VALS)
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    out += bwr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:  # stuffed
+                    self.pos += 1
+                else:  # a marker: scan over — emit pad 1s
+                    self.pos -= 1
+                    byte = 0xFF
+                    self.acc = (self.acc << 8) | byte
+                    self.nbits += 8
+                    return
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:
+            raise ValueError("jpeg: truncated entropy stream")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: ones'-complement magnitude decode."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a baseline sequential GRAYSCALE JPEG →
+    ``(width, height, channels=1, pixels[h, w, 1] uint8)``.
+
+    Loud rejection for anything outside the supported subset
+    (progressive SOF2, arithmetic coding, multi-component scans,
+    restart markers) — mis-decoding silently would be worse than the
+    former NotImplementedError gate this decoder replaces."""
+    if payload[:2] != JPEG_SIG:
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = -1
+    comp_q = 0
+    dc_id = ac_id = 0
+    scan_start = -1
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                tab = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                qtables[tq] = tab.astype(np.int64)[_UNZIGZAG].reshape(8, 8)
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            h = struct.unpack(">H", body[1:3])[0]
+            w = struct.unpack(">H", body[3:5])[0]
+            ncomp = body[5]
+            if body[0] != 8:
+                raise NotImplementedError("jpeg: non-8-bit precision")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "jpeg: only 1-component (grayscale) baseline supported"
+                )
+            if body[7] != 0x11:
+                raise NotImplementedError("jpeg: subsampling unsupported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "jpeg: only baseline sequential (SOF0) supported"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                htables[(tc, th)] = _decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if body[0] != 1:
+                raise NotImplementedError("jpeg: multi-component scan")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if w < 0 or scan_start < 0:
+        raise ValueError("jpeg: missing SOF0 or SOS")
+    q = qtables[comp_q]
+    dc_tab = htables[(0, dc_id)]
+    ac_tab = htables[(1, ac_id)]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    rdr = _BitReader(payload[scan_start:])
+    coefs = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int64)
+            size = rdr.read_huff(dc_tab)
+            pred += _extend(rdr.read(size), size)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = rdr.read_huff(ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("jpeg: bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("jpeg: AC index overflow")
+                zz[k] = _extend(rdr.read(size), size)
+                k += 1
+            coefs[by, bx].reshape(-1)[:] = (zz[_UNZIGZAG].reshape(8, 8) * q).reshape(-1)
+    spatial = np.einsum("xu,byuv,vz->byxz", _A.T, coefs, _A)
+    full = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+    px = np.clip(np.rint(full), 0, 255).astype(np.uint8)[:h, :w]
+    return w, h, 1, px[:, :, None]
+
+
+def synth_jpeg_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* baseline JPEG whose dimensions follow the
+    byte-length rule shared with :func:`...multimodal.fake_decode_meta`
+    (w = n%64+16, h = (n//64)%64+16) and whose pixel at (x, y) is the
+    8×8-BLOCK-CONSTANT value ``(11·(x//8) + 7·(y//8)) mod 256``.
+
+    Block-constant pixels make the lossy pipeline exact: the only
+    nonzero coefficient is DC = 8·(v−128), which the flat quant step 8
+    reduces to the integer v−128 and reconstructs bit-for-bit — so the
+    decode round-trip equals the synthesized image and an oracle can
+    state Σpx in closed form (sum over the block grid of v·(block area
+    inside the crop)) despite the real Huffman/DCT machinery running.
+    """
+    n = len(payload)
+    w = n % 64 + 16
+    h = (n // 64) % 64 + 16
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    px = ((11 * bx[None, :] + 7 * by[:, None]) % 256).astype(np.uint8)
+    return encode_jpeg_gray(px, quant=8)

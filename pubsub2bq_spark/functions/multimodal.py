@@ -13,9 +13,14 @@ Codec coverage is split honestly:
   container parse + PCM frame decode + RMS feature math.
 * **AVI (uncompressed 8-bit DIB)** — fully real, stdlib ``struct``
   (functions/avi_codec.py): RIFF walk, strf header, movi frame chunks.
-* everything else (JPEG/mp3/compressed video codecs) raises
-  ``NotImplementedError`` unless a real decoder library (PIL) imports —
-  the container has none, and pretending otherwise would be worse.
+* **JPEG (baseline sequential grayscale)** — fully real, stdlib-only
+  (functions/jpeg_codec.py, r12): marker parse, Annex-K Huffman
+  entropy decode, dequantize, IDCT. Progressive / arithmetic /
+  subsampled-color JPEG still rejects loudly.
+* everything else (progressive JPEG/mp3/compressed video codecs)
+  raises ``NotImplementedError`` unless a real decoder library (PIL)
+  imports — the container has none, and pretending otherwise would be
+  worse.
 
 ``fake_decode_meta`` remains as the deterministic stand-in used by the
 pure-plumbing keys (multimodal_meta / frame_sample), whose oracles
@@ -31,6 +36,12 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from pubsub2bq_spark.functions.jpeg_codec import (
+    JPEG_SIG,
+    decode_jpeg,
+    encode_jpeg_gray,
+    synth_jpeg_from_bytes,
+)
 from pubsub2bq_spark.functions.png_codec import (
     PNG_SIG,
     decode_png,
@@ -52,12 +63,15 @@ except ImportError:
 def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode an image payload → ``(width, height, channels, pixels)``.
 
-    PNG decodes with the stdlib codec (real inflate + defilter). Other
-    formats need PIL; without it the NotImplementedError path is
-    reachable only for non-PNG codecs.
+    PNG decodes with the stdlib codec (real inflate + defilter);
+    baseline grayscale JPEG with the stdlib Huffman+IDCT codec (r12).
+    Other formats need PIL; without it the NotImplementedError path is
+    reachable only for the remaining codecs (progressive JPEG, etc.).
     """
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == JPEG_SIG:
+        return decode_jpeg(payload)
     if _HAS_PIL:  # pragma: no cover - no PIL in this container
         import io
 
@@ -146,6 +160,14 @@ def resize_image(payload: bytes, target: int = RESIZE_TARGET) -> bytes:
         out_h = max(1, (h * target) // long_side)
         return encode_png(resize_nearest(px.squeeze(-1) if px.shape[2] == 1 else px,
                                          out_w, out_h))
+    if payload[:2] == JPEG_SIG:
+        w, h, _ch, px = decode_jpeg(payload)
+        long_side = max(w, h)
+        out_w = max(1, (w * target) // long_side)
+        out_h = max(1, (h * target) // long_side)
+        return encode_jpeg_gray(
+            resize_nearest(px.squeeze(-1), out_w, out_h)
+        )
     if _HAS_PIL:  # pragma: no cover - no PIL in this container
         import io
 
@@ -226,6 +248,44 @@ PNG_RESIZE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, width int, height int, "
     "px_sum bigint, out_w int, out_h int"
 )
+
+
+def jpeg_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the REAL baseline-JPEG path (r12, the
+    JPEG twin of png_resize_batches): synthesize a baseline JPEG per
+    payload (block-constant pixels — see synth_jpeg_from_bytes for why
+    the lossy pipeline is exact on them), then genuinely decode it
+    (marker parse, Annex-K Huffman, dequant, IDCT), pixel-sum the
+    decoded image, resize via the generic resize_image verb (which
+    re-encodes as JPEG), and re-decode the output for its measured
+    dimensions. Every reported number comes out of the decoder."""
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "width": [], "height": [],
+            "px_sum": [], "out_w": [], "out_h": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            jp = synth_jpeg_from_bytes(payload)
+            w, h, _ch, px = decode_jpeg(jp)
+            out_w, out_h, _oc, _opx = decode_jpeg(resize_image(jp))
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["px_sum"].append(int(px.sum(dtype=np.int64)))
+            rows["out_w"].append(out_w)
+            rows["out_h"].append(out_h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+                "out_w": pd.Series(rows["out_w"], dtype="int32"),
+                "out_h": pd.Series(rows["out_h"], dtype="int32"),
+            }
+        )
 
 
 def resize_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -236,6 +236,92 @@ N_CELLS = 16       # IVF coarse-quantizer cells
 N_PROBE = 4        # cells probed per query
 
 
+_IVF_SEARCH_FRAGS = 4  # member fragments per cell: kernel parallelism
+_IVF_TOPK = 10
+
+
+def _probe_topk_kernel(left, right):
+    """One (cell, fragment) cogroup of the IVF probe search: ``left`` =
+    member rows (vec_id, v), ``right`` = the cell's probe rows
+    (query_id, qv) replicated to every fragment. Emits each query's
+    top-_IVF_TOPK candidates WITHIN the fragment by (cos DESC, vec_id
+    ASC) — exact and mergeable: top-k under a total order distributes
+    over any partition of the candidates, so the global window over the
+    per-fragment winners equals the window over all scored pairs. The
+    cosine is the same dot/(|a||b|) formula as _cosine, evaluated in
+    float64 BLAS (the r11 kernel convention — embedding_dedup/semdedup
+    established hash-parity of Gram-product cosines vs the sequential
+    folds)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"query_id": [], "vec_id": [], "cos": []}).astype(
+        {"query_id": "int64", "vec_id": "int64", "cos": "float64"}
+    )
+    if not len(left) or not len(right):
+        return empty
+    ids = left["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mem = np.stack(left["v"].iloc[order].to_list()).astype(np.float64)
+    qids = right["query_id"].to_numpy(dtype=np.int64)
+    qv = np.stack(right["qv"].to_list()).astype(np.float64)
+    mn = np.sqrt(np.einsum("ij,ij->i", mem, mem))
+    qn = np.sqrt(np.einsum("ij,ij->i", qv, qv))
+    cos = (qv @ mem.T) / (qn[:, None] * mn[None, :])
+    out_q, out_v, out_c = [], [], []
+    for i in range(len(qids)):
+        row = cos[i]
+        self_mask = ids == qids[i]
+        if self_mask.any():
+            row = row.copy()
+            row[self_mask] = -np.inf
+        # members pre-sorted by vec_id, so a STABLE sort on -cos makes
+        # vec_id the tie-break — the window's exact total order.
+        sel = np.argsort(-row, kind="stable")[:_IVF_TOPK]
+        sel = sel[np.isfinite(row[sel])]
+        if len(sel):
+            out_q.append(np.full(len(sel), qids[i], dtype=np.int64))
+            out_v.append(ids[sel])
+            out_c.append(row[sel])
+    if not out_q:
+        return empty
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_v),
+            "cos": np.concatenate(out_c),
+        }
+    )
+
+
+def _ivf_probe_search(asgn: DataFrame, probes: DataFrame) -> DataFrame:
+    """(query_id, vec_id, cos) probe-search candidates, ≤ _IVF_TOPK per
+    (cell, fragment, query) — the r12 rewrite of the IVF search stage.
+    The former shape (broadcast-join probes onto members, score every
+    pair JVM-side, window the q·n/nprobe-row relation) moved the WHOLE
+    scored cross product through the top-k shuffle — the 64× probe
+    measured it at 44.6 s while assignment was already linear. Here the
+    corpus shuffles ONCE keyed on (cid, fragment) — the IVF serving
+    layout — each cogroup scores its queries×members block in one BLAS
+    product, and only top-k-per-fragment winners (q × nprobe × frags ×
+    k rows, output-sized) reach the final window. Fragments exist for
+    kernel parallelism only; exactness never depends on them."""
+    frag = F.pmod(F.xxhash64("vec_id"), F.lit(_IVF_SEARCH_FRAGS)).cast("int")
+    mem = asgn.select("cid", frag.alias("_f"), "vec_id", "v")
+    pr = probes.withColumn(
+        "_f",
+        F.explode(F.array(*[F.lit(i) for i in range(_IVF_SEARCH_FRAGS)])),
+    ).select("cid", "_f", "query_id", "qv")
+    return (
+        mem.groupBy("cid", "_f")
+        .cogroup(pr.groupBy("cid", "_f"))
+        .applyInPandas(
+            _probe_topk_kernel, "query_id bigint, vec_id bigint, cos double"
+        )
+    )
+
+
 @register(
     "ann_ivf",
     oracle=f"""
@@ -295,20 +381,42 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(N_CELLS)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
-    w_cell = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid").asc()
-    )
     # One centroid-assignment pass (N_CELLS cosines per vector), pruned to
     # the probe depth and materialized: this IS the IVF index build — its
     # two consumers (cell assignment, query probes) otherwise each re-ran
     # the broadcast crossJoin, and the plan scanned embeddings 4 times.
     # At 100 TB the persisted index would carry (vec_id, cid) only and
     # re-join vectors by id; locally the vectors ride along.
+    # Probe ranking runs MAP-SIDE (r12): sort the per-vector
+    # (−cos, cid) struct array — ascending struct order IS the old
+    # window's (cos DESC, cid ASC) — and explode the N_PROBE head;
+    # the former crossJoin + row_number shuffled n × N_CELLS
+    # vector-carrying rows, the exchange that dominated the 64× probe.
+    cent_arr = cent.agg(
+        F.collect_list(F.struct("cid", "cv")).alias("_cents")
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda s: F.struct(
+                    (-_cosine(F.col("v"), s["cv"])).alias("negcos"),
+                    s["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        N_PROBE,
+    )
     dist = (
-        em.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cid", _cosine(F.col("v"), F.col("cv")).alias("cos_c"))
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") <= N_PROBE)
+        em.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "v", F.posexplode(ranked).alias("_p", "_cell"))
+        .select(
+            "vec_id",
+            "v",
+            F.col("_cell.cid").alias("cid"),
+            (F.col("_p") + 1).alias("rn"),
+        )
         .transform(materialize)
     )
     asgn = dist.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
@@ -316,11 +424,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.filter((F.col("rn") <= N_PROBE) & (F.col("vec_id") % 100 == 0))
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
     )
-    scored = (
-        asgn.join(F.broadcast(probes), "cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
-    )
+    scored = _ivf_probe_search(asgn, probes)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -835,18 +939,28 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), F.posexplode(sub_arr).alias("m", "csub"))
     )
     dbs = em.select("vec_id", F.posexplode(sub_arr).alias("m", "sub"))
-    d2 = (
-        _dot(F.col("sub"), F.col("sub"))
-        - 2 * _dot(F.col("sub"), F.col("csub"))
-        + _dot(F.col("csub"), F.col("csub"))
+    # Per-subspace code assignment map-side (r12): broadcast the PQ_M-row
+    # per-subspace codebook ARRAY and argmin (d2, cid) structs — the
+    # former row-level cbs join + window shuffled n × PQ_M × PQ_K rows.
+    cbs_by_m = cbs.groupBy("m").agg(
+        F.collect_list(F.struct("cid", "csub")).alias("_cb")
     )
-    w_code = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    best_code = F.array_min(
+        F.transform(
+            F.col("_cb"),
+            lambda s: F.struct(
+                (
+                    _dot(F.col("sub"), F.col("sub"))
+                    - 2 * _dot(F.col("sub"), s["csub"])
+                    + _dot(s["csub"], s["csub"])
+                ).alias("d2"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
     codes = (
-        dbs.join(F.broadcast(cbs), "m")
-        .select("vec_id", "m", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cid")
+        dbs.join(F.broadcast(cbs_by_m), "m")
+        .select("vec_id", "m", best_code["cid"].alias("cid"))
     )
     recon = (
         codes.join(F.broadcast(cbs), ["m", "cid"])
@@ -1017,16 +1131,35 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(N_CELLS)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
-    w_cell = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid").asc()
+    # Map-side probe ranking (r12, same shape as ann_ivf): ascending
+    # (−cos, cid) struct sort == the old window's (cos DESC, cid ASC);
+    # cv rides in the struct (cid is unique, so it never participates
+    # in the ordering) because both consumers need the residual v − cv.
+    cent_arr = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("_cents"))
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda s: F.struct(
+                    (-_cosine(F.col("v"), s["cv"])).alias("negcos"),
+                    s["cid"].alias("cid"),
+                    s["cv"].alias("cv"),
+                ),
+            )
+        ),
+        1,
+        N_PROBE,
     )
     dist = (
-        em.crossJoin(F.broadcast(cent))
+        em.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "v", F.posexplode(ranked).alias("_p", "_cell"))
         .select(
-            "vec_id", "v", "cid", "cv",
-            _cosine(F.col("v"), F.col("cv")).alias("cos_c"),
+            "vec_id",
+            "v",
+            F.col("_cell.cid").alias("cid"),
+            F.col("_cell.cv").alias("cv"),
+            (F.col("_p") + 1).alias("rn"),
         )
-        .withColumn("rn", F.row_number().over(w_cell))
     )
     res = dist.filter(F.col("rn") == 1).select(
         "vec_id",
@@ -1049,20 +1182,28 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("kid"), F.posexplode(sub_arr).alias("m", "csub"))
     )
     dbs = res.select("vec_id", F.posexplode(sub_arr).alias("m", "sub"))
-    d2 = (
-        _dot(F.col("sub"), F.col("sub"))
-        - 2 * _dot(F.col("sub"), F.col("csub"))
-        + _dot(F.col("csub"), F.col("csub"))
+    # Per-subspace code assignment map-side (r12): join the PQ_M-row
+    # per-subspace codebook ARRAY and argmin (d2, kid) structs — the
+    # former row-level cbs join + window shuffled n × PQ_M × PQ_K rows.
+    cbs_by_m = cbs.groupBy("m").agg(
+        F.collect_list(F.struct("kid", "csub")).alias("_cb")
     )
-    w_code = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d2").asc(), F.col("kid").asc()
+    best_code = F.array_min(
+        F.transform(
+            F.col("_cb"),
+            lambda s: F.struct(
+                (
+                    _dot(F.col("sub"), F.col("sub"))
+                    - 2 * _dot(F.col("sub"), s["csub"])
+                    + _dot(s["csub"], s["csub"])
+                ).alias("d2"),
+                s["kid"].alias("kid"),
+            ),
+        )
     )
     codes = (
-        dbs.join(F.broadcast(cbs), "m")
-        .select("vec_id", "m", "kid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "kid")
+        dbs.join(F.broadcast(cbs_by_m), "m")
+        .select("vec_id", "m", best_code["kid"].alias("kid"))
     )
     recon = (
         codes.join(F.broadcast(cbs), ["m", "kid"])

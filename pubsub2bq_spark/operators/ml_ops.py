@@ -76,20 +76,36 @@ def _sqdist(a, b):
     return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
 
 
+def _cent_array(cents: DataFrame, *cols: str) -> DataFrame:
+    """ONE row holding the whole broadcast-size centroid relation as an
+    array of structs — the shape that lets nearest-cell selection run
+    as a map-side array expression instead of a crossJoin + row_number
+    window (which shuffled n_vecs × k VECTOR-CARRYING rows; at the 64×
+    probe that exchange, not the distance math, dominated every
+    quantizer build — VERDICT r11 #4)."""
+    return cents.agg(
+        F.collect_list(F.struct(*[F.col(c) for c in cols])).alias("_cents")
+    )
+
+
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the K-row centroid relation,
-    argmin squared distance with cid as the deterministic tie-break."""
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist").asc(), F.col("cid").asc()
+    """Nearest-centroid assignment: broadcast the K-row centroid relation
+    as one array row; argmin squared distance with cid as the
+    deterministic tie-break via array_min over (dist, cid) structs —
+    struct ordering IS (dist ASC, cid ASC), the window's exact order,
+    and the whole argmin happens inside one projection (no shuffle)."""
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                _sqdist(F.col("v"), s["c"]).alias("dist"),
+                s["cid"].alias("cid"),
+            ),
+        )
     )
     return (
-        vecs.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "v", "cid", _sqdist(F.col("v"), F.col("c")).alias("dist")
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        vecs.crossJoin(F.broadcast(_cent_array(cents, "cid", "c")))
+        .select("vec_id", "v", best["cid"].alias("cid"))
     )
 
 
@@ -396,13 +412,19 @@ def _kpp_candidates(v: DataFrame, l: int = KPP_L) -> DataFrame:
     )
     for r in range(1, KPP_ROUNDS + 1):
         cand = cand.transform(materialize)  # loop-carried, broadcast-sized
+        # min-distance-to-running-set as a map-side array expression
+        # over the one-row candidate array: the former crossJoin +
+        # groupBy(vec_id) shuffled n × |cand| vector rows per round.
+        d2 = F.array_min(
+            F.transform(
+                F.col("_cents"), lambda s: _sqdist(F.col("v"), s["c"])
+            )
+        )
         d = (
-            v.crossJoin(F.broadcast(cand))
-            .groupBy("vec_id")
-            .agg(
-                F.round(F.min(_sqdist(F.col("v"), F.col("c"))) * KPP_SCALE, 0)
-                .cast("bigint")
-                .alias("d2i")
+            v.crossJoin(F.broadcast(_cent_array(cand, "cid_v", "c")))
+            .select(
+                "vec_id",
+                F.round(d2 * KPP_SCALE, 0).cast("bigint").alias("d2i"),
             )
             # d feeds both the phi aggregate and the sampling filter;
             # without this the corpus-wide distance pass runs twice per
@@ -429,14 +451,18 @@ def _kpp_ranked(v: DataFrame, cand: DataFrame) -> DataFrame:
     count, rank = count of strictly better candidates (weight desc,
     cid_v asc) via broadcast triangular join — no single-partition
     window. Shared by kmeans_parallel_init and _kpp_seeds."""
-    w_asgn = Window.partitionBy("vec_id").orderBy(
-        F.col("dist").asc(), F.col("cid_v").asc()
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                _sqdist(F.col("v"), s["c"]).alias("dist"),
+                s["cid_v"].alias("cid_v"),
+            ),
+        )
     )
     asgn = (
-        v.crossJoin(F.broadcast(cand))
-        .select("vec_id", "cid_v", _sqdist(F.col("v"), F.col("c")).alias("dist"))
-        .withColumn("rn", F.row_number().over(w_asgn))
-        .filter(F.col("rn") == 1)
+        v.crossJoin(F.broadcast(_cent_array(cand, "cid_v", "c")))
+        .select("vec_id", best["cid_v"].alias("cid_v"))
     )
     # Materialize the ≤~65-row weight relation: w and other are two
     # branches of the same plan rooted at the corpus-scale assignment —
@@ -1078,16 +1104,33 @@ def _ivfk_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
             .transform(materialize)  # feeds both Lloyd rounds + search pass
         )
         cents = _recompute(_assign(v, _kpp_seeds(v))).transform(materialize)
-        w_cell = Window.partitionBy("vec_id").orderBy(
-            F.col("dist").asc(), F.col("cid").asc()
+        # Probe-depth nearest cells map-side: sort the per-vector
+        # (dist, cid) struct array — struct order IS the old window's
+        # (dist ASC, cid ASC) — and explode only the IVFK_PROBE head;
+        # the former crossJoin + row_number shuffled n × k vector rows.
+        ranked = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("_cents"),
+                    lambda s: F.struct(
+                        _sqdist(F.col("v"), s["c"]).alias("dist"),
+                        s["cid"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+            IVFK_PROBE,
         )
         dist = (
-            v.crossJoin(F.broadcast(cents))
+            v.crossJoin(F.broadcast(_cent_array(cents, "cid", "c")))
+            .select("vec_id", "v", F.posexplode(ranked).alias("_p", "_cell"))
             .select(
-                "vec_id", "v", "cid", _sqdist(F.col("v"), F.col("c")).alias("dist")
+                "vec_id",
+                "v",
+                F.col("_cell.cid").alias("cid"),
+                F.col("_cell.dist").alias("dist"),
+                (F.col("_p") + 1).alias("rn"),
             )
-            .withColumn("rn", F.row_number().over(w_cell))
-            .filter(F.col("rn") <= IVFK_PROBE)
             .transform(materialize)  # index build; feeds assignment AND probes
         )
         return v, dist
@@ -1098,18 +1141,17 @@ def _ivfk_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 def _ivfk_search(dist: DataFrame) -> DataFrame:
     """Top-10 probe search over the (vec_id, v, cid, rn) index relation
     — shared verbatim by the in-memory and the reloaded-from-disk
-    serving paths so their results cannot diverge."""
-    from pubsub2bq_spark.operators.llm_similarity import _cosine
+    serving paths so their results cannot diverge. The scoring stage is
+    the shared per-cell cogroup kernel (_ivf_probe_search, r12): the
+    corpus shuffles once on (cid, fragment) and only per-fragment top-k
+    winners reach this window."""
+    from pubsub2bq_spark.operators.llm_similarity import _ivf_probe_search
 
     asgn = dist.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
     probes = dist.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
     )
-    scored = (
-        asgn.join(F.broadcast(probes), "cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
-    )
+    scored = _ivf_probe_search(asgn, probes)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
@@ -1347,20 +1389,26 @@ def _hier_build(v: DataFrame, n: int) -> tuple[DataFrame, DataFrame, DataFrame]:
 
 
 def _hier_route(v: DataFrame, sc1: DataFrame, cmap: DataFrame) -> DataFrame:
-    """(vec_id, sid, cell_id): nearest-supercell-first vector routing."""
+    """(vec_id, sid, cell_id): nearest-supercell-first vector routing.
+    Stage 2 is a broadcast equi-join on sid against the PER-SUPERCELL
+    cell array (~k/s structs) + a map-side array_min — the former
+    row-level cmap join + window shuffled n × k/s vector rows."""
     r1 = _assign(v, sc1).select("vec_id", "v", F.col("cid").alias("sid"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist").asc(), F.col("cell_id").asc()
+    cells_by_sid = cmap.groupBy("sid").agg(
+        F.collect_list(F.struct("cell_id", "cc")).alias("_cells")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cells"),
+            lambda s: F.struct(
+                _sqdist(F.col("v"), s["cc"]).alias("dist"),
+                s["cell_id"].alias("cell_id"),
+            ),
+        )
     )
     return (
-        r1.join(F.broadcast(cmap), "sid")
-        .select(
-            "vec_id", "sid", "cell_id",
-            _sqdist(F.col("v"), F.col("cc")).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sid", "cell_id")
+        r1.join(F.broadcast(cells_by_sid), "sid")
+        .select("vec_id", "sid", best["cell_id"].alias("cell_id"))
     )
 
 
