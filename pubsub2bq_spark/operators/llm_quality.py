@@ -325,6 +325,7 @@ def _quantizer_build_impl(
     import math
 
     from pubsub2bq_spark.operators.ml_ops import (
+        _KPP_KERNEL_MIN,
         _assign,
         _kpp_seeds,
         _kpp_u16,
@@ -351,9 +352,16 @@ def _quantizer_build_impl(
     else:
         vs = v
     seeds = _kpp_seeds(vs, k=n_cells, l=2 * n_cells)
-    cent = _recompute(_assign(v, seeds)).transform(materialize)
+    # Corpus-scaled k (= ceil(sqrt(n))): both full-corpus assignment
+    # passes use the bucketed Arrow kernel (bit-identical doubles —
+    # ml_ops._kernel_assign); the map-side expression path would
+    # evaluate k interpreted HOF folds per vector.
+    use_kernel = n_cells > _KPP_KERNEL_MIN
+    cent = _recompute(
+        _assign(v, seeds, kernel=use_kernel)
+    ).transform(materialize)
     asgn = (
-        _assign(v, cent)
+        _assign(v, cent, kernel=use_kernel)
         .select("cid", "vec_id", "v")
         .transform(materialize)
     )

@@ -88,12 +88,116 @@ def _cent_array(cents: DataFrame, *cols: str) -> DataFrame:
     )
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+_ASSIGN_KERNEL_BUCKETS = 32  # vector buckets per kernel assignment pass
+_KPP_KERNEL_MIN = 256  # centroid/candidate rows before the kernel path
+# (the fixed-k callers — ann_ivf_kmeans's 65-candidate seeding, the
+# 16-cell assigns — stay on the zero-shuffle map-side expression; the
+# corpus-scaled-k builds (hier, semdedup at probe scales) switch. Both
+# paths produce bit-identical doubles — tests/test_units.py asserts the
+# kernel against the expression path on real embeddings.)
+
+
+def _seq_dots(x, m):
+    """(x·x, m·m, x@m.T) with every accumulation SEQUENTIAL over the
+    dimension axis — acc starts at 0.0 and adds products in index
+    order, vectorized across rows/pairs. This replicates Spark's
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` fold (and DuckDB's
+    list_dot_product) bit-for-bit, so a kernel built on it is
+    hash-identical to the JVM expression path by CONSTRUCTION, not by
+    fp luck — the property every other numpy shortcut (BLAS matmul,
+    pairwise summation) gives up."""
+    import numpy as np
+
+    d = x.shape[1]
+    x2 = np.zeros(x.shape[0])
+    m2 = np.zeros(m.shape[0])
+    xm = np.zeros((x.shape[0], m.shape[0]))
+    for j in range(d):
+        x2 += x[:, j] * x[:, j]
+        m2 += m[:, j] * m[:, j]
+        xm += x[:, j, None] * m[None, :, j]
+    return x2, m2, xm
+
+
+def _argmin_cells_kernel(left, right):
+    """One vector bucket of a kernel assignment pass: ``left`` = vector
+    rows (vec_id, v), ``right`` = the FULL centroid relation (cid, c)
+    replicated to this bucket. Emits (vec_id, v, cid, dist): each
+    vector's nearest centroid by (dist ASC, cid ASC) — centroids are
+    sorted by cid and np.argmin returns the first minimum, so ties
+    break exactly like the struct-ordering / window paths. dist is the
+    same double the JVM expression produces (see _seq_dots), combined
+    in the same (a² − 2ab) + b² tree order."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"vec_id": [], "v": [], "cid": [], "dist": []}
+    ).astype({"vec_id": "int64", "v": "object", "cid": "int64",
+              "dist": "float64"})
+    if not len(left) or not len(right):
+        return empty
+    cids = right["cid"].to_numpy(dtype=np.int64)
+    order = np.argsort(cids)
+    cids = cids[order]
+    cents = np.stack(right["c"].iloc[order].to_list()).astype(np.float64)
+    x = np.stack(left["v"].to_list()).astype(np.float64)
+    x2, c2, xc = _seq_dots(x, cents)
+    dist = (x2[:, None] - 2 * xc) + c2[None, :]
+    best = np.argmin(dist, axis=1)
+    return pd.DataFrame(
+        {
+            "vec_id": left["vec_id"].to_numpy(dtype=np.int64),
+            "v": left["v"],
+            "cid": cids[best],
+            "dist": dist[np.arange(len(best)), best],
+        }
+    )
+
+
+def _kernel_assign(vecs: DataFrame, cents: DataFrame,
+                   id_col: str = "cid") -> DataFrame:
+    """(vec_id, v, cid, dist) via the bucketed-cogroup Arrow kernel —
+    the CORPUS-SCALED-k assignment path (VERDICT r11 #4): with
+    k = ceil(sqrt(n)) centroids the per-row map-side array expression
+    evaluates k interpreted HOF folds per vector (the 64× hier/semdedup
+    probes measured that interpretation, not shuffle, as the dominant
+    build cost). Here vectors hash into _ASSIGN_KERNEL_BUCKETS buckets,
+    the centroid relation replicates per bucket (k·buckets rows — tiny
+    next to n), and each cogroup runs one vectorized numpy pass whose
+    accumulation order replicates the JVM fold exactly (_seq_dots).
+    Same outputs, same doubles, same tie-breaks."""
+    nb = _ASSIGN_KERNEL_BUCKETS
+    b_v = vecs.withColumn(
+        "_b", F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int")
+    ).select("_b", "vec_id", "v")
+    b_c = cents.withColumn(
+        "_b", F.explode(F.array(*[F.lit(i) for i in range(nb)]))
+    ).select("_b", F.col(id_col).cast("bigint").alias("cid"), F.col("c"))
+    return (
+        b_v.groupBy("_b")
+        .cogroup(b_c.groupBy("_b"))
+        .applyInPandas(
+            _argmin_cells_kernel,
+            "vec_id bigint, v array<double>, cid bigint, dist double",
+        )
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame, kernel: bool = False) -> DataFrame:
     """Nearest-centroid assignment: broadcast the K-row centroid relation
     as one array row; argmin squared distance with cid as the
     deterministic tie-break via array_min over (dist, cid) structs —
     struct ordering IS (dist ASC, cid ASC), the window's exact order,
-    and the whole argmin happens inside one projection (no shuffle)."""
+    and the whole argmin happens inside one projection (no shuffle).
+    ``kernel=True`` switches to the bucketed Arrow kernel — same
+    outputs bit-for-bit (see _kernel_assign) — for callers whose
+    centroid count scales with the corpus."""
+    if kernel:
+        cid_type = cents.schema["cid"].dataType
+        return _kernel_assign(vecs, cents).select(
+            "vec_id", "v", F.col("cid").cast(cid_type).alias("cid")
+        )
     best = F.array_min(
         F.transform(
             F.col("_cents"),
@@ -403,34 +507,51 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kpp_candidates(v: DataFrame, l: int = KPP_L) -> DataFrame:
+def _kpp_candidates(
+    v: DataFrame, l: int = KPP_L, kernel: bool = False
+) -> DataFrame:
     """k-means|| oversampled candidate set (cid_v, c): KPP_ROUNDS rounds,
     each sampling ~l points with probability ∝ squared distance to
-    the running set. ≤ 1 + l*KPP_ROUNDS rows, materialized."""
+    the running set. ≤ 1 + l*KPP_ROUNDS rows, materialized.
+    ``kernel=True`` routes the per-round min-distance pass through the
+    bucketed Arrow kernel (corpus-scaled candidate sets — see
+    _kernel_assign; bit-identical doubles by construction)."""
     cand = v.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("cid_v"), F.col("v").alias("c")
     )
     for r in range(1, KPP_ROUNDS + 1):
         cand = cand.transform(materialize)  # loop-carried, broadcast-sized
-        # min-distance-to-running-set as a map-side array expression
-        # over the one-row candidate array: the former crossJoin +
-        # groupBy(vec_id) shuffled n × |cand| vector rows per round.
-        d2 = F.array_min(
-            F.transform(
-                F.col("_cents"), lambda s: _sqdist(F.col("v"), s["c"])
+        if kernel:
+            d = (
+                _kernel_assign(v, cand, id_col="cid_v")
+                .select(
+                    "vec_id",
+                    F.round(F.col("dist") * KPP_SCALE, 0)
+                    .cast("bigint")
+                    .alias("d2i"),
+                )
+                .transform(materialize)
             )
-        )
-        d = (
-            v.crossJoin(F.broadcast(_cent_array(cand, "cid_v", "c")))
-            .select(
-                "vec_id",
-                F.round(d2 * KPP_SCALE, 0).cast("bigint").alias("d2i"),
+        else:
+            # min-distance-to-running-set as a map-side array expression
+            # over the one-row candidate array: the former crossJoin +
+            # groupBy(vec_id) shuffled n × |cand| vector rows per round.
+            d2 = F.array_min(
+                F.transform(
+                    F.col("_cents"), lambda s: _sqdist(F.col("v"), s["c"])
+                )
             )
-            # d feeds both the phi aggregate and the sampling filter;
-            # without this the corpus-wide distance pass runs twice per
-            # round (ADVICE r4) — materialized, each round is one scan.
-            .transform(materialize)
-        )
+            d = (
+                v.crossJoin(F.broadcast(_cent_array(cand, "cid_v", "c")))
+                .select(
+                    "vec_id",
+                    F.round(d2 * KPP_SCALE, 0).cast("bigint").alias("d2i"),
+                )
+                # d feeds both the phi aggregate and the sampling filter;
+                # without this the corpus-wide distance pass runs twice
+                # per round (ADVICE r4) — materialized, one scan/round.
+                .transform(materialize)
+            )
         phi = d.agg(F.sum("d2i").alias("phi"))
         u16 = _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(f":{r}")))
         sel = (
@@ -446,24 +567,32 @@ def _kpp_candidates(v: DataFrame, l: int = KPP_L) -> DataFrame:
     return cand.transform(materialize)  # assignment reads it once per task
 
 
-def _kpp_ranked(v: DataFrame, cand: DataFrame) -> DataFrame:
+def _kpp_ranked(
+    v: DataFrame, cand: DataFrame, kernel: bool = False
+) -> DataFrame:
     """(cid_v, weight, rank): candidates weighted by nearest-assignment
     count, rank = count of strictly better candidates (weight desc,
     cid_v asc) via broadcast triangular join — no single-partition
-    window. Shared by kmeans_parallel_init and _kpp_seeds."""
-    best = F.array_min(
-        F.transform(
-            F.col("_cents"),
-            lambda s: F.struct(
-                _sqdist(F.col("v"), s["c"]).alias("dist"),
-                s["cid_v"].alias("cid_v"),
-            ),
+    window. Shared by kmeans_parallel_init and _kpp_seeds.
+    ``kernel=True`` as in _kpp_candidates."""
+    if kernel:
+        asgn = _kernel_assign(v, cand, id_col="cid_v").select(
+            "vec_id", F.col("cid").alias("cid_v")
         )
-    )
-    asgn = (
-        v.crossJoin(F.broadcast(_cent_array(cand, "cid_v", "c")))
-        .select("vec_id", best["cid_v"].alias("cid_v"))
-    )
+    else:
+        best = F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda s: F.struct(
+                    _sqdist(F.col("v"), s["c"]).alias("dist"),
+                    s["cid_v"].alias("cid_v"),
+                ),
+            )
+        )
+        asgn = (
+            v.crossJoin(F.broadcast(_cent_array(cand, "cid_v", "c")))
+            .select("vec_id", best["cid_v"].alias("cid_v"))
+        )
     # Materialize the ≤~65-row weight relation: w and other are two
     # branches of the same plan rooted at the corpus-scale assignment —
     # without this the crossJoin + window pass runs twice (once for the
@@ -497,9 +626,13 @@ def _kpp_seeds(v: DataFrame, k: int = KPP_K, l: int = KPP_L) -> DataFrame:
     refinement scans. Weight ≥ 1 always (every candidate is its own
     nearest), so the weighted means cannot divide by zero.  ``k``/``l``
     override the seed count and oversampling factor for callers with a
-    corpus-scaled cell count (semdedup)."""
-    cand = _kpp_candidates(v, l)
-    ranked = _kpp_ranked(v, cand)
+    corpus-scaled cell count (semdedup). Candidate sets past
+    _KPP_KERNEL_MIN rows route the two corpus-scale distance passes
+    through the bucketed Arrow kernel (bit-identical — _kernel_assign);
+    small fixed-k callers keep the zero-shuffle map-side expression."""
+    kernel = 1 + l * KPP_ROUNDS > _KPP_KERNEL_MIN
+    cand = _kpp_candidates(v, l, kernel=kernel)
+    ranked = _kpp_ranked(v, cand, kernel=kernel)
     wcand = cand.join(F.broadcast(ranked), "cid_v").transform(materialize)
     seeds = (
         ranked.filter(F.col("rank") < k)
@@ -1370,8 +1503,11 @@ def _hier_build(v: DataFrame, n: int) -> tuple[DataFrame, DataFrame, DataFrame]:
         vs = v
     seeds = _kpp_seeds(vs, k=k, l=2 * k)
     # Cells train on the sample only — the full corpus is touched by
-    # nothing but the two routing passes in the caller.
-    cents = _recompute(_assign(vs, seeds)).transform(materialize)
+    # nothing but the two routing passes in the caller. The sample
+    # Lloyd round assigns against k corpus-scaled seeds → kernel path.
+    cents = _recompute(
+        _assign(vs, seeds, kernel=k > _KPP_KERNEL_MIN)
+    ).transform(materialize)
     sc0 = cents.filter(F.col("cid") < s)
     cv = cents.select(F.col("cid").alias("vec_id"), F.col("c").alias("v"))
     sa1 = _assign(cv, sc0).select("cid", "v")  # (sid, cell centroid)

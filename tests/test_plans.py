@@ -333,11 +333,14 @@ class TestRound5Plans:
         centroids, candidate sets, seed relations and probe sets are all
         bounded — the corpus may never appear on both sides of a shuffle
         join. (SMJ/ShuffledHashJoin would mean an accidental corpus-corpus
-        pairing.)"""
+        pairing.) Since r12 the probe search runs as the per-cell
+        cogroup kernel (one corpus shuffle keyed on (cid, fragment) —
+        the IVF serving layout), so the plan must carry the cogroup
+        node; the remaining joins still all broadcast."""
         plan = plan_of(spark, "ann_ivf_kmeans")
         assert "SortMergeJoin" not in plan
         assert "ShuffledHashJoin" not in plan
-        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
 
 
 class TestRound9Plans:

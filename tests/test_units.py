@@ -611,6 +611,78 @@ class TestStarContractionComponents:
         assert got == {(i, 0) for i in range(65)}
 
 
+class TestKernelAssignBitExact:
+    """The bucketed Arrow assignment kernel must equal the map-side
+    expression path BIT-FOR-BIT on real embeddings — the guarantee the
+    corpus-scaled-k quantizer builds (hier, semdedup) rely on, since at
+    driver scale the threshold keeps them on the expression path."""
+
+    def test_kernel_equals_expression_path(self, spark):
+        from pyspark.sql import functions as SF
+
+        from pubsub2bq_spark.operators.llm_similarity import _dvec
+        from pubsub2bq_spark.operators.ml_ops import (
+            _assign,
+            _init_centroids,
+            _kernel_assign,
+            _sqdist,
+        )
+        from pubsub2bq_spark.tables import load
+
+        v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", _dvec("embedding").alias("v")
+        )
+        cents = _init_centroids(v, 23)  # odd k, includes ties-on-self
+        expr = {
+            (r.vec_id, r.cid)
+            for r in _assign(v, cents, kernel=False).collect()
+        }
+        kern = {
+            (r.vec_id, r.cid)
+            for r in _assign(v, cents, kernel=True).collect()
+        }
+        assert kern == expr and kern
+
+        # dist doubles must be IDENTICAL to the JVM expression, not just
+        # close — the k-means|| sampling filter rounds dist*1e6 to an
+        # integer, where any fp drift becomes a different candidate set.
+        jvm = {
+            (r.vec_id, r.cid): r.dist
+            for r in v.crossJoin(
+                SF.broadcast(
+                    cents.select("cid", SF.col("c").alias("c"))
+                )
+            )
+            .select(
+                "vec_id", "cid", _sqdist(SF.col("v"), SF.col("c")).alias("dist")
+            )
+            .collect()
+        }
+        for r in _kernel_assign(v, cents).collect():
+            assert r.dist == jvm[(r.vec_id, r.cid)], (
+                f"kernel dist diverged for {(r.vec_id, r.cid)}"
+            )
+
+    def test_kpp_seeds_kernel_path_bit_exact(self, spark, monkeypatch):
+        from pubsub2bq_spark.operators import ml_ops
+        from pubsub2bq_spark.operators.llm_similarity import _dvec
+        from pubsub2bq_spark.tables import load
+
+        v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", _dvec("embedding").alias("v")
+        )
+        base = {
+            (r.cid, tuple(r.c))
+            for r in ml_ops._kpp_seeds(v, k=8, l=16).collect()
+        }
+        monkeypatch.setattr(ml_ops, "_KPP_KERNEL_MIN", 0)  # force kernel
+        forced = {
+            (r.cid, tuple(r.c))
+            for r in ml_ops._kpp_seeds(v, k=8, l=16).collect()
+        }
+        assert forced == base and base
+
+
 class TestJaccardBlockKernel:
     """The vocab-chunked Gram kernel (ADVICE r11: dense m×V slabs OOM on
     vocabulary-diverse blocks) must emit exactly the brute-force pair
