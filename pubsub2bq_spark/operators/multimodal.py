@@ -212,7 +212,8 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v = (11·bx + 7·by) mod 256), genuinely decodes it with the "
         "stdlib codec (marker parse, Annex-K Huffman entropy decode, "
         "dequantize, IDCT — functions/jpeg_codec.py), pixel-sums the "
-        "decoded image, resizes, and re-decodes the output for its "
+        "decoded image, resizes (transcoding the thumbnail to PNG, the "
+        "vectorized stdlib encoder), and re-decodes the output for its "
         "measured dims. Block-constant pixels + a flat quant step of 8 "
         "make the lossy pipeline exact (only the DC term survives and "
         "it quantizes to the integer v−128), so the oracle can state "
