@@ -605,6 +605,14 @@ FIXED_COST_CAUSE = {
     "mmr_diversify": "K-1 greedy steps, each an eager materialize + "
         "window stage over the bounded candidate pool; corpus scan "
         "runs once",
+    "ann_index_persist": "r12 DELIBERATE: the probe search moved from "
+        "a JVM broadcast join scoring every (query, member) pair to "
+        "the per-cell cogroup kernel (_ivf_probe_search) — at 64x the "
+        "old shape measured 44.6s (ann_ivf) vs 8.0s new; at sf0.1 the "
+        "two Arrow stages cost ~0.9s over the r11 figure on this "
+        "fixed-cost-dominated serve-from-disk key. The persisted index "
+        "is now BUCKETED on the cogroup keys (cid, _f), so the corpus "
+        "side reads with no exchange — the production IVF layout",
     "jdbc_snapshot_union": "Derby embedded-DB spin-up + CDC streaming-"
         "query startup over FIXTURE data (3 seed rows + bounded spool) "
         "— the key has no input-scale term by construction: r11 "
@@ -1112,8 +1120,12 @@ def main() -> None:
 
     # Sustained streaming throughput (VERDICT r9 #2): the CDC pipeline
     # under its production processing-time trigger over the full spooled
-    # events table. One warm-up run (stream-startup JIT), then the
-    # measured run; failure never sinks the bench but is named.
+    # events table. One warm-up run (stream-startup JIT), then BEST of
+    # three measured runs by busy seconds (r12: this was the one
+    # single-shot leg in the bench — a lone noisy sample flagged busy
+    # 2.16x while fresh-session min-of-3 measured 1.0x; every gated
+    # figure must come from the same min-of-N discipline as the query
+    # legs). Failure never sinks the bench but is named.
     stream_metrics: dict = {}
     try:
         from pubsub2bq_spark.streaming.throughput import (
@@ -1121,7 +1133,10 @@ def main() -> None:
         )
 
         measure_stream_throughput(spark, sf_dir)  # warm
-        m = measure_stream_throughput(spark, sf_dir)
+        m = min(
+            (measure_stream_throughput(spark, sf_dir) for _ in range(3)),
+            key=lambda r: r["busy_sec"],
+        )
         stream_metrics = {
             "stream_throughput_rows": m["rows"],
             "stream_throughput_busy_sec": m["busy_sec"],

@@ -295,7 +295,9 @@ def _probe_topk_kernel(left, right):
     )
 
 
-def _ivf_probe_search(asgn: DataFrame, probes: DataFrame) -> DataFrame:
+def _ivf_probe_search(
+    asgn: DataFrame, probes: DataFrame, frag_col: str | None = None
+) -> DataFrame:
     """(query_id, vec_id, cos) probe-search candidates, ≤ _IVF_TOPK per
     (cell, fragment, query) — the r12 rewrite of the IVF search stage.
     The former shape (broadcast-join probes onto members, score every
@@ -306,9 +308,18 @@ def _ivf_probe_search(asgn: DataFrame, probes: DataFrame) -> DataFrame:
     layout — each cogroup scores its queries×members block in one BLAS
     product, and only top-k-per-fragment winners (q × nprobe × frags ×
     k rows, output-sized) reach the final window. Fragments exist for
-    kernel parallelism only; exactness never depends on them."""
+    kernel parallelism only; exactness never depends on them.
+    ``frag_col`` names a PRECOMPUTED fragment column on ``asgn`` (the
+    bucketed serve-from-disk path, where (cid, _f) is the on-disk
+    bucket spec so this groupBy needs no exchange); it must hold the
+    same pmod(xxhash64(vec_id), frags) values computed here."""
     frag = F.pmod(F.xxhash64("vec_id"), F.lit(_IVF_SEARCH_FRAGS)).cast("int")
-    mem = asgn.select("cid", frag.alias("_f"), "vec_id", "v")
+    mem = asgn.select(
+        "cid",
+        (F.col(frag_col) if frag_col else frag).alias("_f"),
+        "vec_id",
+        "v",
+    )
     pr = probes.withColumn(
         "_f",
         F.explode(F.array(*[F.lit(i) for i in range(_IVF_SEARCH_FRAGS)])),

@@ -89,6 +89,7 @@ def _cent_array(cents: DataFrame, *cols: str) -> DataFrame:
 
 
 _ASSIGN_KERNEL_BUCKETS = 32  # vector buckets per kernel assignment pass
+_IVF_INDEX_BUCKETS = 32      # on-disk buckets for the persisted IVF index
 _KPP_KERNEL_MIN = 256  # centroid/candidate rows before the kernel path
 # (the fixed-k callers — ann_ivf_kmeans's 65-candidate seeding, the
 # 16-cell assigns — stay on the zero-shuffle map-side expression; the
@@ -1271,20 +1272,24 @@ def _ivfk_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     return session_artifact(spark, "ivfk_index", sf_dir, _build_index)
 
 
-def _ivfk_search(dist: DataFrame) -> DataFrame:
+def _ivfk_search(dist: DataFrame, frag_col: str | None = None) -> DataFrame:
     """Top-10 probe search over the (vec_id, v, cid, rn) index relation
     — shared verbatim by the in-memory and the reloaded-from-disk
     serving paths so their results cannot diverge. The scoring stage is
     the shared per-cell cogroup kernel (_ivf_probe_search, r12): the
     corpus shuffles once on (cid, fragment) and only per-fragment top-k
-    winners reach this window."""
+    winners reach this window. ``frag_col`` (serve-from-disk path)
+    names the index's precomputed fragment column, letting a bucketed
+    on-disk layout satisfy the cogroup distribution with no exchange."""
     from pubsub2bq_spark.operators.llm_similarity import _ivf_probe_search
 
-    asgn = dist.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+    asgn = dist.filter(F.col("rn") == 1).select(
+        "vec_id", "v", "cid", *([frag_col] if frag_col else [])
+    )
     probes = dist.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
     )
-    scored = _ivf_probe_search(asgn, probes)
+    scored = _ivf_probe_search(asgn, probes, frag_col=frag_col)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
@@ -1344,20 +1349,39 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import re
 
+    from pubsub2bq_spark.operators.llm_similarity import _IVF_SEARCH_FRAGS
     from pubsub2bq_spark.tables import scratch_dir, session_artifact
 
     def _persist() -> str:
         _v, dist = _ivfk_index(spark, sf_dir)
-        out = os.path.join(scratch_dir("ivf_index_"), "index.parquet")
-        dist.write.partitionBy("cid").mode("overwrite").parquet(out)
-        return out
+        # BUCKETED external table on the cogroup keys (cid, _f): the
+        # bucketed scan's HashPartitioning satisfies the search
+        # kernel's ClusteredDistribution, so serving reads the corpus
+        # with NO exchange — the production IVF layout (an index IS
+        # cell-bucketed storage). _f precomputes the same
+        # pmod(xxhash64(vec_id)) values _ivf_probe_search derives, so
+        # the in-memory and reloaded paths stay result-identical.
+        tbl = "ivf_index_" + re.sub(r"[^A-Za-z0-9_]", "_", sf_dir).strip("_")
+        out = os.path.join(scratch_dir("ivf_index_"), "tbl")
+        frag = F.pmod(
+            F.xxhash64("vec_id"), F.lit(_IVF_SEARCH_FRAGS)
+        ).cast("int")
+        (
+            dist.withColumn("_f", frag)
+            .write.mode("overwrite")
+            .bucketBy(_IVF_INDEX_BUCKETS, "cid", "_f")
+            .option("path", out)
+            .saveAsTable(tbl)
+        )
+        return tbl
 
-    path = session_artifact(spark, "ivfk_index_path", sf_dir, _persist)
-    reloaded = spark.read.parquet(path).select(
-        "vec_id", "v", F.col("cid").cast("int").alias("cid"), "rn"
+    tbl = session_artifact(spark, "ivfk_index_path", sf_dir, _persist)
+    reloaded = spark.table(tbl).select(
+        "vec_id", "v", F.col("cid").cast("int").alias("cid"), "rn", "_f"
     )
-    return _ivfk_search(reloaded)
+    return _ivfk_search(reloaded, frag_col="_f")
 
 
 # ann_ivf_kmeans is an ANN method branch of ann_recall (llm_similarity):
