@@ -138,10 +138,19 @@ _COS_SQL = (
     """,
     doc="Brute-force cosine top-10 neighbors for query vectors "
         "(vec_id % 100 = 0) — the exact-ANN baseline.",
-    scale_notes="Queries are broadcast (small side), candidates never "
-                "shuffle; per-row cost is one fold over a 64-float array in "
-                "codegen. Exact scan is the right call when queries ≪ corpus; "
-                "otherwise ann_lsh.",
+    scale_notes="The exact scan, fragment-parallel (r12): the corpus "
+                "shuffles once into hash fragments (one synthetic cell "
+                "through the shared _ivf_probe_search kernel), each "
+                "cogroup scores its queries×members block in one BLAS "
+                "product, and only per-fragment top-10 winners reach "
+                "the final merge — top-k under a total order "
+                "distributes over any candidate partition, so the "
+                "result is exactly the full-scan window's. The former "
+                "shape broadcast queries onto the corpus and pushed "
+                "q·n scored rows through the top-k shuffle with one "
+                "interpreted 64-float fold per row. Still O(q·n) "
+                "compute BY DEFINITION (the documented exact "
+                "baseline); the IVF family is the sublinear path.",
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -150,10 +159,8 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = em.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    scored = (
-        em.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("cos"))
+    scored = _ivf_probe_search(
+        em.withColumn("cid", F.lit(0)), q.withColumn("cid", F.lit(0))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -240,11 +247,11 @@ _IVF_SEARCH_FRAGS = 4  # member fragments per cell: kernel parallelism
 _IVF_TOPK = 10
 
 
-def _probe_topk_kernel(left, right):
+def _probe_topk_kernel(left, right, k=_IVF_TOPK):
     """One (cell, fragment) cogroup of the IVF probe search: ``left`` =
     member rows (vec_id, v), ``right`` = the cell's probe rows
     (query_id, qv) replicated to every fragment. Emits each query's
-    top-_IVF_TOPK candidates WITHIN the fragment by (cos DESC, vec_id
+    top-``k`` candidates WITHIN the fragment by (cos DESC, vec_id
     ASC) — exact and mergeable: top-k under a total order distributes
     over any partition of the candidates, so the global window over the
     per-fragment winners equals the window over all scored pairs. The
@@ -278,7 +285,7 @@ def _probe_topk_kernel(left, right):
             row[self_mask] = -np.inf
         # members pre-sorted by vec_id, so a STABLE sort on -cos makes
         # vec_id the tie-break — the window's exact total order.
-        sel = np.argsort(-row, kind="stable")[:_IVF_TOPK]
+        sel = np.argsort(-row, kind="stable")[:k]
         sel = sel[np.isfinite(row[sel])]
         if len(sel):
             out_q.append(np.full(len(sel), qids[i], dtype=np.int64))
@@ -296,7 +303,10 @@ def _probe_topk_kernel(left, right):
 
 
 def _ivf_probe_search(
-    asgn: DataFrame, probes: DataFrame, frag_col: str | None = None
+    asgn: DataFrame,
+    probes: DataFrame,
+    frag_col: str | None = None,
+    k: int = _IVF_TOPK,
 ) -> DataFrame:
     """(query_id, vec_id, cos) probe-search candidates, ≤ _IVF_TOPK per
     (cell, fragment, query) — the r12 rewrite of the IVF search stage.
@@ -328,7 +338,8 @@ def _ivf_probe_search(
         mem.groupBy("cid", "_f")
         .cogroup(pr.groupBy("cid", "_f"))
         .applyInPandas(
-            _probe_topk_kernel, "query_id bigint, vec_id bigint, cos double"
+            lambda left, right: _probe_topk_kernel(left, right, k=k),
+            "query_id bigint, vec_id bigint, cos double",
         )
     )
 
@@ -1362,19 +1373,28 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = em.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    scored = (
-        em.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id", "v", _cosine(F.col("qv"), F.col("v")).alias("cos_q")
-        )
-    )
+    # Relevance pool via the shared fragment-parallel exact-top-k
+    # kernel (r12, same shape as similarity_topk): per-fragment
+    # top-MMR_POOL winners merge in a q×(frags·POOL)-row window, then
+    # the pool's vectors rejoin map-side (the pool is broadcast-size;
+    # the corpus never shuffles). Former shape pushed q·n scored rows
+    # carrying full vectors through the window.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_q").desc(), F.col("vec_id").asc()
     )
-    cand = (
-        scored.withColumn("rn", F.row_number().over(w))
+    pool = (
+        _ivf_probe_search(
+            em.withColumn("cid", F.lit(0)),
+            q.withColumn("cid", F.lit(0)),
+            k=MMR_POOL,
+        )
+        .withColumnRenamed("cos", "cos_q")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MMR_POOL)
+    )
+    cand = (
+        em.join(F.broadcast(pool), "vec_id")
+        .select("query_id", "vec_id", "v", "cos_q", "rn")
         .transform(materialize)  # one corpus scan feeds all K greedy steps
     )
     sel = cand.filter(F.col("rn") == 1).select(
