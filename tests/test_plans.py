@@ -83,11 +83,15 @@ class TestJoinStrategies:
         plan = plan_of(spark, "partition_pruned_join")
         assert "dynamicpruning" in plan, plan
 
-    def test_similarity_broadcasts_query_side(self, spark):
-        """Brute-force ANN must broadcast the tiny query set so the corpus
-        never shuffles for the scoring join."""
+    def test_similarity_scores_in_fragment_kernel(self, spark):
+        """The exact scan scores in the fragment-parallel cogroup kernel
+        (r12): one corpus shuffle keyed on (cid, fragment), per-fragment
+        top-k winners only — never a corpus-corpus shuffle join and
+        never q·n scored rows through the window."""
         plan = plan_of(spark, "similarity_topk")
-        assert "BroadcastExchange" in plan
+        assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
 
 
 class TestAggAndSort:
