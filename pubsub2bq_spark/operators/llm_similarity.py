@@ -255,12 +255,17 @@ def _probe_topk_kernel(left, right, k=_IVF_TOPK):
     ASC) — exact and mergeable: top-k under a total order distributes
     over any partition of the candidates, so the global window over the
     per-fragment winners equals the window over all scored pairs. The
-    cosine is the same dot/(|a||b|) formula as _cosine, evaluated in
-    float64 BLAS (the r11 kernel convention — embedding_dedup/semdedup
-    established hash-parity of Gram-product cosines vs the sequential
-    folds)."""
+    cosine is the same dot/(|a||b|) formula as _cosine, accumulated
+    SEQUENTIALLY over the dimension axis (_seq_dots) — bit-identical to
+    the JVM ``aggregate(zip_with(...))`` fold and DuckDB's
+    list_dot_product by CONSTRUCTION, not fp luck (ADVICE r12): the
+    earlier BLAS matmul's pairwise summation could flip an ulp at a
+    rank tie or a round(.,6) half-boundary and silently change top-k
+    output vs the oracle on other data."""
     import numpy as np
     import pandas as pd
+
+    from pubsub2bq_spark.operators.ml_ops import _seq_dots
 
     empty = pd.DataFrame({"query_id": [], "vec_id": [], "cos": []}).astype(
         {"query_id": "int64", "vec_id": "int64", "cos": "float64"}
@@ -273,9 +278,8 @@ def _probe_topk_kernel(left, right, k=_IVF_TOPK):
     mem = np.stack(left["v"].iloc[order].to_list()).astype(np.float64)
     qids = right["query_id"].to_numpy(dtype=np.int64)
     qv = np.stack(right["qv"].to_list()).astype(np.float64)
-    mn = np.sqrt(np.einsum("ij,ij->i", mem, mem))
-    qn = np.sqrt(np.einsum("ij,ij->i", qv, qv))
-    cos = (qv @ mem.T) / (qn[:, None] * mn[None, :])
+    q2, m2, qm = _seq_dots(qv, mem)
+    cos = qm / (np.sqrt(q2)[:, None] * np.sqrt(m2)[None, :])
     out_q, out_v, out_c = [], [], []
     for i in range(len(qids)):
         row = cos[i]
@@ -302,11 +306,15 @@ def _probe_topk_kernel(left, right, k=_IVF_TOPK):
     )
 
 
+_IVF_SERVE_EXPR_MAX = 4096  # member rows below which serving skips Arrow
+
+
 def _ivf_probe_search(
     asgn: DataFrame,
     probes: DataFrame,
     frag_col: str | None = None,
     k: int = _IVF_TOPK,
+    n_members: int | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, cos) probe-search candidates, ≤ _IVF_TOPK per
     (cell, fragment, query) — the r12 rewrite of the IVF search stage.
@@ -322,7 +330,30 @@ def _ivf_probe_search(
     ``frag_col`` names a PRECOMPUTED fragment column on ``asgn`` (the
     bucketed serve-from-disk path, where (cid, _f) is the on-disk
     bucket spec so this groupBy needs no exchange); it must hold the
-    same pmod(xxhash64(vec_id), frags) values computed here."""
+    same pmod(xxhash64(vec_id), frags) values computed here.
+
+    ``n_members`` (when the caller KNOWS the corpus size — e.g. counted
+    once at index-build time and cached with the index) dispatches
+    small corpora onto the JVM expression path: below
+    _IVF_SERVE_EXPR_MAX member rows the two Arrow cogroup stages are
+    pure fixed cost (~0.5 s of Python-worker round-trips to score a
+    few thousand pairs — the r12 ann_index_persist 2.04× flag), while
+    the broadcast-join + _cosine fold is output-bounded. The paths are
+    BIT-IDENTICAL by construction (the kernel's _seq_dots accumulation
+    replicates the JVM fold exactly; the callers' shared final window
+    applies one total order to either candidate set), so the dispatch
+    can never change results — tests/test_units.py asserts kernel ==
+    expression cosines on real embeddings."""
+    if n_members is not None and n_members <= _IVF_SERVE_EXPR_MAX:
+        return (
+            asgn.join(F.broadcast(probes), "cid")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                _cosine(F.col("qv"), F.col("v")).alias("cos"),
+            )
+        )
     frag = F.pmod(F.xxhash64("vec_id"), F.lit(_IVF_SEARCH_FRAGS)).cast("int")
     mem = asgn.select(
         "cid",

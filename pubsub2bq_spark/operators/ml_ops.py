@@ -1272,7 +1272,11 @@ def _ivfk_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     return session_artifact(spark, "ivfk_index", sf_dir, _build_index)
 
 
-def _ivfk_search(dist: DataFrame, frag_col: str | None = None) -> DataFrame:
+def _ivfk_search(
+    dist: DataFrame,
+    frag_col: str | None = None,
+    n_members: int | None = None,
+) -> DataFrame:
     """Top-10 probe search over the (vec_id, v, cid, rn) index relation
     — shared verbatim by the in-memory and the reloaded-from-disk
     serving paths so their results cannot diverge. The scoring stage is
@@ -1280,7 +1284,11 @@ def _ivfk_search(dist: DataFrame, frag_col: str | None = None) -> DataFrame:
     corpus shuffles once on (cid, fragment) and only per-fragment top-k
     winners reach this window. ``frag_col`` (serve-from-disk path)
     names the index's precomputed fragment column, letting a bucketed
-    on-disk layout satisfy the cogroup distribution with no exchange."""
+    on-disk layout satisfy the cogroup distribution with no exchange.
+    ``n_members`` (serve-from-disk path, counted once at build time)
+    lets _ivf_probe_search route small corpora onto its JVM expression
+    path — bit-identical by construction (_seq_dots), so the two
+    serving paths still cannot diverge."""
     from pubsub2bq_spark.operators.llm_similarity import _ivf_probe_search
 
     asgn = dist.filter(F.col("rn") == 1).select(
@@ -1289,7 +1297,9 @@ def _ivfk_search(dist: DataFrame, frag_col: str | None = None) -> DataFrame:
     probes = dist.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
     )
-    scored = _ivf_probe_search(asgn, probes, frag_col=frag_col)
+    scored = _ivf_probe_search(
+        asgn, probes, frag_col=frag_col, n_members=n_members
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
@@ -1354,8 +1364,8 @@ def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubsub2bq_spark.operators.llm_similarity import _IVF_SEARCH_FRAGS
     from pubsub2bq_spark.tables import scratch_dir, session_artifact
 
-    def _persist() -> str:
-        _v, dist = _ivfk_index(spark, sf_dir)
+    def _persist() -> tuple[str, int]:
+        v, dist = _ivfk_index(spark, sf_dir)
         # BUCKETED external table on the cogroup keys (cid, _f): the
         # bucketed scan's HashPartitioning satisfies the search
         # kernel's ClusteredDistribution, so serving reads the corpus
@@ -1363,25 +1373,47 @@ def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cell-bucketed storage). _f precomputes the same
         # pmod(xxhash64(vec_id)) values _ivf_probe_search derives, so
         # the in-memory and reloaded paths stay result-identical.
-        tbl = "ivf_index_" + re.sub(r"[^A-Za-z0-9_]", "_", sf_dir).strip("_")
-        out = os.path.join(scratch_dir("ivf_index_"), "tbl")
+        # The scratch dir's unique basename suffixes the METASTORE name
+        # too (ADVICE r12): a catalog-global name keyed only on sf_dir
+        # would collide with a stale table from a prior process (whose
+        # external path may be deleted) or a concurrent session on the
+        # same sf.
+        out_root = scratch_dir("ivf_index_")
+        tbl = "ivf_index_" + re.sub(
+            r"[^A-Za-z0-9_]", "_",
+            sf_dir.strip("/") + "_" + os.path.basename(out_root),
+        ).strip("_").lower()
+        out = os.path.join(out_root, "tbl")
         frag = F.pmod(
             F.xxhash64("vec_id"), F.lit(_IVF_SEARCH_FRAGS)
         ).cast("int")
+        # Repartition ON the bucket keys first: DataFrame.repartition and
+        # the bucketed writer share Murmur3 HashPartitioning, so each
+        # write task holds exactly one bucket id and emits ONE file —
+        # without it every one of the 32 upstream tasks writes a file
+        # per bucket it touches (measured: 816 KB-sized files at sf0.1,
+        # and each serve re-opened all of them twice; 1.04 s of the r12
+        # flag was file-open scheduling, not compute). Compact bucket
+        # files are also the production layout.
         (
             dist.withColumn("_f", frag)
+            .repartition(_IVF_INDEX_BUCKETS, F.col("cid"), F.col("_f"))
             .write.mode("overwrite")
             .bucketBy(_IVF_INDEX_BUCKETS, "cid", "_f")
             .option("path", out)
             .saveAsTable(tbl)
         )
-        return tbl
+        # Corpus size, counted ONCE at build time and stored with the
+        # index — serving dispatches on it (expression path below
+        # _IVF_SERVE_EXPR_MAX members, Arrow kernel above) without a
+        # per-query count job. v is materialized; the count is free.
+        return tbl, v.count()
 
-    tbl = session_artifact(spark, "ivfk_index_path", sf_dir, _persist)
+    tbl, n = session_artifact(spark, "ivfk_index_path", sf_dir, _persist)
     reloaded = spark.table(tbl).select(
         "vec_id", "v", F.col("cid").cast("int").alias("cid"), "rn", "_f"
     )
-    return _ivfk_search(reloaded, frag_col="_f")
+    return _ivfk_search(reloaded, frag_col="_f", n_members=n)
 
 
 # ann_ivf_kmeans is an ANN method branch of ann_recall (llm_similarity):

@@ -683,6 +683,62 @@ class TestKernelAssignBitExact:
         assert forced == base and base
 
 
+class TestProbeSearchBitExact:
+    """The IVF probe-search kernel's cosines must equal the JVM
+    _cosine fold BIT-FOR-BIT on real embeddings (ADVICE r12: the
+    former BLAS matmul's pairwise summation was only empirically
+    equal, an ulp flip at a rank tie or a round(.,6) half-boundary
+    away from a silent top-k divergence vs the oracle) — the guarantee
+    that makes the small-corpus expression dispatch in
+    _ivf_probe_search correctness-neutral."""
+
+    def _index(self, spark):
+        from pubsub2bq_spark.operators.ml_ops import _ivfk_index
+
+        _v, dist = _ivfk_index(spark, "/root/testdata/sf0.001")
+        return dist
+
+    def test_kernel_cosines_equal_jvm_fold(self, spark):
+        from pyspark.sql import functions as SF
+
+        from pubsub2bq_spark.operators.llm_similarity import (
+            _cosine,
+            _ivf_probe_search,
+        )
+
+        dist = self._index(spark)
+        asgn = dist.filter(SF.col("rn") == 1).select("vec_id", "v", "cid")
+        probes = dist.filter(SF.col("vec_id") % 100 == 0).select(
+            SF.col("vec_id").alias("query_id"), SF.col("v").alias("qv"), "cid"
+        )
+        jvm = {
+            (r.query_id, r.vec_id): r.cos
+            for r in asgn.join(SF.broadcast(probes), "cid")
+            .filter(SF.col("vec_id") != SF.col("query_id"))
+            .select(
+                "query_id", "vec_id",
+                _cosine(SF.col("qv"), SF.col("v")).alias("cos"),
+            )
+            .collect()
+        }
+        kern = _ivf_probe_search(asgn, probes).collect()
+        assert kern
+        for r in kern:
+            assert r.cos == jvm[(r.query_id, r.vec_id)], (
+                f"kernel cosine diverged for {(r.query_id, r.vec_id)}"
+            )
+
+    def test_expression_dispatch_identical_results(self, spark):
+        from pubsub2bq_spark.operators.ml_ops import _ivfk_search
+
+        dist = self._index(spark)
+        kernel = {tuple(r) for r in _ivfk_search(dist).collect()}
+        expr = {
+            tuple(r) for r in _ivfk_search(dist, n_members=500).collect()
+        }
+        assert kernel == expr and kernel
+
+
 class TestJaccardBlockKernel:
     """The vocab-chunked Gram kernel (ADVICE r11: dense m×V slabs OOM on
     vocabulary-diverse blocks) must emit exactly the brute-force pair
