@@ -65,9 +65,15 @@ SURVEY2_KEYS = frozenset({
 
 # Keys forced into one fresh driver check even though their closure hash
 # reads fresh (cross-module rewrites the hash cannot see, or an explicit
-# verdict ask). Empty since round 6: the r4 entries (python_stream_source,
-# token_entropy) both landed green r5 rows. Re-populate when needed.
-_FORCE_RECHECK: frozenset[str] = frozenset()
+# verdict ask). Round 13 (VERDICT r12 #2): image_resize (JFIF transcode,
+# r12) and the frame_sample/multimodal_meta dispatch surface live in
+# functions/multimodal.py — a different module than their registered
+# operators, so the same-module AST closure reads them fresh;
+# image_dedup_clusters' r12 seeded-star rewrite landed after its r11 row.
+_FORCE_RECHECK: frozenset[str] = frozenset({
+    "image_resize", "image_dedup_clusters", "frame_sample",
+    "multimodal_meta",
+})
 
 # Keys ADDED in the current round but deliberately scheduled BEHIND the
 # stale re-checks (used in r5 to keep the capped driver budget on the
