@@ -187,6 +187,10 @@ HEADLINE = [
     # the real stdlib baseline-JPEG decode path (Huffman + IDCT).
     "edit_verified",
     "jpeg_decode",
+    # Round-13 addition: 4:2:0 chroma-subsampled color JPEG decode
+    # (MCU-interleaved entropy decode + chroma upsample, the layout of
+    # most real-world JPEGs).
+    "jpeg_subsampled",
 ]
 
 
@@ -1133,17 +1137,27 @@ def main() -> None:
         )
 
         measure_stream_throughput(spark, sf_dir)  # warm
-        m = min(
-            (measure_stream_throughput(spark, sf_dir) for _ in range(3)),
-            key=lambda r: r["busy_sec"],
-        )
+        runs = [measure_stream_throughput(spark, sf_dir) for _ in range(3)]
+        m = min(runs, key=lambda r: r["busy_sec"])
+        # Each gated metric takes its OWN min across the three runs
+        # (ADVICE r12): the busy-optimal run can carry a
+        # non-representative p95 tail from scheduling noise, so gating
+        # the percentiles off that single run would flag (or miss) on
+        # noise rather than regressions — the same per-metric min-of-N
+        # discipline every query leg follows.
         stream_metrics = {
             "stream_throughput_rows": m["rows"],
             "stream_throughput_busy_sec": m["busy_sec"],
             "stream_throughput_rows_per_sec": m["rows_per_sec"],
-            "stream_throughput_batch_p50_sec": m["batch_p50_sec"],
-            "stream_throughput_batch_p95_sec": m["batch_p95_sec"],
-            "stream_throughput_batch_p99_sec": m["batch_p99_sec"],
+            "stream_throughput_batch_p50_sec": min(
+                r["batch_p50_sec"] for r in runs
+            ),
+            "stream_throughput_batch_p95_sec": min(
+                r["batch_p95_sec"] for r in runs
+            ),
+            "stream_throughput_batch_p99_sec": min(
+                r["batch_p99_sec"] for r in runs
+            ),
         }
     except Exception as ex:
         print(

@@ -69,6 +69,30 @@ _AC_VALS = [
 ]
 
 
+# Standard chrominance Huffman tables (T.81 Annex K.3.2) — the Cb/Cr
+# twin of the luminance tables above, used by the 4:2:0 color path.
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) per T.81 Annex C code assignment."""
     out: dict[int, tuple[int, int]] = {}
@@ -149,6 +173,38 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
+def _encode_block(bwr: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-encode one zigzagged quantized block (T.81 F.1.2); returns
+    the new DC predictor. Shared by the grayscale and 4:2:0 encoders."""
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[size]
+    bwr.write(code, length)
+    bwr.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bwr.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bwr.write(code, length)
+        bwr.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bwr.write(code, length)
+    return pred
+
+
 def encode_jpeg_gray(px: np.ndarray, quant: int = 8) -> bytes:
     """Encode an 8-bit grayscale image as baseline sequential JPEG with
     a FLAT quantization table (every entry = ``quant``) and the Annex K
@@ -166,31 +222,7 @@ def encode_jpeg_gray(px: np.ndarray, quant: int = 8) -> bytes:
     for by in range(bh):
         for bx in range(bw):
             zz = q[by, bx].reshape(64)[_ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, length = dc_codes[size]
-            bwr.write(code, length)
-            bwr.write(bits, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bwr.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = ac_codes[(run << 4) | size]
-                bwr.write(code, length)
-                bwr.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bwr.write(code, length)
+            pred = _encode_block(bwr, zz, pred, dc_codes, ac_codes)
 
     qtab = np.full(64, quant, dtype=np.uint8)[_UNZIGZAG][_ZIGZAG]
     # (flat table: the zigzag permutation is the identity on it, but
@@ -210,12 +242,109 @@ def encode_jpeg_gray(px: np.ndarray, quant: int = 8) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                    quant: int = 8) -> bytes:
+    """Encode a YCbCr image as baseline sequential JPEG with 4:2:0
+    chroma subsampling (Y sampling 2×2, Cb/Cr 1×1 — the layout of most
+    real-world JPEGs), FLAT quantization tables (luma table 0 and
+    chroma table 1, every entry = ``quant``) and the Annex K
+    luminance + chrominance Huffman tables.
+
+    ``y``/``cb``/``cr`` are FULL-RESOLUTION uint8 planes; the encoder
+    downsamples chroma by 2×2 block mean (edge-padding odd dimensions
+    first, so macroblock-constant planes subsample exactly). The scan
+    is MCU-interleaved per T.81 A.2.3: each 16×16 MCU emits its four Y
+    blocks (left-to-right, top-to-bottom), then one Cb, then one Cr,
+    with independent DC predictors per component."""
+    y = np.asarray(y, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    if y.shape != cb.shape or y.shape != cr.shape:
+        raise ValueError("jpeg: component planes must share dimensions")
+    h, w = y.shape
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+
+    # Y padded to MCU (16-pixel) multiples so every MCU owns 4 blocks.
+    ypad = np.pad(y.astype(np.float64) - 128.0,
+                  ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
+    yblocks = ypad.reshape(mcuy * 2, 8, mcux * 2, 8).transpose(0, 2, 1, 3)
+    qy = np.rint(np.einsum("ux,byxz,vz->byuv", _A, yblocks, _A) / float(quant)).astype(np.int64)
+
+    # Chroma: edge-pad to even dims, 2×2 mean, pad to 8-multiples
+    # (= the MCU grid: ceil(ceil(w/2)/8) == ceil(w/16)).
+    def _sub(plane: np.ndarray) -> np.ndarray:
+        ph = np.pad(plane.astype(np.float64),
+                    ((0, h % 2), (0, w % 2)), mode="edge")
+        s = ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(axis=(1, 3))
+        return np.pad(s - 128.0,
+                      ((0, mcuy * 8 - s.shape[0]), (0, mcux * 8 - s.shape[1])),
+                      mode="edge")
+
+    qcb = np.rint(np.einsum(
+        "ux,byxz,vz->byuv", _A,
+        _sub(cb).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3), _A,
+    ) / float(quant)).astype(np.int64)
+    qcr = np.rint(np.einsum(
+        "ux,byxz,vz->byuv", _A,
+        _sub(cr).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3), _A,
+    ) / float(quant)).astype(np.int64)
+
+    dc_l = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_l = _canonical_codes(_AC_BITS, _AC_VALS)
+    dc_c = _canonical_codes(_DC_C_BITS, _DC_C_VALS)
+    ac_c = _canonical_codes(_AC_C_BITS, _AC_C_VALS)
+    bwr = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for dy in range(2):
+                for dx in range(2):
+                    zz = qy[2 * my + dy, 2 * mx + dx].reshape(64)[_ZIGZAG]
+                    pred[0] = _encode_block(bwr, zz, pred[0], dc_l, ac_l)
+            zz = qcb[my, mx].reshape(64)[_ZIGZAG]
+            pred[1] = _encode_block(bwr, zz, pred[1], dc_c, ac_c)
+            zz = qcr[my, mx].reshape(64)[_ZIGZAG]
+            pred[2] = _encode_block(bwr, zz, pred[2], dc_c, ac_c)
+
+    qtab = bytes(np.full(64, quant, dtype=np.uint8))
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + qtab
+    # SOF0: 3 components — Y id 1 sampling 0x22 qtab 0; Cb id 2 / Cr id 3
+    # sampling 0x11 qtab 1.
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    for tc_th, bits, vals in (
+        (b"\x00", _DC_BITS, _DC_VALS), (b"\x10", _AC_BITS, _AC_VALS),
+        (b"\x01", _DC_C_BITS, _DC_C_VALS), (b"\x11", _AC_C_BITS, _AC_C_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += tc_th + bytes(bits) + bytes(vals)
+    # SOS: Y → DC/AC tables 0, Cb/Cr → DC/AC tables 1.
+    out += b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
+    out += b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00"
+    out += bwr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        # Pad-bit accounting (ADVICE r12): bits appended after the
+        # terminating marker are 1-PAD, legal only inside the final
+        # partial byte of the final MCU. ``pad_bits`` counts how many
+        # of the bits currently in ``acc`` are pad (always the tail);
+        # ``pad_consumed`` flips once a read dips into them, letting
+        # the decoder reject a truncated/corrupt scan whose remaining
+        # blocks would otherwise decode garbage from pad-1 sequences.
+        self.pad_bits = 0
+        self.pad_consumed = False
 
     def _fill(self) -> None:
         while self.nbits <= 24 and self.pos < len(self.data):
@@ -227,9 +356,9 @@ class _BitReader:
                     self.pos += 1
                 else:  # a marker: scan over — emit pad 1s
                     self.pos -= 1
-                    byte = 0xFF
-                    self.acc = (self.acc << 8) | byte
+                    self.acc = (self.acc << 8) | 0xFF
                     self.nbits += 8
+                    self.pad_bits += 8
                     return
             self.acc = (self.acc << 8) | byte
             self.nbits += 8
@@ -243,6 +372,9 @@ class _BitReader:
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         self.acc &= (1 << self.nbits) - 1
+        if self.nbits < self.pad_bits:
+            self.pad_bits = self.nbits
+            self.pad_consumed = True
         return v
 
     def read_huff(self, table: dict[tuple[int, int], int]) -> int:
@@ -264,22 +396,58 @@ def _extend(bits: int, size: int) -> int:
     return bits
 
 
-def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a baseline sequential GRAYSCALE JPEG →
-    ``(width, height, channels=1, pixels[h, w, 1] uint8)``.
+def _read_block(rdr: _BitReader, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray, int]:
+    """Entropy-decode one block (T.81 F.2.2) → (zigzag int64[64], new
+    DC predictor)."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = rdr.read_huff(dc_tab)
+    pred += _extend(rdr.read(size), size)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = rdr.read_huff(ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("jpeg: bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("jpeg: AC index overflow")
+        zz[k] = _extend(rdr.read(size), size)
+        k += 1
+    return zz, pred
 
-    Loud rejection for anything outside the supported subset
-    (progressive SOF2, arithmetic coding, multi-component scans,
-    restart markers) — mis-decoding silently would be worse than the
-    former NotImplementedError gate this decoder replaces."""
+
+def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode a baseline sequential JPEG → ``(width, height, planes)``
+    where ``planes`` is one full-resolution ``uint8[h, w]`` array per
+    component (Y, or Y/Cb/Cr) — subsampled chroma is upsampled by
+    sample replication (nearest neighbor), the simplest T.81/JFIF
+    reconstruction, BEFORE any color conversion, so callers that need
+    exact per-plane arithmetic (the jpeg_subsampled oracle) see the
+    dequantized planes untouched by float color math.
+
+    Supports grayscale and 3-component interleaved scans with
+    per-component sampling factors in {1, 2} — which covers 4:4:4,
+    4:2:2 and the 4:2:0 layout of most real-world JPEGs. Loud
+    rejection for anything outside that subset (progressive SOF2,
+    arithmetic coding, restart markers, 16-bit quant tables), and for
+    entropy streams that hit the terminating marker before the last
+    MCU finishes (the pad-1 bits after a marker may form valid Huffman
+    codes; decoding garbage from them silently would be worse than the
+    error)."""
     if payload[:2] != JPEG_SIG:
         raise ValueError("jpeg: missing SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = -1
-    comp_q = 0
-    dc_id = ac_id = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    scan: list[tuple[int, int, int]] = []        # (comp index, dc, ac)
     scan_start = -1
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -304,13 +472,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             ncomp = body[5]
             if body[0] != 8:
                 raise NotImplementedError("jpeg: non-8-bit precision")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "jpeg: only 1-component (grayscale) baseline supported"
+                    "jpeg: only 1- or 3-component baseline supported"
                 )
-            if body[7] != 0x11:
-                raise NotImplementedError("jpeg: subsampling unsupported")
-            comp_q = body[8]
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                hs, vs = body[7 + 3 * ci] >> 4, body[7 + 3 * ci] & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise NotImplementedError(
+                        "jpeg: sampling factors beyond 2 unsupported"
+                    )
+                comps.append((cid, hs, vs, body[8 + 3 * ci]))
+            if ncomp == 1 and comps[0][1:3] != (1, 1):
+                raise NotImplementedError("jpeg: subsampled grayscale")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 "jpeg: only baseline sequential (SOF0) supported"
@@ -327,48 +502,88 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker == 0xDD:
             raise NotImplementedError("jpeg: restart intervals unsupported")
         elif marker == 0xDA:  # SOS
-            if body[0] != 1:
-                raise NotImplementedError("jpeg: multi-component scan")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            if body[0] != len(comps):
+                raise NotImplementedError("jpeg: partial-component scan")
+            cids = [c[0] for c in comps]
+            for ci in range(body[0]):
+                cs = body[1 + 2 * ci]
+                if cs not in cids:
+                    raise ValueError("jpeg: scan names unknown component")
+                tsel = body[2 + 2 * ci]
+                scan.append((cids.index(cs), tsel >> 4, tsel & 0x0F))
             scan_start = pos + 2 + seg_len
             break
         pos += 2 + seg_len
-    if w < 0 or scan_start < 0:
+    if w < 0 or scan_start < 0 or not comps:
         raise ValueError("jpeg: missing SOF0 or SOS")
-    q = qtables[comp_q]
-    dc_tab = htables[(0, dc_id)]
-    ac_tab = htables[(1, ac_id)]
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = [
+        np.zeros((mcuy * vs, mcux * hs, 8, 8), dtype=np.float64)
+        for _cid, hs, vs, _tq in comps
+    ]
+    preds = [0] * len(comps)
     rdr = _BitReader(payload[scan_start:])
-    coefs = np.zeros((bh, bw, 8, 8), dtype=np.float64)
-    pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            size = rdr.read_huff(dc_tab)
-            pred += _extend(rdr.read(size), size)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = rdr.read_huff(ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("jpeg: bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("jpeg: AC index overflow")
-                zz[k] = _extend(rdr.read(size), size)
-                k += 1
-            coefs[by, bx].reshape(-1)[:] = (zz[_UNZIGZAG].reshape(8, 8) * q).reshape(-1)
-    spatial = np.einsum("xu,byuv,vz->byxz", _A.T, coefs, _A)
-    full = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
-    px = np.clip(np.rint(full), 0, 255).astype(np.uint8)[:h, :w]
-    return w, h, 1, px[:, :, None]
+    first = True
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, dc_id, ac_id in scan:
+                _cid, hs, vs, tq = comps[ci]
+                q = qtables[tq]
+                for dy in range(vs):
+                    for dx in range(hs):
+                        if rdr.pad_consumed and not first:
+                            raise ValueError(
+                                "jpeg: entropy stream ended before the "
+                                "last MCU (truncated or corrupt scan)"
+                            )
+                        first = False
+                        zz, preds[ci] = _read_block(
+                            rdr, htables[(0, dc_id)], htables[(1, ac_id)],
+                            preds[ci],
+                        )
+                        coefs[ci][my * vs + dy, mx * hs + dx] = (
+                            zz[_UNZIGZAG].reshape(8, 8) * q
+                        )
+    planes: list[np.ndarray] = []
+    for (_cid, hs, vs, _tq), c in zip(comps, coefs):
+        spatial = np.einsum("xu,byuv,vz->byxz", _A.T, c, _A)
+        bh, bw = c.shape[0], c.shape[1]
+        full = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        sub = np.clip(np.rint(full), 0, 255).astype(np.uint8)
+        # crop to the component's true subsampled dims, then replicate
+        # up to full resolution (identity for full-rate components).
+        cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
+        sub = sub[:ch, :cw]
+        ys = np.arange(h) * vs // vmax
+        xs = np.arange(w) * hs // hmax
+        planes.append(sub[np.ix_(ys, xs)])
+    return w, h, planes
+
+
+# JFIF/BT.601 YCbCr→RGB coefficients (public: JFIF 1.02 §7).
+_YCC = ((1.402, 0.0), (-0.714136, -0.344136), (0.0, 1.772))
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a baseline sequential JPEG →
+    ``(width, height, channels, pixels[h, w, channels] uint8)``.
+    Grayscale decodes to 1 channel; 3-component YCbCr (4:4:4 / 4:2:2 /
+    4:2:0) decodes to RGB via the JFIF BT.601 conversion. See
+    :func:`decode_jpeg_planes` for the supported subset and rejection
+    behavior."""
+    w, h, planes = decode_jpeg_planes(payload)
+    if len(planes) == 1:
+        return w, h, 1, planes[0][:, :, None]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [y + kcr * cr + kcb * cb for kcr, kcb in _YCC], axis=2
+    )
+    return w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
 def synth_jpeg_from_bytes(payload: bytes) -> bytes:
@@ -391,3 +606,33 @@ def synth_jpeg_from_bytes(payload: bytes) -> bytes:
     by = np.arange(h) // 8
     px = ((11 * bx[None, :] + 7 * by[:, None]) % 256).astype(np.uint8)
     return encode_jpeg_gray(px, quant=8)
+
+
+def synth_jpeg420_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* 4:2:0 chroma-subsampled color JPEG: dims from
+    the shared byte-length rule; the Y plane uses the same
+    8×8-block-constant rule as the grayscale fixture, and the Cb/Cr
+    planes are constant per 16×16 MACROBLOCK —
+    ``cb = (5·mx + 3·my + 64) mod 256``, ``cr = (3·mx + 5·my + 192)
+    mod 256`` with ``mx = x//16``.
+
+    Macroblock-constant chroma makes the SUBSAMPLED pipeline exact end
+    to end: the encoder's 2×2 mean over a constant region is that
+    constant, each 8×8 chroma block maps to exactly one macroblock (so
+    it is block-constant too — only the DC term survives, quantizing
+    exactly under the flat step 8), and the decoder's replication
+    upsample reproduces the original full-resolution plane bit-for-bit.
+    An oracle can therefore state each plane's pixel sum in closed form
+    over its block grid even though the real MCU-interleaved Huffman +
+    IDCT + upsample machinery runs."""
+    n = len(payload)
+    w = n % 64 + 16
+    h = (n // 64) % 64 + 16
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    y = ((11 * bx[None, :] + 7 * by[:, None]) % 256).astype(np.uint8)
+    mx = np.arange(w) // 16
+    my = np.arange(h) // 16
+    cb = ((5 * mx[None, :] + 3 * my[:, None] + 64) % 256).astype(np.uint8)
+    cr = ((3 * mx[None, :] + 5 * my[:, None] + 192) % 256).astype(np.uint8)
+    return encode_jpeg_420(y, cb, cr, quant=8)

@@ -16,8 +16,12 @@ import pytest
 
 from pubsub2bq_spark.functions.jpeg_codec import (
     _A,
+    _BitReader,
     decode_jpeg,
+    decode_jpeg_planes,
+    encode_jpeg_420,
     encode_jpeg_gray,
+    synth_jpeg420_from_bytes,
     synth_jpeg_from_bytes,
 )
 
@@ -86,6 +90,25 @@ class TestJpegCodec:
         with pytest.raises(ValueError):
             decode_jpeg(b"\x00\x01not a jpeg")
 
+    def test_bitreader_pad_guard(self):
+        # Bits served after a marker are pad 1s; pad_consumed must flip
+        # exactly when a read dips into them (ADVICE r12: a truncated
+        # scan whose remaining blocks decode from pad bits must error,
+        # not emit garbage pixels).
+        rdr = _BitReader(b"\xab\xff\xd9")
+        assert rdr.read(8) == 0xAB and not rdr.pad_consumed
+        assert rdr.read(4) == 0xF and rdr.pad_consumed
+
+    def test_truncated_scan_rejects(self):
+        # Early EOI mid-scan: the remaining MCUs must not silently
+        # decode from pad bits.
+        img = np.arange(48 * 48, dtype=np.uint8).reshape(48, 48)
+        data = encode_jpeg_gray(img, quant=8)
+        sos = data.find(b"\xff\xda")
+        cut = sos + 10 + (len(data) - sos) // 3
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:cut] + b"\xff\xd9")
+
     def test_decode_image_dispatches_jpeg(self):
         from pubsub2bq_spark.functions.multimodal import (
             decode_image,
@@ -102,3 +125,95 @@ class TestJpegCodec:
             max(1, w * 224 // long_side),
             max(1, h * 224 // long_side),
         )
+
+
+def _textbook_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                  quant: int) -> list[np.ndarray]:
+    """Reference model of the full 4:2:0 pipeline: MCU-pad → (chroma:
+    even-pad + 2×2 mean) → DCT → round-to-quant → dequant → IDCT →
+    shift/clip → crop → replication upsample."""
+    h, w = y.shape
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+
+    def _cycle(plane, ph, pw):
+        pad = np.pad(plane - 128.0,
+                     ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                     mode="edge")
+        bh, bw = ph // 8, pw // 8
+        blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,byxz,vz->byuv", _A, blocks, _A)
+        qc = np.rint(coef / quant) * quant
+        spat = np.einsum("xu,byuv,vz->byxz", _A.T, qc, _A)
+        full = spat.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
+        return np.clip(np.rint(full), 0, 255).astype(np.uint8)
+
+    out = [_cycle(y.astype(np.float64), mcuy * 16, mcux * 16)[:h, :w]]
+    for plane in (cb, cr):
+        pe = np.pad(plane.astype(np.float64),
+                    ((0, h % 2), (0, w % 2)), mode="edge")
+        sub = pe.reshape(pe.shape[0] // 2, 2, pe.shape[1] // 2, 2).mean(axis=(1, 3))
+        dec = _cycle(sub, mcuy * 8, mcux * 8)[: -(-h // 2), : -(-w // 2)]
+        out.append(dec[np.arange(h) // 2][:, np.arange(w) // 2])
+    return out
+
+
+class TestJpeg420:
+    def test_macroblock_constant_fixture_is_exact(self):
+        for n in (0, 1, 17, 63, 64, 1000, 4095, 4097):
+            w, h = n % 64 + 16, (n // 64) % 64 + 16
+            gw, gh, planes = decode_jpeg_planes(
+                synth_jpeg420_from_bytes(b"q" * n)
+            )
+            assert (gw, gh) == (w, h) and len(planes) == 3
+            bx, by = np.arange(w) // 8, np.arange(h) // 8
+            mx, my = np.arange(w) // 16, np.arange(h) // 16
+            want = [
+                (11 * bx[None, :] + 7 * by[:, None]) % 256,
+                (5 * mx[None, :] + 3 * my[:, None] + 64) % 256,
+                (3 * mx[None, :] + 5 * my[:, None] + 192) % 256,
+            ]
+            for got, exp in zip(planes, want):
+                assert np.array_equal(got, exp.astype(np.uint8))
+
+    @pytest.mark.parametrize("seed,shape,quant", [
+        (1, (16, 16), 8),
+        (2, (32, 48), 16),
+        (3, (37, 53), 16),   # odd dims: chroma even-pad + MCU edge pad
+        (4, (100, 17), 32),
+        (5, (9, 200), 4),
+    ])
+    def test_roundtrip_equals_textbook_model(self, seed, shape, quant):
+        rng = np.random.default_rng(seed)
+        y, cb, cr = (
+            rng.integers(0, 256, size=shape, dtype=np.uint8)
+            for _ in range(3)
+        )
+        w, h, planes = decode_jpeg_planes(encode_jpeg_420(y, cb, cr, quant=quant))
+        assert (w, h) == (shape[1], shape[0])
+        for got, exp in zip(planes, _textbook_420(y, cb, cr, quant)):
+            assert np.array_equal(got, exp)
+
+    def test_rgb_conversion_shape(self):
+        jp = synth_jpeg420_from_bytes(b"z" * 777)
+        w, h, ch, px = decode_jpeg(jp)
+        assert ch == 3 and px.shape == (h, w, 3) and px.dtype == np.uint8
+        # grayscale path unchanged
+        _, _, gch, gpx = decode_jpeg(synth_jpeg_from_bytes(b"z" * 777))
+        assert gch == 1 and gpx.shape[2] == 1
+
+    def test_resize_transcodes_color_jpeg(self):
+        from pubsub2bq_spark.functions.multimodal import (
+            decode_image,
+            resize_image,
+        )
+
+        jp = synth_jpeg420_from_bytes(b"r" * 500)
+        w, h, ch, _ = decode_image(jp)
+        assert ch == 3
+        ow, oh, och, _ = decode_image(resize_image(jp))
+        long_side = max(w, h)
+        assert (ow, oh) == (
+            max(1, w * 224 // long_side),
+            max(1, h * 224 // long_side),
+        )
+        assert och == 3
