@@ -193,6 +193,7 @@ HEADLINE = [
     # baseline-JPEG entropy decode inside the AVI container walk).
     "jpeg_subsampled",
     "video_frames_mjpeg",
+    "audio_mulaw",
 ]
 
 

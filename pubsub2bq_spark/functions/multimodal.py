@@ -389,13 +389,23 @@ def synth_wav_from_bytes(payload: bytes) -> bytes:
 def extract_audio_features(payload: bytes) -> dict:
     """Feature-extract an audio payload.
 
-    Real for WAV/PCM16 (stdlib ``wave`` parse + exact-integer RMS: the
-    sum of squares is exact int64, so ``sqrt(sum_sq/n)/32768`` is
-    bit-identical across engines). Non-RIFF payloads raise — perceptual
-    codecs need a library the container doesn't have.
+    Real for WAV/PCM16 (stdlib ``wave`` parse) and G.711 µ-law WAV
+    (manual RIFF walk + integer expansion, r13), with exact-integer
+    RMS: the sum of squares is exact int64, so ``sqrt(sum_sq/n)/32768``
+    is bit-identical across engines. Non-RIFF payloads raise —
+    perceptual codecs need a library the container doesn't have.
     """
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        rate, samples = decode_wav_s16(payload)
+        import wave as _wave
+
+        try:
+            rate, samples = decode_wav_s16(payload)
+        except (_wave.Error, ValueError, EOFError):
+            # the stdlib reader rejects non-PCM formats; fall through
+            # to the manual µ-law (wFormatTag 7) walk
+            from pubsub2bq_spark.functions.wav_codec import decode_wav_mulaw
+
+            rate, samples = decode_wav_mulaw(payload)
         n_samples = int(samples.size)
         sum_sq = int(np.sum(samples.astype(np.int64) ** 2))
         rms = math.sqrt(sum_sq / n_samples) / 32768.0 if n_samples else 0.0
@@ -447,6 +457,61 @@ def wav_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
                 "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
                 "n_windows": pd.Series(rows["n_windows"], dtype="int64"),
+                "rms": pd.Series(rows["rms"], dtype="float64"),
+            }
+        )
+
+
+def synth_mulaw_wav_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* G.711 µ-law RIFF/WAVE file (wFormatTag 7):
+    sample count from the shared audio rule (n//4 + 8), code byte
+    ``c_i = (i·2654435761 + n) mod 256``. The µ-law expansion is pure
+    integer arithmetic, so oracles restate decode + RMS exactly with
+    SQL bit operators."""
+    from pubsub2bq_spark.functions.wav_codec import encode_wav_mulaw
+
+    n = len(payload)
+    n_samples = n // _WAV_SAMPLES_DIV + 8
+    i = np.arange(n_samples, dtype=np.int64)
+    return encode_wav_mulaw(((i * _WAV_MULT + n) % 256).astype(np.uint8))
+
+
+MULAW_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, n_samples bigint, sum_sq bigint, "
+    "rms double"
+)
+
+
+def mulaw_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the COMPRESSED audio path (r13): synthesize
+    a µ-law WAV per payload, genuinely walk the RIFF container (manual
+    parse — the stdlib reader rejects non-PCM formats) and expand every
+    G.711 code byte to its linear sample, then compute RMS from the
+    DECODED samples. The sum of squares is exact int64, so
+    sqrt(sum_sq/n)/32768 is bit-identical across engines."""
+    from pubsub2bq_spark.functions.wav_codec import decode_wav_mulaw
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "n_samples": [], "sum_sq": [],
+            "rms": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, lin = decode_wav_mulaw(synth_mulaw_wav_from_bytes(payload))
+            sum_sq = int(np.sum(lin * lin))
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["n_samples"].append(int(lin.size))
+            rows["sum_sq"].append(sum_sq)
+            rows["rms"].append(
+                math.sqrt(sum_sq / lin.size) / 32768.0 if lin.size else 0.0
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                "sum_sq": pd.Series(rows["sum_sq"], dtype="int64"),
                 "rms": pd.Series(rows["rms"], dtype="float64"),
             }
         )

@@ -366,6 +366,66 @@ def audio_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_mulaw",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        ),
+        s AS (
+            SELECT d.doc_id, d.n,
+                   255 - ((t.i * 2654435761 + d.n) % 256) AS u
+            FROM d, LATERAL (SELECT unnest(range(d.n // 4 + 8)) AS i) t
+        ),
+        lin AS (
+            SELECT doc_id, n,
+                   CASE WHEN (u & 128) > 0
+                        THEN 132 - ((((u & 15) << 3) + 132) << ((u & 112) >> 4))
+                        ELSE ((((u & 15) << 3) + 132) << ((u & 112) >> 4)) - 132
+                   END AS x
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT)                 AS n_bytes,
+               CAST(count(*) AS BIGINT)          AS n_samples,
+               CAST(sum(x * x) AS BIGINT)        AS sum_sq,
+               sqrt(CAST(sum(x * x) AS DOUBLE) / count(*)) / 32768.0 AS rms
+        FROM lin GROUP BY doc_id, n
+    """,
+    doc="G.711 µ-law audio decode, REAL end-to-end (r13 — the first "
+        "COMPRESSED audio family member): the kernel synthesizes a real "
+        "µ-law RIFF/WAVE file per payload (wFormatTag 7, one code byte "
+        "per sample, the telephony standard), genuinely walks the RIFF "
+        "container with a manual parser (the stdlib wave reader rejects "
+        "non-PCM formats), expands every code byte with the public "
+        "G.711 algorithm (ones'-complement, ((mantissa<<3)+0x84)<<exp "
+        "− 0x84 — functions/wav_codec.py), and computes RMS from the "
+        "DECODED samples. The expansion is pure integer arithmetic, so "
+        "the oracle restates decode + sum-of-squares exactly with SQL "
+        "bit operators and the rms double is bit-identical (exact int64 "
+        "sum, IEEE division, correctly-rounded sqrt, power-of-two "
+        "scale). The audio gate now covers only perceptual codecs "
+        "(mp3/opus).",
+    scale_notes="Same no-shuffle envelope as audio_feature: project to "
+                "(doc_id, payload), one Arrow-batched mapInPandas pass; "
+                "the µ-law expansion is one vectorized numpy pass per "
+                "payload and the output is O(1) per document.",
+)
+def audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        MULAW_SCHEMA,
+        mulaw_feature_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(mulaw_feature_batches, MULAW_SCHEMA)
+
+
+@register(
     "audio_resample",
     oracle="""
         WITH d AS (

@@ -427,3 +427,32 @@ def test_mjpeg_frame_kernel_decodes_real_stream():
             ((11 * bxs[None, :] + 7 * bys[:, None] + 13 * int(f)) % 256).sum()
         )
         assert px == want
+
+
+def test_mulaw_codec_and_kernel():
+    """G.711 expansion must match the public table properties (0xFF→0,
+    range ±32124, sign symmetry) through a REAL format-7 RIFF
+    round-trip, and the kernel's sums must come from decoded samples."""
+    from pubsub2bq_spark.functions.wav_codec import (
+        decode_wav_mulaw,
+        encode_wav_mulaw,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    rate, lin = decode_wav_mulaw(encode_wav_mulaw(codes))
+    assert rate == 8000 and len(lin) == 256
+    assert lin[0xFF] == 0 and lin.min() == -32124 and lin.max() == 32124
+    assert all(int(lin[c]) == -int(lin[c ^ 0x80]) for c in range(256))
+    with pytest.raises(ValueError):
+        decode_wav_mulaw(mm.synth_wav_from_bytes(b"x" * 50))  # PCM, not µ-law
+
+    payload = b"a" * 100  # n_samples = 33
+    pdf = pd.DataFrame({"doc_id": [3], "payload": [payload]})
+    (out,) = list(mm.mulaw_feature_batches(iter([pdf])))
+    n = 100
+    i = np.arange(n // 4 + 8, dtype=np.int64)
+    u = 255 - ((i * 2654435761 + n) % 256)
+    t = (((u & 15) << 3) + 132) << ((u & 112) >> 4)
+    want = np.where(u & 128, 132 - t, t - 132)
+    assert int(out["sum_sq"][0]) == int((want * want).sum())
+    assert int(out["n_samples"][0]) == n // 4 + 8
