@@ -194,6 +194,7 @@ HEADLINE = [
     "jpeg_subsampled",
     "video_frames_mjpeg",
     "audio_mulaw",
+    "jpeg_progressive",
 ]
 
 

@@ -330,6 +330,136 @@ def encode_jpeg_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     return bytes(out)
 
 
+def encode_jpeg_progressive(px: np.ndarray, quant: int = 8) -> bytes:
+    """Encode an 8-bit grayscale image as PROGRESSIVE (SOF2, Huffman)
+    JPEG with a four-scan script exercising every progressive scan
+    type (T.81 Annex G): DC first at Al=1 → AC first (band 1–63,
+    Al=1) → DC refinement → AC refinement. Spectral values use the
+    spec's point transforms (arithmetic shift for DC, magnitude shift
+    for AC); refinement scans interleave correction bits for
+    already-significant coefficients with the run/size symbols in the
+    exact order the decoder consumes them. EOB runs are flushed per
+    block (run length 1 — valid, just less compressed than libjpeg's
+    cross-block buffering)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    blocks, bw, bh = _blocks_of(px)
+    coefs = np.einsum("ux,byxz,vz->byuv", _A, blocks, _A)
+    q = np.rint(coefs / float(quant)).astype(np.int64)
+    Z = q.reshape(bh, bw, 64)[:, :, _ZIGZAG]
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    def _sym(bwr, table, sym):
+        code, length = table[sym]
+        bwr.write(code, length)
+
+    def dc_first(al: int) -> bytes:
+        bwr = _BitWriter()
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                v = int(Z[by, bx, 0]) >> al  # arithmetic point transform
+                size, bits = _magnitude(v - pred)
+                pred = v
+                _sym(bwr, dc_codes, size)
+                bwr.write(bits, size)
+        return bwr.flush()
+
+    def dc_refine(al: int) -> bytes:
+        bwr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                bwr.write((int(Z[by, bx, 0]) >> al) & 1, 1)
+        return bwr.flush()
+
+    def ac_first(ss: int, se: int, al: int) -> bytes:
+        bwr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                zz = Z[by, bx]
+                t = [
+                    (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> al)
+                    for k in range(ss, se + 1)
+                ]
+                last = max((i for i, v in enumerate(t) if v), default=-1)
+                run = 0
+                for i in range(last + 1):
+                    v = t[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        _sym(bwr, ac_codes, 0xF0)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    _sym(bwr, ac_codes, (run << 4) | size)
+                    bwr.write(bits, size)
+                    run = 0
+                if last < se - ss:
+                    _sym(bwr, ac_codes, 0x00)  # EOB (run 1)
+        return bwr.flush()
+
+    def ac_refine(ss: int, se: int, al: int) -> bytes:
+        bwr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                zz = Z[by, bx]
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                # last newly-significant index: trailing already-nonzero
+                # coefficients fold into the EOB's correction bits
+                eob = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+                run = 0
+                br: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob:
+                        _sym(bwr, ac_codes, 0xF0)
+                        for b in br:
+                            bwr.write(b, 1)
+                        br = []
+                        run -= 16
+                    if t > 1:  # already significant: correction bit
+                        br.append(t & 1)
+                        continue
+                    _sym(bwr, ac_codes, (run << 4) | 1)
+                    bwr.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+                    for b in br:
+                        bwr.write(b, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    _sym(bwr, ac_codes, 0x00)  # EOB (run 1)
+                    for b in br:
+                        bwr.write(b, 1)
+        return bwr.flush()
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return (
+            b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00"
+            + bytes([ss, se, (ah << 4) | al])
+        )
+
+    qtab = bytes(np.full(64, quant, dtype=np.uint8))
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_DC_VALS)) + b"\x00"
+    out += bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_AC_VALS)) + b"\x10"
+    out += bytes(_AC_BITS) + bytes(_AC_VALS)
+    out += sos(0, 0, 0, 1) + dc_first(1)
+    out += sos(1, 63, 0, 1) + ac_first(1, 63, 1)
+    out += sos(0, 0, 1, 0) + dc_refine(0)
+    out += sos(1, 63, 1, 0) + ac_refine(1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -422,6 +552,129 @@ def _read_block(rdr: _BitReader, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray,
     return zz, pred
 
 
+def _entropy_end(data: bytes, start: int) -> int:
+    """Index of the first marker (0xFF followed by non-stuffing byte)
+    at or after ``start`` — the end of one scan's entropy segment."""
+    i = start
+    while True:
+        i = data.find(b"\xff", i)
+        if i < 0 or i + 1 >= len(data):
+            return len(data)
+        if data[i + 1] != 0x00:
+            return i
+        i += 2
+
+
+def _prog_dc_scan(rdr: _BitReader, pcoef: np.ndarray, ah: int, al: int,
+                  dc_tab) -> None:
+    """Progressive DC scan over the raster block grid (T.81 G.1.2.1).
+    First scan (Ah=0) codes the point-transformed diffs (arithmetic
+    shift by Al, stored pre-shifted-back); a refinement scan appends
+    one bit per block at position Al."""
+    bh, bw, _ = pcoef.shape
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ah == 0:
+                size = rdr.read_huff(dc_tab)
+                pred += _extend(rdr.read(size), size)
+                pcoef[by, bx, 0] = pred << al
+            elif rdr.read(1):
+                pcoef[by, bx, 0] |= 1 << al
+
+
+def _prog_ac_first(rdr: _BitReader, pcoef: np.ndarray, ss: int, se: int,
+                   al: int, ac_tab) -> None:
+    """Progressive AC first scan (Ah=0) over one spectral band
+    (T.81 G.1.2.2): baseline-style run/size coding of the
+    point-transformed values, plus EOBn codes whose run spans blocks."""
+    bh, bw, _ = pcoef.shape
+    eobrun = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if eobrun:
+                eobrun -= 1
+                continue
+            coef = pcoef[by, bx]
+            k = ss
+            while k <= se:
+                rs = rdr.read_huff(ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rdr.read(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("jpeg: AC index beyond band")
+                coef[k] = _extend(rdr.read(s), s) << al
+                k += 1
+
+
+def _prog_ac_refine(rdr: _BitReader, pcoef: np.ndarray, ss: int, se: int,
+                    al: int, ac_tab) -> None:
+    """Progressive AC refinement scan (T.81 G.1.2.3): every coefficient
+    already nonzero in history receives a correction bit; run lengths
+    count only zero-history positions; EOBn runs consume the remaining
+    correction bits of each covered block."""
+    p1, m1 = 1 << al, -1 << al
+    bh, bw, _ = pcoef.shape
+    eobrun = 0
+
+    def _correct(coef, k):
+        if rdr.read(1) and not (coef[k] & p1):
+            coef[k] += p1 if coef[k] >= 0 else m1
+
+    for by in range(bh):
+        for bx in range(bw):
+            coef = pcoef[by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rdr.read_huff(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rdr.read(r)
+                            break
+                        # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("jpeg: bad refinement size")
+                        val = p1 if rdr.read(1) else m1
+                    while k <= se:
+                        if coef[k]:
+                            _correct(coef, k)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        coef[k] = val
+                    k += 1
+            else:
+                eobrun -= 1
+            # EOB-covered remainder of the band: correction bits only.
+            # (k > se when the while-loop ran to completion — nothing
+            # left to correct.)
+            if eobrun or k <= se:
+                while k <= se:
+                    if coef[k]:
+                        _correct(coef, k)
+                    k += 1
+    # a trailing eobrun is consumed by subsequent blocks above; if the
+    # stream ends with blocks still owed, the pad guard in the caller
+    # catches the truncation.
+
+
 def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     """Decode a baseline sequential JPEG → ``(width, height, planes)``
     where ``planes`` is one full-resolution ``uint8[h, w]`` array per
@@ -448,6 +701,8 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     w = h = -1
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     scan: list[tuple[int, int, int]] = []        # (comp index, dc, ac)
+    progressive = False
+    pcoef: np.ndarray | None = None              # progressive: zigzag coefs
     scan_start = -1
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -466,7 +721,8 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                 tab = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
                 qtables[tq] = tab.astype(np.int64)[_UNZIGZAG].reshape(8, 8)
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             h = struct.unpack(">H", body[1:3])[0]
             w = struct.unpack(">H", body[3:5])[0]
             ncomp = body[5]
@@ -475,6 +731,10 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     "jpeg: only 1- or 3-component baseline supported"
+                )
+            if progressive and ncomp != 1:
+                raise NotImplementedError(
+                    "jpeg: progressive supported for grayscale only"
                 )
             for ci in range(ncomp):
                 cid = body[6 + 3 * ci]
@@ -486,9 +746,14 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                 comps.append((cid, hs, vs, body[8 + 3 * ci]))
             if ncomp == 1 and comps[0][1:3] != (1, 1):
                 raise NotImplementedError("jpeg: subsampled grayscale")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            if progressive:
+                pcoef = np.zeros(
+                    ((h + 7) // 8, (w + 7) // 8, 64), dtype=np.int64
+                )
+        elif marker in (0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "jpeg: only baseline sequential (SOF0) supported"
+                "jpeg: only baseline sequential (SOF0) and Huffman "
+                "progressive (SOF2) supported"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -502,6 +767,41 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
         elif marker == 0xDD:
             raise NotImplementedError("jpeg: restart intervals unsupported")
         elif marker == 0xDA:  # SOS
+            if progressive:
+                # One scan of a multi-scan progressive stream: decode it
+                # in place over the shared coefficient array, then keep
+                # walking markers (DHT redefinitions, further scans).
+                if body[0] != 1:
+                    raise NotImplementedError(
+                        "jpeg: interleaved progressive scan"
+                    )
+                tsel = body[2]
+                ns = body[0]
+                ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                data_start = pos + 2 + seg_len
+                data_end = _entropy_end(payload, data_start)
+                srdr = _BitReader(payload[data_start:data_end])
+                if ss_ == 0:
+                    if se_ != 0:
+                        raise ValueError("jpeg: DC scan with Se != 0")
+                    _prog_dc_scan(
+                        srdr, pcoef, ah, al,
+                        htables.get((0, tsel >> 4)),
+                    )
+                elif ah == 0:
+                    _prog_ac_first(
+                        srdr, pcoef, ss_, se_, al,
+                        htables[(1, tsel & 0x0F)],
+                    )
+                else:
+                    _prog_ac_refine(
+                        srdr, pcoef, ss_, se_, al,
+                        htables[(1, tsel & 0x0F)],
+                    )
+                pos = data_end
+                continue
             if body[0] != len(comps):
                 raise NotImplementedError("jpeg: partial-component scan")
             cids = [c[0] for c in comps]
@@ -514,6 +814,18 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             scan_start = pos + 2 + seg_len
             break
         pos += 2 + seg_len
+    if progressive:
+        if w < 0 or pcoef is None:
+            raise ValueError("jpeg: missing SOF2")
+        q = qtables[comps[0][3]]
+        bh, bw = pcoef.shape[0], pcoef.shape[1]
+        deq = (
+            pcoef[:, :, _UNZIGZAG].reshape(bh, bw, 8, 8).astype(np.float64)
+            * q[None, None]
+        )
+        spatial = np.einsum("xu,byuv,vz->byxz", _A.T, deq, _A)
+        full = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        return w, h, [np.clip(np.rint(full), 0, 255).astype(np.uint8)[:h, :w]]
     if w < 0 or scan_start < 0 or not comps:
         raise ValueError("jpeg: missing SOF0 or SOS")
     hmax = max(c[1] for c in comps)
@@ -606,6 +918,27 @@ def synth_jpeg_from_bytes(payload: bytes) -> bytes:
     by = np.arange(h) // 8
     px = ((11 * bx[None, :] + 7 * by[:, None]) % 256).astype(np.uint8)
     return encode_jpeg_gray(px, quant=8)
+
+
+def synth_jpeg_progressive_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* PROGRESSIVE (SOF2) JPEG: dims from the shared
+    byte-length rule, pixels 8×8-BLOCK-CONSTANT at
+    ``(13·(x//8) + 5·(y//8) + 3) mod 256``. Block-constant pixels keep
+    the four-scan progressive pipeline exact (only the DC term is
+    nonzero; its two-scan successive approximation — arithmetic-shifted
+    first scan + one refinement bit — reassembles the integer v−128
+    exactly, and the AC scans are pure EOB runs), so the decode
+    round-trip equals the synthesized image and the oracle states Σpx
+    in closed form. The general AC first/refinement machinery is pinned
+    separately by tests against random images (exact equality with the
+    textbook DCT model)."""
+    n = len(payload)
+    w = n % 64 + 16
+    h = (n // 64) % 64 + 16
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    px = ((13 * bx[None, :] + 5 * by[:, None] + 3) % 256).astype(np.uint8)
+    return encode_jpeg_progressive(px, quant=8)
 
 
 def synth_jpeg420_from_bytes(payload: bytes) -> bytes:

@@ -13,16 +13,20 @@ Codec coverage is split honestly:
   container parse + PCM frame decode + RMS feature math.
 * **AVI (uncompressed 8-bit DIB)** — fully real, stdlib ``struct``
   (functions/avi_codec.py): RIFF walk, strf header, movi frame chunks.
-* **JPEG (baseline sequential, grayscale + subsampled color)** — fully
-  real, stdlib-only (functions/jpeg_codec.py, r12/r13): marker parse,
-  MCU-interleaved Annex-K Huffman entropy decode (luminance +
-  chrominance tables), dequantize, IDCT, replication chroma upsample
-  for 4:4:4 / 4:2:2 / 4:2:0 color, JFIF BT.601 → RGB. Progressive /
-  arithmetic JPEG still rejects loudly.
-* everything else (progressive JPEG/mp3/compressed video codecs)
-  raises ``NotImplementedError`` unless a real decoder library (PIL)
-  imports — the container has none, and pretending otherwise would be
-  worse.
+* **JPEG (baseline sequential + grayscale progressive, subsampled
+  color)** — fully real, stdlib-only (functions/jpeg_codec.py,
+  r12/r13): marker parse, MCU-interleaved Annex-K Huffman entropy
+  decode (luminance + chrominance tables), dequantize, IDCT,
+  replication chroma upsample for 4:4:4 / 4:2:2 / 4:2:0 color, JFIF
+  BT.601 → RGB; multi-scan SOF2 progressive (DC/AC first + refinement,
+  EOB runs, correction bits) for grayscale. Arithmetic coding and
+  color progressive still reject loudly.
+* **G.711 µ-law WAV** (r13) — manual RIFF walk + exact integer
+  expansion; the audio gate covers only perceptual codecs (mp3/opus).
+* everything else (arithmetic/color-progressive JPEG, mp3/opus,
+  inter-frame video) raises ``NotImplementedError`` unless a real
+  decoder library (PIL) imports — the container has none, and
+  pretending otherwise would be worse.
 
 ``fake_decode_meta`` remains as the deterministic stand-in used by the
 pure-plumbing keys (multimodal_meta / frame_sample), whose oracles
@@ -293,6 +297,48 @@ def jpeg_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
                 "out_w": pd.Series(rows["out_w"], dtype="int32"),
                 "out_h": pd.Series(rows["out_h"], dtype="int32"),
+            }
+        )
+
+
+JPEG_PROG_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, px_sum bigint"
+)
+
+
+def jpeg_progressive_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the PROGRESSIVE JPEG path (r13):
+    synthesize a real four-scan SOF2 stream per payload
+    (block-constant pixels — see synth_jpeg_progressive_from_bytes for
+    why the successive-approximation pipeline is exact on them), then
+    genuinely decode it — marker walk across the multiple SOS
+    segments, DC first + refinement and AC first + refinement scan
+    decode over the shared coefficient array, dequantize, IDCT — and
+    pixel-sum the decoded image."""
+    from pubsub2bq_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        synth_jpeg_progressive_from_bytes,
+    )
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "width": [], "height": [],
+            "px_sum": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _ch, px = decode_jpeg(synth_jpeg_progressive_from_bytes(payload))
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["px_sum"].append(int(px.sum(dtype=np.int64)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
             }
         )
 

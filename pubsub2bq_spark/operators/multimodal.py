@@ -240,6 +240,65 @@ def jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_progressive",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT)            AS n_bytes,
+                   CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                   CAST((octet_length(encode(text)) // 64) % 64 + 16
+                        AS INTEGER)                                      AS height
+            FROM documents
+        ),
+        g AS (
+            SELECT *, unnest(range(0, (height + 7) // 8)) AS by
+            FROM (SELECT *, unnest(range(0, (width + 7) // 8)) AS bx
+                  FROM m)
+        )
+        SELECT doc_id, n_bytes, width, height,
+               CAST(sum(((13 * bx + 5 * by + 3) % 256)
+                        * least(8, width - 8 * bx)
+                        * least(8, height - 8 * by)) AS BIGINT)          AS px_sum
+        FROM g GROUP BY doc_id, n_bytes, width, height
+    """,
+    doc="PROGRESSIVE (SOF2) JPEG decode, REAL end-to-end (r13 — the "
+        "format behind the last single-image JPEG gate): the kernel "
+        "synthesizes a real four-scan progressive stream per payload "
+        "(DC first at Al=1 → AC first band 1–63 → DC refinement → AC "
+        "refinement — every T.81 Annex G scan type), then genuinely "
+        "decodes it: marker walk across the multiple SOS segments, "
+        "successive-approximation DC reassembly, spectral-band AC "
+        "decode with EOB runs and correction bits over a shared "
+        "coefficient array, dequantize, IDCT "
+        "(functions/jpeg_codec.py). Block-constant pixels keep the "
+        "pipeline exact (DC-only; its two-scan split reassembles v−128 "
+        "exactly), so the oracle states Σpx in closed form; the "
+        "general AC paths are pinned by unit tests against random "
+        "images (exact equality with the textbook DCT model). The "
+        "image gate now covers only arithmetic-coded JPEG and color "
+        "progressive.",
+    scale_notes="Identical envelope to jpeg_decode: project to "
+                "(doc_id, payload), one Arrow-batched mapInPandas "
+                "pass, no shuffle after the kernel. Progressive decode "
+                "walks the block grid once per scan (4 passes) — "
+                "per-row work, O(1) output per document.",
+)
+def jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        JPEG_PROG_SCHEMA,
+        jpeg_progressive_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(jpeg_progressive_batches, JPEG_PROG_SCHEMA)
+
+
+@register(
     "jpeg_subsampled",
     oracle="""
         WITH m AS (

@@ -80,11 +80,13 @@ class TestJpegCodec:
         assert np.array_equal(dec[:, :, 0], img)
         assert len(data) < 1000  # EOB-only blocks stay tiny
 
-    def test_rejects_progressive_and_truncated(self):
+    def test_rejects_arithmetic_and_truncated(self):
+        # (grayscale progressive SOF2 decodes for real since r13 —
+        # arithmetic coding is the remaining frame-type gate)
         img = np.zeros((8, 8), dtype=np.uint8)
         data = bytearray(encode_jpeg_gray(img))
         sof = data.find(b"\xff\xc0")
-        data[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+        data[sof + 1] = 0xC9  # rewrite SOF0 → SOF9 (arithmetic)
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
         with pytest.raises(ValueError):
@@ -217,3 +219,57 @@ class TestJpeg420:
             max(1, h * 224 // long_side),
         )
         assert och == 3
+
+
+class TestJpegProgressive:
+    """Progressive (SOF2) decode: the four-scan successive-approximation
+    pipeline must reconstruct EXACTLY the same coefficients as baseline
+    (the textbook DCT model) — this pins the DC arithmetic point
+    transform, AC magnitude point transform, EOB runs, ZRL-in-refinement
+    and the correction-bit interleaving order all at once."""
+
+    @pytest.mark.parametrize("seed,shape,quant", [
+        (1, (8, 8), 8),
+        (2, (16, 24), 16),
+        (3, (37, 53), 16),
+        (4, (100, 17), 32),
+        (5, (9, 200), 4),    # fine quant → dense AC refinement traffic
+        (6, (64, 64), 8),
+    ])
+    def test_roundtrip_equals_textbook_model(self, seed, shape, quant):
+        from pubsub2bq_spark.functions.jpeg_codec import (
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, ch, dec = decode_jpeg(encode_jpeg_progressive(img, quant=quant))
+        assert (w, h, ch) == (shape[1], shape[0], 1)
+        assert np.array_equal(dec[:, :, 0], _textbook(img, quant))
+
+    def test_block_constant_fixture_is_exact(self):
+        from pubsub2bq_spark.functions.jpeg_codec import (
+            synth_jpeg_progressive_from_bytes,
+        )
+
+        for n in (0, 1, 63, 64, 1000, 4097):
+            w, h = n % 64 + 16, (n // 64) % 64 + 16
+            gw, gh, ch, px = decode_jpeg(
+                synth_jpeg_progressive_from_bytes(b"p" * n)
+            )
+            assert (gw, gh, ch) == (w, h, 1)
+            bx, by = np.arange(w) // 8, np.arange(h) // 8
+            want = ((13 * bx[None, :] + 5 * by[:, None] + 3) % 256).astype(
+                np.uint8
+            )
+            assert np.array_equal(px[:, :, 0], want)
+
+    def test_color_progressive_still_rejects(self):
+        from pubsub2bq_spark.functions.jpeg_codec import encode_jpeg_420
+
+        y = np.zeros((16, 16), dtype=np.uint8)
+        data = bytearray(encode_jpeg_420(y, y, y))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 1] = 0xC2
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))
