@@ -66,6 +66,12 @@ SEMDEDUP_CELLS = 16  # coarse-quantizer cell FLOOR (k-means||-seeded)
 # At the test SFs (n <= 2000, cap >= n) the sample is the whole corpus
 # — the filter is trivially true and outputs are unchanged there.
 SEMDEDUP_SAMPLE_PER_CELL = 128
+# Supercells probed per vector in the hierarchical corpus routing (r13):
+# 1-probe routing misassigns boundary vectors and measurably shed
+# semantic_decontaminate recall at the 4x probe (0.7366 flat → 0.6908);
+# probing the top-2 supercells restores near-flat assignment fidelity
+# at n·(s + 2k/s) — still far below flat's n·k.
+SEMDEDUP_ROUTE_PROBES = 2
 SEMDEDUP_TAU = 0.3   # intra-cell cosine above this = semantic duplicate
                      # (calibrated to the synthetic embeddings' planted
                      # similarity structure, matching embedding_dedup)
@@ -209,8 +215,10 @@ def _quantizer_ctes() -> str:
     """Shared oracle CTE prefix — v → sz → vs → k-means|| seed chain →
     la1 (sample Lloyd assign) → lc1 (cell centroids) → sc0/sa1/sc1
     (supercell Lloyd over the CENTROID table) → cmap (cell→supercell) →
-    r1 (corpus→supercell) → asgn (argmin within the routed supercell's
-    cells): the exact SemDeDup quantizer build, HIERARCHICAL since r13
+    r1 (corpus→top-SEMDEDUP_ROUTE_PROBES supercells) → asgn (argmin
+    over the probed supercells' cells — multi-probe recovers boundary
+    misassignments, the measured decontaminate-recall knob): the exact
+    SemDeDup quantizer build, HIERARCHICAL since r13
     (VERDICT r12 #5 — the n·k flat corpus assignment was the dominant
     build phase; nearest-supercell-first routing cuts it to
     n·(s + k/s) = 2n·sqrt(k), the ann_ivf_hier machinery). ONE
@@ -307,7 +315,7 @@ def _quantizer_ctes() -> str:
                            ORDER BY {_SQ2.format(a="a.v", b="b.c")} ASC,
                                     b.cid ASC) AS rn
                 FROM v a CROSS JOIN sc1 b
-            ) WHERE rn = 1
+            ) WHERE rn <= {SEMDEDUP_ROUTE_PROBES}
         ),
         asgn AS (
             SELECT vec_id, v, cid FROM (
@@ -415,7 +423,8 @@ def _quantizer_build_impl(
     n = v.agg(F.count(F.lit(1))).first()[0]
     cent, sc1, cmap = _hier_build(v, n)
     asgn = (
-        _hier_route(v, sc1, cmap, with_v=True)
+        _hier_route(v, sc1, cmap, with_v=True,
+                    probes=SEMDEDUP_ROUTE_PROBES)
         .select(F.col("cell_id").alias("cid"), "vec_id", "v")
         .transform(materialize)
     )

@@ -1581,30 +1581,81 @@ def _hier_build(v: DataFrame, n: int) -> tuple[DataFrame, DataFrame, DataFrame]:
 
 
 def _hier_route(v: DataFrame, sc1: DataFrame, cmap: DataFrame,
-                with_v: bool = False) -> DataFrame:
+                with_v: bool = False, probes: int = 1) -> DataFrame:
     """(vec_id, sid, cell_id[, v]): nearest-supercell-first vector
     routing. Stage 2 is a broadcast equi-join on sid against the
     PER-SUPERCELL cell array (~k/s structs) + a map-side array_min —
     the former row-level cmap join + window shuffled n × k/s vector
     rows. ``with_v`` keeps the vector column for consumers whose next
-    stage scores members (the SemDeDup quantizer)."""
-    r1 = _assign(v, sc1).select("vec_id", "v", F.col("cid").alias("sid"))
+    stage scores members (the SemDeDup quantizer).
+
+    ``probes`` > 1 routes each vector through its ``probes`` nearest
+    supercells and argmins over the UNION of their cells — the standard
+    multi-probe recovery for hierarchical quantization's boundary
+    misassignments (the recall knob ann_ivf_hier's scale notes
+    document). Cost n·(s + probes·k/s), still far below flat n·k; the
+    whole selection stays inside one projection over a broadcast
+    sid→cells map (no shuffle, no extra corpus pass) and the returned
+    ``sid`` is the chosen CELL's supercell."""
     cells_by_sid = cmap.groupBy("sid").agg(
-        F.collect_list(F.struct("cell_id", "cc")).alias("_cells")
+        F.collect_list(F.struct("cell_id", "cc", "sid")).alias("_cells")
+    )
+    if probes == 1:
+        r1 = _assign(v, sc1).select("vec_id", "v", F.col("cid").alias("sid"))
+        best = F.array_min(
+            F.transform(
+                F.col("_cells"),
+                lambda s: F.struct(
+                    _sqdist(F.col("v"), s["cc"]).alias("dist"),
+                    s["cell_id"].alias("cell_id"),
+                ),
+            )
+        )
+        return (
+            r1.join(F.broadcast(cells_by_sid), "sid")
+            .select(
+                "vec_id", "sid", best["cell_id"].alias("cell_id"),
+                *(["v"] if with_v else []),
+            )
+        )
+    sid_map = cells_by_sid.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("sid", "_cells"))
+        ).alias("_m")
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda s: F.struct(
+                    _sqdist(F.col("v"), s["c"]).alias("dist"),
+                    s["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        probes,
+    )
+    cands = F.flatten(
+        F.transform(ranked, lambda r: F.element_at(F.col("_m"), r["cid"]))
     )
     best = F.array_min(
         F.transform(
-            F.col("_cells"),
-            lambda s: F.struct(
-                _sqdist(F.col("v"), s["cc"]).alias("dist"),
-                s["cell_id"].alias("cell_id"),
+            cands,
+            lambda c: F.struct(
+                _sqdist(F.col("v"), c["cc"]).alias("dist"),
+                c["cell_id"].alias("cell_id"),
+                c["sid"].alias("sid"),
             ),
         )
     )
     return (
-        r1.join(F.broadcast(cells_by_sid), "sid")
+        v.crossJoin(F.broadcast(_cent_array(sc1, "cid", "c")))
+        .crossJoin(F.broadcast(sid_map))
         .select(
-            "vec_id", "sid", best["cell_id"].alias("cell_id"),
+            "vec_id",
+            best["sid"].alias("sid"),
+            best["cell_id"].alias("cell_id"),
             *(["v"] if with_v else []),
         )
     )

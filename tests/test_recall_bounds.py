@@ -5,9 +5,12 @@ scripts/recall_probe.py (numbers also in docs/SCALING.md); a quantizer
 or candidate-generation regression that silently sheds recall fails
 here instead of shipping.
 
-Measured at base sf0.001 x4 (2000 vectors, deterministic build):
-semdedup 0.8914, global_semdedup 0.9383, semantic_decontaminate 0.7366
-(sf0.1 x4: 0.9003 / 0.9394 / 0.7804 — docs/SCALING.md).
+Measured at base sf0.001 x4 (2000 vectors, deterministic build, r13
+hierarchical 2-probe quantizer): semdedup 0.8925, global_semdedup
+0.9393, semantic_decontaminate 0.7423 (sf0.1 x4: 0.8855 / 0.9355 /
+0.7529). The r13 1-probe hierarchical routing measurably shed
+decontaminate recall (0.6908 < the 0.70 bound — this test caught it);
+SEMDEDUP_ROUTE_PROBES = 2 restored it at n·(s + 2k/s) routing cost.
 """
 
 from __future__ import annotations
