@@ -346,6 +346,21 @@ class TestRound5Plans:
         assert "ShuffledHashJoin" not in plan
         assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
 
+    def test_index_persist_small_corpus_serves_without_arrow(self, spark):
+        """The serve-from-disk path's size dispatch (r13, the
+        ann_index_persist 2.04x flag fix): below _IVF_SERVE_EXPR_MAX
+        member rows the two Arrow cogroup stages are pure fixed cost,
+        so serving must run as the JVM expression path — broadcast
+        probes onto the reloaded bucketed index, zero Python stages,
+        no corpus-corpus shuffle join. (At probe scales the same call
+        flips to the cogroup kernel; bit-identical either way —
+        tests/test_units.py::TestProbeSearchBitExact.)"""
+        plan = plan_of(spark, "ann_index_persist")
+        assert "FlatMapCoGroupsInPandas" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert "BroadcastExchange" in plan
+
 
 class TestRound9Plans:
     """Plan gates for the round-9 multimodal chain: hash rows shuffle,
