@@ -195,6 +195,7 @@ HEADLINE = [
     "video_frames_mjpeg",
     "audio_mulaw",
     "jpeg_progressive",
+    "jpeg_progressive_color",
 ]
 
 

@@ -10,11 +10,14 @@ honest subset the engine needs, in the same spirit as png_codec.py
   component, standard Annex K luminance Huffman tables, a caller-chosen
   flat quantization table. Real forward DCT → quantize → Huffman
   entropy coding with byte stuffing.
-* :func:`decode_jpeg` — parses SOI/APP/DQT/SOF0/DHT/SOS, Huffman-decodes
-  the entropy stream (DC prediction, AC run-length, EOB/ZRL),
-  dequantizes, inverse-DCTs, level-shifts and crops. Grayscale
-  (1-component) baseline only; progressive / arithmetic / subsampled
-  color are rejected loudly rather than mis-decoded.
+* :func:`decode_jpeg` — parses SOI/APP/DQT/SOF0|SOF2/DHT/SOS,
+  Huffman-decodes the entropy stream (DC prediction, AC run-length,
+  EOB/ZRL), dequantizes, inverse-DCTs, level-shifts, crops and (color)
+  chroma-upsamples + BT.601-converts. Covers baseline sequential
+  (grayscale + 4:4:4/4:2:2/4:2:0 color, r13) and Huffman PROGRESSIVE
+  (grayscale + 4:2:0 color: interleaved DC scans, non-interleaved AC
+  spectral-selection + successive-approximation scans, r13); only
+  arithmetic coding is rejected rather than decoded.
 * :func:`synth_jpeg_from_bytes` — the text-fixture bridge: dimensions
   from the same byte-length rule as the PNG path, pixels CONSTANT per
   8×8 block (v = (11·bx + 7·by) mod 256). With a flat quant table of
@@ -377,63 +380,14 @@ def encode_jpeg_progressive(px: np.ndarray, quant: int = 8) -> bytes:
         bwr = _BitWriter()
         for by in range(bh):
             for bx in range(bw):
-                zz = Z[by, bx]
-                t = [
-                    (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> al)
-                    for k in range(ss, se + 1)
-                ]
-                last = max((i for i, v in enumerate(t) if v), default=-1)
-                run = 0
-                for i in range(last + 1):
-                    v = t[i]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        _sym(bwr, ac_codes, 0xF0)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    _sym(bwr, ac_codes, (run << 4) | size)
-                    bwr.write(bits, size)
-                    run = 0
-                if last < se - ss:
-                    _sym(bwr, ac_codes, 0x00)  # EOB (run 1)
+                _prog_ac_first_bits(bwr, Z[by, bx], ss, se, al, ac_codes)
         return bwr.flush()
 
     def ac_refine(ss: int, se: int, al: int) -> bytes:
         bwr = _BitWriter()
         for by in range(bh):
             for bx in range(bw):
-                zz = Z[by, bx]
-                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
-                # last newly-significant index: trailing already-nonzero
-                # coefficients fold into the EOB's correction bits
-                eob = max((i for i, t in enumerate(absv) if t == 1), default=-1)
-                run = 0
-                br: list[int] = []
-                for i, t in enumerate(absv):
-                    if t == 0:
-                        run += 1
-                        continue
-                    while run > 15 and i <= eob:
-                        _sym(bwr, ac_codes, 0xF0)
-                        for b in br:
-                            bwr.write(b, 1)
-                        br = []
-                        run -= 16
-                    if t > 1:  # already significant: correction bit
-                        br.append(t & 1)
-                        continue
-                    _sym(bwr, ac_codes, (run << 4) | 1)
-                    bwr.write(1 if int(zz[ss + i]) > 0 else 0, 1)
-                    for b in br:
-                        bwr.write(b, 1)
-                    br = []
-                    run = 0
-                if run > 0 or br:
-                    _sym(bwr, ac_codes, 0x00)  # EOB (run 1)
-                    for b in br:
-                        bwr.write(b, 1)
+                _prog_ac_refine_bits(bwr, Z[by, bx], ss, se, al, ac_codes)
         return bwr.flush()
 
     def sos(ss: int, se: int, ah: int, al: int) -> bytes:
@@ -456,6 +410,203 @@ def encode_jpeg_progressive(px: np.ndarray, quant: int = 8) -> bytes:
     out += sos(1, 63, 0, 1) + ac_first(1, 63, 1)
     out += sos(0, 0, 1, 0) + dc_refine(0)
     out += sos(1, 63, 1, 0) + ac_refine(1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _prog_ac_first_bits(bwr: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                        al: int, ac_codes: dict) -> None:
+    """One block's AC-first-scan emission (band run/size coding of the
+    magnitude-point-transformed values, per-block EOB)."""
+    t = [
+        (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> al)
+        for k in range(ss, se + 1)
+    ]
+    last = max((i for i, v in enumerate(t) if v), default=-1)
+    run = 0
+    for i in range(last + 1):
+        v = t[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            bwr.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bwr.write(code, length)
+        bwr.write(bits, size)
+        run = 0
+    if last < se - ss:
+        code, length = ac_codes[0x00]
+        bwr.write(code, length)
+
+
+def _prog_ac_refine_bits(bwr: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                         al: int, ac_codes: dict) -> None:
+    """One block's AC-refinement emission: newly-significant coefficients
+    as (run|1)+sign symbols, correction bits for already-significant
+    ones interleaved in the exact order the decoder consumes them."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+    run = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            code, length = ac_codes[0xF0]
+            bwr.write(code, length)
+            for b in br:
+                bwr.write(b, 1)
+            br = []
+            run -= 16
+        if t > 1:
+            br.append(t & 1)
+            continue
+        code, length = ac_codes[(run << 4) | 1]
+        bwr.write(code, length)
+        bwr.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for b in br:
+            bwr.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        code, length = ac_codes[0x00]
+        bwr.write(code, length)
+        for b in br:
+            bwr.write(b, 1)
+
+
+def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
+                                cr: np.ndarray, quant: int = 8) -> bytes:
+    """Encode YCbCr as PROGRESSIVE 4:2:0 JPEG — the libjpeg-default
+    combination most real-world progressive photos use: one INTERLEAVED
+    DC scan (all three components, MCU order, per-component predictors)
+    at Al=1, then per-component non-interleaved AC scans (band 1–63,
+    Al=1), the interleaved DC refinement, and per-component AC
+    refinements — 8 scans total, every T.81 Annex G scan type in both
+    interleaved and non-interleaved form. Chroma downsampling and
+    tables match encode_jpeg_420."""
+    y = np.asarray(y, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    if y.shape != cb.shape or y.shape != cr.shape:
+        raise ValueError("jpeg: component planes must share dimensions")
+    h, w = y.shape
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+
+    ypad = np.pad(y.astype(np.float64) - 128.0,
+                  ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
+    yblocks = ypad.reshape(mcuy * 2, 8, mcux * 2, 8).transpose(0, 2, 1, 3)
+    qy = np.rint(
+        np.einsum("ux,byxz,vz->byuv", _A, yblocks, _A) / float(quant)
+    ).astype(np.int64)
+
+    def _sub(plane: np.ndarray) -> np.ndarray:
+        ph = np.pad(plane.astype(np.float64),
+                    ((0, h % 2), (0, w % 2)), mode="edge")
+        s = ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(axis=(1, 3))
+        return np.pad(s - 128.0,
+                      ((0, mcuy * 8 - s.shape[0]), (0, mcux * 8 - s.shape[1])),
+                      mode="edge")
+
+    qc = [
+        np.rint(np.einsum(
+            "ux,byxz,vz->byuv", _A,
+            _sub(p).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3), _A,
+        ) / float(quant)).astype(np.int64)
+        for p in (cb, cr)
+    ]
+    # zigzag stores, one per component (Y on the 2×2-per-MCU grid)
+    Zs = [qy.reshape(mcuy * 2, mcux * 2, 64)[:, :, _ZIGZAG]] + [
+        c.reshape(mcuy, mcux, 64)[:, :, _ZIGZAG] for c in qc
+    ]
+    samp = [(2, 2), (1, 1), (1, 1)]
+    dc_codes = [
+        _canonical_codes(_DC_BITS, _DC_VALS),
+        _canonical_codes(_DC_C_BITS, _DC_C_VALS),
+        _canonical_codes(_DC_C_BITS, _DC_C_VALS),
+    ]
+    ac_codes = [
+        _canonical_codes(_AC_BITS, _AC_VALS),
+        _canonical_codes(_AC_C_BITS, _AC_C_VALS),
+        _canonical_codes(_AC_C_BITS, _AC_C_VALS),
+    ]
+
+    def dc_interleaved(ah: int, al: int) -> bytes:
+        bwr = _BitWriter()
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    hs, vs = samp[ci]
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            v = int(Zs[ci][my * vs + dy, mx * hs + dx, 0])
+                            if ah == 0:
+                                t = v >> al
+                                size, bits = _magnitude(t - preds[ci])
+                                preds[ci] = t
+                                code, length = dc_codes[ci][size]
+                                bwr.write(code, length)
+                                bwr.write(bits, size)
+                            else:
+                                bwr.write((v >> al) & 1, 1)
+        return bwr.flush()
+
+    def ac_scan(ci: int, ah: int, al: int) -> bytes:
+        # non-interleaved grid: ceil(cw_i/8) × ceil(ch_i/8)
+        hs, vs = samp[ci]
+        bw_i = (w * hs + 15) // 16  # hmax = 2 → ceil(w·hs / 16)
+        bh_i = (h * vs + 15) // 16
+        bwr = _BitWriter()
+        for by in range(bh_i):
+            for bx in range(bw_i):
+                if ah == 0:
+                    _prog_ac_first_bits(bwr, Zs[ci][by, bx], 1, 63, al,
+                                        ac_codes[ci])
+                else:
+                    _prog_ac_refine_bits(bwr, Zs[ci][by, bx], 1, 63, al,
+                                         ac_codes[ci])
+        return bwr.flush()
+
+    qtab = bytes(np.full(64, quant, dtype=np.uint8))
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + qtab
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    for tc_th, bits, vals in (
+        (b"\x00", _DC_BITS, _DC_VALS), (b"\x10", _AC_BITS, _AC_VALS),
+        (b"\x01", _DC_C_BITS, _DC_C_VALS), (b"\x11", _AC_C_BITS, _AC_C_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += tc_th + bytes(bits) + bytes(vals)
+
+    def sos_multi(ah: int, al: int) -> bytes:
+        return (
+            b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
+            + b"\x01\x00" + b"\x02\x10" + b"\x03\x10"
+            + bytes([0, 0, (ah << 4) | al])
+        )
+
+    def sos_one(cid: int, tsel: int, ah: int, al: int) -> bytes:
+        return (
+            b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+            + bytes([cid, tsel, 1, 63, (ah << 4) | al])
+        )
+
+    out += sos_multi(0, 1) + dc_interleaved(0, 1)
+    for ci, cid, tsel in ((0, 1, 0x00), (1, 2, 0x01), (2, 3, 0x01)):
+        out += sos_one(cid, tsel, 0, 1) + ac_scan(ci, 0, 1)
+    out += sos_multi(1, 0) + dc_interleaved(1, 0)
+    for ci, cid, tsel in ((0, 1, 0x00), (1, 2, 0x01), (2, 3, 0x01)):
+        out += sos_one(cid, tsel, 1, 0) + ac_scan(ci, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -583,6 +734,31 @@ def _prog_dc_scan(rdr: _BitReader, pcoef: np.ndarray, ah: int, al: int,
                 pcoef[by, bx, 0] |= 1 << al
 
 
+def _prog_dc_interleaved(rdr: _BitReader, pcoefs: list, sel: list,
+                         comps: list, mcux: int, mcuy: int,
+                         ah: int, al: int) -> None:
+    """Progressive DC scan over the interleaved MCU grid (the libjpeg
+    default script's first scan): per MCU, each selected component
+    contributes its hs×vs blocks with an independent DC predictor."""
+    preds = {ci: 0 for ci, _tab in sel}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, dc_tab in sel:
+                _cid, hs, vs, _tq = comps[ci]
+                for dy in range(vs):
+                    for dx in range(hs):
+                        if ah == 0:
+                            size = rdr.read_huff(dc_tab)
+                            preds[ci] += _extend(rdr.read(size), size)
+                            pcoefs[ci][my * vs + dy, mx * hs + dx, 0] = (
+                                preds[ci] << al
+                            )
+                        elif rdr.read(1):
+                            pcoefs[ci][my * vs + dy, mx * hs + dx, 0] |= (
+                                1 << al
+                            )
+
+
 def _prog_ac_first(rdr: _BitReader, pcoef: np.ndarray, ss: int, se: int,
                    al: int, ac_tab) -> None:
     """Progressive AC first scan (Ah=0) over one spectral band
@@ -702,7 +878,7 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     scan: list[tuple[int, int, int]] = []        # (comp index, dc, ac)
     progressive = False
-    pcoef: np.ndarray | None = None              # progressive: zigzag coefs
+    pcoefs: list[np.ndarray] | None = None       # progressive: zigzag coefs
     scan_start = -1
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -732,10 +908,6 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                 raise NotImplementedError(
                     "jpeg: only 1- or 3-component baseline supported"
                 )
-            if progressive and ncomp != 1:
-                raise NotImplementedError(
-                    "jpeg: progressive supported for grayscale only"
-                )
             for ci in range(ncomp):
                 cid = body[6 + 3 * ci]
                 hs, vs = body[7 + 3 * ci] >> 4, body[7 + 3 * ci] & 0x0F
@@ -747,9 +919,17 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             if ncomp == 1 and comps[0][1:3] != (1, 1):
                 raise NotImplementedError("jpeg: subsampled grayscale")
             if progressive:
-                pcoef = np.zeros(
-                    ((h + 7) // 8, (w + 7) // 8, 64), dtype=np.int64
-                )
+                # coefficient stores sized to the MCU grid: interleaved
+                # DC scans cover the MCU-padding blocks; non-interleaved
+                # AC scans later write the ceil(cw_i/8)-wide sub-view
+                hmax_p = max(c[1] for c in comps)
+                vmax_p = max(c[2] for c in comps)
+                mcux_p = (w + 8 * hmax_p - 1) // (8 * hmax_p)
+                mcuy_p = (h + 8 * vmax_p - 1) // (8 * vmax_p)
+                pcoefs = [
+                    np.zeros((mcuy_p * vs, mcux_p * hs, 64), dtype=np.int64)
+                    for _cid, hs, vs, _tq in comps
+                ]
         elif marker in (0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 "jpeg: only baseline sequential (SOF0) and Huffman "
@@ -769,36 +949,54 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
         elif marker == 0xDA:  # SOS
             if progressive:
                 # One scan of a multi-scan progressive stream: decode it
-                # in place over the shared coefficient array, then keep
+                # in place over the shared coefficient arrays, then keep
                 # walking markers (DHT redefinitions, further scans).
-                if body[0] != 1:
-                    raise NotImplementedError(
-                        "jpeg: interleaved progressive scan"
-                    )
-                tsel = body[2]
                 ns = body[0]
                 ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
                 ahal = body[3 + 2 * ns]
                 ah, al = ahal >> 4, ahal & 0x0F
+                cids = [c[0] for c in comps]
                 data_start = pos + 2 + seg_len
                 data_end = _entropy_end(payload, data_start)
                 srdr = _BitReader(payload[data_start:data_end])
-                if ss_ == 0:
-                    if se_ != 0:
-                        raise ValueError("jpeg: DC scan with Se != 0")
-                    _prog_dc_scan(
-                        srdr, pcoef, ah, al,
-                        htables.get((0, tsel >> 4)),
-                    )
-                elif ah == 0:
-                    _prog_ac_first(
-                        srdr, pcoef, ss_, se_, al,
-                        htables[(1, tsel & 0x0F)],
-                    )
+                if ns == 1:
+                    # non-interleaved: the component's own block grid
+                    # (ceil(cw_i/8) × ceil(ch_i/8)) as a view into the
+                    # MCU-padded store
+                    cidx = cids.index(body[1])
+                    tsel = body[2]
+                    _cid, hs, vs, _tq = comps[cidx]
+                    bw_i = (w * hs + 8 * hmax_p - 1) // (8 * hmax_p)
+                    bh_i = (h * vs + 8 * vmax_p - 1) // (8 * vmax_p)
+                    view = pcoefs[cidx][:bh_i, :bw_i]
+                    if ss_ == 0:
+                        if se_ != 0:
+                            raise ValueError("jpeg: DC scan with Se != 0")
+                        _prog_dc_scan(
+                            srdr, view, ah, al, htables.get((0, tsel >> 4))
+                        )
+                    elif ah == 0:
+                        _prog_ac_first(
+                            srdr, view, ss_, se_, al,
+                            htables[(1, tsel & 0x0F)],
+                        )
+                    else:
+                        _prog_ac_refine(
+                            srdr, view, ss_, se_, al,
+                            htables[(1, tsel & 0x0F)],
+                        )
                 else:
-                    _prog_ac_refine(
-                        srdr, pcoef, ss_, se_, al,
-                        htables[(1, tsel & 0x0F)],
+                    # interleaved scans are legal for DC only (T.81
+                    # G.1.1.1 — Ss must be 0 when Ns > 1)
+                    if ss_ != 0 or se_ != 0:
+                        raise ValueError("jpeg: interleaved AC scan")
+                    sel = []
+                    for si in range(ns):
+                        cidx = cids.index(body[1 + 2 * si])
+                        tsel = body[2 + 2 * si]
+                        sel.append((cidx, htables.get((0, tsel >> 4))))
+                    _prog_dc_interleaved(
+                        srdr, pcoefs, sel, comps, mcux_p, mcuy_p, ah, al
                     )
                 pos = data_end
                 continue
@@ -814,24 +1012,25 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             scan_start = pos + 2 + seg_len
             break
         pos += 2 + seg_len
-    if progressive:
-        if w < 0 or pcoef is None:
-            raise ValueError("jpeg: missing SOF2")
-        q = qtables[comps[0][3]]
-        bh, bw = pcoef.shape[0], pcoef.shape[1]
-        deq = (
-            pcoef[:, :, _UNZIGZAG].reshape(bh, bw, 8, 8).astype(np.float64)
-            * q[None, None]
-        )
-        spatial = np.einsum("xu,byuv,vz->byxz", _A.T, deq, _A)
-        full = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
-        return w, h, [np.clip(np.rint(full), 0, 255).astype(np.uint8)[:h, :w]]
-    if w < 0 or scan_start < 0 or not comps:
-        raise ValueError("jpeg: missing SOF0 or SOS")
+    if w < 0 or not comps:
+        raise ValueError("jpeg: missing SOF")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    if progressive:
+        if pcoefs is None:
+            raise ValueError("jpeg: missing SOF2")
+        coefs = [
+            pc[:, :, _UNZIGZAG]
+            .reshape(pc.shape[0], pc.shape[1], 8, 8)
+            .astype(np.float64)
+            * qtables[tq][None, None]
+            for (_cid, _hs, _vs, tq), pc in zip(comps, pcoefs)
+        ]
+        return _planes_of(coefs, comps, w, h, hmax, vmax)
+    if scan_start < 0:
+        raise ValueError("jpeg: missing SOS")
     coefs = [
         np.zeros((mcuy * vs, mcux * hs, 8, 8), dtype=np.float64)
         for _cid, hs, vs, _tq in comps
@@ -859,14 +1058,21 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                         coefs[ci][my * vs + dy, mx * hs + dx] = (
                             zz[_UNZIGZAG].reshape(8, 8) * q
                         )
+    return _planes_of(coefs, comps, w, h, hmax, vmax)
+
+
+def _planes_of(coefs: list, comps: list, w: int, h: int,
+               hmax: int, vmax: int) -> tuple[int, int, list[np.ndarray]]:
+    """Dequantized coefficient blocks → full-resolution uint8 planes:
+    IDCT, level shift, crop to each component's true subsampled dims,
+    then replicate up to full resolution (identity for full-rate
+    components). Shared by the baseline and progressive tails."""
     planes: list[np.ndarray] = []
     for (_cid, hs, vs, _tq), c in zip(comps, coefs):
         spatial = np.einsum("xu,byuv,vz->byxz", _A.T, c, _A)
         bh, bw = c.shape[0], c.shape[1]
         full = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
         sub = np.clip(np.rint(full), 0, 255).astype(np.uint8)
-        # crop to the component's true subsampled dims, then replicate
-        # up to full resolution (identity for full-rate components).
         cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
         sub = sub[:ch, :cw]
         ys = np.arange(h) * vs // vmax
@@ -939,6 +1145,32 @@ def synth_jpeg_progressive_from_bytes(payload: bytes) -> bytes:
     by = np.arange(h) // 8
     px = ((13 * bx[None, :] + 5 * by[:, None] + 3) % 256).astype(np.uint8)
     return encode_jpeg_progressive(px, quant=8)
+
+
+def synth_jpeg_progressive_420_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* PROGRESSIVE 4:2:0 color JPEG (the
+    libjpeg-default real-world combination): dims from the shared
+    byte-length rule, Y constant per 8×8 block
+    (``(9·bx + 5·by + 1) mod 256``), Cb/Cr constant per 16×16
+    macroblock (``(7·mx + 3·my + 32)`` / ``(5·mx + 7·my + 160) mod
+    256``). The same two exactness arguments compose: block-constant
+    planes keep every coefficient DC-only (the subsampled argument from
+    synth_jpeg420_from_bytes) and the DC two-scan successive
+    approximation reassembles each integer exactly (the progressive
+    argument from synth_jpeg_progressive_from_bytes) — so the decoded
+    planes equal the synthesized ones bit-for-bit and an oracle states
+    all three plane sums in closed form."""
+    n = len(payload)
+    w = n % 64 + 16
+    h = (n // 64) % 64 + 16
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    y = ((9 * bx[None, :] + 5 * by[:, None] + 1) % 256).astype(np.uint8)
+    mx = np.arange(w) // 16
+    my = np.arange(h) // 16
+    cb = ((7 * mx[None, :] + 3 * my[:, None] + 32) % 256).astype(np.uint8)
+    cr = ((5 * mx[None, :] + 7 * my[:, None] + 160) % 256).astype(np.uint8)
+    return encode_jpeg_progressive_420(y, cb, cr, quant=8)
 
 
 def synth_jpeg420_from_bytes(payload: bytes) -> bytes:

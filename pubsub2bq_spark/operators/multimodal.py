@@ -274,9 +274,9 @@ def jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pipeline exact (DC-only; its two-scan split reassembles v−128 "
         "exactly), so the oracle states Σpx in closed form; the "
         "general AC paths are pinned by unit tests against random "
-        "images (exact equality with the textbook DCT model). The "
-        "image gate now covers only arithmetic-coded JPEG and color "
-        "progressive.",
+        "images (exact equality with the textbook DCT model). With "
+        "jpeg_progressive_color the image gate now covers only "
+        "arithmetic-coded JPEG.",
     scale_notes="Identical envelope to jpeg_decode: project to "
                 "(doc_id, payload), one Arrow-batched mapInPandas "
                 "pass, no shuffle after the kernel. Progressive decode "
@@ -378,6 +378,84 @@ def jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
     )
     return d.mapInPandas(jpeg420_decode_batches, JPEG420_SCHEMA)
+
+
+@register(
+    "jpeg_progressive_color",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT)            AS n_bytes,
+                   CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                   CAST((octet_length(encode(text)) // 64) % 64 + 16
+                        AS INTEGER)                                      AS height
+            FROM documents
+        ),
+        yg AS (
+            SELECT doc_id,
+                   CAST(sum(((9 * bx + 5 * by + 1) % 256)
+                            * least(8, width - 8 * bx)
+                            * least(8, height - 8 * by)) AS BIGINT)      AS y_sum
+            FROM (
+                SELECT *, unnest(range(0, (height + 7) // 8)) AS by
+                FROM (SELECT *, unnest(range(0, (width + 7) // 8)) AS bx
+                      FROM m)
+            ) GROUP BY doc_id
+        ),
+        cg AS (
+            SELECT doc_id,
+                   CAST(sum(((7 * mx + 3 * my + 32) % 256)
+                            * least(16, width - 16 * mx)
+                            * least(16, height - 16 * my)) AS BIGINT)    AS cb_sum,
+                   CAST(sum(((5 * mx + 7 * my + 160) % 256)
+                            * least(16, width - 16 * mx)
+                            * least(16, height - 16 * my)) AS BIGINT)    AS cr_sum
+            FROM (
+                SELECT *, unnest(range(0, (height + 15) // 16)) AS my
+                FROM (SELECT *, unnest(range(0, (width + 15) // 16)) AS mx
+                      FROM m)
+            ) GROUP BY doc_id
+        )
+        SELECT m.doc_id, m.n_bytes, m.width, m.height,
+               yg.y_sum, cg.cb_sum, cg.cr_sum
+        FROM m JOIN yg USING (doc_id) JOIN cg USING (doc_id)
+    """,
+    doc="PROGRESSIVE 4:2:0 COLOR JPEG decode, REAL end-to-end (r13 — "
+        "the libjpeg-default combination most real-world progressive "
+        "photos ship as): the kernel synthesizes a real 8-scan SOF2 "
+        "4:2:0 stream per payload (one INTERLEAVED DC scan over the "
+        "MCU grid with per-component predictors, then per-component "
+        "non-interleaved AC scans, DC refinement, AC refinements — "
+        "every T.81 Annex G scan type in both interleaved and "
+        "non-interleaved form), then genuinely decodes it: multi-scan "
+        "marker walk, per-component MCU-padded coefficient stores with "
+        "sub-grid views for the non-interleaved scans, dequantize, "
+        "IDCT, replication chroma upsample "
+        "(functions/jpeg_codec.py). The two exactness arguments "
+        "compose — block-constant planes are DC-only and the DC "
+        "successive approximation reassembles integers exactly — so "
+        "the oracle states all three plane sums in closed form; the "
+        "general machinery is pinned by tests against random images "
+        "(exact equality with the baseline 4:2:0 textbook model). The "
+        "image gate now covers only arithmetic-coded JPEG.",
+    scale_notes="Identical envelope to jpeg_subsampled: project to "
+                "(doc_id, payload), one Arrow-batched mapInPandas "
+                "pass, no shuffle after the kernel; 8 block-grid "
+                "passes per image, O(1) output per document.",
+)
+def jpeg_progressive_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        JPEG420_SCHEMA,
+        jpeg_progressive_420_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(jpeg_progressive_420_batches, JPEG420_SCHEMA)
 
 
 @register(

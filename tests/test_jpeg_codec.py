@@ -264,12 +264,61 @@ class TestJpegProgressive:
             )
             assert np.array_equal(px[:, :, 0], want)
 
-    def test_color_progressive_still_rejects(self):
+    @pytest.mark.parametrize("seed,shape,quant", [
+        (1, (16, 16), 8),
+        (2, (32, 48), 16),
+        (3, (37, 53), 16),   # odd dims: chroma pads + MCU padding blocks
+        (4, (100, 17), 32),
+        (5, (9, 200), 4),
+    ])
+    def test_color_420_roundtrip_equals_textbook_model(self, seed, shape, quant):
+        """The libjpeg-default combination — 4:2:0 progressive with an
+        INTERLEAVED DC scan and per-component AC scans — must
+        reconstruct exactly the baseline 4:2:0 pipeline's pixels."""
+        from pubsub2bq_spark.functions.jpeg_codec import (
+            decode_jpeg_planes,
+            encode_jpeg_progressive_420,
+        )
+
+        rng = np.random.default_rng(seed)
+        y, cb, cr = (
+            rng.integers(0, 256, size=shape, dtype=np.uint8)
+            for _ in range(3)
+        )
+        w, h, planes = decode_jpeg_planes(
+            encode_jpeg_progressive_420(y, cb, cr, quant=quant)
+        )
+        assert (w, h) == (shape[1], shape[0])
+        for got, exp in zip(planes, _textbook_420(y, cb, cr, quant)):
+            assert np.array_equal(got, exp)
+
+    def test_arithmetic_sof_still_rejects(self):
         from pubsub2bq_spark.functions.jpeg_codec import encode_jpeg_420
 
         y = np.zeros((16, 16), dtype=np.uint8)
         data = bytearray(encode_jpeg_420(y, y, y))
         sof = data.find(b"\xff\xc0")
-        data[sof + 1] = 0xC2
+        data[sof + 1] = 0xCA  # SOF10: arithmetic progressive
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
+
+    def test_color_fixture_is_exact(self):
+        from pubsub2bq_spark.functions.jpeg_codec import (
+            synth_jpeg_progressive_420_from_bytes,
+        )
+
+        for n in (0, 17, 64, 1000, 4095):
+            w, h = n % 64 + 16, (n // 64) % 64 + 16
+            gw, gh, planes = decode_jpeg_planes(
+                synth_jpeg_progressive_420_from_bytes(b"c" * n)
+            )
+            assert (gw, gh) == (w, h) and len(planes) == 3
+            bx, by = np.arange(w) // 8, np.arange(h) // 8
+            mx, my = np.arange(w) // 16, np.arange(h) // 16
+            want = [
+                (9 * bx[None, :] + 5 * by[:, None] + 1) % 256,
+                (7 * mx[None, :] + 3 * my[:, None] + 32) % 256,
+                (5 * mx[None, :] + 7 * my[:, None] + 160) % 256,
+            ]
+            for got, exp in zip(planes, want):
+                assert np.array_equal(got, exp.astype(np.uint8))
