@@ -1407,7 +1407,9 @@ def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         # index — serving dispatches on it (expression path below
         # _IVF_SERVE_EXPR_MAX members, Arrow kernel above) without a
         # per-query count job. v is materialized; the count is free.
-        return tbl, v.count()
+        # (scalar aggregate probe — the sanctioned one-row exception,
+        # same shape as the quantizer's sizing probe)
+        return tbl, v.agg(F.count(F.lit(1))).first()[0]
 
     tbl, n = session_artifact(spark, "ivfk_index_path", sf_dir, _persist)
     reloaded = spark.table(tbl).select(
