@@ -333,13 +333,18 @@ def encode_jpeg_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     return bytes(out)
 
 
-def encode_jpeg_progressive(px: np.ndarray, quant: int = 8) -> bytes:
+def encode_jpeg_progressive(px: np.ndarray, quant: int = 8,
+                            script: list | None = None) -> bytes:
     """Encode an 8-bit grayscale image as PROGRESSIVE (SOF2, Huffman)
-    JPEG with a four-scan script exercising every progressive scan
-    type (T.81 Annex G): DC first at Al=1 → AC first (band 1–63,
-    Al=1) → DC refinement → AC refinement. Spectral values use the
-    spec's point transforms (arithmetic shift for DC, magnitude shift
-    for AC); refinement scans interleave correction bits for
+    JPEG. ``script`` is the scan progression as (Ss, Se, Ah, Al)
+    tuples; the default four-scan script exercises every progressive
+    scan type (T.81 Annex G): DC first at Al=1 → AC first (band 1–63,
+    Al=1) → DC refinement → AC refinement. Callers can pass
+    libjpeg-style progressions (spectral band SPLITS, multi-level
+    successive approximation) — tests pin a 9-scan band-split script
+    against the textbook model. Spectral values use the spec's point
+    transforms (arithmetic shift for DC, magnitude shift for AC);
+    refinement scans interleave correction bits for
     already-significant coefficients with the run/size symbols in the
     exact order the decoder consumes them. EOB runs are flushed per
     block (run length 1 — valid, just less compressed than libjpeg's
@@ -406,10 +411,16 @@ def encode_jpeg_progressive(px: np.ndarray, quant: int = 8) -> bytes:
     out += bytes(_DC_BITS) + bytes(_DC_VALS)
     out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_AC_VALS)) + b"\x10"
     out += bytes(_AC_BITS) + bytes(_AC_VALS)
-    out += sos(0, 0, 0, 1) + dc_first(1)
-    out += sos(1, 63, 0, 1) + ac_first(1, 63, 1)
-    out += sos(0, 0, 1, 0) + dc_refine(0)
-    out += sos(1, 63, 1, 0) + ac_refine(1, 63, 0)
+    if script is None:
+        script = [(0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0), (1, 63, 1, 0)]
+    for ss, se, ah, al in script:
+        out += sos(ss, se, ah, al)
+        if ss == 0:
+            out += dc_first(al) if ah == 0 else dc_refine(al)
+        elif ah == 0:
+            out += ac_first(ss, se, al)
+        else:
+            out += ac_refine(ss, se, al)
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -322,3 +322,36 @@ class TestJpegProgressive:
             ]
             for got, exp in zip(planes, want):
                 assert np.array_equal(got, exp.astype(np.uint8))
+
+    @pytest.mark.parametrize("seed,shape,quant", [
+        (11, (37, 53), 8),
+        (12, (64, 64), 4),   # fine quant: coefficients span 3+ bit levels
+        (13, (9, 200), 16),
+    ])
+    def test_libjpeg_style_band_split_script(self, seed, shape, quant):
+        """A libjpeg-style progression — spectral band SPLITS plus
+        TWO successive-approximation levels — must reconstruct exactly:
+        pins multi-level AC refinement (Ah=2→1→0) and cross-band
+        EOB-run state isolation, the paths real progressive files
+        exercise that the default 4-scan script does not."""
+        from pubsub2bq_spark.functions.jpeg_codec import (
+            encode_jpeg_progressive,
+        )
+
+        script = [
+            (0, 0, 0, 1),    # DC first, Al=1
+            (1, 5, 0, 2),    # AC band 1-5 first, Al=2
+            (6, 63, 0, 2),   # AC band 6-63 first, Al=2
+            (0, 0, 1, 0),    # DC refine
+            (1, 5, 2, 1),    # AC 1-5 refine to Al=1
+            (6, 63, 2, 1),   # AC 6-63 refine to Al=1
+            (1, 5, 1, 0),    # AC 1-5 refine to Al=0
+            (6, 63, 1, 0),   # AC 6-63 refine to Al=0
+        ]
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, ch, dec = decode_jpeg(
+            encode_jpeg_progressive(img, quant=quant, script=script)
+        )
+        assert (w, h, ch) == (shape[1], shape[0], 1)
+        assert np.array_equal(dec[:, :, 0], _textbook(img, quant))
