@@ -1638,8 +1638,19 @@ def _hier_route(v: DataFrame, sc1: DataFrame, cmap: DataFrame,
         1,
         probes,
     )
+    # A probed supercell can own ZERO cells (Lloyd reassignment between
+    # sa1 and cmap may empty a cluster): element_at then yields NULL,
+    # and flatten over a null element would null-poison the whole
+    # candidate array — filter empties out first, matching the SQL
+    # twin's inner join (which simply contributes no candidates for
+    # that sid and falls back to the other probed supercell's cells).
     cands = F.flatten(
-        F.transform(ranked, lambda r: F.element_at(F.col("_m"), r["cid"]))
+        F.filter(
+            F.transform(
+                ranked, lambda r: F.element_at(F.col("_m"), r["cid"])
+            ),
+            lambda a: a.isNotNull(),
+        )
     )
     best = F.array_min(
         F.transform(
@@ -1660,6 +1671,9 @@ def _hier_route(v: DataFrame, sc1: DataFrame, cmap: DataFrame,
             best["cell_id"].alias("cell_id"),
             *(["v"] if with_v else []),
         )
+        # every probed supercell empty (impossible unless the whole map
+        # is) would make best NULL — drop to match the SQL inner join
+        .filter(F.col("cell_id").isNotNull())
     )
 
 

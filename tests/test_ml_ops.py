@@ -321,3 +321,30 @@ def test_embedding_whiten_residual_nonnegative_and_bounded(spark):
     assert row["n"] > 0 and row["neg"] == 0
     # projection onto the dominant direction captures real variance
     assert row["mean_abs_proj"] > 0
+
+
+class TestHierRouteEmptySupercell:
+    def test_probed_empty_supercell_falls_back(self, spark):
+        """A supercell that lost every cell in the cmap reassignment
+        must contribute NO candidates (the SQL twin's inner-join
+        behavior) — not null-poison the flattened candidate array.
+        Constructed directly: sid 0 is nearest to the query vector but
+        owns no cells, so routing must fall back to sid 1's cells."""
+        from pyspark.sql import functions as SF
+
+        from pubsub2bq_spark.operators.ml_ops import _hier_route
+
+        v = spark.createDataFrame(
+            [(1, [0.0, 0.0])], "vec_id long, v array<double>"
+        )
+        sc1 = spark.createDataFrame(
+            [(0, [0.1, 0.0]), (1, [5.0, 0.0])],
+            "cid int, c array<double>",
+        )
+        cmap = spark.createDataFrame(
+            [(10, [4.0, 0.0], 1), (11, [6.0, 0.0], 1)],
+            "cell_id int, cc array<double>, sid int",
+        )
+        rows = _hier_route(v, sc1, cmap, probes=2).collect()
+        assert len(rows) == 1
+        assert (rows[0].sid, rows[0].cell_id) == (1, 10)
