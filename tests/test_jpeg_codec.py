@@ -355,3 +355,56 @@ class TestJpegProgressive:
         )
         assert (w, h, ch) == (shape[1], shape[0], 1)
         assert np.array_equal(dec[:, :, 0], _textbook(img, quant))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestJpegFuzz:
+    """Property fuzz over dimensions and quant steps: EVERY
+    encode→decode round trip must equal the textbook model exactly —
+    including sub-block dims (w or h < 8/16, which the fixture rules
+    never reach), odd dims, and exact block-multiple edges."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40),
+        quant=st.sampled_from([4, 8, 16, 64]),
+        seed=st.integers(0, 2**31),
+        progressive=st.booleans(),
+    )
+    def test_gray_roundtrip(self, h, w, quant, seed, progressive):
+        from pubsub2bq_spark.functions.jpeg_codec import (
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        enc = encode_jpeg_progressive if progressive else encode_jpeg_gray
+        gw, gh, ch, dec = decode_jpeg(enc(img, quant=quant))
+        assert (gw, gh, ch) == (w, h, 1)
+        assert np.array_equal(dec[:, :, 0], _textbook(img, quant))
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40),
+        quant=st.sampled_from([4, 8, 16]),
+        seed=st.integers(0, 2**31),
+        progressive=st.booleans(),
+    )
+    def test_color_420_roundtrip(self, h, w, quant, seed, progressive):
+        from pubsub2bq_spark.functions.jpeg_codec import (
+            encode_jpeg_progressive_420,
+        )
+
+        rng = np.random.default_rng(seed)
+        y, cb, cr = (
+            rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            for _ in range(3)
+        )
+        enc = encode_jpeg_progressive_420 if progressive else encode_jpeg_420
+        gw, gh, planes = decode_jpeg_planes(enc(y, cb, cr, quant=quant))
+        assert (gw, gh) == (w, h)
+        for got, exp in zip(planes, _textbook_420(y, cb, cr, quant)):
+            assert np.array_equal(got, exp)
