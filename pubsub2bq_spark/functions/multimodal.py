@@ -489,10 +489,17 @@ def extract_audio_features(payload: bytes) -> dict:
             rate, samples = decode_wav_s16(payload)
         except (_wave.Error, ValueError, EOFError):
             # the stdlib reader rejects non-PCM formats; fall through
-            # to the manual µ-law (wFormatTag 7) walk
-            from pubsub2bq_spark.functions.wav_codec import decode_wav_mulaw
+            # to the manual µ-law (wFormatTag 7) walk, then the IMA
+            # ADPCM (wFormatTag 0x11) quantizer recurrence
+            from pubsub2bq_spark.functions.wav_codec import (
+                decode_wav_adpcm,
+                decode_wav_mulaw,
+            )
 
-            rate, samples = decode_wav_mulaw(payload)
+            try:
+                rate, samples = decode_wav_mulaw(payload)
+            except ValueError:
+                rate, samples = decode_wav_adpcm(payload)
         n_samples = int(samples.size)
         sum_sq = int(np.sum(samples.astype(np.int64) ** 2))
         rms = math.sqrt(sum_sq / n_samples) / 32768.0 if n_samples else 0.0
@@ -598,6 +605,80 @@ def mulaw_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
                 "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
                 "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                "sum_sq": pd.Series(rows["sum_sq"], dtype="int64"),
+                "rms": pd.Series(rows["rms"], dtype="float64"),
+            }
+        )
+
+
+_ADPCM_NIBBLE_CAP = 2048  # nibble pairs; bounds |cumsum| << int16 clamp
+
+
+def synth_adpcm_wav_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* IMA ADPCM RIFF/WAVE file (wFormatTag 0x11):
+    one block, header predictor 0 / step index 0, nibble stream
+    ``u_i = (i·2654435761 + n) mod 16`` restricted to magnitudes 0–3
+    (``(u & 3) | (u & 8)``). With index 0 the per-nibble index adjust
+    is −1, clamped back to 0, so the step stays at table[0] = 7 and
+    each nibble's delta is exactly {0, 1, 3, 4} signed by bit 3 — the
+    decoded samples are a running signed sum an oracle states in
+    closed form with a window cumsum, while the decoder still runs the
+    full public IMA recurrence (table lookups, clamps, fact trim)."""
+    from pubsub2bq_spark.functions.wav_codec import (
+        _assemble_adpcm_wav,
+        struct_pack_ima_header,
+    )
+
+    n = len(payload)
+    n_nibbles = 2 * min(n // 8 + 4, _ADPCM_NIBBLE_CAP)
+    i = np.arange(n_nibbles, dtype=np.int64)
+    u = (i * _WAV_MULT + n) % 16
+    nib = ((u & 3) | (u & 8)).astype(np.uint8)
+    packed = (nib[0::2] | (nib[1::2] << 4)).tobytes()
+    block = struct_pack_ima_header(0, 0) + packed
+    return _assemble_adpcm_wav(
+        [block], rate=8_000, block_align=len(block),
+        block_samples=n_nibbles + 1, total_samples=n_nibbles + 1,
+    )
+
+
+ADPCM_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, n_samples bigint, sum_samples bigint, "
+    "sum_sq bigint, rms double"
+)
+
+
+def adpcm_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the ADPCM audio path (r13): synthesize an
+    IMA ADPCM WAV per payload, genuinely walk the RIFF container and
+    run the full IMA quantizer recurrence (step table, index adapt,
+    int16 clamp — functions/wav_codec.py), then report sample stats
+    from the DECODED samples. Sums are exact int64, so the rms double
+    is bit-identical across engines."""
+    from pubsub2bq_spark.functions.wav_codec import decode_wav_adpcm
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "n_samples": [],
+            "sum_samples": [], "sum_sq": [], "rms": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, lin = decode_wav_adpcm(synth_adpcm_wav_from_bytes(payload))
+            sum_sq = int(np.sum(lin * lin))
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["n_samples"].append(int(lin.size))
+            rows["sum_samples"].append(int(np.sum(lin)))
+            rows["sum_sq"].append(sum_sq)
+            rows["rms"].append(
+                math.sqrt(sum_sq / lin.size) / 32768.0 if lin.size else 0.0
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                "sum_samples": pd.Series(rows["sum_samples"], dtype="int64"),
                 "sum_sq": pd.Series(rows["sum_sq"], dtype="int64"),
                 "rms": pd.Series(rows["rms"], dtype="float64"),
             }

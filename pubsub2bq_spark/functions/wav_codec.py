@@ -119,3 +119,192 @@ def decode_wav_s16(payload: bytes) -> tuple[int, np.ndarray]:
     if nch > 1:
         arr = arr[::nch]
     return rate, arr
+
+
+WAVE_FORMAT_IMA_ADPCM = 0x11  # RIFF fmt wFormatTag for IMA/DVI ADPCM
+
+# IMA ADPCM quantizer tables (public: IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility", also RFC 3551 §4.5.1 and the
+# Microsoft WAVE DVI/IMA ADPCM spec). 89 step sizes + the per-nibble
+# step-index adjustment.
+IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int64)
+
+IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_decode_nibbles(nibbles: np.ndarray, pred: int, index: int) -> np.ndarray:
+    """Decode an IMA ADPCM nibble stream given the block header state.
+
+    The textbook scalar recurrence (each nibble's step depends on the
+    previous index) — the block header's predictor is NOT included in
+    the returned array; callers prepend it as sample 0 per the WAV
+    IMA block layout."""
+    out = np.empty(nibbles.size, dtype=np.int64)
+    for k, nib in enumerate(nibbles):
+        step = int(IMA_STEP_TABLE[index])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(IMA_INDEX_TABLE[nib & 7])))
+        out[k] = pred
+    return out
+
+
+def encode_wav_adpcm(samples: np.ndarray, rate: int = 8_000,
+                     block_samples: int = 505) -> bytes:
+    """Encode mono int16 samples as a standard IMA ADPCM WAV
+    (wFormatTag 0x11): per-block 4-byte header (initial predictor
+    int16, step index uint8, reserved) followed by packed 4-bit codes,
+    low nibble first. ``block_samples`` must be odd (header predictor
+    is sample 0 of each block; the remaining ``block_samples - 1``
+    samples become nibbles, two per byte)."""
+    if block_samples % 2 != 1:
+        raise ValueError("block_samples must be odd (header carries sample 0)")
+    arr = np.asarray(samples, dtype=np.int64)
+    index = 0
+    blocks = []
+    total = arr.size
+    for start in range(0, total, block_samples):
+        block = arr[start:start + block_samples]
+        pred = int(block[0])
+        index_at_start = index  # header carries the BLOCK-START state
+        nibbles = []
+        for s in block[1:]:
+            step = int(IMA_STEP_TABLE[index])
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            # decoder-mirrored reconstruction keeps encoder state exact
+            step_out = step >> 3
+            if nib & 1:
+                step_out += step >> 2
+            if nib & 2:
+                step_out += step >> 1
+            if nib & 4:
+                step_out += step
+            pred = pred - step_out if nib & 8 else pred + step_out
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + int(IMA_INDEX_TABLE[nib & 7])))
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)  # pad the final byte's high nibble
+        packed = bytes(
+            (nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4)
+            for i in range(0, len(nibbles), 2)
+        )
+        blocks.append(
+            struct_pack_ima_header(int(block[0]), index_at_start) + packed
+        )
+    block_align = 4 + (block_samples - 1) // 2
+    return _assemble_adpcm_wav(blocks, rate, block_align, block_samples, total)
+
+
+def struct_pack_ima_header(pred: int, index: int) -> bytes:
+    import struct
+
+    return struct.pack("<hBB", pred, index, 0)
+
+
+def _assemble_adpcm_wav(blocks: list[bytes], rate: int, block_align: int,
+                        block_samples: int, total_samples: int) -> bytes:
+    """RIFF/WAVE container for wFormatTag 0x11: 20-byte fmt (cbSize 2 +
+    wSamplesPerBlock) + the fact chunk non-PCM formats require + data."""
+    import struct
+
+    body = b"".join(blocks)
+    avg_bytes = (rate * block_align + block_samples - 1) // max(block_samples, 1)
+    fmt = struct.pack(
+        "<HHIIHHHH", WAVE_FORMAT_IMA_ADPCM, 1, rate, avg_bytes,
+        block_align, 4, 2, block_samples,
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, total_samples)
+        + b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_adpcm(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode an IMA ADPCM (wFormatTag 0x11) RIFF/WAVE file →
+    ``(sample_rate, mono int64 samples)``: manual RIFF walk, then the
+    full public IMA recurrence per block — header predictor emitted as
+    sample 0, every nibble (low first) quantizer-expanded with step
+    adaptation and int16 clamping. The fact chunk's sample count trims
+    final-byte padding. Raises ``ValueError`` for non-ADPCM or
+    malformed containers."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = block_align = samples_per_block = None
+    fact_samples = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            wtag, nch, rate, _avg, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if wtag != WAVE_FORMAT_IMA_ADPCM:
+                raise ValueError(f"not an IMA ADPCM WAV (format {wtag})")
+            if nch != 1 or bits != 4:
+                raise ValueError("only mono 4-bit IMA ADPCM supported")
+            if length >= 20:
+                (samples_per_block,) = struct.unpack("<H", body[18:20])
+        elif tag == b"fact":
+            (fact_samples,) = struct.unpack("<I", body[:4])
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length % 2)
+    if rate is None or data is None or not block_align:
+        raise ValueError("WAV missing fmt or data chunk")
+    out: list[np.ndarray] = []
+    for start in range(0, len(data), block_align):
+        block = data[start : start + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated IMA ADPCM block header")
+        pred, index, _rsvd = struct.unpack("<hBB", block[:4])
+        if index > 88:
+            raise ValueError(f"IMA step index {index} out of range")
+        packed = np.frombuffer(block[4:], dtype=np.uint8)
+        nibbles = np.empty(packed.size * 2, dtype=np.uint8)
+        nibbles[0::2] = packed & 0xF
+        nibbles[1::2] = packed >> 4
+        out.append(np.concatenate((
+            np.array([pred], dtype=np.int64),
+            _ima_decode_nibbles(nibbles, int(pred), int(index)),
+        )))
+    samples = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    if fact_samples is not None:
+        samples = samples[:fact_samples]
+    return rate, samples

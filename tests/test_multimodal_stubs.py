@@ -456,3 +456,61 @@ def test_mulaw_codec_and_kernel():
     want = np.where(u & 128, 132 - t, t - 132)
     assert int(out["sum_sq"][0]) == int((want * want).sum())
     assert int(out["n_samples"][0]) == n // 4 + 8
+
+
+def test_adpcm_codec_and_kernel():
+    """IMA ADPCM: the full step-adaptive encoder/decoder must round-trip
+    a smooth signal within quantizer error, honor block boundaries and
+    the fact-chunk trim, and the kernel's closed-form fixture must
+    decode to the analytic running sum the oracle states."""
+    from pubsub2bq_spark.functions.wav_codec import (
+        IMA_STEP_TABLE,
+        decode_wav_adpcm,
+        decode_wav_mulaw,
+        encode_wav_adpcm,
+    )
+
+    # Smooth signal: a differential codec tracks it closely — error is
+    # bounded by the step the quantizer had available at each sample.
+    t = np.arange(2000)
+    x = (8000 * np.sin(t / 40.0)).astype(np.int64)
+    wav = encode_wav_adpcm(x, block_samples=505)
+    rate, y = decode_wav_adpcm(wav)
+    assert rate == 8000 and y.size == x.size
+    # block headers restart from the exact sample → sample 0 of every
+    # block is lossless
+    assert all(int(y[k]) == int(x[k]) for k in range(0, 2000, 505))
+    assert np.abs(y - x).max() < int(IMA_STEP_TABLE[88])
+    snr = float(np.sum(x * x)) / max(float(np.sum((y - x) ** 2)), 1.0)
+    assert snr > 100.0  # > 20 dB on a smooth signal
+
+    # fact-chunk trim: odd nibble counts pad the last byte; the decoder
+    # must drop the pad sample
+    x_odd = x[:506]  # 2 blocks, second has 1 real nibble + pad
+    rate, y_odd = decode_wav_adpcm(encode_wav_adpcm(x_odd, block_samples=505))
+    assert y_odd.size == 506
+
+    # format dispatch is mutually exclusive
+    with pytest.raises(ValueError):
+        decode_wav_adpcm(mm.synth_wav_from_bytes(b"x" * 50))  # PCM
+    with pytest.raises(ValueError):
+        decode_wav_mulaw(mm.synth_adpcm_wav_from_bytes(b"x" * 50))
+
+    # kernel fixture decodes to the analytic closed form (what the
+    # oracle restates with a window cumsum)
+    payload = b"a" * 999
+    pdf = pd.DataFrame({"doc_id": [5], "payload": [payload]})
+    (out,) = list(mm.adpcm_feature_batches(iter([pdf])))
+    n = 999
+    ns = 2 * min(n // 8 + 4, 2048)
+    i = np.arange(ns, dtype=np.int64)
+    u = (i * 2654435761 + n) % 16
+    delta = np.array([0, 1, 3, 4])[u & 3] * np.where(u & 8, -1, 1)
+    cum = np.cumsum(delta)
+    assert int(out["n_samples"][0]) == ns + 1
+    assert int(out["sum_samples"][0]) == int(cum.sum())
+    assert int(out["sum_sq"][0]) == int((cum * cum).sum())
+
+    # extract_audio_features dispatches ADPCM after PCM16 and µ-law
+    feats = mm.extract_audio_features(mm.synth_adpcm_wav_from_bytes(b"q" * 80))
+    assert feats["n_samples"] == 2 * (80 // 8 + 4) + 1
