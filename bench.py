@@ -196,6 +196,11 @@ HEADLINE = [
     "audio_mulaw",
     "jpeg_progressive",
     "jpeg_progressive_color",
+    # Round-13 late additions: IMA ADPCM (adaptive compressed audio,
+    # full step-table recurrence) and MS-RLE8 (the first INTER-FRAME
+    # video codec: delta opcodes against a persistent canvas).
+    "audio_adpcm",
+    "video_frames_rle",
 ]
 
 

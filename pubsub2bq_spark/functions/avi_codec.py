@@ -177,6 +177,18 @@ def decode_avi(data: bytes) -> tuple[int, int, list[np.ndarray]]:
                 )
             frames.append(px[:, :, 0] if px.shape[2] == 1 else px)
         return width, height, frames
+    if compression == BI_RLE8:
+        # Microsoft RLE8: opcodes mutate a PERSISTENT canvas — skipped
+        # pixels keep the previous frame's contents (inter-frame
+        # coding), so frames must decode in stream order.
+        if bits != 8:
+            raise ValueError("RLE8 streams must be 8-bit")
+        canvas = np.zeros((height, width), dtype=np.uint8)
+        frames = []
+        for raw in frames_raw:
+            _rle_decode_frame(bytes(raw), canvas)
+            frames.append(canvas.copy())
+        return width, height, frames
     if bits != 8 or (compression not in (0, None)):
         raise ValueError(
             f"unsupported AVI variant (bits={bits}, compression={compression})"
@@ -189,3 +201,161 @@ def decode_avi(data: bytes) -> tuple[int, int, list[np.ndarray]]:
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
         frames.append(rows[::-1, :width].copy())  # bottom-up -> top-down
     return width, height, frames
+
+
+# Microsoft RLE8 (BI_RLE8 = 1 in BITMAPINFOHEADER biCompression; public
+# spec: the Windows GDI "Bitmap Compression" reference / MS-WMF §2.1.1.7).
+# In AVI this is the classic 'MRLE' codec — the skip opcodes (end-of-line,
+# delta) leave destination pixels UNTOUCHED, which in a video stream means
+# "keep the previous frame's pixels": real inter-frame coding.
+BI_RLE8 = 1
+MRLE_FOURCC = b"MRLE"
+
+
+def _rle_encode_literal(seg: np.ndarray) -> bytes:
+    """Opcodes for a changed pixel segment: encoded runs (count, value)
+    for repeats ≥ 3, absolute mode (00 count literals, word-padded) for
+    literal stretches ≥ 3, count-1/2 runs for the remainder."""
+    ops = bytearray()
+    i, m = 0, seg.size
+    while i < m:
+        j = i
+        while j < m and seg[j] == seg[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            while run > 0:
+                c = min(run, 255)
+                ops += bytes((c, int(seg[i])))
+                run -= c
+            i = j
+        else:
+            k = i  # literal stretch: until a run ≥ 3 starts
+            while k < m:
+                j2 = k
+                while j2 < m and seg[j2] == seg[k]:
+                    j2 += 1
+                if j2 - k >= 3:
+                    break
+                k = j2
+            lit = seg[i:k]
+            while lit.size >= 3:
+                c = min(lit.size, 255)
+                ops += bytes((0, c)) + lit[:c].tobytes()
+                if c % 2:
+                    ops += b"\x00"  # absolute runs are word-aligned
+                lit = lit[c:]
+            for v in lit:
+                ops += bytes((1, int(v)))
+            i = k
+    return bytes(ops)
+
+
+def _rle_encode_frame(prev: np.ndarray | None, frame: np.ndarray) -> bytes:
+    """RLE8 opcodes for one frame against the previous canvas: unchanged
+    rows collapse into delta (00 02 0 dy) skips, unchanged pixel gaps
+    inside a row into delta (00 02 dx 0), changed segments into
+    runs/absolute mode. Rows are emitted bottom-up (the DIB layout)."""
+    h, w = frame.shape
+    ops = bytearray()
+    pending = 0
+    for r in range(h):  # r = 0 is the BOTTOM row
+        row = frame[h - 1 - r]
+        prow = prev[h - 1 - r] if prev is not None else None
+        if prow is not None and np.array_equal(row, prow):
+            pending += 1
+            continue
+        while pending > 0:
+            dy = min(pending, 255)
+            ops += bytes((0, 2, 0, dy))
+            pending -= dy
+        x = 0
+        while x < w:
+            if prow is not None and row[x] == prow[x]:
+                x2 = x
+                while x2 < w and row[x2] == prow[x2]:
+                    x2 += 1
+                if x2 >= w:
+                    break  # rest of row unchanged; EOL advances the row
+                dx = x2 - x
+                while dx > 0:
+                    step = min(dx, 255)
+                    ops += bytes((0, 2, step, 0))
+                    dx -= step
+                x = x2
+            else:
+                x2 = x
+                while x2 < w and (prow is None or row[x2] != prow[x2]):
+                    x2 += 1
+                ops += _rle_encode_literal(row[x:x2])
+                x = x2
+        ops += bytes((0, 0))  # end of line
+    ops += bytes((0, 1))  # end of bitmap
+    return bytes(ops)
+
+
+def encode_avi_rle(frames: list[np.ndarray]) -> bytes:
+    """Encode 8-bit grayscale frames as Microsoft-RLE8 AVI ('MRLE'
+    fourcc, biCompression 1): frame 0 is a keyframe (every row coded),
+    later frames code only pixels that changed — unchanged regions are
+    skipped with EOL/delta opcodes and therefore RETAINED from the
+    previous frame by the decoder. The first real inter-frame video
+    codec in the family."""
+    if not frames:
+        raise ValueError("encode_avi_rle needs at least one frame")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all frames must share one (h, w)")
+    chunks = []
+    prev: np.ndarray | None = None
+    for f in frames:
+        f = np.ascontiguousarray(f, dtype=np.uint8)
+        chunks.append((b"00dc", _rle_encode_frame(prev, f)))
+        prev = f
+    return _assemble_avi(
+        w, h, chunks, fourcc=MRLE_FOURCC, compression=BI_RLE8,
+        frame_bytes=max(len(body) for _tag, body in chunks),
+    )
+
+
+def _rle_decode_frame(data: bytes, canvas: np.ndarray) -> None:
+    """Apply one RLE8 frame's opcodes to the persistent canvas in
+    place. Position (x, y) starts at the bottom-left; skipped pixels
+    keep their previous contents (the inter-frame semantics). Raises
+    ``ValueError`` on truncated or out-of-bounds streams."""
+    h, w = canvas.shape
+    pos, x, y = 0, 0, 0
+    n = len(data)
+    while pos + 2 <= n:
+        b0, b1 = data[pos], data[pos + 1]
+        pos += 2
+        if b0 > 0:  # encoded run
+            if y >= h or x + b0 > w:
+                raise ValueError("RLE8 run out of bounds")
+            canvas[h - 1 - y, x : x + b0] = b1
+            x += b0
+        elif b1 == 0:  # end of line
+            x, y = 0, y + 1
+        elif b1 == 1:  # end of bitmap
+            return
+        elif b1 == 2:  # delta: skip (dx, dy) keeping canvas pixels
+            if pos + 2 > n:
+                raise ValueError("truncated RLE8 delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("RLE8 delta out of bounds")
+        else:  # absolute mode: b1 literal pixels, word-aligned
+            cnt = b1
+            need = cnt + (cnt % 2)
+            if pos + need > n:
+                raise ValueError("truncated RLE8 absolute run")
+            if y >= h or x + cnt > w:
+                raise ValueError("RLE8 absolute run out of bounds")
+            canvas[h - 1 - y, x : x + cnt] = np.frombuffer(
+                data[pos : pos + cnt], dtype=np.uint8
+            )
+            x += cnt
+            pos += need
+    raise ValueError("RLE8 stream missing end-of-bitmap")

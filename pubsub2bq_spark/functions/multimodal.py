@@ -23,8 +23,14 @@ Codec coverage is split honestly:
   DC scans + per-component AC scans — the libjpeg default script).
   Arithmetic coding still rejects loudly.
 * **G.711 µ-law WAV** (r13) — manual RIFF walk + exact integer
-  expansion; the audio gate covers only perceptual codecs (mp3/opus).
-* everything else (arithmetic-coded JPEG, mp3/opus,
+  expansion — and **IMA ADPCM WAV** (r13): the full adaptive-quantizer
+  recurrence (wFormatTag 0x11). The audio gate covers only perceptual
+  codecs (mp3/opus).
+* **MS-RLE8 AVI** (r13) — the first INTER-FRAME video codec: delta
+  opcodes replayed against a persistent canvas, so skipped pixels
+  retain the previous frame. The video gate covers only
+  transform-coded inter-frame codecs (H.264/MPEG).
+* everything else (arithmetic-coded JPEG, mp3/opus, transform-coded
   inter-frame video) raises ``NotImplementedError`` unless a real
   decoder library (PIL) imports — the container has none, and
   pretending otherwise would be worse.
@@ -949,6 +955,64 @@ def synth_mjpeg_from_bytes(payload: bytes) -> bytes:
         for f in range(n_frames)
     ]
     return encode_avi(frames, mjpeg=True)
+
+
+_RLE_BANDS = 4  # horizontal bands; frame f >= 1 rewrites band (f-1) % 4
+
+
+def synth_rle_avi_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* Microsoft-RLE8 AVI with genuine INTER-FRAME
+    deltas: dims/frame count from the shared byte-length rules, frame 0
+    a constant-``n % 251`` keyframe, frame f ≥ 1 rewriting only
+    horizontal band ``(f-1) % 4`` (rows ``b·h//4 .. (b+1)·h//4``) to
+    value ``(n + 37·f) % 251`` — every other row is a delta-skip
+    opcode, so the decoder RETAINS it from its canvas. After frame f,
+    band b holds the value of its latest rewrite ``j = f − ((f−1−b)
+    mod 4)`` (or the keyframe value if never rewritten), so an oracle
+    states each frame's pixel sum in closed form over the four bands."""
+    from pubsub2bq_spark.functions.avi_codec import encode_avi_rle
+
+    n = len(payload)
+    w = n % 64 + 16
+    h = (n // 64) % 64 + 16
+    n_frames = n % 5 + 1
+    frames = [np.full((h, w), n % 251, dtype=np.uint8)]
+    for f in range(1, n_frames):
+        g = frames[-1].copy()
+        b = (f - 1) % _RLE_BANDS
+        g[b * h // _RLE_BANDS : (b + 1) * h // _RLE_BANDS] = (n + 37 * f) % 251
+        frames.append(g)
+    return encode_avi_rle(frames)
+
+
+def rle_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the INTER-FRAME video path (r13):
+    synthesize an MS-RLE8 AVI per payload, genuinely parse the RIFF
+    container and replay every '00dc' opcode stream against the
+    persistent canvas (skip opcodes keep previous-frame pixels —
+    functions/avi_codec.py), and emit one row per DECODED frame with
+    its measured dimensions and pixel sum."""
+    from pubsub2bq_spark.functions.avi_codec import decode_avi
+
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "width": [], "height": [], "px_sum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, frames = decode_avi(synth_rle_avi_from_bytes(payload))
+            for f_idx, frame in enumerate(frames):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(f_idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["px_sum"].append(int(frame.sum(dtype=np.int64)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+            }
+        )
 
 
 def mjpeg_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1121,3 +1121,70 @@ def video_frames_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
     )
     return d.mapInPandas(mjpeg_frame_batches, VIDEO_FRAMES_SCHEMA)
+
+
+@register(
+    "video_frames_rle",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   octet_length(encode(text))                   AS n,
+                   octet_length(encode(text)) % 64 + 16         AS w,
+                   (octet_length(encode(text)) // 64) % 64 + 16 AS h,
+                   octet_length(encode(text)) % 5 + 1           AS nf
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, n, w, h, f, unnest(range(4)) AS b
+            FROM (SELECT doc_id, n, w, h, unnest(range(nf)) AS f FROM m)
+        )
+        SELECT doc_id,
+               CAST(f AS INTEGER) AS frame_idx,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(sum(((b + 1) * h // 4 - b * h // 4) * w *
+                        (CASE WHEN f >= b + 1
+                              THEN (n + 37 * (f - ((f - 1 - b) % 4))) % 251
+                              ELSE n % 251 END)) AS BIGINT) AS px_sum
+        FROM g GROUP BY doc_id, f, w, h
+    """,
+    doc="Microsoft-RLE8 video frame extraction, REAL end-to-end (r13 — "
+        "the first INTER-FRAME video family member): the kernel "
+        "synthesizes a real MS-RLE8 AVI per payload ('MRLE' fourcc, "
+        "biCompression 1 — the classic Video-for-Windows delta codec), "
+        "genuinely parses the RIFF container and replays every '00dc' "
+        "opcode stream (encoded runs, word-aligned absolute mode, "
+        "end-of-line, delta skips) against a PERSISTENT canvas — "
+        "skipped pixels retain the PREVIOUS frame's contents, so "
+        "frames decode in stream order with true temporal state "
+        "(functions/avi_codec.py). Frame 0 is a constant keyframe; "
+        "frame f rewrites only horizontal band (f−1) mod 4, so after "
+        "frame f each band holds its latest rewrite j = f − ((f−1−b) "
+        "mod 4) and the oracle states every frame's pixel sum in "
+        "closed form over the four bands. The video gate now covers "
+        "only transform-coded inter-frame codecs (H.264/MPEG).",
+    scale_notes="Same no-shuffle envelope as video_frames: project to "
+                "(doc_id, payload), one Arrow-batched mapInPandas "
+                "pass. Unlike MJPEG, inter-frame streams are NOT "
+                "splittable below one video: the canvas recurrence "
+                "forces sequential decode per payload — exactly why "
+                "the kernel parallelizes across documents (one video "
+                "per task) and never across frames. At 100 TB the "
+                "unit of partitioning is the video, with keyframe "
+                "chunking (each '00db'-keyframe segment independently "
+                "decodable) as the finer split when single videos "
+                "exceed a task.",
+)
+def video_frames_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        VIDEO_FRAMES_SCHEMA,
+        rle_frame_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(rle_frame_batches, VIDEO_FRAMES_SCHEMA)

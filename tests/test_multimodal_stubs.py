@@ -514,3 +514,69 @@ def test_adpcm_codec_and_kernel():
     # extract_audio_features dispatches ADPCM after PCM16 and µ-law
     feats = mm.extract_audio_features(mm.synth_adpcm_wav_from_bytes(b"q" * 80))
     assert feats["n_samples"] == 2 * (80 // 8 + 4) + 1
+
+
+def test_rle8_codec_and_kernel():
+    """MS-RLE8: random and patch-edited sequences must round-trip
+    exactly, delta frames must be opcode-skip small (the inter-frame
+    evidence), and truncated/out-of-bounds streams must fail loudly."""
+    from pubsub2bq_spark.functions.avi_codec import (
+        _rle_decode_frame,
+        _rle_encode_frame,
+        decode_avi,
+        encode_avi_rle,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w = 37, 61
+    frames = [rng.integers(0, 256, size=(h, w)).astype(np.uint8)]
+    for _ in range(4):
+        f = frames[-1].copy()
+        for _ in range(3):
+            r0, c0 = int(rng.integers(0, h - 5)), int(rng.integers(0, w - 6))
+            f[r0 : r0 + 4, c0 : c0 + 5] = rng.integers(0, 256, size=(4, 5))
+        frames.append(f)
+    avi = encode_avi_rle(frames)
+    W, H, out = decode_avi(avi)
+    assert (W, H) == (w, h) and len(out) == len(frames)
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+    # pure-random frames exercise absolute mode + runs
+    frames2 = [rng.integers(0, 256, size=(16, 17)).astype(np.uint8)
+               for _ in range(3)]
+    _, _, out2 = decode_avi(encode_avi_rle(frames2))
+    assert all(np.array_equal(a, b) for a, b in zip(frames2, out2))
+
+    # inter-frame coding: a patch-edit delta frame is far smaller than
+    # its keyframe, and replaying it against a WRONG canvas yields a
+    # different frame — the decode genuinely depends on temporal state
+    key = _rle_encode_frame(None, frames[0])
+    delta = _rle_encode_frame(frames[0], frames[1])
+    assert len(delta) < len(key) // 4
+    good = frames[0].copy()
+    _rle_decode_frame(delta, good)
+    assert np.array_equal(good, frames[1])
+    bad = np.zeros((h, w), dtype=np.uint8)
+    _rle_decode_frame(delta, bad)
+    assert not np.array_equal(bad, frames[1])
+
+    # loud rejection: truncated stream / missing EOS / run overflow
+    with pytest.raises(ValueError):
+        _rle_decode_frame(key[:-2], np.zeros((h, w), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        _rle_decode_frame(bytes((255, 1)), np.zeros((2, 4), dtype=np.uint8))
+
+    # kernel: decoded band evolution matches the closed-form band rule
+    payload = b"z" * 321  # w=37, h=21, nf=2
+    pdf = pd.DataFrame({"doc_id": [9], "payload": [payload]})
+    (out3,) = list(mm.rle_frame_batches(iter([pdf])))
+    n = 321
+    w3, h3 = n % 64 + 16, (n // 64) % 64 + 16
+    assert list(out3["frame_idx"]) == [0, 1]
+    v0 = n % 251
+    assert int(out3["px_sum"][0]) == w3 * h3 * v0
+    rows_b0 = h3 // 4
+    v1 = (n + 37) % 251
+    assert int(out3["px_sum"][1]) == w3 * (
+        rows_b0 * v1 + (h3 - rows_b0) * v0
+    )
