@@ -197,10 +197,13 @@ HEADLINE = [
     "jpeg_progressive",
     "jpeg_progressive_color",
     # Round-13 late additions: IMA ADPCM (adaptive compressed audio,
-    # full step-table recurrence) and MS-RLE8 (the first INTER-FRAME
-    # video codec: delta opcodes against a persistent canvas).
+    # full step-table recurrence), MS-RLE8 (the first INTER-FRAME
+    # video codec: delta opcodes against a persistent canvas) and
+    # SOF9 arithmetic JPEG (T.81 Annex D QM-coder + Annex F models —
+    # the last JPEG entropy mode behind the gate).
     "audio_adpcm",
     "video_frames_rle",
+    "jpeg_arith",
 ]
 
 

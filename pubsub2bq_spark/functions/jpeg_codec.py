@@ -941,9 +941,15 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                     np.zeros((mcuy_p * vs, mcux_p * hs, 64), dtype=np.int64)
                     for _cid, hs, vs, _tq in comps
                 ]
-        elif marker in (0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC9:  # SOF9: arithmetic-coded sequential (r13)
+            from pubsub2bq_spark.functions.jpeg_arith import (
+                decode_jpeg_arith_planes,
+            )
+
+            return decode_jpeg_arith_planes(payload)
+        elif marker in (0xC1, 0xC3, 0xCA, 0xCB):
             raise NotImplementedError(
-                "jpeg: only baseline sequential (SOF0) and Huffman "
+                "jpeg: only sequential (SOF0/SOF9) and Huffman "
                 "progressive (SOF2) supported"
             )
         elif marker == 0xC4:  # DHT

@@ -20,8 +20,10 @@ Codec coverage is split honestly:
   replication chroma upsample for 4:4:4 / 4:2:2 / 4:2:0 color, JFIF
   BT.601 → RGB; multi-scan SOF2 progressive (DC/AC first + refinement,
   EOB runs, correction bits) for grayscale AND 4:2:0 color (interleaved
-  DC scans + per-component AC scans — the libjpeg default script).
-  Arithmetic coding still rejects loudly.
+  DC scans + per-component AC scans — the libjpeg default script); and
+  since late r13 SOF9 ARITHMETIC coding too (T.81 Annex D QM-coder +
+  Annex F models, functions/jpeg_arith.py) — every JPEG entropy mode
+  decodes for real. Lossless/differential frame types reject loudly.
 * **G.711 µ-law WAV** (r13) — manual RIFF walk + exact integer
   expansion — and **IMA ADPCM WAV** (r13): the full adaptive-quantizer
   recurrence (wFormatTag 0x11). The audio gate covers only perceptual
@@ -417,6 +419,45 @@ def jpeg420_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             jp = synth_jpeg420_from_bytes(payload)
+            w, h, planes = decode_jpeg_planes(jp)
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["y_sum"].append(int(planes[0].sum(dtype=np.int64)))
+            rows["cb_sum"].append(int(planes[1].sum(dtype=np.int64)))
+            rows["cr_sum"].append(int(planes[2].sum(dtype=np.int64)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "y_sum": pd.Series(rows["y_sum"], dtype="int64"),
+                "cb_sum": pd.Series(rows["cb_sum"], dtype="int64"),
+                "cr_sum": pd.Series(rows["cr_sum"], dtype="int64"),
+            }
+        )
+
+
+def jpeg_arith_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the ARITHMETIC-coded JPEG path (r13):
+    synthesize a real SOF9 4:2:0 color JPEG per payload and decode it
+    through the general dispatch (functions/jpeg_codec.py routes SOF9
+    frames to the QM-coder decoder in functions/jpeg_arith.py —
+    adaptive statistics bins, conditional exchange, renormalization,
+    stuffed-bit input), then sum each decoded full-resolution plane.
+    Every reported number comes out of the arithmetic decoder."""
+    from pubsub2bq_spark.functions.jpeg_arith import synth_jpeg_arith_from_bytes
+    from pubsub2bq_spark.functions.jpeg_codec import decode_jpeg_planes
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "width": [], "height": [],
+            "y_sum": [], "cb_sum": [], "cr_sum": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            jp = synth_jpeg_arith_from_bytes(payload)
             w, h, planes = decode_jpeg_planes(jp)
             rows["doc_id"].append(doc_id)
             rows["n_bytes"].append(len(payload))

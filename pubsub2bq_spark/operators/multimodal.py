@@ -381,6 +381,90 @@ def jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_arith",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT)            AS n_bytes,
+                   CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                   CAST((octet_length(encode(text)) // 64) % 64 + 16
+                        AS INTEGER)                                      AS height
+            FROM documents
+        ),
+        yg AS (
+            SELECT doc_id,
+                   CAST(sum(((7 * bx + 11 * by + 5) % 256)
+                            * least(8, width - 8 * bx)
+                            * least(8, height - 8 * by)) AS BIGINT)      AS y_sum
+            FROM (
+                SELECT *, unnest(range(0, (height + 7) // 8)) AS by
+                FROM (SELECT *, unnest(range(0, (width + 7) // 8)) AS bx
+                      FROM m)
+            ) GROUP BY doc_id
+        ),
+        cg AS (
+            SELECT doc_id,
+                   CAST(sum(((3 * mx + 7 * my + 96) % 256)
+                            * least(16, width - 16 * mx)
+                            * least(16, height - 16 * my)) AS BIGINT)    AS cb_sum,
+                   CAST(sum(((7 * mx + 5 * my + 48) % 256)
+                            * least(16, width - 16 * mx)
+                            * least(16, height - 16 * my)) AS BIGINT)    AS cr_sum
+            FROM (
+                SELECT *, unnest(range(0, (height + 15) // 16)) AS my
+                FROM (SELECT *, unnest(range(0, (width + 15) // 16)) AS mx
+                      FROM m)
+            ) GROUP BY doc_id
+        )
+        SELECT m.doc_id, m.n_bytes, m.width, m.height,
+               yg.y_sum, cg.cb_sum, cg.cr_sum
+        FROM m JOIN yg USING (doc_id) JOIN cg USING (doc_id)
+    """,
+    doc="ARITHMETIC-coded JPEG decode, REAL end-to-end (r13 — the last "
+        "JPEG entropy mode behind the gate): the kernel synthesizes a "
+        "real SOF9 4:2:0 color JPEG per payload and genuinely decodes "
+        "it with a from-scratch T.81 Annex D QM-coder (the 113-state "
+        "adaptive probability estimation table, conditional MPS/LPS "
+        "exchange, renormalization, stuffed-bit input, feed-1-bits "
+        "marker tail) driving the Annex F DC/AC statistical models "
+        "(per-component conditioning contexts, per-index EOB "
+        "decisions, fixed-estimate signs, Kx spectral split) — "
+        "functions/jpeg_arith.py, dispatched from the general JPEG "
+        "parser on the SOF9 marker. Entropy coding is lossless, so "
+        "the 4:2:0 block-constant exactness argument carries over and "
+        "the oracle states all three plane sums in closed form; "
+        "round-trip tests pin gray AND color arithmetic streams "
+        "exactly equal to the pinned textbook DCT models on random "
+        "images, and the QM core is separately property-tested "
+        "(exact roundtrip on skewed random decision streams, "
+        "entropy-approaching compression). The image gate is now "
+        "EMPTY for JPEG: baseline, subsampled, progressive and "
+        "arithmetic all decode for real.",
+    scale_notes="Identical envelope to jpeg_subsampled: project to "
+                "(doc_id, payload), one Arrow-batched mapInPandas "
+                "pass, no shuffle after the kernel. The QM loop is "
+                "per-decision Python (the price of a real adaptive "
+                "coder); like the other codec kernels it parallelizes "
+                "across documents and its cost is linear in pixels — "
+                "at 100 TB the decode belongs in the scan stage and "
+                "only O(1) features leave it.",
+)
+def jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        JPEG420_SCHEMA,
+        jpeg_arith_decode_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(jpeg_arith_decode_batches, JPEG420_SCHEMA)
+
+
+@register(
     "jpeg_progressive_color",
     oracle="""
         WITH m AS (

@@ -80,13 +80,13 @@ class TestJpegCodec:
         assert np.array_equal(dec[:, :, 0], img)
         assert len(data) < 1000  # EOB-only blocks stay tiny
 
-    def test_rejects_arithmetic_and_truncated(self):
-        # (grayscale progressive SOF2 decodes for real since r13 —
-        # arithmetic coding is the remaining frame-type gate)
+    def test_rejects_lossless_and_truncated(self):
+        # (sequential arithmetic SOF9 decodes for real since r13 —
+        # lossless/differential frame types are the remaining gate)
         img = np.zeros((8, 8), dtype=np.uint8)
         data = bytearray(encode_jpeg_gray(img))
         sof = data.find(b"\xff\xc0")
-        data[sof + 1] = 0xC9  # rewrite SOF0 → SOF9 (arithmetic)
+        data[sof + 1] = 0xC3  # rewrite SOF0 → SOF3 (lossless)
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
         with pytest.raises(ValueError):
@@ -408,3 +408,120 @@ class TestJpegFuzz:
         assert (gw, gh) == (w, h)
         for got, exp in zip(planes, _textbook_420(y, cb, cr, quant)):
             assert np.array_equal(got, exp)
+
+
+class TestArithmeticJpeg:
+    """SOF9 arithmetic entropy coding (r13, functions/jpeg_arith.py):
+    the QM-coder core must round-trip arbitrary decision streams
+    exactly and compress near entropy, and the full image paths must
+    equal the SAME pinned textbook models as the Huffman twins — the
+    entropy coder is lossless, so any divergence is a coder bug."""
+
+    def test_qm_core_roundtrip_and_entropy(self):
+        import math
+
+        from pubsub2bq_spark.functions.jpeg_arith import (
+            _QMDecoder,
+            _QMEncoder,
+            new_bins,
+        )
+
+        rng = np.random.default_rng(0)
+        for _ in range(15):
+            n = int(rng.integers(1, 5000))
+            nctx = int(rng.integers(1, 8))
+            p = rng.uniform(0.01, 0.99, size=nctx)
+            ctxs = rng.integers(0, nctx, size=n)
+            bits = (rng.random(n) < p[ctxs]).astype(int)
+            enc = _QMEncoder()
+            eb = new_bins(nctx)
+            for c_, b_ in zip(ctxs, bits):
+                enc.encode(eb, int(c_), int(b_))
+            dec = _QMDecoder(enc.flush() + b"\xff\xd9")
+            db = new_bins(nctx)
+            assert [dec.decode(db, int(c_)) for c_ in ctxs] == list(bits)
+            assert eb == db  # statistics adapt identically on both sides
+
+        # adaptive estimation approaches the source entropy (a wrong
+        # Qe/NMPS/NLPS table row would blow this bound immediately)
+        bits = (rng.random(50_000) < 0.02).astype(int)
+        enc = _QMEncoder()
+        eb = new_bins(1)
+        for b_ in bits:
+            enc.encode(eb, 0, int(b_))
+        coded = len(enc.flush()) * 8
+        entropy = 50_000 * -(
+            0.02 * math.log2(0.02) + 0.98 * math.log2(0.98)
+        )
+        assert coded < entropy * 1.08
+
+    @pytest.mark.parametrize("seed,shape,quant", [
+        (0, (16, 16), 8), (1, (24, 40), 8), (2, (17, 33), 8),
+        (3, (8, 8), 16), (4, (50, 50), 8),
+    ])
+    def test_gray_roundtrip_equals_textbook_model(self, seed, shape, quant):
+        from pubsub2bq_spark.functions.jpeg_arith import (
+            decode_jpeg_arith_planes,
+            encode_jpeg_arith_gray,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, planes = decode_jpeg_arith_planes(
+            encode_jpeg_arith_gray(img, quant=quant)
+        )
+        assert (w, h) == (shape[1], shape[0])
+        assert np.array_equal(planes[0], _textbook(img, quant))
+
+    @pytest.mark.parametrize("seed,shape", [
+        (5, (16, 16)), (6, (32, 48)), (7, (17, 33)), (8, (30, 18)),
+    ])
+    def test_color_420_roundtrip_equals_textbook_model(self, seed, shape):
+        from pubsub2bq_spark.functions.jpeg_arith import (
+            encode_jpeg_arith_420,
+        )
+        from pubsub2bq_spark.functions.jpeg_codec import decode_jpeg_planes
+
+        rng = np.random.default_rng(seed)
+        y = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        cb = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        cr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        # decode through the general dispatch (SOF9 routing)
+        w, h, planes = decode_jpeg_planes(encode_jpeg_arith_420(y, cb, cr))
+        assert (w, h) == (shape[1], shape[0])
+        for got, exp in zip(planes, _textbook_420(y, cb, cr, 8)):
+            assert np.array_equal(got, exp)
+
+    def test_fixture_is_exact_and_gate_narrowed(self):
+        from pubsub2bq_spark.functions.jpeg_arith import (
+            synth_jpeg_arith_from_bytes,
+        )
+        from pubsub2bq_spark.functions.jpeg_codec import decode_jpeg_planes
+
+        for n in (0, 17, 321, 4095):
+            w, h, planes = decode_jpeg_planes(
+                synth_jpeg_arith_from_bytes(b"q" * n)
+            )
+            assert (w, h) == (n % 64 + 16, (n // 64) % 64 + 16)
+            bx, by = np.arange(w) // 8, np.arange(h) // 8
+            mx, my = np.arange(w) // 16, np.arange(h) // 16
+            assert np.array_equal(
+                planes[0], (7 * bx[None, :] + 11 * by[:, None] + 5) % 256
+            )
+            assert np.array_equal(
+                planes[1], (3 * mx[None, :] + 7 * my[:, None] + 96) % 256
+            )
+            assert np.array_equal(
+                planes[2], (7 * mx[None, :] + 5 * my[:, None] + 48) % 256
+            )
+
+        # progressive-arithmetic (SOF10) stays loudly gated
+        from pubsub2bq_spark.functions.jpeg_arith import (
+            encode_jpeg_arith_gray,
+        )
+
+        data = bytearray(encode_jpeg_arith_gray(np.zeros((8, 8), np.uint8)))
+        sof = data.find(b"\xff\xc9")
+        data[sof + 1] = 0xCA
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))

@@ -29,22 +29,23 @@ from pubsub2bq_spark.functions.wav_codec import decode_wav_s16, encode_wav_s16
 
 
 def test_unsupported_codecs_still_raise():
-    # Baseline + grayscale-progressive JPEG decode for real since
-    # r12/r13 (functions/jpeg_codec.py); the gate now covers
-    # arithmetic-coded JPEG, mp3 and other codecs the container
-    # genuinely cannot decode. A malformed JFIF payload fails LOUDLY in
-    # the parser (ValueError), never silently.
+    # Every JPEG entropy mode decodes for real since r13 (baseline,
+    # progressive AND arithmetic — functions/jpeg_codec.py +
+    # jpeg_arith.py); the gate now covers lossless/differential JPEG,
+    # mp3 and other codecs the container genuinely cannot decode. A
+    # malformed JFIF payload fails LOUDLY in the parser (ValueError),
+    # never silently.
     if mm._HAS_PIL:  # pragma: no cover - container has no PIL
         pytest.skip("PIL present; gate not applicable to images")
     with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0JFIF....")  # truncated JPEG
     from pubsub2bq_spark.functions.jpeg_codec import encode_jpeg_gray
 
-    arith = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
-    sof = arith.find(b"\xff\xc0")
-    arith[sof + 1] = 0xC9  # SOF0 → SOF9 (arithmetic)
+    lossless = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    sof = lossless.find(b"\xff\xc0")
+    lossless[sof + 1] = 0xC3  # SOF0 → SOF3 (lossless)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(bytes(arith))
+        mm.decode_image(bytes(lossless))
     with pytest.raises(NotImplementedError):
         mm.extract_audio_features(b"ID3\x04....")  # mp3 tag magic
 
