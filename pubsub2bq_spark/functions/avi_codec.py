@@ -217,28 +217,28 @@ def _rle_encode_literal(seg: np.ndarray) -> bytes:
     for repeats ≥ 3, absolute mode (00 count literals, word-padded) for
     literal stretches ≥ 3, count-1/2 runs for the remainder."""
     ops = bytearray()
-    i, m = 0, seg.size
-    while i < m:
-        j = i
-        while j < m and seg[j] == seg[i]:
-            j += 1
-        run = j - i
-        if run >= 3:
+    m = seg.size
+    if m == 0:
+        return bytes(ops)
+    # run boundaries in one vectorized pass (iterate over RUNS)
+    breaks = np.flatnonzero(seg[1:] != seg[:-1]) + 1
+    starts = np.concatenate(([0], breaks))
+    lens = np.diff(np.concatenate((starts, [m])))
+    nruns = starts.size
+    i = 0
+    while i < nruns:
+        if lens[i] >= 3:
+            run, v = int(lens[i]), int(seg[starts[i]])
             while run > 0:
                 c = min(run, 255)
-                ops += bytes((c, int(seg[i])))
+                ops += bytes((c, v))
                 run -= c
-            i = j
+            i += 1
         else:
-            k = i  # literal stretch: until a run ≥ 3 starts
-            while k < m:
-                j2 = k
-                while j2 < m and seg[j2] == seg[k]:
-                    j2 += 1
-                if j2 - k >= 3:
-                    break
-                k = j2
-            lit = seg[i:k]
+            j = i  # literal stretch: consecutive runs < 3
+            while j < nruns and lens[j] < 3:
+                j += 1
+            lit = seg[starts[i] : starts[j - 1] + lens[j - 1]]
             while lit.size >= 3:
                 c = min(lit.size, 255)
                 ops += bytes((0, c)) + lit[:c].tobytes()
@@ -247,7 +247,7 @@ def _rle_encode_literal(seg: np.ndarray) -> bytes:
                 lit = lit[c:]
             for v in lit:
                 ops += bytes((1, int(v)))
-            i = k
+            i = j
     return bytes(ops)
 
 
@@ -262,34 +262,34 @@ def _rle_encode_frame(prev: np.ndarray | None, frame: np.ndarray) -> bytes:
     for r in range(h):  # r = 0 is the BOTTOM row
         row = frame[h - 1 - r]
         prow = prev[h - 1 - r] if prev is not None else None
-        if prow is not None and np.array_equal(row, prow):
-            pending += 1
-            continue
+        if prow is None:
+            segs = [(0, w)] if w else []
+        else:
+            # changed-pixel segments, found in one vectorized pass
+            # (iterate over SEGMENTS, not pixels)
+            diff = np.flatnonzero(row != prow)
+            if diff.size == 0:
+                pending += 1
+                continue
+            breaks = np.flatnonzero(np.diff(diff) > 1) + 1
+            starts = np.concatenate(([0], breaks))
+            ends = np.concatenate((breaks, [diff.size]))
+            segs = [(int(diff[s]), int(diff[e - 1]) + 1)
+                    for s, e in zip(starts, ends)]
         while pending > 0:
             dy = min(pending, 255)
             ops += bytes((0, 2, 0, dy))
             pending -= dy
         x = 0
-        while x < w:
-            if prow is not None and row[x] == prow[x]:
-                x2 = x
-                while x2 < w and row[x2] == prow[x2]:
-                    x2 += 1
-                if x2 >= w:
-                    break  # rest of row unchanged; EOL advances the row
-                dx = x2 - x
-                while dx > 0:
-                    step = min(dx, 255)
-                    ops += bytes((0, 2, step, 0))
-                    dx -= step
-                x = x2
-            else:
-                x2 = x
-                while x2 < w and (prow is None or row[x2] != prow[x2]):
-                    x2 += 1
-                ops += _rle_encode_literal(row[x:x2])
-                x = x2
-        ops += bytes((0, 0))  # end of line
+        for s, e in segs:
+            dx = s - x
+            while dx > 0:  # unchanged gap → delta skip
+                step = min(dx, 255)
+                ops += bytes((0, 2, step, 0))
+                dx -= step
+            ops += _rle_encode_literal(row[s:e])
+            x = e
+        ops += bytes((0, 0))  # end of line (rest of row unchanged)
     ops += bytes((0, 1))  # end of bitmap
     return bytes(ops)
 
