@@ -204,6 +204,7 @@ HEADLINE = [
     "audio_adpcm",
     "video_frames_rle",
     "jpeg_arith",
+    "jpeg_lossless",
 ]
 
 

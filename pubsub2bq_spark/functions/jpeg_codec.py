@@ -947,10 +947,12 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             )
 
             return decode_jpeg_arith_planes(payload)
-        elif marker in (0xC1, 0xC3, 0xCA, 0xCB):
+        elif marker == 0xC3:  # SOF3: lossless predictive (r13)
+            return decode_jpeg_lossless(payload)
+        elif marker in (0xC1, 0xCA, 0xCB):
             raise NotImplementedError(
-                "jpeg: only sequential (SOF0/SOF9) and Huffman "
-                "progressive (SOF2) supported"
+                "jpeg: only sequential (SOF0/SOF9), Huffman progressive "
+                "(SOF2) and lossless (SOF3) supported"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -1218,3 +1220,184 @@ def synth_jpeg420_from_bytes(payload: bytes) -> bytes:
     cb = ((5 * mx[None, :] + 3 * my[:, None] + 64) % 256).astype(np.uint8)
     cr = ((3 * mx[None, :] + 5 * my[:, None] + 192) % 256).astype(np.uint8)
     return encode_jpeg_420(y, cb, cr, quant=8)
+
+
+# Lossless JPEG (SOF3, T.81 Annex H): 17 difference categories (SSSS
+# 0-16) need a custom canonical Huffman table — the Annex K DC table
+# stops at 11. Lengths: two 2-bit codes, one code each of 3-15 bits,
+# two 16-bit codes (Kraft sum 0.75).
+_LL_BITS = [0, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2]
+_LL_VALS = list(range(17))
+
+
+def _lossless_predict(a: int, b: int, c: int, sel: int) -> int:
+    """T.81 Table H.1 predictors (a = left, b = above, c = above-left)."""
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # sel == 7
+
+
+def encode_jpeg_lossless(px: np.ndarray, predictor: int = 4) -> bytes:
+    """Encode an 8-bit grayscale image as LOSSLESS JPEG (SOF3, T.81
+    Annex H — the DNG/DICOM process): no DCT, no quantization; each
+    sample's prediction residual (Table H.1 predictors, modulo-2^16
+    arithmetic, first sample seeded at 2^(P-1), first row/column
+    falling back to left/above) is Huffman-coded as a magnitude
+    category + appended bits. Decode reproduces the input EXACTLY."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7")
+    x = np.asarray(px, dtype=np.int64)
+    h, w = x.shape
+    # vectorized prediction from the original samples (decode is exact,
+    # so decoded neighbors equal original neighbors)
+    a = np.empty_like(x)
+    b = np.empty_like(x)
+    c = np.empty_like(x)
+    a[:, 1:] = x[:, :-1]
+    b[1:, :] = x[:-1, :]
+    c[1:, 1:] = x[:-1, :-1]
+    sel = predictor
+    pred = {
+        1: a, 2: b, 3: c, 4: a + b - c,
+        5: a + ((b - c) >> 1), 6: b + ((a - c) >> 1), 7: (a + b) >> 1,
+    }[sel]
+    pred[0, 1:] = x[0, :-1]     # first row: left neighbor
+    if h > 1:
+        pred[1:, 0] = x[:-1, 0]  # first column: above neighbor
+    pred[0, 0] = 128             # 2^(P-1)
+    d16 = (x - pred) & 0xFFFF
+    diffs = np.where(d16 >= 0x8000, d16 - 0x10000, d16)
+
+    codes = _canonical_codes(_LL_BITS, _LL_VALS)
+    bwr = _BitWriter()
+    for v in diffs.reshape(-1):
+        v = int(v)
+        if v == -32768:  # SSSS 16: no appended bits (T.81 H.1.2.2)
+            code, length = codes[16]
+            bwr.write(code, length)
+            continue
+        size, bits = _magnitude(v)
+        code, length = codes[size]
+        bwr.write(code, length)
+        bwr.write(bits, size)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_LL_VALS)) + b"\x00"
+    out += bytes(_LL_BITS) + bytes(_LL_VALS)
+    # SOS: Ss = predictor selector, Se = 0, Ah/Al = 0 (no point transform)
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00"
+    out += bytes((predictor, 0, 0))
+    out += bwr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_lossless(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode a lossless (SOF3) grayscale JPEG → ``(width, height,
+    [plane])``: Huffman category + appended-bit residuals, Table H.1
+    prediction with modulo-2^16 reconstruction. Rejects multi-component
+    scans, point transforms and out-of-range predictors loudly."""
+    if payload[:2] != JPEG_SIG:
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    htab = None
+    w = h = -1
+    precision = 8
+    sel = pt = None
+    scan_start = -1
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xC3:
+            precision = body[0]
+            h = struct.unpack(">H", body[1:3])[0]
+            w = struct.unpack(">H", body[3:5])[0]
+            if body[5] != 1:
+                raise NotImplementedError(
+                    "jpeg lossless: only single-component scans supported"
+                )
+            if precision != 8:
+                raise NotImplementedError(
+                    "jpeg lossless: only 8-bit precision supported"
+                )
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                htab = _decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDA:
+            sel, _se, ahal = body[1 + 2 * body[0]], body[2 + 2 * body[0]], body[3 + 2 * body[0]]
+            pt = ahal & 0x0F
+            scan_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if w < 0:
+        raise ValueError("jpeg lossless: missing SOF3")
+    if scan_start < 0 or htab is None:
+        raise ValueError("jpeg lossless: missing SOS or DHT")
+    if not 1 <= sel <= 7:
+        raise ValueError("jpeg lossless: predictor selector out of range")
+    if pt != 0:
+        raise NotImplementedError("jpeg lossless: point transform unsupported")
+
+    rdr = _BitReader(payload[scan_start:])
+    out = np.zeros((h, w), dtype=np.int64)
+    for r in range(h):
+        row = out[r]
+        above = out[r - 1] if r else None
+        for j in range(w):
+            size = rdr.read_huff(htab)
+            if size == 16:
+                diff = -32768  # SSSS 16: no appended bits
+            else:
+                diff = _extend(rdr.read(size), size)
+            if r == 0 and j == 0:
+                p = 1 << (precision - 1)
+            elif r == 0:
+                p = int(row[j - 1])
+            elif j == 0:
+                p = int(above[j])
+            else:
+                p = _lossless_predict(
+                    int(row[j - 1]), int(above[j]), int(above[j - 1]), sel
+                )
+            row[j] = (p + diff) & 0xFFFF
+    if out.max() > 255:
+        raise ValueError("jpeg lossless: sample out of 8-bit range")
+    return w, h, [out.astype(np.uint8)]
+
+
+def synth_jpeg_lossless_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* LOSSLESS (SOF3) JPEG: dims from the shared
+    byte-length rule, pixels 8×8-block-constant at ``(5·bx + 13·by +
+    n) mod 256``. Lossless decode equals the input EXACTLY by
+    construction — no quantization argument needed — so the oracle
+    states Σpx in closed form over the block grid while the real
+    predictor + Huffman machinery runs."""
+    n = len(payload)
+    w = n % 64 + 16
+    h = (n // 64) % 64 + 16
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    px = ((5 * bx[None, :] + 13 * by[:, None] + n) % 256).astype(np.uint8)
+    return encode_jpeg_lossless(px, predictor=4)

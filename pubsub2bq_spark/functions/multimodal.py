@@ -440,6 +440,43 @@ def jpeg420_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         )
 
 
+def jpeg_lossless_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the LOSSLESS JPEG path (r13): synthesize
+    a real SOF3 predictive stream per payload and decode it through
+    the general dispatch (functions/jpeg_codec.py routes SOF3 frames
+    to the Annex H decoder: Huffman residual categories, Table H.1
+    prediction, modulo-2^16 reconstruction), then pixel-sum the
+    decoded image. Lossless decode equals the synthesized pixels
+    exactly by construction."""
+    from pubsub2bq_spark.functions.jpeg_codec import (
+        decode_jpeg_planes,
+        synth_jpeg_lossless_from_bytes,
+    )
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "width": [], "height": [],
+            "px_sum": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            jp = synth_jpeg_lossless_from_bytes(payload)
+            w, h, planes = decode_jpeg_planes(jp)
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["px_sum"].append(int(planes[0].sum(dtype=np.int64)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+            }
+        )
+
+
 def jpeg_arith_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel for the ARITHMETIC-coded JPEG path (r13):
     synthesize a real SOF9 4:2:0 color JPEG per payload and decode it

@@ -381,6 +381,67 @@ def jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_lossless",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT)            AS n_bytes,
+                   octet_length(encode(text))                            AS n,
+                   CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                   CAST((octet_length(encode(text)) // 64) % 64 + 16
+                        AS INTEGER)                                      AS height
+            FROM documents
+        ),
+        g AS (
+            SELECT *, unnest(range(0, (height + 7) // 8)) AS by
+            FROM (SELECT *, unnest(range(0, (width + 7) // 8)) AS bx
+                  FROM m)
+        )
+        SELECT doc_id, n_bytes, width, height,
+               CAST(sum(((5 * bx + 13 * by + n) % 256)
+                        * least(8, width - 8 * bx)
+                        * least(8, height - 8 * by)) AS BIGINT) AS px_sum
+        FROM g GROUP BY doc_id, n_bytes, width, height
+    """,
+    doc="LOSSLESS JPEG decode, REAL end-to-end (r13 — T.81 Annex H, "
+        "the process DNG raw and DICOM medical images use): the kernel "
+        "synthesizes a real SOF3 stream per payload and genuinely "
+        "decodes it — Huffman-coded residual categories (a 17-category "
+        "table; SSSS 16 carries no appended bits), Table H.1 predictor "
+        "4 (a + b − c) with first-row/column fallbacks and the 2^(P−1) "
+        "seed, modulo-2^16 reconstruction (functions/jpeg_codec.py, "
+        "dispatched on the SOF3 marker). No DCT and no quantization, "
+        "so decode equals the synthesized pixels EXACTLY by "
+        "construction — the oracle states the pixel sum in closed "
+        "form, and round-trip tests pin exact equality on random "
+        "images for all seven Annex H predictors. With baseline, "
+        "subsampled, progressive, arithmetic and lossless all real, "
+        "the JPEG family gate covers only differential/hierarchical "
+        "processes.",
+    scale_notes="Identical envelope to jpeg_decode: project to "
+                "(doc_id, payload), one Arrow-batched mapInPandas "
+                "pass, no shuffle after the kernel. The predictor "
+                "recurrence is per-pixel by nature (each sample "
+                "predicts from decoded neighbors) — the kernel "
+                "parallelizes across documents, the right unit at "
+                "100 TB.",
+)
+def jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        JPEG_PROG_SCHEMA,
+        jpeg_lossless_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(jpeg_lossless_batches, JPEG_PROG_SCHEMA)
+
+
+@register(
     "jpeg_arith",
     oracle="""
         WITH m AS (

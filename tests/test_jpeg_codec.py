@@ -80,13 +80,14 @@ class TestJpegCodec:
         assert np.array_equal(dec[:, :, 0], img)
         assert len(data) < 1000  # EOB-only blocks stay tiny
 
-    def test_rejects_lossless_and_truncated(self):
-        # (sequential arithmetic SOF9 decodes for real since r13 —
-        # lossless/differential frame types are the remaining gate)
+    def test_rejects_gated_frames_and_truncated(self):
+        # (sequential arithmetic SOF9 and lossless SOF3 decode for
+        # real since r13 — arithmetic-lossless/differential frame
+        # types are the remaining gate)
         img = np.zeros((8, 8), dtype=np.uint8)
         data = bytearray(encode_jpeg_gray(img))
         sof = data.find(b"\xff\xc0")
-        data[sof + 1] = 0xC3  # rewrite SOF0 → SOF3 (lossless)
+        data[sof + 1] = 0xCB  # rewrite SOF0 → SOF11 (arith lossless)
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
         with pytest.raises(ValueError):
@@ -525,3 +526,52 @@ class TestArithmeticJpeg:
         data[sof + 1] = 0xCA
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
+
+
+class TestLosslessJpeg:
+    """SOF3 lossless predictive JPEG (r13, T.81 Annex H): no DCT and
+    no quantization, so every round trip must be EXACTLY the input —
+    the strongest possible self-check for the predictor + Huffman
+    machinery."""
+
+    @pytest.mark.parametrize("sel", list(range(1, 8)))
+    def test_exact_roundtrip_all_predictors(self, sel):
+        from pubsub2bq_spark.functions.jpeg_codec import (
+            decode_jpeg_lossless,
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(sel)
+        for shape in ((8, 8), (17, 33), (1, 40), (40, 1), (64, 64)):
+            px = rng.integers(0, 256, size=shape).astype(np.uint8)
+            w, h, planes = decode_jpeg_lossless(
+                encode_jpeg_lossless(px, predictor=sel)
+            )
+            assert (w, h) == (shape[1], shape[0])
+            assert np.array_equal(planes[0], px)
+
+    def test_dispatch_fixture_and_rejection(self):
+        from pubsub2bq_spark.functions.jpeg_codec import (
+            encode_jpeg_lossless,
+            synth_jpeg_lossless_from_bytes,
+        )
+
+        # the general parser routes SOF3 to the lossless decoder
+        for n in (0, 17, 321, 4095):
+            w, h, planes = decode_jpeg_planes(
+                synth_jpeg_lossless_from_bytes(b"q" * n)
+            )
+            assert (w, h) == (n % 64 + 16, (n // 64) % 64 + 16)
+            bx, by = np.arange(w) // 8, np.arange(h) // 8
+            assert np.array_equal(
+                planes[0], (5 * bx[None, :] + 13 * by[:, None] + n) % 256
+            )
+
+        # out-of-range predictor selectors reject loudly
+        data = bytearray(
+            encode_jpeg_lossless(np.zeros((8, 8), np.uint8), predictor=4)
+        )
+        sos = data.find(b"\xff\xda")
+        data[sos + 7] = 0  # Ss = 0: invalid for a lossless scan
+        with pytest.raises(ValueError):
+            decode_jpeg_planes(bytes(data))

@@ -41,11 +41,11 @@ def test_unsupported_codecs_still_raise():
         mm.decode_image(b"\xff\xd8\xff\xe0JFIF....")  # truncated JPEG
     from pubsub2bq_spark.functions.jpeg_codec import encode_jpeg_gray
 
-    lossless = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
-    sof = lossless.find(b"\xff\xc0")
-    lossless[sof + 1] = 0xC3  # SOF0 → SOF3 (lossless)
+    gated = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    sof = gated.find(b"\xff\xc0")
+    gated[sof + 1] = 0xCB  # SOF0 → SOF11 (arithmetic lossless)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(bytes(lossless))
+        mm.decode_image(bytes(gated))
     with pytest.raises(NotImplementedError):
         mm.extract_audio_features(b"ID3\x04....")  # mp3 tag magic
 
