@@ -205,6 +205,8 @@ HEADLINE = [
     "video_frames_rle",
     "jpeg_arith",
     "jpeg_lossless",
+    # Animated GIF: LZW + sub-rectangle inter-frame compositing.
+    "gif_frames",
 ]
 
 

@@ -88,6 +88,13 @@ def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         return decode_png(payload)
     if payload[:2] == JPEG_SIG:
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        from pubsub2bq_spark.functions.gif_codec import decode_gif
+
+        w, h, frames = decode_gif(payload)
+        # grayscale-palette streams: index == gray value (encode_gif's
+        # identity GCT); first frame is the still image
+        return w, h, 1, frames[0][:, :, None]
     if _HAS_PIL:  # pragma: no cover - no PIL in this container
         import io
 
@@ -1076,6 +1083,60 @@ def rle_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         rows = {"doc_id": [], "frame_idx": [], "width": [], "height": [], "px_sum": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             w, h, frames = decode_avi(synth_rle_avi_from_bytes(payload))
+            for f_idx, frame in enumerate(frames):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(f_idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["px_sum"].append(int(frame.sum(dtype=np.int64)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+            }
+        )
+
+
+def synth_gif_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* animated GIF89a with genuine sub-rectangle
+    inter-frame updates: dims/frame count from the shared byte-length
+    rules, frame 0 constant ``(n + 3) % 256``, frame f ≥ 1 rewriting
+    only horizontal band ``(f-1) % 4`` to ``(n + 41·f) % 256`` — the
+    encoder LZW-codes only each frame's dirty rectangle (disposal
+    method 1), so the decoder composites it over its persistent
+    canvas. The grayscale-identity palette makes index == gray, and
+    the band algebra gives every frame's pixel sum a closed form."""
+    from pubsub2bq_spark.functions.gif_codec import encode_gif
+
+    n = len(payload)
+    w = n % 64 + 16
+    h = (n // 64) % 64 + 16
+    n_frames = n % 5 + 1
+    frames = [np.full((h, w), (n + 3) % 256, dtype=np.uint8)]
+    for f in range(1, n_frames):
+        g = frames[-1].copy()
+        b = (f - 1) % 4
+        g[b * h // 4 : (b + 1) * h // 4] = (n + 41 * f) % 256
+        frames.append(g)
+    return encode_gif(frames)
+
+
+def gif_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the GIF path (r13): synthesize an
+    animated GIF89a per payload, genuinely parse the block structure
+    and LZW-decompress every image (variable code width, CLEAR/EOI,
+    table growth — functions/gif_codec.py), composite sub-rectangle
+    frames over the persistent canvas, and emit one row per decoded
+    frame with its measured pixel sum."""
+    from pubsub2bq_spark.functions.gif_codec import decode_gif
+
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "width": [], "height": [], "px_sum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, frames = decode_gif(synth_gif_from_bytes(payload))
             for f_idx, frame in enumerate(frames):
                 rows["doc_id"].append(doc_id)
                 rows["frame_idx"].append(f_idx)

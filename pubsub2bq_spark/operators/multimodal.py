@@ -1269,6 +1269,68 @@ def video_frames_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gif_frames",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   octet_length(encode(text))                   AS n,
+                   octet_length(encode(text)) % 64 + 16         AS w,
+                   (octet_length(encode(text)) // 64) % 64 + 16 AS h,
+                   octet_length(encode(text)) % 5 + 1           AS nf
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, n, w, h, f, unnest(range(4)) AS b
+            FROM (SELECT doc_id, n, w, h, unnest(range(nf)) AS f FROM m)
+        )
+        SELECT doc_id,
+               CAST(f AS INTEGER) AS frame_idx,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(sum(((b + 1) * h // 4 - b * h // 4) * w *
+                        (CASE WHEN f >= b + 1
+                              THEN (n + 41 * (f - ((f - 1 - b) % 4))) % 256
+                              ELSE (n + 3) % 256 END)) AS BIGINT) AS px_sum
+        FROM g GROUP BY doc_id, f, w, h
+    """,
+    doc="Animated GIF frame extraction, REAL end-to-end (r13): the "
+        "kernel synthesizes a real GIF89a per payload and genuinely "
+        "decodes it — block-structured parse (logical screen "
+        "descriptor, graphic control extensions, image descriptors, "
+        "sub-block framing), variable-code-width LZW decompression "
+        "(CLEAR/EOI, 12-bit table growth, the KwKwK case), and "
+        "per-frame compositing of SUB-RECTANGLE updates over a "
+        "persistent canvas under disposal method 1 — GIF's native "
+        "inter-frame coding; the encoder writes only each frame's "
+        "dirty rectangle (functions/gif_codec.py). GIF is lossless "
+        "and fully algorithmic (no empirical tables), so round trips "
+        "are exact by construction and the oracle states every "
+        "frame's pixel sum in closed form over the band-rewrite rule. "
+        "decode_image dispatches still GIFs alongside PNG/JPEG.",
+    scale_notes="Same no-shuffle envelope as the other video kernels: "
+                "project to (doc_id, payload), one Arrow-batched "
+                "mapInPandas pass; LZW is a sequential per-image "
+                "bit stream, so the kernel parallelizes across "
+                "documents — at 100 TB the unit of partitioning is "
+                "the GIF, and only O(1) per-frame features leave the "
+                "scan stage.",
+)
+def gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        VIDEO_FRAMES_SCHEMA,
+        gif_frame_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(gif_frame_batches, VIDEO_FRAMES_SCHEMA)
+
+
+@register(
     "video_frames_rle",
     oracle="""
         WITH m AS (

@@ -581,3 +581,66 @@ def test_rle8_codec_and_kernel():
     assert int(out3["px_sum"][1]) == w3 * (
         rows_b0 * v1 + (h3 - rows_b0) * v0
     )
+
+
+def test_gif_codec_and_kernel():
+    """GIF89a: LZW must round-trip exactly (incl. 12-bit growth, CLEAR
+    regrow, the KwKwK case), animated sub-rect updates must composite
+    over the persistent canvas, interlace must invert, and the kernel
+    must match the closed-form band rule."""
+    from pubsub2bq_spark.functions.gif_codec import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(21)
+    for n in (1, 100, 60000):
+        idx = rng.integers(0, 256, size=n).astype(np.uint8)
+        assert np.array_equal(_lzw_decode(_lzw_encode(idx, 8), 8, n), idx)
+    # low-entropy megastream fills the 12-bit table and forces CLEAR
+    idx = (np.arange(200_000) % 7).astype(np.uint8)
+    assert np.array_equal(_lzw_decode(_lzw_encode(idx, 8), 8, idx.size), idx)
+    # KwKwK: aaa... produces code == len(table) immediately
+    idx = np.zeros(50, dtype=np.uint8)
+    assert np.array_equal(_lzw_decode(_lzw_encode(idx, 8), 8, 50), idx)
+
+    h, w = 37, 61
+    frames = [rng.integers(0, 256, size=(h, w)).astype(np.uint8)]
+    for _ in range(4):
+        f = frames[-1].copy()
+        r0, c0 = int(rng.integers(0, h - 6)), int(rng.integers(0, w - 7))
+        f[r0 : r0 + 5, c0 : c0 + 6] = rng.integers(0, 256, size=(5, 6))
+        frames.append(f)
+    gif = encode_gif(frames)
+    W, H, out = decode_gif(gif)
+    assert (W, H) == (w, h)
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+    # inter-frame evidence: 4 dirty-rect frames cost a fraction of one
+    # full frame
+    assert len(gif) - len(encode_gif(frames[:1])) < len(gif) // 4
+
+    _, _, oi = decode_gif(encode_gif([frames[0]], interlace=True))
+    assert np.array_equal(oi[0], frames[0])
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 10)
+    with pytest.raises(ValueError):
+        decode_gif(b"notagif")
+
+    # decode_image dispatches still GIFs
+    w2, h2, ch, px = mm.decode_image(encode_gif([frames[0]]))
+    assert (w2, h2, ch) == (w, h, 1)
+    assert np.array_equal(px[:, :, 0], frames[0])
+
+    # kernel matches the closed-form band rule
+    payload = b"g" * 321  # nf = 2
+    pdf = pd.DataFrame({"doc_id": [4], "payload": [payload]})
+    (out3,) = list(mm.gif_frame_batches(iter([pdf])))
+    n = 321
+    w3, h3 = n % 64 + 16, (n // 64) % 64 + 16
+    v0, v1 = (n + 3) % 256, (n + 41) % 256
+    rows_b0 = h3 // 4
+    assert int(out3["px_sum"][0]) == w3 * h3 * v0
+    assert int(out3["px_sum"][1]) == w3 * (rows_b0 * v1 + (h3 - rows_b0) * v0)
