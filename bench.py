@@ -207,6 +207,8 @@ HEADLINE = [
     "jpeg_lossless",
     # Animated GIF: LZW + sub-rectangle inter-frame compositing.
     "gif_frames",
+    # FLAC: compressed lossless audio with real CRC/MD5 verification.
+    "audio_flac",
 ]
 
 

@@ -600,9 +600,23 @@ def extract_audio_features(payload: bytes) -> dict:
             "sum_sq": sum_sq,
             "rms": rms,
         }
+    if payload[:4] == b"fLaC":
+        from pubsub2bq_spark.functions.flac_codec import decode_flac
+
+        rate, samples = decode_flac(payload)
+        n_samples = int(samples.size)
+        sum_sq = int(np.sum(samples.astype(np.int64) ** 2))
+        rms = math.sqrt(sum_sq / n_samples) / 32768.0 if n_samples else 0.0
+        return {
+            "sample_rate": rate,
+            "n_samples": n_samples,
+            "sum_sq": sum_sq,
+            "rms": rms,
+        }
     raise NotImplementedError(
-        "non-WAV audio feature extraction requires an audio codec library, "
-        "absent in this container — WAV/PCM16 decodes via the stdlib codec"
+        "audio feature extraction: WAV (PCM16/mu-law/ADPCM) and FLAC "
+        "decode via the stdlib codecs; perceptual formats (mp3/opus) "
+        "need a codec library absent in this container"
     )
 
 
@@ -770,6 +784,61 @@ def adpcm_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
                 "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
                 "sum_samples": pd.Series(rows["sum_samples"], dtype="int64"),
+                "sum_sq": pd.Series(rows["sum_sq"], dtype="int64"),
+                "rms": pd.Series(rows["rms"], dtype="float64"),
+            }
+        )
+
+
+def synth_flac_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* FLAC stream: sample count ``n//4 + 12``,
+    samples ``((i·2654435761 + 3n) mod 65536) − 32768`` — the PCM16
+    rule with shifted phase. FLAC is lossless, so the decoded samples
+    equal the rule exactly and oracles restate sum/RMS arithmetic
+    directly, while the real predictor + Rice + CRC machinery runs."""
+    from pubsub2bq_spark.functions.flac_codec import encode_flac
+
+    n = len(payload)
+    i = np.arange(n // 4 + 12, dtype=np.int64)
+    s = ((i * _WAV_MULT + 3 * n) % 65536) - 32768
+    return encode_flac(s.astype(np.int16))
+
+
+FLAC_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, n_samples bigint, sum_sq bigint, "
+    "rms double"
+)
+
+
+def flac_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the COMPRESSED LOSSLESS audio path (r13):
+    synthesize a FLAC stream per payload, genuinely decode it (frame
+    sync, CRC-8/CRC-16 verification, FIXED-predictor reconstruction,
+    Rice residuals, stream MD5 check — functions/flac_codec.py) and
+    compute RMS from the DECODED samples. Exact int64 sums keep the
+    rms double bit-identical across engines."""
+    from pubsub2bq_spark.functions.flac_codec import decode_flac
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "n_samples": [], "sum_sq": [],
+            "rms": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, lin = decode_flac(synth_flac_from_bytes(payload))
+            sum_sq = int(np.sum(lin * lin))
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["n_samples"].append(int(lin.size))
+            rows["sum_sq"].append(sum_sq)
+            rows["rms"].append(
+                math.sqrt(sum_sq / lin.size) / 32768.0 if lin.size else 0.0
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
                 "sum_sq": pd.Series(rows["sum_sq"], dtype="int64"),
                 "rms": pd.Series(rows["rms"], dtype="float64"),
             }

@@ -776,6 +776,65 @@ def audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_flac",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        ),
+        s AS (
+            SELECT d.doc_id, d.n,
+                   ((t.i * 2654435761 + 3 * d.n) % 65536) - 32768 AS x
+            FROM d, LATERAL (
+                SELECT unnest(range(d.n // 4 + 12)) AS i
+            ) t
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT)            AS n_bytes,
+               CAST(count(*) AS BIGINT)     AS n_samples,
+               CAST(sum(x * x) AS BIGINT)   AS sum_sq,
+               sqrt(CAST(sum(x * x) AS DOUBLE) / count(*)) / 32768.0 AS rms
+        FROM s GROUP BY doc_id, n
+    """,
+    doc="FLAC audio decode, REAL end-to-end (r13 — the COMPRESSED "
+        "LOSSLESS audio family, the format audio training corpora "
+        "actually ship in): the kernel synthesizes a real FLAC stream "
+        "per payload (STREAMINFO with the true raw-sample MD5, fixed "
+        "4096-sample frames, UTF-8 frame numbers, per-block FIXED "
+        "difference predictors, Rice-coded residuals) and genuinely "
+        "decodes it with full integrity verification — frame sync, "
+        "CRC-8 on every header, CRC-16 on every frame, and the stream "
+        "MD5, all checked loudly (functions/flac_codec.py; the "
+        "decoder also handles LPC subframes, both Rice methods, "
+        "escape partitions and wasted bits). FLAC is lossless and "
+        "fully algorithmic (no empirical tables), so decoded samples "
+        "equal the generation rule exactly and the oracle restates "
+        "sum-of-squares/RMS directly; corruption tests pin that a "
+        "flipped bit fails the CRC, not the output. The audio gate "
+        "now covers only perceptual codecs (mp3/opus).",
+    scale_notes="Same no-shuffle envelope as the other audio kernels: "
+                "project to (doc_id, payload), one Arrow-batched "
+                "mapInPandas pass. FLAC frames are independently "
+                "decodable after a sync scan, so at 100 TB a long "
+                "stream can split at FRAME granularity; features are "
+                "O(1) per document and nothing but them leaves the "
+                "scan stage.",
+)
+def audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        FLAC_SCHEMA,
+        flac_feature_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(flac_feature_batches, FLAC_SCHEMA)
+
+
+@register(
     "audio_resample",
     oracle="""
         WITH d AS (

@@ -644,3 +644,95 @@ def test_gif_codec_and_kernel():
     rows_b0 = h3 // 4
     assert int(out3["px_sum"][0]) == w3 * h3 * v0
     assert int(out3["px_sum"][1]) == w3 * (rows_b0 * v1 + (h3 - rows_b0) * v0)
+
+
+def test_flac_codec_and_kernel():
+    """FLAC: lossless round trips must be EXACT (noise, smooth,
+    constant, multi-block), corruption must fail the CRC loudly, the
+    LPC subframe path must reconstruct a hand-built frame, and the
+    kernel must match the generation rule."""
+    import struct as _struct
+
+    from pubsub2bq_spark.functions.flac_codec import (
+        _MSBWriter,
+        _crc8,
+        _crc16,
+        _utf8_number,
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(31)
+    cases = [
+        rng.integers(-32768, 32768, size=777).astype(np.int16),
+        (8000 * np.sin(np.arange(10000) / 50.0)).astype(np.int16),
+        np.full(5000, 123, np.int16),
+        rng.integers(-100, 100, size=4096 * 3 + 5).astype(np.int16),
+    ]
+    for x in cases:
+        rate, y = decode_flac(encode_flac(x))
+        assert rate == 16000 and np.array_equal(y, x.astype(np.int64))
+    # smooth audio genuinely compresses
+    assert len(encode_flac(cases[1])) < cases[1].size  # < 0.5 byte/sample
+
+    # a flipped bit in frame data fails the CRC, never mis-decodes
+    data = bytearray(encode_flac(cases[1]))
+    data[100] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac(bytes(data))
+
+    # hand-built LPC-order-2 frame: x[i] = (2*x[i-1] - 1*x[i-2] >> 0) + r[i]
+    bs, warm, res = 16, [100, 110], [3, -2, 1, 0, -1, 2, 0, 1, -3, 2, 0, -1, 1, 0]
+    hdr = bytearray(b"\xff\xf8")
+    hdr.append((0x6 << 4) | 0x00)  # 8-bit blocksize follows
+    hdr.append(0x4 << 1)  # mono, 16-bit
+    hdr += _utf8_number(0)
+    hdr.append(bs - 1)
+    hdr.append(_crc8(bytes(hdr)))
+    wr = _MSBWriter()
+    wr.write(0, 1)
+    wr.write(0x20 | (2 - 1), 6)  # LPC, order 2
+    wr.write(0, 1)
+    for wv in warm:
+        wr.write(wv & 0xFFFF, 16)
+    wr.write(14, 4)       # precision 15
+    wr.write(0, 5)        # shift 0
+    wr.write(2 & 0x7FFF, 15)   # coef a1 = 2
+    wr.write(-1 & 0x7FFF, 15)  # coef a2 = -1
+    wr.write(0b00, 2)
+    wr.write(0, 4)  # partition order 0
+    wr.write(2, 4)  # rice param 2
+    for v in res:
+        u = (v << 1) ^ (v >> 31) if v >= 0 else ((-v) << 1) - 1
+        wr.write(1, (u >> 2) + 1)
+        wr.write(u, 2)
+    wr.align()
+    body = bytes(hdr) + wr.bytes()
+    frame = body + _struct.pack(">H", _crc16(body))
+    total = bs
+    si = _struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+    si += (((16000 << 44) | (15 << 36) | total)).to_bytes(8, "big")
+    want = np.empty(bs, dtype=np.int64)
+    want[:2] = warm
+    for i in range(2, bs):
+        want[i] = 2 * want[i - 1] - want[i - 2] + res[i - 2]
+    import hashlib as _hashlib
+
+    si += _hashlib.md5(want.astype("<i2").tobytes()).digest()
+    stream = b"fLaC" + bytes((0x80,)) + len(si).to_bytes(3, "big") + si + frame
+    rate, y = decode_flac(stream)
+    assert np.array_equal(y, want)
+
+    # kernel matches the generation rule (lossless)
+    payload = b"f" * 200
+    pdf = pd.DataFrame({"doc_id": [7], "payload": [payload]})
+    (out,) = list(mm.flac_feature_batches(iter([pdf])))
+    n = 200
+    i = np.arange(n // 4 + 12, dtype=np.int64)
+    s = ((i * 2654435761 + 3 * n) % 65536) - 32768
+    assert int(out["n_samples"][0]) == s.size
+    assert int(out["sum_sq"][0]) == int((s * s).sum())
+
+    # extract_audio_features dispatches FLAC
+    feats = mm.extract_audio_features(mm.synth_flac_from_bytes(b"q" * 80))
+    assert feats["n_samples"] == 80 // 4 + 12
