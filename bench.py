@@ -209,6 +209,8 @@ HEADLINE = [
     "gif_frames",
     # FLAC: compressed lossless audio with real CRC/MD5 verification.
     "audio_flac",
+    # TIFF: multi-strip early-change LZW (the scanned-document format).
+    "tiff_decode",
 ]
 
 

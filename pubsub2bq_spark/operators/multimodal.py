@@ -381,6 +381,64 @@ def jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tiff_decode",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT)            AS n_bytes,
+                   octet_length(encode(text))                            AS n,
+                   CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                   CAST((octet_length(encode(text)) // 64) % 64 + 16
+                        AS INTEGER)                                      AS height
+            FROM documents
+        ),
+        g AS (
+            SELECT *, unnest(range(0, (height + 7) // 8)) AS by
+            FROM (SELECT *, unnest(range(0, (width + 7) // 8)) AS bx
+                  FROM m)
+        )
+        SELECT doc_id, n_bytes, width, height,
+               CAST(sum(((9 * bx + 7 * by + n) % 256)
+                        * least(8, width - 8 * bx)
+                        * least(8, height - 8 * by)) AS BIGINT) AS px_sum
+        FROM g GROUP BY doc_id, n_bytes, width, height
+    """,
+    doc="TIFF decode, REAL end-to-end (r13 — the scanned-document / "
+        "scientific-imaging container): the kernel synthesizes a real "
+        "little-endian classic TIFF per payload (baseline IFD tags, "
+        "MULTI-STRIP layout with RowsPerStrip 16 — the layout scanners "
+        "emit — LZW compression 5) and genuinely decodes it: IFD walk "
+        "in both byte orders, strip offset/count array resolution, "
+        "strip assembly, and the TIFF LZW variant (MSB-first packing, "
+        "EARLY CHANGE width growth — the documented off-by-one vs "
+        "GIF's LZW — 12-bit table regrow; PackBits and uncompressed "
+        "strips also decode — functions/tiff_codec.py). Lossless, so "
+        "decode equals the block-constant rule exactly and the oracle "
+        "states Σpx in closed form. decode_image dispatches II*/MM* "
+        "payloads alongside PNG/JPEG/GIF.",
+    scale_notes="Same no-shuffle envelope as the other image kernels: "
+                "project to (doc_id, payload), one Arrow-batched "
+                "mapInPandas pass, O(1) features out. TIFF strips "
+                "decompress independently — at 100 TB a giant scan "
+                "splits at STRIP granularity, the property the "
+                "multi-strip writer exists to exercise.",
+)
+def tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        JPEG_PROG_SCHEMA,
+        tiff_decode_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(tiff_decode_batches, JPEG_PROG_SCHEMA)
+
+
+@register(
     "jpeg_lossless",
     oracle="""
         WITH m AS (

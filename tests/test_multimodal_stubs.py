@@ -736,3 +736,78 @@ def test_flac_codec_and_kernel():
     # extract_audio_features dispatches FLAC
     feats = mm.extract_audio_features(mm.synth_flac_from_bytes(b"q" * 80))
     assert feats["n_samples"] == 80 // 4 + 12
+
+
+def test_tiff_codec_and_kernel():
+    """TIFF: PackBits and early-change LZW must round-trip exactly,
+    multi-strip assembly must cover every row, both byte orders must
+    parse, and unsupported variants must reject loudly."""
+    import struct as _struct
+
+    from pubsub2bq_spark.functions.tiff_codec import (
+        COMP_LZW,
+        COMP_NONE,
+        COMP_PACKBITS,
+        _packbits_decode,
+        _packbits_encode,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(17)
+    for n in (1, 300, 30000):
+        data = rng.integers(0, 256, size=n).astype(np.uint8).tobytes()
+        assert _packbits_decode(_packbits_encode(data), n) == data
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), n) == data
+    # low-entropy megastream: 12-bit table regrow via CLEAR
+    data = bytes((np.arange(150_000) % 5).astype(np.uint8))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+    for comp in (COMP_NONE, COMP_PACKBITS, COMP_LZW):
+        for shape in ((16, 16), (37, 61), (79, 17), (100, 100)):
+            px = rng.integers(0, 256, size=shape).astype(np.uint8)
+            w, h, out = decode_tiff(encode_tiff(px, compression=comp))
+            assert (w, h) == (shape[1], shape[0])
+            assert np.array_equal(out, px)
+
+    # big-endian (MM) single-strip fixture parses too
+    px = rng.integers(0, 256, size=(20, 30)).astype(np.uint8)
+    strips = px.tobytes()
+    ifd_pos = 8 + len(strips)
+
+    def be_entry(tag, typ, count, value, short=False):
+        if short:
+            return _struct.pack(">HHIHH", tag, typ, count, value, 0)
+        return _struct.pack(">HHII", tag, typ, count, value)
+
+    entries = [
+        be_entry(256, 3, 1, 30, True), be_entry(257, 3, 1, 20, True),
+        be_entry(258, 3, 1, 8, True), be_entry(259, 3, 1, 1, True),
+        be_entry(262, 3, 1, 1, True), be_entry(273, 4, 1, 8),
+        be_entry(277, 3, 1, 1, True), be_entry(278, 3, 1, 20, True),
+        be_entry(279, 4, 1, len(strips)),
+    ]
+    mm_file = (b"MM\x00*" + _struct.pack(">I", ifd_pos) + strips
+               + _struct.pack(">H", len(entries)) + b"".join(entries)
+               + _struct.pack(">I", 0))
+    w, h, out = decode_tiff(mm_file)
+    assert (w, h) == (30, 20) and np.array_equal(out, px)
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"notatiff")
+
+    # decode_image dispatches TIFF
+    w2, h2, ch, arr = mm.decode_image(encode_tiff(px))
+    assert (w2, h2, ch) == (30, 20, 1) and np.array_equal(arr[:, :, 0], px)
+
+    # kernel matches the closed-form block rule
+    payload = b"t" * 321
+    pdf = pd.DataFrame({"doc_id": [8], "payload": [payload]})
+    (out3,) = list(mm.tiff_decode_batches(iter([pdf])))
+    n = 321
+    w3, h3 = n % 64 + 16, (n // 64) % 64 + 16
+    bx, by = np.arange(w3) // 8, np.arange(h3) // 8
+    want = ((9 * bx[None, :] + 7 * by[:, None] + n) % 256).sum()
+    assert int(out3["px_sum"][0]) == int(want)
