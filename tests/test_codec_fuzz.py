@@ -1,0 +1,231 @@
+"""Property fuzz for the late-r13 codecs (hypothesis).
+
+Every lossless format must round-trip EXACTLY on arbitrary inputs —
+dims/lengths the fixture rules never reach (sub-block, degenerate 1×1,
+exact block-multiple edges); the lossy arithmetic-JPEG paths must
+equal the same textbook models as their Huffman twins; and IMA ADPCM
+decode is checked against an INDEPENDENT scalar reference implemented
+here (not the production code path)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.test_jpeg_codec import _textbook, _textbook_420
+
+
+class TestArithJpegFuzz:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40),
+        quant=st.sampled_from([4, 8, 16]), seed=st.integers(0, 2**31),
+    )
+    def test_gray(self, h, w, quant, seed):
+        from pubsub2bq_spark.functions.jpeg_arith import (
+            decode_jpeg_arith_planes,
+            encode_jpeg_arith_gray,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        gw, gh, planes = decode_jpeg_arith_planes(
+            encode_jpeg_arith_gray(img, quant=quant)
+        )
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(planes[0], _textbook(img, quant))
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 36), w=st.integers(1, 36),
+        quant=st.sampled_from([8, 16]), seed=st.integers(0, 2**31),
+    )
+    def test_color_420(self, h, w, quant, seed):
+        from pubsub2bq_spark.functions.jpeg_arith import encode_jpeg_arith_420
+        from pubsub2bq_spark.functions.jpeg_codec import decode_jpeg_planes
+
+        rng = np.random.default_rng(seed)
+        y, cb, cr = (
+            rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            for _ in range(3)
+        )
+        gw, gh, planes = decode_jpeg_planes(
+            encode_jpeg_arith_420(y, cb, cr, quant=quant)
+        )
+        assert (gw, gh) == (w, h)
+        for got, exp in zip(planes, _textbook_420(y, cb, cr, quant)):
+            assert np.array_equal(got, exp)
+
+
+class TestLosslessJpegFuzz:
+    @settings(max_examples=35, deadline=None)
+    @given(
+        h=st.integers(1, 50), w=st.integers(1, 50),
+        sel=st.integers(1, 7), seed=st.integers(0, 2**31),
+    )
+    def test_exact(self, h, w, sel, seed):
+        from pubsub2bq_spark.functions.jpeg_codec import (
+            decode_jpeg_lossless,
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        gw, gh, planes = decode_jpeg_lossless(
+            encode_jpeg_lossless(img, predictor=sel)
+        )
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(planes[0], img)
+
+
+class TestRle8Fuzz:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40),
+        nf=st.integers(1, 5), seed=st.integers(0, 2**31),
+    )
+    def test_exact(self, h, w, nf, seed):
+        from pubsub2bq_spark.functions.avi_codec import (
+            decode_avi,
+            encode_avi_rle,
+        )
+
+        rng = np.random.default_rng(seed)
+        frames = [rng.integers(0, 256, size=(h, w)).astype(np.uint8)]
+        for _ in range(nf - 1):
+            f = frames[-1].copy()
+            if h > 1 and w > 1:
+                r0 = int(rng.integers(0, h))
+                c0 = int(rng.integers(0, w))
+                rh = int(rng.integers(1, h - r0 + 1))
+                rw = int(rng.integers(1, w - c0 + 1))
+                f[r0 : r0 + rh, c0 : c0 + rw] = rng.integers(
+                    0, 256, size=(rh, rw)
+                )
+            frames.append(f)
+        _, _, out = decode_avi(encode_avi_rle(frames))
+        assert len(out) == nf
+        assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+
+class TestGifFuzz:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40),
+        nf=st.integers(1, 4), interlace=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def test_exact(self, h, w, nf, interlace, seed):
+        from pubsub2bq_spark.functions.gif_codec import decode_gif, encode_gif
+
+        rng = np.random.default_rng(seed)
+        frames = [rng.integers(0, 256, size=(h, w)).astype(np.uint8)]
+        for _ in range(nf - 1):
+            f = frames[-1].copy()
+            r0, c0 = int(rng.integers(0, h)), int(rng.integers(0, w))
+            f[r0:, c0:] = rng.integers(0, 256, size=f[r0:, c0:].shape)
+            frames.append(f)
+        _, _, out = decode_gif(encode_gif(frames, interlace=interlace))
+        assert len(out) == nf
+        assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+
+class TestFlacFuzz:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 13000),
+        kind=st.sampled_from(["noise", "smooth", "constant", "small"]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_exact(self, n, kind, seed):
+        from pubsub2bq_spark.functions.flac_codec import (
+            decode_flac,
+            encode_flac,
+        )
+
+        rng = np.random.default_rng(seed)
+        if kind == "noise":
+            x = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        elif kind == "smooth":
+            x = (9000 * np.sin(np.arange(n) / 33.0)).astype(np.int16)
+        elif kind == "constant":
+            x = np.full(n, int(rng.integers(-32768, 32768)), np.int16)
+        else:
+            x = rng.integers(-4, 4, size=n).astype(np.int16)
+        _, y = decode_flac(encode_flac(x))
+        assert np.array_equal(y, x.astype(np.int64))
+
+
+class TestTiffFuzz:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 60), w=st.integers(1, 60),
+        comp=st.sampled_from([1, 5, 32773]), seed=st.integers(0, 2**31),
+    )
+    def test_exact(self, h, w, comp, seed):
+        from pubsub2bq_spark.functions.tiff_codec import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        gw, gh, out = decode_tiff(encode_tiff(img, compression=comp))
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(out, img)
+
+
+def _ima_reference(nibbles, pred, index):
+    """Independent scalar IMA reference (pure-Python, no shared code
+    with the production decoder's loop body shapes)."""
+    step_table = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ]
+    adjust = [-1, -1, -1, -1, 2, 4, 6, 8]
+    out = []
+    for nib in nibbles:
+        step = step_table[index]
+        # the IMA magnitude ladder, written with floor divisions (the
+        # spec's (2m+1)·step/8 closed form is NOT bit-equal — the
+        # ladder truncates per term, which this restates explicitly)
+        mag = step // 8
+        if nib & 4:
+            mag += step
+        if nib & 2:
+            mag += step // 2
+        if nib & 1:
+            mag += step // 4
+        pred += -mag if nib & 8 else mag
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + adjust[nib & 7]))
+        out.append(pred)
+    return out
+
+
+class TestAdpcmFuzz:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(1, 2000), pred0=st.integers(-32768, 32767),
+        idx0=st.integers(0, 88), seed=st.integers(0, 2**31),
+    )
+    def test_decode_matches_independent_reference(self, n, pred0, idx0, seed):
+        """Decode arbitrary nibble streams from arbitrary header state
+        and compare against a separately-written scalar reference
+        (floor-division ladder, its own clamp/adapt bookkeeping) —
+        catches state-update transcription bugs like the block-header
+        one the roundtrip test caught at build time."""
+        from pubsub2bq_spark.functions.wav_codec import _ima_decode_nibbles
+
+        rng = np.random.default_rng(seed)
+        nibbles = rng.integers(0, 16, size=n).astype(np.uint8)
+        got = _ima_decode_nibbles(nibbles, pred0, idx0)
+        assert list(got) == _ima_reference(list(nibbles), pred0, idx0)
