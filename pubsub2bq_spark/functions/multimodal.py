@@ -201,6 +201,16 @@ def resize_image(payload: bytes, target: int = RESIZE_TARGET) -> bytes:
         return encode_png(resize_nearest(
             px.squeeze(-1) if px.shape[2] == 1 else px, out_w, out_h
         ))
+    if payload[:4] == b"GIF8" or payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # GIF/TIFF thumbnails transcode to PNG too (same rationale as
+        # the JPEG branch); decode_image runs the real codec.
+        w, h, _ch, px = decode_image(payload)
+        long_side = max(w, h)
+        out_w = max(1, (w * target) // long_side)
+        out_h = max(1, (h * target) // long_side)
+        return encode_png(resize_nearest(
+            px.squeeze(-1) if px.shape[2] == 1 else px, out_w, out_h
+        ))
     if _HAS_PIL:  # pragma: no cover - no PIL in this container
         import io
 
