@@ -73,6 +73,12 @@ SURVEY2_KEYS = frozenset({
 _FORCE_RECHECK: frozenset[str] = frozenset({
     "image_resize", "image_dedup_clusters", "frame_sample",
     "multimodal_meta",
+    # Late r13 cross-module decode-path changes the same-module closure
+    # hash cannot see: extract_audio_features grew the ADPCM/FLAC
+    # dispatch chain (audio_feature's kernel), decode_jpeg_planes grew
+    # SOF9/SOF3/SOF1 routing (jpeg_decode's kernel), decode_avi grew
+    # the RLE8 branch (video_frames' kernel).
+    "audio_feature", "jpeg_decode", "video_frames",
 })
 
 # Keys ADDED in the current round but deliberately scheduled BEHIND the

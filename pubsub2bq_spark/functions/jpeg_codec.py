@@ -908,7 +908,10 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                 tab = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
                 qtables[tq] = tab.astype(np.int64)[_UNZIGZAG].reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (identical
+            # structure; 8-bit precision enforced below) / SOF2
+            # progressive
             progressive = marker == 0xC2
             h = struct.unpack(">H", body[1:3])[0]
             w = struct.unpack(">H", body[3:5])[0]
@@ -949,10 +952,11 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             return decode_jpeg_arith_planes(payload)
         elif marker == 0xC3:  # SOF3: lossless predictive (r13)
             return decode_jpeg_lossless(payload)
-        elif marker in (0xC1, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "jpeg: only sequential (SOF0/SOF9), Huffman progressive "
-                "(SOF2) and lossless (SOF3) supported"
+                "jpeg: sequential (SOF0/SOF1/SOF9), Huffman progressive "
+                "(SOF2) and lossless (SOF3) decode; differential/"
+                "hierarchical and arithmetic progressive/lossless do not"
             )
         elif marker == 0xC4:  # DHT
             i = 0

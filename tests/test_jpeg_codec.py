@@ -575,3 +575,16 @@ class TestLosslessJpeg:
         data[sos + 7] = 0  # Ss = 0: invalid for a lossless scan
         with pytest.raises(ValueError):
             decode_jpeg_planes(bytes(data))
+
+
+def test_sof1_extended_sequential_decodes():
+    """SOF1 (extended sequential Huffman) has the identical frame
+    structure at 8-bit precision — it must decode exactly like SOF0."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray(img))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC1
+    _, _, _, dec0 = decode_jpeg(encode_jpeg_gray(img))
+    _, _, _, dec1 = decode_jpeg(bytes(data))
+    assert np.array_equal(dec0, dec1)
