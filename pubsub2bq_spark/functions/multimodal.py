@@ -100,6 +100,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 
         w, h, px = decode_tiff(payload)
         return w, h, 1, px[:, :, None]
+    if payload[:2] == b"BM":
+        from pubsub2bq_spark.functions.bmp_codec import decode_bmp
+
+        return decode_bmp(payload)
     if _HAS_PIL:  # pragma: no cover - no PIL in this container
         import io
 
@@ -652,6 +656,19 @@ def extract_audio_features(payload: bytes) -> dict:
                 rate, samples = decode_wav_mulaw(payload)
             except ValueError:
                 rate, samples = decode_wav_adpcm(payload)
+        n_samples = int(samples.size)
+        sum_sq = int(np.sum(samples.astype(np.int64) ** 2))
+        rms = math.sqrt(sum_sq / n_samples) / 32768.0 if n_samples else 0.0
+        return {
+            "sample_rate": rate,
+            "n_samples": n_samples,
+            "sum_sq": sum_sq,
+            "rms": rms,
+        }
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        from pubsub2bq_spark.functions.wav_codec import decode_aiff
+
+        rate, samples = decode_aiff(payload)
         n_samples = int(samples.size)
         sum_sq = int(np.sum(samples.astype(np.int64) ** 2))
         rms = math.sqrt(sum_sq / n_samples) / 32768.0 if n_samples else 0.0

@@ -308,3 +308,83 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, np.ndarray]:
     if fact_samples is not None:
         samples = samples[:fact_samples]
     return rate, samples
+
+
+def _f80_pack(v: int) -> bytes:
+    """Pack a positive integer as an 80-bit IEEE 754 extended float —
+    the AIFF COMM sample-rate field."""
+    if v == 0:
+        return b"\x00" * 10
+    exp = v.bit_length() - 1
+    mant = v << (63 - exp)
+    return struct_pack_be_f80(16383 + exp, mant)
+
+
+def struct_pack_be_f80(se: int, mant: int) -> bytes:
+    import struct
+
+    return struct.pack(">HQ", se, mant)
+
+
+def _f80_unpack(b: bytes) -> int:
+    """Unpack an 80-bit extended float to the nearest integer (sample
+    rates are exact integers in practice)."""
+    import struct
+
+    se, mant = struct.unpack(">HQ", b)
+    exp = (se & 0x7FFF) - 16383
+    if mant == 0:
+        return 0
+    v = mant / (1 << 63) * (2 ** exp)
+    return int(round(-v if se & 0x8000 else v))
+
+
+def encode_aiff(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """Encode mono int16 samples as a standard AIFF file (Apple's IFF
+    container: big-endian FORM/AIFF with COMM — channels, frame count,
+    bit depth, 80-bit-extended sample rate — and SSND PCM16 data)."""
+    import struct
+
+    arr = np.ascontiguousarray(samples, dtype=">i2")
+    comm = struct.pack(">hIh", 1, arr.size, 16) + _f80_pack(rate)
+    ssnd = struct.pack(">II", 0, 0) + arr.tobytes()
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        + (b"\x00" if len(ssnd) % 2 else b"")
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode an AIFF (PCM16) file → ``(sample_rate, mono int64
+    samples)``: big-endian IFF chunk walk, COMM (incl. the 80-bit
+    extended sample rate) + SSND. Multi-channel takes channel 0."""
+    import struct
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos = 12
+    rate = nch = bits = None
+    nframes = 0
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"COMM":
+            nch, nframes, bits = struct.unpack(">hIh", body[:8])
+            rate = _f80_unpack(body[8:18])
+        elif tag == b"SSND":
+            (offset, _blk) = struct.unpack(">II", body[:8])
+            data = body[8 + offset :]
+        pos += 8 + length + (length % 2)
+    if rate is None or data is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    if bits != 16:
+        raise NotImplementedError("aiff: only 16-bit PCM supported")
+    arr = np.frombuffer(data, dtype=">i2")[: nframes * nch].astype(np.int64)
+    if nch and nch > 1:
+        arr = arr[::nch]
+    return rate, arr

@@ -811,3 +811,35 @@ def test_tiff_codec_and_kernel():
     bx, by = np.arange(w3) // 8, np.arange(h3) // 8
     want = ((9 * bx[None, :] + 7 * by[:, None] + n) % 256).sum()
     assert int(out3["px_sum"][0]) == int(want)
+
+
+def test_bmp_and_aiff_dispatch():
+    """BMP and AIFF: exact roundtrips (8-bit palette + 24-bit BGR BMP;
+    AIFF's big-endian 80-bit-extended sample rate) and dispatch
+    through decode_image / extract_audio_features."""
+    from pubsub2bq_spark.functions.bmp_codec import decode_bmp, encode_bmp
+    from pubsub2bq_spark.functions.wav_codec import decode_aiff, encode_aiff
+
+    rng = np.random.default_rng(41)
+    g = rng.integers(0, 256, size=(21, 37)).astype(np.uint8)
+    w, h, ch, out = decode_bmp(encode_bmp(g))
+    assert (w, h, ch) == (37, 21, 1) and np.array_equal(out[:, :, 0], g)
+    c = rng.integers(0, 256, size=(13, 17, 3)).astype(np.uint8)
+    w, h, ch, out = decode_bmp(encode_bmp(c))
+    assert (w, h, ch) == (17, 13, 3) and np.array_equal(out, c)
+    with pytest.raises(ValueError):
+        decode_bmp(b"notabmp")
+
+    x = rng.integers(-32768, 32768, size=999).astype(np.int16)
+    for rate in (8000, 44100, 48000):
+        r, y = decode_aiff(encode_aiff(x, rate=rate))
+        assert r == rate and np.array_equal(y, x.astype(np.int64))
+    with pytest.raises(ValueError):
+        decode_aiff(b"FORMxxxxWAVE")
+
+    # dispatch surfaces
+    w2, h2, ch2, px2 = mm.decode_image(encode_bmp(g))
+    assert (w2, h2, ch2) == (37, 21, 1) and np.array_equal(px2[:, :, 0], g)
+    feats = mm.extract_audio_features(encode_aiff(x, rate=16000))
+    assert feats["n_samples"] == 999
+    assert feats["sum_sq"] == int((x.astype(np.int64) ** 2).sum())
