@@ -171,7 +171,7 @@ def encode_flac(samples: np.ndarray, rate: int = 16_000) -> bytes:
     total = x.size
 
     frames = bytearray()
-    for fno, start in enumerate(range(0, max(total, 1), _BLOCK)):
+    for fno, start in enumerate(range(0, total, _BLOCK)):
         block = x[start : start + _BLOCK]
         bs = block.size
         hdr = bytearray()

@@ -286,9 +286,13 @@ def decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
         typ, count, value = tags[tag]
         if count == 1:
             return [value]
+        # foreign writers may use SHORT (type 3, 2 bytes) arrays
+        width, fmt = (2, "H") if typ == 3 else (4, "I")
         out = []
         for k in range(count):
-            (v,) = struct.unpack(end + "I", payload[value + 4 * k : value + 4 * k + 4])
+            (v,) = struct.unpack(
+                end + fmt, payload[value + width * k : value + width * (k + 1)]
+            )
             out.append(v)
         return out
 

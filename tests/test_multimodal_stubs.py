@@ -843,3 +843,48 @@ def test_bmp_and_aiff_dispatch():
     feats = mm.extract_audio_features(encode_aiff(x, rate=16000))
     assert feats["n_samples"] == 999
     assert feats["sum_sq"] == int((x.astype(np.int64) ** 2).sum())
+
+
+def test_tiff_short_typed_arrays_and_flac_empty():
+    """Foreign-writer shapes: TIFF strip-count arrays may be SHORT
+    (type 3, 2-byte entries); FLAC streams may carry zero samples."""
+    import struct as _struct
+
+    from pubsub2bq_spark.functions.flac_codec import decode_flac, encode_flac
+    from pubsub2bq_spark.functions.tiff_codec import decode_tiff
+
+    _, y = decode_flac(encode_flac(np.array([], np.int16)))
+    assert y.size == 0
+
+    px = (np.arange(32 * 20, dtype=np.int64).reshape(32, 20) % 256).astype(np.uint8)
+    strips = [px[0:16].tobytes(), px[16:32].tobytes()]
+    pos = 8
+    offs = []
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    off_arr = pos
+    pos += 8
+    cnt_arr = pos
+    pos += 4
+    ifd = pos
+
+    def e(tag, typ, count, value, short=False):
+        if short:
+            return _struct.pack("<HHIHH", tag, typ, count, value, 0)
+        return _struct.pack("<HHII", tag, typ, count, value)
+
+    entries = [
+        e(256, 3, 1, 20, True), e(257, 3, 1, 32, True),
+        e(258, 3, 1, 8, True), e(259, 3, 1, 1, True),
+        e(262, 3, 1, 1, True), e(273, 4, 2, off_arr),
+        e(277, 3, 1, 1, True), e(278, 3, 1, 16, True),
+        e(279, 3, 2, cnt_arr),
+    ]
+    buf = b"II*\x00" + _struct.pack("<I", ifd) + b"".join(strips)
+    buf += _struct.pack("<II", *offs)
+    buf += _struct.pack("<HH", len(strips[0]), len(strips[1]))
+    buf += _struct.pack("<H", len(entries)) + b"".join(entries)
+    buf += _struct.pack("<I", 0)
+    w, h, out = decode_tiff(buf)
+    assert (w, h) == (20, 32) and np.array_equal(out, px)
