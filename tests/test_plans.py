@@ -419,3 +419,29 @@ class TestRound9Plans:
         assert "Generate" not in plan  # no JVM-side explode
         assert "Join" not in plan
         assert "hashpartitioning" not in plan
+
+
+class TestLateR13CodecPlans:
+    """The late-r13 codec keys share one physical envelope: a pruned
+    documents scan → (sub-core fan-out only) → one Arrow mapInPandas
+    kernel. Decode work must never induce a keyed shuffle, join or
+    JVM aggregate, and the scan must read only (doc_id, text)."""
+
+    @pytest.mark.parametrize("key", [
+        "audio_adpcm", "audio_flac", "audio_mulaw", "gif_frames",
+        "jpeg_arith", "jpeg_lossless", "jpeg_progressive",
+        "jpeg_progressive_color", "jpeg_subsampled", "tiff_decode",
+        "video_frames_mjpeg", "video_frames_rle",
+    ])
+    def test_scan_kernel_envelope(self, spark, key):
+        plan = plan_of(spark, key)
+        assert "Join" not in plan
+        assert "HashAggregate" not in plan
+        assert "hashpartitioning" not in plan  # fan-out is round-robin
+        assert "Generate" not in plan  # frame expansion stays in-kernel
+        # column pruning reached the parquet scan: only the id + text
+        # that synthesizes the payload are read
+        read = plan[plan.find("ReadSchema"):].splitlines()[0]
+        assert "doc_id" in read and "text" in read
+        for heavy in ("embedding", "lang", "source", "url"):
+            assert heavy not in read
