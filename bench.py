@@ -211,6 +211,8 @@ HEADLINE = [
     "audio_flac",
     # TIFF: multi-strip early-change LZW (the scanned-document format).
     "tiff_decode",
+    # QOI: the modern table-free lossless image format.
+    "qoi_decode",
 ]
 
 

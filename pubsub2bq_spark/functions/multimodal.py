@@ -104,6 +104,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         from pubsub2bq_spark.functions.bmp_codec import decode_bmp
 
         return decode_bmp(payload)
+    if payload[:4] == b"qoif":
+        from pubsub2bq_spark.functions.qoi_codec import decode_qoi
+
+        return decode_qoi(payload)
     if _HAS_PIL:  # pragma: no cover - no PIL in this container
         import io
 
@@ -545,6 +549,65 @@ def tiff_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "width": pd.Series(rows["width"], dtype="int32"),
                 "height": pd.Series(rows["height"], dtype="int32"),
                 "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+            }
+        )
+
+
+def synth_qoi_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* QOI image: dims from the shared byte-length
+    rule, RGB channels 8×8-block-constant at ``r = (11·bx + 3·by + n)``,
+    ``g = (5·bx + 7·by + 2n)``, ``b = (3·bx + 13·by + 5)`` (mod 256).
+    QOI is lossless, so decode equals the rule exactly and the oracle
+    states all three channel sums in closed form."""
+    from pubsub2bq_spark.functions.qoi_codec import encode_qoi
+
+    n = len(payload)
+    w = n % 64 + 16
+    h = (n // 64) % 64 + 16
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    r = (11 * bx[None, :] + 3 * by[:, None] + n) % 256
+    g = (5 * bx[None, :] + 7 * by[:, None] + 2 * n) % 256
+    b = (3 * bx[None, :] + 13 * by[:, None] + 5) % 256
+    return encode_qoi(np.stack([r, g, b], axis=2).astype(np.uint8))
+
+
+QOI_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, "
+    "r_sum bigint, g_sum bigint, b_sum bigint"
+)
+
+
+def qoi_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the QOI path (r13): synthesize a real QOI
+    image per payload, genuinely decode the op stream (hash-index
+    replay, DIFF/LUMA deltas, runs — functions/qoi_codec.py), and sum
+    each decoded channel."""
+    from pubsub2bq_spark.functions.qoi_codec import decode_qoi
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "width": [], "height": [],
+            "r_sum": [], "g_sum": [], "b_sum": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _ch, px = decode_qoi(synth_qoi_from_bytes(payload))
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["r_sum"].append(int(px[:, :, 0].sum(dtype=np.int64)))
+            rows["g_sum"].append(int(px[:, :, 1].sum(dtype=np.int64)))
+            rows["b_sum"].append(int(px[:, :, 2].sum(dtype=np.int64)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "r_sum": pd.Series(rows["r_sum"], dtype="int64"),
+                "g_sum": pd.Series(rows["g_sum"], dtype="int64"),
+                "b_sum": pd.Series(rows["b_sum"], dtype="int64"),
             }
         )
 

@@ -381,6 +381,63 @@ def jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "qoi_decode",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT)            AS n_bytes,
+                   octet_length(encode(text))                            AS n,
+                   CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                   CAST((octet_length(encode(text)) // 64) % 64 + 16
+                        AS INTEGER)                                      AS height
+            FROM documents
+        ),
+        g AS (
+            SELECT *, least(8, width - 8 * bx) * least(8, height - 8 * by) AS area
+            FROM (
+                SELECT *, unnest(range(0, (height + 7) // 8)) AS by
+                FROM (SELECT *, unnest(range(0, (width + 7) // 8)) AS bx
+                      FROM m)
+            )
+        )
+        SELECT doc_id, n_bytes, width, height,
+               CAST(sum(((11 * bx + 3 * by + n) % 256) * area) AS BIGINT)     AS r_sum,
+               CAST(sum(((5 * bx + 7 * by + 2 * n) % 256) * area) AS BIGINT)  AS g_sum,
+               CAST(sum(((3 * bx + 13 * by + 5) % 256) * area) AS BIGINT)     AS b_sum
+        FROM g GROUP BY doc_id, n_bytes, width, height
+    """,
+    doc="QOI image decode, REAL end-to-end (r13 — the modern 'Quite OK "
+        "Image' format, qoiformat.org): the kernel synthesizes a real "
+        "QOI stream per payload and genuinely decodes the op stream — "
+        "64-slot color-hash index replay, DIFF/LUMA wrapping deltas, "
+        "runs, literal RGB/RGBA, the 8-byte end marker, all verified "
+        "loudly (functions/qoi_codec.py). Lossless and fully "
+        "algorithmic (no tables at all), so decode equals the "
+        "block-constant rule exactly and the oracle states all three "
+        "channel sums in closed form. decode_image dispatches 'qoif' "
+        "payloads.",
+    scale_notes="Same no-shuffle envelope as the other image kernels: "
+                "project to (doc_id, payload), one Arrow-batched "
+                "mapInPandas pass, O(1) features out; the op stream "
+                "is strictly sequential per image, so parallelism is "
+                "across documents.",
+)
+def qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        QOI_SCHEMA,
+        qoi_decode_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(qoi_decode_batches, QOI_SCHEMA)
+
+
+@register(
     "tiff_decode",
     oracle="""
         WITH m AS (

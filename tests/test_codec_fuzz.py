@@ -229,3 +229,31 @@ class TestAdpcmFuzz:
         nibbles = rng.integers(0, 16, size=n).astype(np.uint8)
         got = _ima_decode_nibbles(nibbles, pred0, idx0)
         assert list(got) == _ima_reference(list(nibbles), pred0, idx0)
+
+
+class TestQoiFuzz:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 48), w=st.integers(1, 48),
+        ch=st.sampled_from([3, 4]),
+        kind=st.sampled_from(["noise", "gradient", "constant", "sparse"]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_exact(self, h, w, ch, kind, seed):
+        from pubsub2bq_spark.functions.qoi_codec import decode_qoi, encode_qoi
+
+        rng = np.random.default_rng(seed)
+        if kind == "noise":
+            px = rng.integers(0, 256, size=(h, w, ch))
+        elif kind == "gradient":
+            base = np.arange(h)[:, None] + np.arange(w)[None, :]
+            px = np.stack([(base + 7 * k) % 256 for k in range(ch)], axis=2)
+        elif kind == "constant":
+            px = np.full((h, w, ch), int(rng.integers(0, 256)))
+        else:  # sparse: long runs with occasional literals
+            px = np.zeros((h, w, ch))
+            px[rng.random((h, w)) < 0.05] = rng.integers(0, 256, size=ch)
+        px = px.astype(np.uint8)
+        gw, gh, gch, out = decode_qoi(encode_qoi(px))
+        assert (gw, gh, gch) == (w, h, ch)
+        assert np.array_equal(out, px)

@@ -888,3 +888,48 @@ def test_tiff_short_typed_arrays_and_flac_empty():
     buf += _struct.pack("<I", 0)
     w, h, out = decode_tiff(buf)
     assert (w, h) == (20, 32) and np.array_equal(out, px)
+
+
+def test_qoi_codec_and_kernel():
+    """QOI: random and structured images must round-trip exactly (runs,
+    DIFF/LUMA deltas, index replays, literals all exercised), malformed
+    streams must reject loudly, and the kernel must match the
+    closed-form block rule."""
+    from pubsub2bq_spark.functions.qoi_codec import decode_qoi, encode_qoi
+
+    rng = np.random.default_rng(51)
+    for shape in ((1, 1, 3), (7, 9, 3), (33, 17, 4), (64, 64, 3)):
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        w, h, ch, out = decode_qoi(encode_qoi(px))
+        assert (w, h, ch) == (shape[1], shape[0], shape[2])
+        assert np.array_equal(out, px)
+    # smooth gradient: DIFF/LUMA ops dominate and compress
+    base = np.arange(64)[:, None] + np.arange(64)[None, :]
+    px = np.stack(
+        [base % 256, (base + 3) % 256, (base // 2) % 256], axis=2
+    ).astype(np.uint8)
+    data = encode_qoi(px)
+    assert len(data) < 64 * 64 * 3 // 2
+    _, _, _, out = decode_qoi(data)
+    assert np.array_equal(out, px)
+    # constant: pure runs
+    assert len(encode_qoi(np.full((50, 50, 3), 77, np.uint8))) < 100
+
+    with pytest.raises(ValueError):
+        decode_qoi(b"notqoi")
+    with pytest.raises(ValueError):
+        decode_qoi(data[:-9])  # truncated: end marker gone
+
+    # decode_image dispatch + kernel closed form
+    w2, h2, ch2, arr = mm.decode_image(encode_qoi(px))
+    assert (w2, h2, ch2) == (64, 64, 3) and np.array_equal(arr, px)
+
+    payload = b"q" * 321
+    pdf = pd.DataFrame({"doc_id": [2], "payload": [payload]})
+    (out3,) = list(mm.qoi_decode_batches(iter([pdf])))
+    n = 321
+    w3, h3 = n % 64 + 16, (n // 64) % 64 + 16
+    bx, by = np.arange(w3) // 8, np.arange(h3) // 8
+    assert int(out3["r_sum"][0]) == int(((11*bx[None,:] + 3*by[:,None] + n) % 256).sum())
+    assert int(out3["g_sum"][0]) == int(((5*bx[None,:] + 7*by[:,None] + 2*n) % 256).sum())
+    assert int(out3["b_sum"][0]) == int(((3*bx[None,:] + 13*by[:,None] + 5) % 256).sum())

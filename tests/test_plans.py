@@ -430,8 +430,8 @@ class TestLateR13CodecPlans:
     @pytest.mark.parametrize("key", [
         "audio_adpcm", "audio_flac", "audio_mulaw", "gif_frames",
         "jpeg_arith", "jpeg_lossless", "jpeg_progressive",
-        "jpeg_progressive_color", "jpeg_subsampled", "tiff_decode",
-        "video_frames_mjpeg", "video_frames_rle",
+        "jpeg_progressive_color", "jpeg_subsampled", "qoi_decode",
+        "tiff_decode", "video_frames_mjpeg", "video_frames_rle",
     ])
     def test_scan_kernel_envelope(self, spark, key):
         plan = plan_of(spark, key)
