@@ -213,6 +213,9 @@ HEADLINE = [
     "tiff_decode",
     # QOI: the modern table-free lossless image format.
     "qoi_decode",
+    # Hierarchical JPEG (T.81 Annex J): DHP/EXP pyramid with an SOF5
+    # differential frame — the last Huffman JPEG mode.
+    "jpeg_hier",
 ]
 
 

@@ -952,11 +952,19 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             return decode_jpeg_arith_planes(payload)
         elif marker == 0xC3:  # SOF3: lossless predictive (r13)
             return decode_jpeg_lossless(payload)
+        elif marker == 0xDE:  # DHP: hierarchical pyramid (r13)
+            from pubsub2bq_spark.functions.jpeg_hier import (
+                decode_jpeg_hier_planes,
+            )
+
+            return decode_jpeg_hier_planes(payload)
         elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "jpeg: sequential (SOF0/SOF1/SOF9), Huffman progressive "
-                "(SOF2) and lossless (SOF3) decode; differential/"
-                "hierarchical and arithmetic progressive/lossless do not"
+                "(SOF2), lossless (SOF3) and hierarchical (DHP+SOF5) "
+                "decode; a differential frame OUTSIDE a DHP pyramid is "
+                "malformed, and arithmetic progressive/lossless frames "
+                "are not decoded"
             )
         elif marker == 0xC4:  # DHT
             i = 0

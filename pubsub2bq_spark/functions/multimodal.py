@@ -382,6 +382,41 @@ def jpeg_progressive_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
         )
 
 
+def jpeg_hier_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the HIERARCHICAL (T.81 Annex J) JPEG path
+    (r13, the last Huffman JPEG mode): synthesize a real two-stage
+    DHP/EXP pyramid per payload (constant reduced frame + block-constant
+    differential target — see synth_jpeg_hier_from_bytes for why the
+    two-stage lossy pipeline is exact on them), then genuinely decode it
+    — multi-frame marker walk, sequential Huffman scan per frame, the
+    normative J.1.1.2 expansion, differential reconstruction without
+    level shift — and pixel-sum the decoded image."""
+    from pubsub2bq_spark.functions.jpeg_codec import decode_jpeg
+    from pubsub2bq_spark.functions.jpeg_hier import synth_jpeg_hier_from_bytes
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "width": [], "height": [],
+            "px_sum": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _ch, px = decode_jpeg(synth_jpeg_hier_from_bytes(payload))
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["px_sum"].append(int(px.sum(dtype=np.int64)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+            }
+        )
+
+
 def jpeg_progressive_420_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel for the PROGRESSIVE 4:2:0 COLOR JPEG path
     (r13): synthesize an 8-scan SOF2 4:2:0 stream per payload

@@ -299,6 +299,69 @@ def jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_hier",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT)            AS n_bytes,
+                   CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                   CAST((octet_length(encode(text)) // 64) % 64 + 16
+                        AS INTEGER)                                      AS height
+            FROM documents
+        ),
+        g AS (
+            SELECT *, unnest(range(0, (height + 7) // 8)) AS by
+            FROM (SELECT *, unnest(range(0, (width + 7) // 8)) AS bx
+                  FROM m)
+        )
+        SELECT doc_id, n_bytes, width, height,
+               CAST(sum(((17 * bx + 3 * by + 5) % 256)
+                        * least(8, width - 8 * bx)
+                        * least(8, height - 8 * by)) AS BIGINT)          AS px_sum
+        FROM g GROUP BY doc_id, n_bytes, width, height
+    """,
+    doc="HIERARCHICAL (T.81 Annex J) JPEG decode, REAL end-to-end (r13 "
+        "— the last Huffman JPEG mode, closing the differential/"
+        "hierarchical slot of the codec gate): the kernel synthesizes a "
+        "real two-stage DHP pyramid per payload (a non-differential "
+        "SOF0 frame at half resolution, an EXP(1,1) expansion, an SOF5 "
+        "DIFFERENTIAL frame at full resolution) and genuinely decodes "
+        "it — multi-frame marker walk with persistent tables, "
+        "sequential Huffman scan per frame, the NORMATIVE J.1.1.2 "
+        "bilinear expansion, differential reconstruction without level "
+        "shift (functions/jpeg_hier.py) — then pixel-sums the decoded "
+        "image. The fixture's constant reduced frame makes stage 1 and "
+        "the normative upsample exact, and its block-constant residual "
+        "is DC-only under the flat step 8, so the decoded pyramid "
+        "equals the target bit-for-bit and the oracle states Sum(px) in "
+        "closed form; the general (non-constant-reference) machinery "
+        "is pinned by round-trip tests against the replayed textbook "
+        "DCT model. The codec gate now covers only arithmetic "
+        "progressive/lossless JPEG variants, perceptual audio and "
+        "transform-coded video.",
+    scale_notes="Identical envelope to jpeg_decode: project to "
+                "(doc_id, payload), one Arrow-batched mapInPandas pass, "
+                "no shuffle after the kernel. Hierarchical decode walks "
+                "1.25x the block count of the baseline twin (quarter-"
+                "res frame + full-res frame) — per-row work, O(1) "
+                "output per document.",
+)
+def jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        JPEG_PROG_SCHEMA,
+        jpeg_hier_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(jpeg_hier_batches, JPEG_PROG_SCHEMA)
+
+
+@register(
     "jpeg_subsampled",
     oracle="""
         WITH m AS (
@@ -530,9 +593,9 @@ def tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "construction — the oracle states the pixel sum in closed "
         "form, and round-trip tests pin exact equality on random "
         "images for all seven Annex H predictors. With baseline, "
-        "subsampled, progressive, arithmetic and lossless all real, "
-        "the JPEG family gate covers only differential/hierarchical "
-        "processes.",
+        "subsampled, progressive, arithmetic, lossless and "
+        "hierarchical (jpeg_hier) all real, the JPEG family gate "
+        "covers only the arithmetic progressive/lossless variants.",
     scale_notes="Identical envelope to jpeg_decode: project to "
                 "(doc_id, payload), one Arrow-batched mapInPandas "
                 "pass, no shuffle after the kernel. The predictor "

@@ -257,3 +257,51 @@ class TestQoiFuzz:
         gw, gh, gch, out = decode_qoi(encode_qoi(px))
         assert (gw, gh, gch) == (w, h, ch)
         assert np.array_equal(out, px)
+
+
+class TestHierJpegFuzz:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40),
+        quant=st.sampled_from([4, 8, 16]), seed=st.integers(0, 2**31),
+    )
+    def test_pyramid_matches_model(self, h, w, quant, seed):
+        """Hierarchical decode equals the replayed two-stage textbook
+        model (stage-1 quantize/IDCT, the normative J.1.1.2 expansion,
+        residual quantize/IDCT, clamp) for arbitrary dims and quant —
+        including 1×1 and odd dims where the expansion crops."""
+        from pubsub2bq_spark.functions.jpeg_hier import (
+            _decode_frame_samples,
+            _encode_frame_blocks,
+            decode_jpeg_hier_planes,
+            encode_jpeg_hier,
+            expand_ref,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        gw, gh, planes = decode_jpeg_hier_planes(
+            encode_jpeg_hier(px, quant=quant)
+        )
+        assert (gw, gh) == (w, h)
+        w1, h1 = (w + 1) // 2, (h + 1) // 2
+        padded = np.pad(
+            px.astype(np.float64),
+            ((0, 2 * h1 - h), (0, 2 * w1 - w)), mode="edge",
+        )
+        small = np.rint(
+            padded.reshape(h1, 2, w1, 2).mean(axis=(1, 3))
+        ).astype(np.int64)
+        recon = np.clip(
+            _decode_frame_samples(
+                _encode_frame_blocks(small - 128, quant), w1, h1, quant
+            ) + 128, 0, 255,
+        )
+        ref = expand_ref(recon, w, h)
+        resid = _decode_frame_samples(
+            _encode_frame_blocks(px.astype(np.int64) - ref, quant),
+            w, h, quant,
+        )
+        assert np.array_equal(
+            planes[0], np.clip(ref + resid, 0, 255).astype(np.uint8)
+        )

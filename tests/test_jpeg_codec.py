@@ -588,3 +588,109 @@ def test_sof1_extended_sequential_decodes():
     _, _, _, dec0 = decode_jpeg(encode_jpeg_gray(img))
     _, _, _, dec1 = decode_jpeg(bytes(data))
     assert np.array_equal(dec0, dec1)
+
+
+class TestHierarchicalJpeg:
+    """T.81 Annex J hierarchical mode (r13): DHP/EXP multi-frame pyramid
+    with an SOF0 reduced frame and an SOF5 differential frame."""
+
+    def test_expand_1d_normative(self):
+        """J.1.1.2: even outputs copy, odd outputs are (a+b+1)>>1, the
+        final odd sample replicates the edge; odd target dims crop."""
+        from pubsub2bq_spark.functions.jpeg_hier import expand_1d
+
+        line = np.array([10, 20, 31], dtype=np.int64)
+        assert expand_1d(line, 6).tolist() == [10, 15, 20, 26, 31, 31]
+        assert expand_1d(line, 5).tolist() == [10, 15, 20, 26, 31]
+
+    def test_fixture_exact_and_dispatch(self):
+        """The synth fixture decodes bit-for-bit to the block-constant
+        target THROUGH decode_jpeg_planes' DHP dispatch, for several
+        payload lengths (odd and even dims)."""
+        from pubsub2bq_spark.functions.jpeg_hier import (
+            synth_jpeg_hier_from_bytes,
+        )
+
+        for n in (0, 7, 64, 555, 4096):
+            w, h, planes = decode_jpeg_planes(
+                synth_jpeg_hier_from_bytes(b"h" * n)
+            )
+            assert (w, h) == (n % 64 + 16, (n // 64) % 64 + 16)
+            bx, by = np.arange(w) // 8, np.arange(h) // 8
+            assert np.array_equal(
+                planes[0], (17 * bx[None, :] + 3 * by[:, None] + 5) % 256
+            )
+
+    def test_roundtrip_matches_replayed_model(self):
+        """encode_jpeg_hier → decode on random images equals the replayed
+        textbook model (stage-1 quantize/IDCT, normative expansion,
+        residual quantize/IDCT, clamped sum) exactly — pinning both the
+        differential no-level-shift convention and the DC-prediction
+        convention across the two sides."""
+        from pubsub2bq_spark.functions.jpeg_hier import (
+            _decode_frame_samples,
+            _encode_frame_blocks,
+            decode_jpeg_hier_planes,
+            encode_jpeg_hier,
+            expand_ref,
+        )
+
+        rng = np.random.default_rng(17)
+        for _ in range(4):
+            w, h = int(rng.integers(9, 70)), int(rng.integers(9, 70))
+            px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+            _, _, planes = decode_jpeg_hier_planes(encode_jpeg_hier(px))
+            w1, h1 = (w + 1) // 2, (h + 1) // 2
+            padded = np.pad(
+                px.astype(np.float64),
+                ((0, 2 * h1 - h), (0, 2 * w1 - w)), mode="edge",
+            )
+            small = np.rint(
+                padded.reshape(h1, 2, w1, 2).mean(axis=(1, 3))
+            ).astype(np.int64)
+            recon = np.clip(
+                _decode_frame_samples(
+                    _encode_frame_blocks(small - 128, 8), w1, h1, 8
+                ) + 128, 0, 255,
+            )
+            ref = expand_ref(recon, w, h)
+            resid = _decode_frame_samples(
+                _encode_frame_blocks(px.astype(np.int64) - ref, 8), w, h, 8
+            )
+            assert np.array_equal(
+                planes[0], np.clip(ref + resid, 0, 255).astype(np.uint8)
+            )
+            # the pyramid is a real approximation of the source
+            assert np.abs(
+                planes[0].astype(int) - px.astype(int)
+            ).max() <= 16
+
+    def test_loud_rejection(self):
+        from pubsub2bq_spark.functions.jpeg_hier import (
+            decode_jpeg_hier_planes,
+            synth_jpeg_hier_from_bytes,
+        )
+
+        jp = synth_jpeg_hier_from_bytes(b"y" * 300)
+        # container truncation mid-stream
+        with pytest.raises(ValueError):
+            decode_jpeg_hier_planes(jp[: len(jp) // 2] + b"\xff\xd9")
+        # entropy truncation in the differential scan
+        with pytest.raises(ValueError):
+            decode_jpeg_hier_planes(jp[:-40] + b"\xff\xd9")
+        # EXP factors beyond {0, 1}
+        bad = bytearray(jp)
+        bad[bad.find(b"\xff\xdf") + 4] = 0x22
+        with pytest.raises(ValueError):
+            decode_jpeg_hier_planes(bytes(bad))
+        # a differential frame whose reference was never expanded
+        bad = bytearray(jp)
+        i = bad.find(b"\xff\xdf")
+        del bad[i : i + 5]
+        with pytest.raises(ValueError):
+            decode_jpeg_hier_planes(bytes(bad))
+        # stray SOF5 with no DHP stays rejected in the baseline walker
+        raw = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+        raw[raw.find(b"\xff\xc0") + 1] = 0xC5
+        with pytest.raises(NotImplementedError):
+            decode_jpeg_planes(bytes(raw))
