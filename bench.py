@@ -216,6 +216,8 @@ HEADLINE = [
     # Hierarchical JPEG (T.81 Annex J): DHP/EXP pyramid with an SOF5
     # differential frame — the last Huffman JPEG mode.
     "jpeg_hier",
+    # G.711 A-law: the second companding law (wFormatTag 6).
+    "audio_alaw",
 ]
 
 

@@ -743,17 +743,22 @@ def extract_audio_features(payload: bytes) -> dict:
             rate, samples = decode_wav_s16(payload)
         except (_wave.Error, ValueError, EOFError):
             # the stdlib reader rejects non-PCM formats; fall through
-            # to the manual µ-law (wFormatTag 7) walk, then the IMA
-            # ADPCM (wFormatTag 0x11) quantizer recurrence
+            # to the manual µ-law (wFormatTag 7) walk, then A-law
+            # (wFormatTag 6), then the IMA ADPCM (wFormatTag 0x11)
+            # quantizer recurrence
             from pubsub2bq_spark.functions.wav_codec import (
                 decode_wav_adpcm,
+                decode_wav_alaw,
                 decode_wav_mulaw,
             )
 
             try:
                 rate, samples = decode_wav_mulaw(payload)
             except ValueError:
-                rate, samples = decode_wav_adpcm(payload)
+                try:
+                    rate, samples = decode_wav_alaw(payload)
+                except ValueError:
+                    rate, samples = decode_wav_adpcm(payload)
         n_samples = int(samples.size)
         sum_sq = int(np.sum(samples.astype(np.int64) ** 2))
         rms = math.sqrt(sum_sq / n_samples) / 32768.0 if n_samples else 0.0
@@ -873,6 +878,56 @@ def mulaw_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             _rate, lin = decode_wav_mulaw(synth_mulaw_wav_from_bytes(payload))
+            sum_sq = int(np.sum(lin * lin))
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["n_samples"].append(int(lin.size))
+            rows["sum_sq"].append(sum_sq)
+            rows["rms"].append(
+                math.sqrt(sum_sq / lin.size) / 32768.0 if lin.size else 0.0
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                "sum_sq": pd.Series(rows["sum_sq"], dtype="int64"),
+                "rms": pd.Series(rows["rms"], dtype="float64"),
+            }
+        )
+
+
+def synth_alaw_wav_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* G.711 A-law RIFF/WAVE file (wFormatTag 6):
+    sample count from the shared audio rule (n//4 + 8), code byte
+    ``c_i = (i·2654435761 + n) mod 256`` — the same rule as the µ-law
+    twin, decoded through the OTHER companding law. The A-law expansion
+    is pure integer arithmetic, so oracles restate decode + RMS exactly
+    with SQL bit operators."""
+    from pubsub2bq_spark.functions.wav_codec import encode_wav_alaw
+
+    n = len(payload)
+    n_samples = n // _WAV_SAMPLES_DIV + 8
+    i = np.arange(n_samples, dtype=np.int64)
+    return encode_wav_alaw(((i * _WAV_MULT + n) % 256).astype(np.uint8))
+
+
+def alaw_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the A-law audio path (r13): synthesize an
+    A-law WAV per payload, genuinely walk the RIFF container and expand
+    every G.711 code byte (XOR 0x55, segment shift — wav_codec.py),
+    then compute RMS from the DECODED samples. The sum of squares is
+    exact int64, so sqrt(sum_sq/n)/32768 is bit-identical across
+    engines."""
+    from pubsub2bq_spark.functions.wav_codec import decode_wav_alaw
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "n_samples": [], "sum_sq": [],
+            "rms": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, lin = decode_wav_alaw(synth_alaw_wav_from_bytes(payload))
             sum_sq = int(np.sum(lin * lin))
             rows["doc_id"].append(doc_id)
             rows["n_bytes"].append(len(payload))

@@ -101,6 +101,82 @@ def decode_wav_mulaw(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, mulaw_to_linear(codes)
 
 
+WAVE_FORMAT_ALAW = 6  # RIFF fmt wFormatTag for G.711 A-law
+
+
+def alaw_to_linear(codes: np.ndarray) -> np.ndarray:
+    """G.711 A-law expansion (ITU-T G.711 / the public Sun g711.c
+    algorithm): transmitted bytes are XORed with 0x55 (alternate-bit
+    inversion); segment 0 decodes to ``(mantissa << 4) + 8``, segment 1
+    to ``(mantissa << 4) + 0x108``, higher segments shift that by
+    ``seg − 1``; a SET sign bit means positive (the inverse of µ-law's
+    convention). Pure integer arithmetic, so oracles restate it exactly
+    with SQL bit operators. Returns int16-range int64 samples (max
+    magnitude 32256)."""
+    a = np.asarray(codes, dtype=np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    mag = np.where(
+        seg == 0,
+        t + 8,
+        (t + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, mag, -mag)
+
+
+def encode_wav_alaw(codes: np.ndarray, rate: int = 8_000) -> bytes:
+    """Encode raw A-law code bytes as a standard RIFF/WAVE file with
+    wFormatTag 6 (one byte per sample) — the same 18-byte non-PCM fmt +
+    fact + data layout as the µ-law twin."""
+    import struct
+
+    body = np.ascontiguousarray(codes, dtype=np.uint8).tobytes()
+    fmt = struct.pack(
+        "<HHIIHHH", WAVE_FORMAT_ALAW, 1, rate, rate, 1, 8, 0
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(body))
+        + b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_alaw(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode an A-law (wFormatTag 6) RIFF/WAVE file →
+    ``(sample_rate, mono int16-range int64 samples)`` — a manual RIFF
+    walk + G.711 A-law expansion of every code byte. Raises
+    ``ValueError`` for non-A-law or malformed containers."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    nch = 1
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            wtag, nch, rate = struct.unpack("<HHI", body[:8])
+            if wtag != WAVE_FORMAT_ALAW:
+                raise ValueError(f"not an A-law WAV (format {wtag})")
+            if body[14] != 8:
+                raise ValueError("A-law samples must be 8-bit")
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length % 2)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    codes = np.frombuffer(data, dtype=np.uint8)
+    if nch > 1:
+        codes = codes[::nch]
+    return rate, alaw_to_linear(codes)
+
+
 def decode_wav_s16(payload: bytes) -> tuple[int, np.ndarray]:
     """Decode WAV bytes → ``(sample_rate, mono int16 samples)``.
 

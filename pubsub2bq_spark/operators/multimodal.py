@@ -886,6 +886,72 @@ def audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_alaw",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        ),
+        s AS (
+            SELECT d.doc_id, d.n,
+                   xor((t.i * 2654435761 + d.n) % 256, 85) AS a
+            FROM d, LATERAL (SELECT unnest(range(d.n // 4 + 8)) AS i) t
+        ),
+        lin AS (
+            SELECT doc_id, n,
+                   (CASE WHEN (a & 128) > 0 THEN 1 ELSE -1 END)
+                   * (CASE WHEN ((a & 112) >> 4) = 0
+                           THEN ((a & 15) << 4) + 8
+                           WHEN ((a & 112) >> 4) = 1
+                           THEN ((a & 15) << 4) + 264
+                           ELSE (((a & 15) << 4) + 264)
+                                << (((a & 112) >> 4) - 1)
+                      END) AS x
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT)                 AS n_bytes,
+               CAST(count(*) AS BIGINT)          AS n_samples,
+               CAST(sum(x * x) AS BIGINT)        AS sum_sq,
+               sqrt(CAST(sum(x * x) AS DOUBLE) / count(*)) / 32768.0 AS rms
+        FROM lin GROUP BY doc_id, n
+    """,
+    doc="G.711 A-law audio decode, REAL end-to-end (r13 — the SECOND "
+        "companding law: wFormatTag 6, the standard outside North "
+        "America/Japan, so telephony corpora carry both): the kernel "
+        "synthesizes a real A-law RIFF/WAVE file per payload (one code "
+        "byte per sample), genuinely walks the RIFF container with the "
+        "manual parser and expands every code byte with the public "
+        "G.711 A-law algorithm (XOR 0x55 alternate-bit inversion, "
+        "segment 0 → (mantissa<<4)+8, segment 1 → +0x108, higher "
+        "segments shift by seg−1, SET sign bit = positive — the "
+        "inverse of µ-law's ones'-complement convention — "
+        "functions/wav_codec.py), and computes RMS from the DECODED "
+        "samples. The expansion is pure integer arithmetic, so the "
+        "oracle restates decode + sum-of-squares exactly with SQL bit "
+        "operators and the rms double is bit-identical. "
+        "extract_audio_features dispatches wFormatTag 6 in the same "
+        "chain as PCM16/µ-law/ADPCM.",
+    scale_notes="Same no-shuffle envelope as audio_mulaw: project to "
+                "(doc_id, payload), one Arrow-batched mapInPandas pass; "
+                "the A-law expansion is one vectorized numpy pass per "
+                "payload and the output is O(1) per document.",
+)
+def audio_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        MULAW_SCHEMA,
+        alaw_feature_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(alaw_feature_batches, MULAW_SCHEMA)
+
+
+@register(
     "audio_adpcm",
     oracle="""
         WITH d AS (

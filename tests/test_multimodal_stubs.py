@@ -459,6 +459,49 @@ def test_mulaw_codec_and_kernel():
     assert int(out["n_samples"][0]) == n // 4 + 8
 
 
+def test_alaw_codec_and_kernel():
+    """G.711 A-law expansion must match the public table properties
+    (minimum magnitude 8 — A-law has no zero level; range ±32256; sign
+    symmetry under flipping bit 7; SET sign bit = positive) through a
+    REAL format-6 RIFF round-trip, the dispatch chain must pick it up,
+    and the kernel's sums must come from decoded samples."""
+    from pubsub2bq_spark.functions.wav_codec import (
+        decode_wav_alaw,
+        decode_wav_mulaw,
+        encode_wav_alaw,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    rate, lin = decode_wav_alaw(encode_wav_alaw(codes))
+    assert rate == 8000 and len(lin) == 256
+    assert lin[0x55] == -8 and lin[0xD5] == 8  # smallest levels
+    assert lin.min() == -32256 and lin.max() == 32256
+    assert np.abs(lin).min() == 8  # no zero code in A-law
+    assert all(int(lin[c]) == -int(lin[c ^ 0x80]) for c in range(256))
+    # the two companding laws must reject each other's containers
+    with pytest.raises(ValueError):
+        decode_wav_alaw(mm.synth_mulaw_wav_from_bytes(b"x" * 50))
+    with pytest.raises(ValueError):
+        decode_wav_mulaw(mm.synth_alaw_wav_from_bytes(b"x" * 50))
+    # extract_audio_features dispatches wFormatTag 6
+    feats = mm.extract_audio_features(mm.synth_alaw_wav_from_bytes(b"q" * 80))
+    assert feats["n_samples"] == 80 // 4 + 8
+
+    payload = b"a" * 100  # n_samples = 33
+    pdf = pd.DataFrame({"doc_id": [3], "payload": [payload]})
+    (out,) = list(mm.alaw_feature_batches(iter([pdf])))
+    n = 100
+    i = np.arange(n // 4 + 8, dtype=np.int64)
+    a = ((i * 2654435761 + n) % 256) ^ 0x55
+    t = (a & 15) << 4
+    seg = (a & 112) >> 4
+    mag = np.where(seg == 0, t + 8,
+                   (t + 0x108) << np.maximum(seg - 1, 0))
+    want = np.where(a & 0x80, mag, -mag)
+    assert int(out["sum_sq"][0]) == int((want * want).sum())
+    assert int(out["n_samples"][0]) == n // 4 + 8
+
+
 def test_adpcm_codec_and_kernel():
     """IMA ADPCM: the full step-adaptive encoder/decoder must round-trip
     a smooth signal within quantizer error, honor block boundaries and

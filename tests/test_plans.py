@@ -428,10 +428,11 @@ class TestLateR13CodecPlans:
     JVM aggregate, and the scan must read only (doc_id, text)."""
 
     @pytest.mark.parametrize("key", [
-        "audio_adpcm", "audio_flac", "audio_mulaw", "gif_frames",
-        "jpeg_arith", "jpeg_lossless", "jpeg_progressive",
-        "jpeg_progressive_color", "jpeg_subsampled", "qoi_decode",
-        "tiff_decode", "video_frames_mjpeg", "video_frames_rle",
+        "audio_adpcm", "audio_alaw", "audio_flac", "audio_mulaw",
+        "gif_frames", "jpeg_arith", "jpeg_hier", "jpeg_lossless",
+        "jpeg_progressive", "jpeg_progressive_color", "jpeg_subsampled",
+        "qoi_decode", "tiff_decode", "video_frames_mjpeg",
+        "video_frames_rle",
     ])
     def test_scan_kernel_envelope(self, spark, key):
         plan = plan_of(spark, key)
