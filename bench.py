@@ -1,7 +1,16 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (r14, lossless): stdout is a sequence of SMALL JSON
+lines — ≤20 query timings per `{"bench_chunk": i, "of": n, "queries":
+{...}}` line, then ONE compact final line {"metric", "value", "unit":
+"sec", "sf", "run_id", calibration/stream/build scalars...} LAST. Every
+line is bounded (BENCH_LINE_MAX_BYTES) so the driver's ~2 KB tail
+capture always ends on complete, parseable JSON. The full result
+(including the whole queries dict) is appended to docs/bench_runs.jsonl
+keyed by run_id; next round's regression gate joins BENCH_r{N}.json back
+to it.
 
 Each query is forced through full execution with the noop sink (count()
 would let Spark skip projections). Times exclude session startup.
@@ -394,16 +403,174 @@ KNOWN_SEMANTIC_CHANGES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Lossless bench record (judge r13 task #1).
+#
+# The driver captures only the LAST ~2000 characters of bench.py's stdout
+# ("tail") and records BENCH_r{N}.json with `parsed: null` whenever that
+# window slices into the middle of a JSON line. One giant result line
+# (126+ queries ≈ 3.5 KB) therefore NEVER survives whole — r12 and r13
+# both degraded to a regex harvest over the fragment. Fix at the source:
+#   * stdout is emitted as SMALL lines — ≤ BENCH_CHUNK_KEYS query timings
+#     per `{"bench_chunk": i, ...}` line, and a compact scalar-totals line
+#     LAST, every line bounded to BENCH_LINE_MAX_BYTES < the capture
+#     window, so the tail always retains at least one parseable record;
+#   * the COMPLETE result is appended to docs/bench_runs.jsonl keyed by a
+#     `run_id` also stamped on the stdout lines. The driver's round
+#     commit includes files the bench run writes (r13 commit b8ebe74
+#     carried docs/BENCH_COMPARE.md), so next round's regression gate can
+#     join BENCH_r{N}.json's run_id back to the full per-query record.
+# ---------------------------------------------------------------------------
+
+BENCH_LINE_MAX_BYTES = 1900  # driver tail keeps ~2000 chars; stay under
+BENCH_CHUNK_KEYS = 20
+BENCH_RUNS_BASENAME = os.path.join("docs", "bench_runs.jsonl")
+BENCH_RUNS_KEEP = 24  # newest runs kept in the jsonl (≈ several rounds)
+
+
+def _bench_runs_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), BENCH_RUNS_BASENAME
+    )
+
+
+def _emit_lines(result: dict) -> list[str]:
+    """Split the bench result into bounded stdout lines (pure function).
+
+    Query timings go out in ≤ BENCH_CHUNK_KEYS-key `bench_chunk` lines;
+    the final line carries every scalar field (metric/value/calibration/
+    stream/build legs) plus run_id and chunk accounting — totals LAST so
+    the driver's tail capture always ends on a complete JSON record.
+    Every line is asserted under BENCH_LINE_MAX_BYTES.
+    """
+    queries = result.get("queries", {})
+    run_id = result.get("run_id", "")
+    keys = list(queries)
+    chunks = [
+        keys[i : i + BENCH_CHUNK_KEYS]
+        for i in range(0, len(keys), BENCH_CHUNK_KEYS)
+    ]
+    lines: list[str] = []
+    for i, chunk in enumerate(chunks, 1):
+        lines.append(
+            json.dumps(
+                {
+                    "bench_chunk": i,
+                    "of": len(chunks),
+                    "run_id": run_id,
+                    "queries": {k: queries[k] for k in chunk},
+                },
+                separators=(",", ":"),
+            )
+        )
+    final = {k: v for k, v in result.items() if k != "queries"}
+    final["n_queries"] = len(keys)
+    final["queries_chunks"] = len(chunks)
+    final["full_record"] = BENCH_RUNS_BASENAME
+    lines.append(json.dumps(final, separators=(",", ":")))
+    for ln in lines:
+        if len(ln.encode()) > BENCH_LINE_MAX_BYTES:
+            raise AssertionError(
+                f"bench stdout line exceeds {BENCH_LINE_MAX_BYTES} bytes "
+                f"({len(ln.encode())}): the driver tail capture would "
+                f"truncate it — shrink BENCH_CHUNK_KEYS. Line head: "
+                f"{ln[:120]}"
+            )
+    return lines
+
+
+def _record_full_run(result: dict) -> None:
+    """Append the complete result to docs/bench_runs.jsonl (pruned)."""
+    path = _bench_runs_path()
+    rows: list[str] = []
+    try:
+        with open(path) as f:
+            rows = [ln for ln in f.read().splitlines() if ln.strip()]
+    except OSError:
+        pass
+    rows.append(json.dumps(result, separators=(",", ":")))
+    rows = rows[-BENCH_RUNS_KEEP:]
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+
+def _load_full_run(run_id: str) -> dict | None:
+    """Full bench record for run_id from docs/bench_runs.jsonl, if kept."""
+    if not run_id:
+        return None
+    try:
+        with open(_bench_runs_path()) as f:
+            text = f.read()
+    except OSError:
+        return None
+    for ln in reversed(text.splitlines()):
+        if not ln.strip():
+            continue
+        try:
+            rec = json.loads(ln)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and rec.get("run_id") == run_id:
+            return rec
+    return None
+
+
+def _merge_chunk_lines(text: str) -> dict | None:
+    """Reconstruct a bench result from chunked-format stdout text.
+
+    Parses every complete JSON line (a truncated first line is skipped),
+    merges `bench_chunk` query dicts, and overlays the final scalar line.
+    Marks the result partial when chunks are missing from the capture.
+    """
+    final: dict | None = None
+    chunk_queries: dict[str, float] = {}
+    chunks_seen: set[int] = set()
+    for ln in text.splitlines():
+        ln = ln.strip()
+        if not ln.startswith("{") or not ln.endswith("}"):
+            continue
+        try:
+            rec = json.loads(ln)
+        except ValueError:
+            continue
+        if not isinstance(rec, dict):
+            continue
+        if "bench_chunk" in rec and isinstance(rec.get("queries"), dict):
+            chunk_queries.update(rec["queries"])
+            chunks_seen.add(int(rec["bench_chunk"]))
+        elif "metric" in rec or "run_id" in rec:
+            final = rec
+    if final is None and not chunk_queries:
+        return None
+    out = dict(final or {})
+    run_id = out.get("run_id", "")
+    full = _load_full_run(run_id)
+    if full is not None and isinstance(full.get("queries"), dict):
+        # The committed jsonl record is authoritative and complete.
+        merged = dict(full)
+        merged.update({k: v for k, v in out.items() if k not in merged})
+        return merged
+    out["queries"] = chunk_queries
+    expected = out.get("queries_chunks")
+    if not isinstance(expected, int) or len(chunks_seen) < expected:
+        out["partial_tail"] = True
+    return out
+
+
 def _parse_bench_tail(tail: str) -> dict | None:
     """Recover the bench result from the driver's raw `tail` capture.
 
-    The driver sometimes truncates the front of the result line (so
-    `parsed` lands as null), but the full `"queries": {...}` dict and
-    the scalar fields survive in `tail`. Extract the balanced queries
-    object plus value/sf by regex so the regression gate never goes
-    blind on a truncated capture.
+    New-format (r14+) captures are chunked small lines — reconstruct via
+    `_merge_chunk_lines`, which also joins run_id back to the committed
+    docs/bench_runs.jsonl full record. Legacy one-giant-line captures
+    fall through to the balanced-brace / regex harvest below so old
+    BENCH_r*.json baselines keep working.
     """
     import re
+
+    merged = _merge_chunk_lines(tail)
+    if merged is not None and merged.get("queries"):
+        return merged
 
     queries: dict | None = None
     partial = False
@@ -497,6 +664,13 @@ def load_prior() -> tuple[str, dict] | None:
         wrapper = prior
         if "queries" not in prior and isinstance(prior.get("parsed"), dict):
             prior = prior["parsed"]
+        if not prior.get("queries") and prior.get("run_id"):
+            # r14+ compact final line: the driver parsed it whole (it is
+            # small by design) but the queries live in the committed
+            # docs/bench_runs.jsonl record keyed by run_id.
+            full = _load_full_run(prior["run_id"])
+            if full is not None and full.get("queries"):
+                prior = full
         if not prior.get("queries") and isinstance(wrapper.get("tail"), str):
             recovered = _parse_bench_tail(wrapper["tail"])
             if recovered is not None:
@@ -1208,6 +1382,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "run_id": f"{int(time.time())}.{os.getpid()}",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         **calibrations,
@@ -1218,7 +1393,13 @@ def main() -> None:
         # ADVICE r8: a run whose uniform slowdown no probe corroborates
         # must not be machine-readable as clean.
         result["drift_unexplained"] = True
-    print(json.dumps(result))
+    # Lossless record + bounded stdout lines (judge r13 task #1): the
+    # complete result goes to docs/bench_runs.jsonl; stdout carries
+    # chunked query lines with the compact scalar-totals line LAST so
+    # the driver's ~2 KB tail capture always ends on parseable JSON.
+    _record_full_run(result)
+    for line in _emit_lines(result):
+        print(line)
     spark.stop()
 
 

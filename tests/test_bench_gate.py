@@ -340,3 +340,117 @@ def test_drift_explanation_downgrades_banner(tmp_path, monkeypatch):
         assert "DRIFT EXPLAINED (measured)" in report
     finally:
         monkeypatch.setattr(bench.os.path, "dirname", real_dirname)
+
+
+# ---------------------------------------------------------------------------
+# Lossless chunked emission (judge r13 task #1): every stdout line bounded
+# under the driver's ~2 KB tail capture, totals line LAST, and a tail slice
+# + docs/bench_runs.jsonl join reconstructs the complete record.
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_result(n_queries: int = 275) -> dict:
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": 123.456,
+        "unit": "sec",
+        "run_id": "1700000000.4242",
+        "queries": {
+            f"some_operator_key_with_a_long_name_{i:03d}": round(
+                0.001 * i + 0.123, 3
+            )
+            for i in range(n_queries)
+        },
+        "sf": 0.1,
+        "calibration_range_sum_sec": 0.5,
+        "calibration_scan_agg_sec": 0.7,
+        "calibration_jobs_sec": 1.1,
+        "stream_throughput_rows_per_sec": 25000.0,
+        "stream_throughput_batch_p95_sec": 0.5,
+        "build_semdedup_quantizer_sec": 6.1,
+    }
+
+
+def test_emit_lines_bounded_and_totals_last():
+    import json
+
+    result = _synthetic_result()
+    lines = bench._emit_lines(result)
+    # Every line fits the driver tail capture with room to spare.
+    for ln in lines:
+        assert len(ln.encode()) <= bench.BENCH_LINE_MAX_BYTES, len(ln)
+    # Final line is complete compact JSON carrying every scalar field.
+    final = json.loads(lines[-1])
+    assert final["metric"] == "headline_queries_total_wall"
+    assert final["value"] == 123.456
+    assert final["run_id"] == result["run_id"]
+    assert final["n_queries"] == 275
+    assert "queries" not in final  # queries travel in the chunk lines
+    assert final["calibration_jobs_sec"] == 1.1
+    # Chunk lines cover every query exactly once.
+    merged = {}
+    for ln in lines[:-1]:
+        rec = json.loads(ln)
+        assert rec["bench_chunk"] >= 1
+        assert len(rec["queries"]) <= bench.BENCH_CHUNK_KEYS
+        merged.update(rec["queries"])
+    assert merged == result["queries"]
+
+
+def test_emit_lines_rejects_oversized_line():
+    import pytest
+
+    result = _synthetic_result(n_queries=1)
+    result["queries"] = {"k" * 4000: 1.0}
+    with pytest.raises(AssertionError):
+        bench._emit_lines(result)
+
+
+def test_tail_capture_reconstructs_via_full_record(tmp_path, monkeypatch):
+    """Simulate the driver: keep only the LAST 2000 chars of stdout.
+    The final compact line survives whole; run_id joins back to the
+    bench_runs.jsonl record for the complete queries dict."""
+    import json
+
+    runs = tmp_path / "bench_runs.jsonl"
+    monkeypatch.setattr(bench, "_bench_runs_path", lambda: str(runs))
+    result = _synthetic_result()
+    bench._record_full_run(result)
+    stdout = "\n".join(bench._emit_lines(result))
+    tail = stdout[-2000:]
+    recovered = bench._parse_bench_tail(tail)
+    assert recovered is not None
+    assert recovered["queries"] == result["queries"]
+    assert recovered.get("value") == 123.456
+    assert "partial_tail" not in recovered
+
+
+def test_tail_capture_degrades_to_chunks_without_record(tmp_path, monkeypatch):
+    """No jsonl record (e.g. clobbered by a local run): the chunk lines
+    inside the tail still yield a partial-but-parsed queries dict."""
+    runs = tmp_path / "bench_runs.jsonl"
+    monkeypatch.setattr(bench, "_bench_runs_path", lambda: str(runs))
+    result = _synthetic_result()
+    stdout = "\n".join(bench._emit_lines(result))
+    tail = stdout[-2000:]
+    recovered = bench._parse_bench_tail(tail)
+    assert recovered is not None
+    assert recovered["queries"]  # whatever chunks fit the window
+    assert recovered["partial_tail"] is True
+    # Whatever was recovered is a subset with correct values.
+    for k, v in recovered["queries"].items():
+        assert result["queries"][k] == v
+
+
+def test_record_full_run_prunes(tmp_path, monkeypatch):
+    runs = tmp_path / "bench_runs.jsonl"
+    monkeypatch.setattr(bench, "_bench_runs_path", lambda: str(runs))
+    for i in range(bench.BENCH_RUNS_KEEP + 5):
+        r = _synthetic_result(n_queries=2)
+        r["run_id"] = f"rid.{i}"
+        bench._record_full_run(r)
+    text = runs.read_text().strip().splitlines()
+    assert len(text) == bench.BENCH_RUNS_KEEP
+    # Oldest pruned, newest kept and loadable.
+    assert bench._load_full_run("rid.0") is None
+    assert bench._load_full_run(f"rid.{bench.BENCH_RUNS_KEEP + 4}") is not None
