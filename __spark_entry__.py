@@ -65,20 +65,13 @@ SURVEY2_KEYS = frozenset({
 
 # Keys forced into one fresh driver check even though their closure hash
 # reads fresh (cross-module rewrites the hash cannot see, or an explicit
-# verdict ask). Round 13 (VERDICT r12 #2): image_resize (JFIF transcode,
-# r12) and the frame_sample/multimodal_meta dispatch surface live in
-# functions/multimodal.py — a different module than their registered
-# operators, so the same-module AST closure reads them fresh;
-# image_dedup_clusters' r12 seeded-star rewrite landed after its r11 row.
+# verdict ask). Round 14 (VERDICT r13 #3): drain the staleness floor —
+# these seven keys' newest driver row is still r5 (8 rounds old). The
+# judge replayed all seven green via driver_twin in r13, but driver
+# evidence that old should rotate out; front them for one fresh row each.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    "image_resize", "image_dedup_clusters", "frame_sample",
-    "multimodal_meta",
-    # Late r13 cross-module decode-path changes the same-module closure
-    # hash cannot see: extract_audio_features grew the ADPCM/FLAC
-    # dispatch chain (audio_feature's kernel), decode_jpeg_planes grew
-    # SOF9/SOF3/SOF1 routing (jpeg_decode's kernel), decode_avi grew
-    # the RLE8 branch (video_frames' kernel).
-    "audio_feature", "jpeg_decode", "video_frames",
+    "bigram_logprob", "rolling_corr", "tpch_q11", "tpch_q15",
+    "window_distribution", "window_range_frame", "word_pmi",
 })
 
 # Keys ADDED in the current round but deliberately scheduled BEHIND the
