@@ -79,65 +79,139 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
-    """Inverse of :func:`_lzw_encode` (also accepts streams from other
-    conforming encoders: deferred clears, early EOI)."""
+def _lzw_parse_codes(data: bytes, min_code_size: int) -> list[np.ndarray]:
+    """Extract the LZW code sequence from the packed bitstream,
+    vectorized in chunks (r14, VERDICT r13 #5).
+
+    Between clear codes the width schedule is deterministic — the table
+    grows by one per code after the first, bumping the width at each
+    power of two — so codes are gathered in numpy batches sized to the
+    next width bump, with clear/EOI found by vectorized compare. Returns
+    one code array per clear-delimited segment (each replayed against a
+    fresh table by :func:`_lzw_decode`). Raises ``ValueError`` if the
+    stream ends before EOI."""
     clear = 1 << min_code_size
     eoi = clear + 1
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    nbits = bits.size
 
-    acc = 0
-    nbits = 0
-    pos = 0
-
-    def read(w: int) -> int:
-        nonlocal acc, nbits, pos
-        while nbits < w:
-            if pos >= len(data):
-                raise ValueError("gif: truncated LZW stream")
-            acc |= data[pos] << nbits
-            pos += 1
-            nbits += 8
-        v = acc & ((1 << w) - 1)
-        acc >>= w
-        nbits -= w
-        return v
-
-    out = np.empty(n_expected, dtype=np.uint8)
-    n = 0
-    table: list[bytes] = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    segments: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
     width = min_code_size + 1
-    prev: bytes | None = None
+    tsize = clear + 2
+    grown = False  # True once the NEXT code read will append an entry
+    pos = 0
     while True:
-        code = read(width)
-        if code == clear:
-            table = [bytes((i,)) for i in range(clear)] + [b"", b""]
-            width = min_code_size + 1
-            prev = None
+        if width < 12:
+            room = (1 << width) - tsize
+            c_max = room if grown else room + 1
+            if c_max == 0:
+                width += 1  # scalar semantics: bump after table hits 2^w
+                continue
+        else:
+            c_max = 1 << 30
+        # Cap each batch: a clear code cuts the batch at k and the rest
+        # is re-extracted, so an unbounded width-12 batch over the whole
+        # remaining stream would go quadratic on clear-heavy streams.
+        c = min(c_max, 4096, (nbits - pos) // width)
+        if c <= 0:
+            raise ValueError("gif: truncated LZW stream")
+        offs = pos + np.arange(c, dtype=np.int64) * width
+        vals = np.zeros(c, dtype=np.int64)
+        for j in range(width):
+            vals |= bits[offs + j].astype(np.int64) << j
+        special = (vals == clear) | (vals == eoi)
+        k = int(np.argmax(special)) if special.any() else c
+        if k:
+            cur.append(vals[:k])
+            tsize += k if grown else k - 1
+            grown = True
+            pos += width * k
             continue
+        code = int(vals[0])
+        pos += width
         if code == eoi:
             break
-        if prev is None:
-            if code >= len(table):
-                raise ValueError("gif: first LZW code out of range")
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):  # the KwKwK case
-            entry = prev + prev[:1]
-            table.append(entry)
-        else:
-            raise ValueError("gif: LZW code out of range")
-        if n + len(entry) > n_expected:
-            raise ValueError("gif: LZW output exceeds frame size")
-        out[n : n + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
-        n += len(entry)
-        prev = entry
-        if len(table) == (1 << width) and width < 12:
-            width += 1
+        # clear: flush the segment, reset table state
+        if cur:
+            segments.append(np.concatenate(cur))
+            cur = []
+        width = min_code_size + 1
+        tsize = clear + 2
+        grown = False
+    if cur:
+        segments.append(np.concatenate(cur))
+    return segments
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode` (also accepts streams from other
+    conforming encoders: deferred clears, early EOI).
+
+    r14 rewrite (VERDICT r13 #5): code extraction is vectorized in
+    :func:`_lzw_parse_codes`; the table replay exploits that every LZW
+    table entry (prev + first char of current) is a CONTIGUOUS span of
+    the already-decoded output — prev's emission is immediately followed
+    by the current emission's first byte — so the table is two int
+    lists of (start, len) and each code's emission is one numpy span
+    copy, with no per-code bytes allocation. The KwKwK self-reference
+    copies prev then its first byte explicitly, keeping exactness."""
+    clear = 1 << min_code_size
+    # bytearray, not ndarray: the replay loop's span copies are mostly a
+    # few bytes, where bytearray slice assignment (plain memcpy) is ~10x
+    # cheaper than numpy fancy slicing.
+    out = bytearray(n_expected)
+    n = 0
+    for seg in _lzw_parse_codes(data, min_code_size):
+        # table entry i (i >= clear+2): output span [tb_start[i], +tb_len[i])
+        tb_start = [0] * (clear + 2)
+        tb_len = [0] * (clear + 2)
+        tsize = clear + 2
+        prev_start = -1
+        prev_len = 0
+        for code in seg.tolist():
+            if code < clear:  # root: one literal byte
+                if n >= n_expected:
+                    raise ValueError("gif: LZW output exceeds frame size")
+                out[n] = code
+                cur_start, cur_len = n, 1
+                n += 1
+            elif code < tsize:
+                if code < clear + 2:  # the clear/EOI placeholder slots
+                    raise ValueError("gif: LZW code out of range")
+                s = tb_start[code]
+                ln = tb_len[code]
+                if n + ln > n_expected:
+                    raise ValueError("gif: LZW output exceeds frame size")
+                out[n : n + ln] = out[s : s + ln]
+                cur_start, cur_len = n, ln
+                n += ln
+            elif code == tsize and prev_start >= 0:  # KwKwK
+                ln = prev_len + 1
+                if n + ln > n_expected:
+                    raise ValueError("gif: LZW output exceeds frame size")
+                out[n : n + prev_len] = out[prev_start : prev_start + prev_len]
+                out[n + prev_len] = out[prev_start]
+                cur_start, cur_len = n, ln
+                n += ln
+            else:
+                raise ValueError(
+                    "gif: first LZW code out of range"
+                    if prev_start < 0
+                    else "gif: LZW code out of range"
+                )
+            if prev_start >= 0 and tsize < 4096:
+                # New entry = prev + cur[0] = the contiguous output span
+                # starting at prev's emission, one byte longer. (Entries
+                # past 4095 can never be referenced at width 12 — the
+                # scalar decoder kept appending them unreachably.)
+                tb_start.append(prev_start)
+                tb_len.append(prev_len + 1)
+                tsize += 1
+            prev_start, prev_len = cur_start, cur_len
     if n != n_expected:
         raise ValueError("gif: LZW output short of frame size")
-    return out
+    return np.frombuffer(bytes(out), dtype=np.uint8)
 
 
 def _sub_blocks(data: bytes) -> bytes:
@@ -214,7 +288,16 @@ def decode_gif(data: bytes) -> tuple[int, int, list[np.ndarray]]:
     full (h, w) canvas of palette indices after compositing that
     image's (possibly sub-rectangle, possibly interlaced) data per its
     disposal method. Supports disposal 0/1 (keep) and 2 (restore to
-    background). Raises ``ValueError`` on malformed streams."""
+    background). Raises ``ValueError`` on malformed streams — including
+    truncated payloads, whose bare index/struct reads inside the block
+    walk are normalized here (ADVICE r13)."""
+    try:
+        return _decode_gif(data)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"gif: truncated or malformed stream ({ex!r})") from ex
+
+
+def _decode_gif(data: bytes) -> tuple[int, int, list[np.ndarray]]:
     if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
         raise ValueError("gif: bad signature")
     w, h, flags, bg, _ar = struct.unpack("<HHBBB", data[6:13])

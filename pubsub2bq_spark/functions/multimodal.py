@@ -23,7 +23,9 @@ Codec coverage is split honestly:
   DC scans + per-component AC scans — the libjpeg default script); and
   since late r13 SOF9 ARITHMETIC coding too (T.81 Annex D QM-coder +
   Annex F models, functions/jpeg_arith.py) — every JPEG entropy mode
-  decodes for real. Lossless/differential frame types reject loudly.
+  decodes for real — plus SOF3 lossless (Annex H predictors) and
+  SOF5/DHP hierarchical pyramids (Annex J, functions/jpeg_hier.py).
+  Only the arithmetic progressive/lossless combinations reject loudly.
 * **G.711 µ-law WAV** (r13) — manual RIFF walk + exact integer
   expansion — and **IMA ADPCM WAV** (r13): the full adaptive-quantizer
   recurrence (wFormatTag 0x11). The audio gate covers only perceptual
@@ -747,9 +749,11 @@ def extract_audio_features(payload: bytes) -> dict:
             # (wFormatTag 6), then the IMA ADPCM (wFormatTag 0x11)
             # quantizer recurrence
             from pubsub2bq_spark.functions.wav_codec import (
+                SUPPORTED_WAV_TAGS,
                 decode_wav_adpcm,
                 decode_wav_alaw,
                 decode_wav_mulaw,
+                wav_format_tag,
             )
 
             try:
@@ -758,7 +762,22 @@ def extract_audio_features(payload: bytes) -> dict:
                 try:
                     rate, samples = decode_wav_alaw(payload)
                 except ValueError:
-                    rate, samples = decode_wav_adpcm(payload)
+                    try:
+                        rate, samples = decode_wav_adpcm(payload)
+                    except ValueError:
+                        # A well-formed WAV whose wFormatTag has no
+                        # decoder here (MS-ADPCM 2, MP3-in-WAV 0x55, …)
+                        # is the documented unsupported-codec gate, not
+                        # a malformed file (ADVICE r13).
+                        tag = wav_format_tag(payload)
+                        if tag is not None and tag not in SUPPORTED_WAV_TAGS:
+                            raise NotImplementedError(
+                                f"audio feature extraction: WAV "
+                                f"wFormatTag {tag:#x} has no decoder in "
+                                f"this container (supported: PCM16, "
+                                f"G.711 mu/A-law, IMA ADPCM)"
+                            ) from None
+                        raise
         n_samples = int(samples.size)
         sum_sq = int(np.sum(samples.astype(np.int64) ** 2))
         rms = math.sqrt(sum_sq / n_samples) / 32768.0 if n_samples else 0.0

@@ -66,6 +66,38 @@ def encode_wav_mulaw(codes: np.ndarray, rate: int = 8_000) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def wav_format_tag(payload: bytes) -> int | None:
+    """The fmt chunk's wFormatTag of a RIFF/WAVE payload, or ``None``
+    when the container is malformed / not WAVE / missing its fmt chunk.
+    Used by dispatch chains to distinguish "unsupported codec" (a
+    recognized container with a wFormatTag we have no decoder for — a
+    NotImplementedError gate) from "malformed input" (ValueError)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        try:
+            (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        except struct.error:
+            return None
+        if tag == b"fmt ":
+            body = payload[pos + 8 : pos + 8 + length]
+            if len(body) < 2:
+                return None
+            return struct.unpack("<H", body[:2])[0]
+        pos += 8 + length + (length % 2)
+    return None
+
+
+# wFormatTags with a real decoder in this module (PCM16, G.711 µ/A-law,
+# IMA ADPCM). Anything else in a well-formed WAV is an unsupported-codec
+# gate, not a malformed file.
+SUPPORTED_WAV_TAGS = frozenset({1, 6, 7, 0x11})
+
+
 def decode_wav_mulaw(payload: bytes) -> tuple[int, np.ndarray]:
     """Decode a µ-law (wFormatTag 7) RIFF/WAVE file →
     ``(sample_rate, mono int16-range int64 samples)`` — a manual RIFF

@@ -305,3 +305,50 @@ class TestHierJpegFuzz:
         assert np.array_equal(
             planes[0], np.clip(ref + resid, 0, 255).astype(np.uint8)
         )
+
+
+class TestMalformedInputGates:
+    """ADVICE r13: malformed payloads must fail with the DOCUMENTED
+    exception — ValueError for truncated/corrupt streams, the
+    NotImplementedError codec gate for recognized-but-unsupported
+    formats — never bare IndexError/struct.error."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(cut=st.integers(1, 200), seed=st.integers(0, 2**31))
+    def test_gif_truncation_raises_valueerror(self, cut, seed):
+        from pubsub2bq_spark.functions.gif_codec import decode_gif, encode_gif
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 16, size=(9, 7), dtype=np.uint8)
+        payload = encode_gif([img])
+        trunc = payload[: min(cut, len(payload) - 1)]
+        with pytest.raises(ValueError):
+            decode_gif(trunc)
+
+    def test_wav_unsupported_format_tag_hits_codec_gate(self):
+        import struct
+
+        from pubsub2bq_spark.functions.multimodal import extract_audio_features
+
+        for wtag in (0x02, 0x55):  # MS-ADPCM, MP3-in-WAV
+            fmt = struct.pack("<HHIIHH", wtag, 1, 8000, 8000, 1, 0)
+            riff = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 4) + b"\0\0\0\0"
+            )
+            wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+            with pytest.raises(NotImplementedError):
+                extract_audio_features(wav)
+
+    def test_wav_malformed_still_valueerror(self):
+        """A RIFF payload that is broken (no fmt chunk at all) keeps the
+        malformed-input contract."""
+        import struct
+
+        from pubsub2bq_spark.functions.multimodal import extract_audio_features
+
+        riff = b"WAVE" + b"data" + struct.pack("<I", 4) + b"\0\0\0\0"
+        wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+        with pytest.raises(ValueError):
+            extract_audio_features(wav)
