@@ -51,14 +51,83 @@ def _crc8(data: bytes) -> int:
     return crc
 
 
-def _crc16(data: bytes) -> int:
-    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0."""
+def _crc16_bitwise(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 —
+    the reference bit-serial form (kept for short inputs and as the
+    test oracle for the folded fast path)."""
     crc = 0
     for b in data:
         crc ^= b << 8
         for _ in range(8):
             crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
     return crc
+
+
+def _gf2_mulmod_scalar(a: int, c: int) -> int:
+    """(a(x)·c(x)) mod g(x) for g = x¹⁶+x¹⁵+x²+1, scalar ints."""
+    acc = 0
+    for j in range(16):
+        if (c >> j) & 1:
+            acc ^= a
+        a = ((a << 1) & 0xFFFF) ^ (0x8005 if a & 0x8000 else 0)
+    return acc
+
+
+def _mul_table(c: int) -> np.ndarray:
+    """256-entry table t[b] = (b(x)·c(x)) mod g, built incrementally."""
+    t = np.zeros(256, dtype=np.uint32)
+    for b in range(1, 256):
+        half = int(t[b >> 1])
+        dbl = ((half << 1) & 0xFFFF) ^ (0x8005 if half & 0x8000 else 0)
+        t[b] = dbl ^ (c if b & 1 else 0)
+    return t
+
+
+# Per-fold-level (lo, hi) multiply tables for c_L = x^(8·2^L) mod g;
+# lazily extended, shared process-wide (the constants depend only on the
+# level, never on the data).
+_CRC16_FOLD_TABLES: list[tuple[np.ndarray, np.ndarray]] = []
+
+
+def _crc16_fold_tables(level: int) -> tuple[np.ndarray, np.ndarray]:
+    while len(_CRC16_FOLD_TABLES) <= level:
+        if not _CRC16_FOLD_TABLES:
+            c = 0x0100  # x^8 mod g (degree < 16: no reduction)
+        else:
+            # c_{L} = c_{L-1}², recovered from the previous lo-table.
+            c_prev = int(_CRC16_FOLD_TABLES[-1][0][1])
+            c = _gf2_mulmod_scalar(c_prev, c_prev)
+        lo = _mul_table(c)
+        hi = _mul_table(_gf2_mulmod_scalar(0x0100, c))  # (x^8·c) mod g
+        _CRC16_FOLD_TABLES.append((lo, hi))
+    return _CRC16_FOLD_TABLES[level]
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16/0x8005, init 0 — numpy log-fold for long inputs.
+
+    CRC is linear over GF(2): CRC(A‖B) = (r_A·x^{8m} + r_B) mod g for
+    m-byte blocks, so per-byte remainders fold pairwise with ONE
+    constant multiplier per level (x^{8m} mod g, squared between
+    levels). Each level's multiply is two 256-entry table gathers
+    (byte-decomposed), so a frame's CRC is ~log₂(n) numpy passes —
+    replacing the per-byte×per-bit Python loop that dominated
+    decode_flac's profile (VERDICT r13 #5: 0.49 s of a 0.78 s decode)."""
+    n = len(data)
+    if n < 256:
+        return _crc16_bitwise(data)
+    size = 1 << (n - 1).bit_length()
+    r = np.zeros(size, dtype=np.uint32)
+    r[size - n :] = np.frombuffer(data, dtype=np.uint8)  # front zero-pad
+    level = 0
+    while r.size > 1:
+        lo, hi = _crc16_fold_tables(level)
+        a = r[0::2]
+        r = lo[a & 0xFF] ^ hi[a >> 8] ^ r[1::2]
+        level += 1
+    # The CRC register appends x^16: crc = remainder·x^16 mod g, and
+    # x^16 ≡ x^15+x^2+1 = 0x8005 (mod g).
+    return _gf2_mulmod_scalar(int(r[0]), 0x8005)
 
 
 def _utf8_number(v: int) -> bytes:
@@ -145,6 +214,108 @@ class _MSBReader:
     def byte_pos(self) -> int:
         assert self.nbits % 8 == 0
         return self.pos - self.nbits // 8
+
+    def bit_pos(self) -> int:
+        """Absolute bit offset from the start of the stream."""
+        return self.pos * 8 - self.nbits
+
+    def seek_bit(self, bitpos: int) -> None:
+        """Position the reader at an absolute bit offset (used to rejoin
+        the scalar reader after a vectorized block decode)."""
+        byte, off = divmod(bitpos, 8)
+        if off:
+            if byte >= len(self.data):
+                raise ValueError("flac: truncated stream")
+            self.pos = byte + 1
+            self.nbits = 8 - off
+            self.acc = self.data[byte] & ((1 << self.nbits) - 1)
+        else:
+            self.pos = byte
+            self.nbits = 0
+            self.acc = 0
+
+
+class _BitPlan:
+    """Whole-payload bit view for vectorized block decodes (r14).
+
+    ``bits`` is the MSB-first unpacked bit array of the payload;
+    ``ones`` the sorted positions of its set bits. Built once per
+    decode, shared by every Rice partition / fixed-width block — the
+    per-sample Python loops they replace were the decode hot path
+    (VERDICT r13 #5: audio_flac 32x probe 21.7 s)."""
+
+    def __init__(self, payload: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+        self.ones = np.flatnonzero(self.bits)
+
+    def read_fixed(self, start: int, width: int, cnt: int) -> tuple[np.ndarray, int]:
+        """``cnt`` unsigned ``width``-bit MSB-first integers at absolute
+        bit offset ``start`` → (int64 array, end bit offset)."""
+        if width == 0 or cnt == 0:
+            return np.zeros(cnt, dtype=np.int64), start
+        end = start + width * cnt
+        if end > self.bits.size:
+            raise ValueError("flac: truncated stream")
+        offs = start + np.arange(cnt, dtype=np.int64) * width
+        v = np.zeros(cnt, dtype=np.int64)
+        for b in range(width):
+            v = (v << 1) | self.bits[offs + b]
+        return v, end
+
+    def read_fixed_signed(self, start: int, width: int, cnt: int) -> tuple[np.ndarray, int]:
+        v, end = self.read_fixed(start, width, cnt)
+        if width:
+            v = np.where(v >= (1 << (width - 1)), v - (1 << width), v)
+        return v, end
+
+    def rice_block(self, start: int, p: int, cnt: int) -> tuple[np.ndarray, int]:
+        """Decode ``cnt`` Rice(p) codes (unary quotient, MSB-first
+        ``p``-bit remainder, zigzag-folded) at bit offset ``start``.
+
+        Vectorized chain-follow: each code's unary terminator is the
+        first set bit at or after the previous code's end, so with
+        ``succ(j) = first one >= ones[j] + 1 + p`` the terminators are a
+        path in a functional graph — enumerated in O(log cnt) numpy
+        passes by prefix doubling instead of per-sample Python reads."""
+        if cnt == 0:
+            return np.zeros(0, dtype=np.int64), start
+        ones, bits = self.ones, self.bits
+        j0 = int(np.searchsorted(ones, start))
+        # Each code consumes exactly one terminator bit and at most p
+        # remainder set bits → the chain touches ≤ cnt*(p+1) ones.
+        hi = min(j0 + cnt * (p + 1) + 1, ones.size)
+        J = ones[j0:hi]
+        if J.size == 0:
+            raise ValueError("flac: truncated Rice partition")
+        # succ with an absorbing sentinel at index J.size for overrun.
+        succ = np.searchsorted(J, J + 1 + p).astype(np.int64)
+        succ = np.append(succ, J.size)
+        # Prefix doubling: P = first m chain nodes, jump = succ^m.
+        P = np.zeros(1, dtype=np.int64)
+        jump = succ
+        while P.size < cnt:
+            nxt = jump[P]
+            P = np.concatenate([P, nxt])
+            if P.size < cnt:
+                jump = jump[np.minimum(jump, J.size)]
+        P = P[:cnt]
+        if int(P[-1]) >= J.size:
+            raise ValueError("flac: truncated Rice partition")
+        t = J[P]  # terminator bit positions, one per code
+        s = np.empty(cnt, dtype=np.int64)
+        s[0] = start
+        s[1:] = t[:-1] + 1 + p
+        q = t - s
+        if np.any(q < 0):
+            raise ValueError("flac: corrupt Rice partition")
+        end = int(t[-1]) + 1 + p
+        if end > bits.size:
+            raise ValueError("flac: truncated Rice partition")
+        rem = np.zeros(cnt, dtype=np.int64)
+        for b in range(p):
+            rem = (rem << 1) | bits[t + 1 + b]
+        u = (q << p) | rem
+        return (u >> 1) ^ -(u & 1), end
 
 
 def _rice_fold(v: np.ndarray) -> np.ndarray:
@@ -273,6 +444,7 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
 
     out: list[np.ndarray] = []
     got = 0
+    plan = _BitPlan(payload)
     while got < (total or 0) and pos < len(payload):
         frame_start = pos
         rdr = _MSBReader(payload, pos)
@@ -329,9 +501,8 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         if sft == 0:
             block = np.full(bs, rdr.read_signed(eff), dtype=np.int64)
         elif sft == 1:
-            block = np.array(
-                [rdr.read_signed(eff) for _ in range(bs)], dtype=np.int64
-            )
+            block, vend = plan.read_fixed_signed(rdr.bit_pos(), eff, bs)
+            rdr.seek_bit(vend)
         elif 8 <= sft <= 12 or sft >= 32:
             if sft >= 32:
                 order = (sft & 0x1F) + 1
@@ -346,14 +517,28 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
                 warm = [rdr.read_signed(eff) for _ in range(order)]
                 coefs = _FIXED_COEFS[order]
                 shift = 0
-            res = _read_residual(rdr, bs, order)
+            res = _read_residual(rdr, bs, order, plan)
             block = np.empty(bs, dtype=np.int64)
             block[:order] = warm
-            for i in range(order, bs):
-                pred = 0
-                for j, c in enumerate(coefs):
-                    pred += c * int(block[i - 1 - j])
-                block[i] = (pred >> shift) + res[i - order]
+            if sft < 32:
+                # FIXED order-k predictor ⇒ the residual IS the k-th
+                # finite difference of the signal; reconstruction is k
+                # iterated cumulative sums seeded by the warmup's
+                # difference pyramid — exact int64 numpy, replacing the
+                # per-sample Python recurrence (VERDICT r13 #5).
+                cur = res
+                for m in range(order - 1, -1, -1):
+                    init = int(np.diff(np.asarray(warm, dtype=np.int64), m)[-1]) if warm else 0
+                    cur = init + np.cumsum(cur)
+                block[order:] = cur
+            else:
+                # General LPC taps: the (pred >> shift) quantization
+                # inside a genuinely sequential recurrence — scalar.
+                for i in range(order, bs):
+                    pred = 0
+                    for j, c in enumerate(coefs):
+                        pred += c * int(block[i - 1 - j])
+                    block[i] = (pred >> shift) + res[i - order]
         else:
             raise ValueError(f"flac: reserved subframe type {sft}")
         if wasted:
@@ -380,8 +565,14 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
-def _read_residual(rdr: _MSBReader, bs: int, order: int) -> np.ndarray:
-    """Partitioned Rice residual (both coding methods, escape codes)."""
+def _read_residual(
+    rdr: _MSBReader, bs: int, order: int, plan: _BitPlan
+) -> np.ndarray:
+    """Partitioned Rice residual (both coding methods, escape codes).
+
+    Partition header fields go through the scalar reader; the per-sample
+    payload of each partition decodes vectorized on the shared bit plan,
+    after which the scalar reader reseeks to the partition end."""
     method = rdr.read(2)
     if method > 1:
         raise ValueError("flac: reserved residual coding method")
@@ -398,12 +589,11 @@ def _read_residual(rdr: _MSBReader, bs: int, order: int) -> np.ndarray:
         p = rdr.read(pbits)
         if p == escape:
             nb = rdr.read(5)
-            for k in range(cnt):
-                res[n + k] = rdr.read_signed(nb) if nb else 0
+            vals, end = plan.read_fixed_signed(rdr.bit_pos(), nb, cnt)
+            res[n : n + cnt] = vals
         else:
-            for k in range(cnt):
-                q = rdr.read_unary()
-                u = (q << p) | rdr.read(p)
-                res[n + k] = (u >> 1) ^ -(u & 1)
+            vals, end = plan.rice_block(rdr.bit_pos(), p, cnt)
+            res[n : n + cnt] = vals
+        rdr.seek_bit(end)
         n += cnt
     return res
