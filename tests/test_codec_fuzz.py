@@ -352,3 +352,217 @@ class TestMalformedInputGates:
         wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
         with pytest.raises(ValueError):
             extract_audio_features(wav)
+
+
+class TestMp2Fuzz:
+    """MPEG-1 Layer II (r14): the bitstream layer must round-trip
+    EXACTLY (allocation / scale factors / requantization numerators are
+    integers by construction); the synthesis filterbank must be linear
+    and deterministic."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31),
+        n_frames=st.integers(1, 5),
+        with_crc=st.booleans(),
+        rate_kbps=st.sampled_from([48, 64, 96, 192]),
+        sample_rate=st.sampled_from([32000, 44100, 48000]),
+    )
+    def test_bitstream_roundtrip_exact(
+        self, seed, n_frames, with_crc, rate_kbps, sample_rate
+    ):
+        from pubsub2bq_spark.functions import mp2_codec as M
+
+        rng = np.random.default_rng(seed)
+        table = M.alloc_table(sample_rate, rate_kbps)
+        frames = []
+        for f in range(n_frames):
+            frame = {}
+            n_sb = int(rng.integers(1, 5))
+            for sb in sorted(rng.choice(len(table), n_sb, replace=False)):
+                sb = int(sb)
+                nbal, steps = table[sb]
+                v = int(rng.integers(1, len(steps) + 1))
+                L = steps[v - 1]
+                if L > 4095:  # keep frames under the fixed frame size
+                    v = 1
+                    L = steps[0]
+                scfsi = int(rng.integers(0, 4))
+                b = [int(x) for x in rng.integers(0, 63, 3)]
+                if scfsi == 1:
+                    scfs = [b[0], b[0], b[2]]
+                elif scfsi == 2:
+                    scfs = [b[0], b[0], b[0]]
+                elif scfsi == 3:
+                    scfs = [b[0], b[1], b[1]]
+                else:
+                    scfs = b
+                codes = rng.integers(0, L, (12, 3))
+                frame[sb] = (v, scfsi, scfs, codes)
+            frames.append(frame)
+        try:
+            payload = M.encode_mp2_frames(
+                frames, sample_rate, rate_kbps, with_crc=with_crc
+            )
+        except ValueError as ex:
+            assert "exceeds frame size" in str(ex)
+            return
+        out = M.decode_mp2(payload)
+        alloc = scf = q = 0
+        for f in frames:
+            for sb, (v, _si, scfs, codes) in f.items():
+                L = M.alloc_table(sample_rate, rate_kbps)[sb][1][v - 1]
+                alloc += v
+                scf += sum(scfs)
+                q += int(np.sum(2 * np.asarray(codes) + 1 - L))
+        assert out["alloc_sum"] == alloc
+        assert out["scf_sum"] == scf
+        assert out["qsum"] == q
+        assert out["n_frames"] == n_frames
+        assert out["pcm"].size == 1152 * n_frames
+        assert out["sample_rate"] == sample_rate
+        assert out["bitrate_kbps"] == rate_kbps
+
+    def test_crc_flip_and_truncation_and_gates(self):
+        from pubsub2bq_spark.functions import mp2_codec as M
+        from pubsub2bq_spark.functions.multimodal import synth_mp2_from_bytes
+
+        payload = synth_mp2_from_bytes(b"y" * 23)
+        flipped = bytearray(payload)
+        flipped[10] ^= 1
+        with pytest.raises(ValueError, match="CRC"):
+            M.decode_mp2(bytes(flipped))
+        with pytest.raises(ValueError):
+            M.decode_mp2(payload[:100])
+        stereo = bytearray(payload)
+        stereo[3] = 0x00
+        with pytest.raises((NotImplementedError, ValueError)):
+            M.decode_mp2(bytes(stereo))
+        layer3 = bytearray(payload)
+        layer3[1] = (layer3[1] & ~0x06) | 0x02  # layer bits 01 = Layer III
+        with pytest.raises(NotImplementedError, match="Layer"):
+            M.decode_mp2(bytes(layer3))
+
+    def test_synthesis_linear_deterministic(self):
+        from pubsub2bq_spark.functions import mp2_codec as M
+
+        rng = np.random.default_rng(0)
+        S = rng.normal(0, 0.01, (36, 32))
+        a = M.synthesize(S)
+        b = M.synthesize(S)
+        assert np.array_equal(a, b)
+        assert np.array_equal(M.synthesize(np.zeros((36, 32))), np.zeros(1152))
+        # exact linearity under power-of-two scaling (no clipping)
+        assert np.array_equal(M.synthesize(S * 2.0), a * 2.0)
+
+    def test_fixture_matches_duckdb_oracle(self):
+        import duckdb
+        import pandas as pd
+
+        from pubsub2bq_spark.functions.multimodal import mp2_feature_batches
+        from pubsub2bq_spark.registry import all_queries
+
+        texts = ["a" * n for n in (0, 1, 5, 17, 33, 100, 257)]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "payload": [t.encode() for t in texts],
+            }
+        )
+        (res,) = list(mp2_feature_batches(iter([pdf])))
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+            ),
+        )
+        exp = (
+            con.execute(all_queries()["audio_mp2"].oracle)
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        res = res.sort_values("doc_id").reset_index(drop=True)
+        for col in exp.columns:
+            assert (res[col].astype("int64") == exp[col].astype("int64")).all(), col
+
+    def test_audio_features_dispatch_mp2(self):
+        from pubsub2bq_spark.functions.multimodal import (
+            extract_audio_features,
+            synth_mp2_from_bytes,
+        )
+
+        out = extract_audio_features(synth_mp2_from_bytes(b"z" * 40))
+        assert out["sample_rate"] == 48000
+        assert out["n_samples"] == 1152 * (40 % 3 + 2)
+        assert out["rms"] >= 0.0
+
+
+class TestArithProgressiveFuzz:
+    """SOF10 (r14): progressive arithmetic must equal the textbook DCT
+    model exactly — the same bar as its Huffman (SOF2) and sequential
+    arithmetic (SOF9) twins."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40),
+        quant=st.sampled_from([4, 8, 16]), seed=st.integers(0, 2**31),
+    )
+    def test_roundtrip_exact(self, h, w, quant, seed):
+        from pubsub2bq_spark.functions.jpeg_arith_prog import (
+            decode_jpeg_arith_progressive_planes,
+            encode_jpeg_arith_progressive_gray,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        payload = encode_jpeg_arith_progressive_gray(px, quant)
+        W, H, planes = decode_jpeg_arith_progressive_planes(payload)
+        assert (W, H) == (w, h)
+        assert np.array_equal(planes[0], _textbook(px, quant))
+
+    def test_dispatcher_routes_sof10(self):
+        from pubsub2bq_spark.functions.jpeg_arith_prog import (
+            encode_jpeg_arith_progressive_gray,
+        )
+        from pubsub2bq_spark.functions.jpeg_codec import decode_jpeg
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+        w, h, ch, got = decode_jpeg(encode_jpeg_arith_progressive_gray(px, 8))
+        assert (w, h, ch) == (23, 17, 1)
+        assert np.array_equal(got[:, :, 0] if got.ndim == 3 else got,
+                              _textbook(px, 8))
+
+    def test_fixture_matches_duckdb_oracle(self):
+        import duckdb
+        import pandas as pd
+
+        from pubsub2bq_spark.functions.multimodal import jpeg_arith_prog_batches
+        from pubsub2bq_spark.registry import all_queries
+
+        texts = ["b" * n for n in (0, 7, 64, 130, 999)]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "payload": [t.encode() for t in texts],
+            }
+        )
+        (res,) = list(jpeg_arith_prog_batches(iter([pdf])))
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+            ),
+        )
+        exp = (
+            con.execute(all_queries()["jpeg_arith_progressive"].oracle)
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        res = res.sort_values("doc_id").reset_index(drop=True)
+        for col in exp.columns:
+            assert (res[col].astype("int64") == exp[col].astype("int64")).all(), col
