@@ -626,9 +626,15 @@ def decode_jpeg_arith_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]
                         "jpeg: sampling factors beyond 2 unsupported"
                     )
                 comps.append((cid, hs, vs, body[8 + 3 * ci]))
-        elif marker in (0xCA, 0xCB):
+        elif marker == 0xCA:  # SOF10 (r14): forward to the prog decoder
+            from pubsub2bq_spark.functions.jpeg_arith_prog import (
+                decode_jpeg_arith_progressive_planes,
+            )
+
+            return decode_jpeg_arith_progressive_planes(payload)
+        elif marker == 0xCB:
             raise NotImplementedError(
-                "jpeg: progressive/lossless arithmetic unsupported"
+                "jpeg: lossless arithmetic (SOF11) unsupported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
