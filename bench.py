@@ -227,6 +227,10 @@ HEADLINE = [
     "jpeg_hier",
     # G.711 A-law: the second companding law (wFormatTag 6).
     "audio_alaw",
+    # MPEG-1 Layer II: the first perceptual audio codec (r14).
+    "audio_mp2",
+    # Arithmetic progressive JPEG (SOF10): the last T.81 matrix cell.
+    "jpeg_arith_progressive",
 ]
 
 
