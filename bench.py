@@ -231,6 +231,8 @@ HEADLINE = [
     "audio_mp2",
     # Arithmetic progressive JPEG (SOF10): the last T.81 matrix cell.
     "jpeg_arith_progressive",
+    # Arithmetic lossless JPEG (SOF11): the matrix is now complete.
+    "jpeg_arith_lossless",
 ]
 
 

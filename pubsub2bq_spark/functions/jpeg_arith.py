@@ -279,6 +279,12 @@ class _DCModel:
     per-component conditioning context from the PREVIOUS difference's
     sign/size classification against the L/U thresholds."""
 
+    # Base index of the shared X (magnitude-category) bin tree; the
+    # M (magnitude-bit) tree sits 14 past it (Table F.4 layout). The
+    # lossless model (H.1.2.2) subclasses with 25 conditioning contexts
+    # occupying 0..99, so its trees start at 100.
+    mag_base = 20
+
     def __init__(self, low: int = DC_L_DEFAULT, up: int = DC_U_DEFAULT):
         self.bins = new_bins(_DC_BINS)
         self.low = low
@@ -307,7 +313,7 @@ class _DCModel:
         st2 = st + 2 + sign
         m = qm.decode(self.bins, st2)
         if m:
-            st2 = 20  # X1 bin (Table F.4 layout)
+            st2 = self.mag_base  # X1 bin (Table F.4 layout)
             while qm.decode(self.bins, st2):
                 m <<= 1
                 if m == 0x8000:
@@ -339,7 +345,7 @@ class _DCModel:
         else:
             qm.encode(self.bins, st2, 1)
             m = 1
-            st2 = 20
+            st2 = self.mag_base
             while (m << 1) <= v:
                 qm.encode(self.bins, st2, 1)
                 m <<= 1
@@ -632,10 +638,12 @@ def decode_jpeg_arith_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]
             )
 
             return decode_jpeg_arith_progressive_planes(payload)
-        elif marker == 0xCB:
-            raise NotImplementedError(
-                "jpeg: lossless arithmetic (SOF11) unsupported"
+        elif marker == 0xCB:  # SOF11 (r14): forward to the lossless twin
+            from pubsub2bq_spark.functions.jpeg_arith_lossless import (
+                decode_jpeg_arith_lossless,
             )
+
+            return decode_jpeg_arith_lossless(payload)
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
             while i + 1 < len(body):

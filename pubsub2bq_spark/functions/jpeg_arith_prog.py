@@ -374,6 +374,14 @@ def decode_jpeg_arith_progressive_planes(
         elif marker == 0xDA:
             ss, se = body[-3], body[-2]
             ah, al = body[-1] >> 4, body[-1] & 0x0F
+            if (ss == 0) != (se == 0):
+                # T.81 G.1: progressive DC scans are exactly Ss=Se=0;
+                # a sequential-style Ss=0/Se=63 scan inside a SOF10
+                # frame is malformed (e.g. a relabeled SOF9 stream).
+                raise ValueError(
+                    "jpeg arith prog: invalid progressive band "
+                    f"Ss={ss} Se={se}"
+                )
             start = pos + 2 + seg_len
             scans.append((ss, se, ah, al, start))
             pos = _next_marker(payload, start)

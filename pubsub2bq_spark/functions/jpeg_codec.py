@@ -964,13 +964,19 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             )
 
             return decode_jpeg_arith_progressive_planes(payload)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xCB:  # SOF11: arithmetic lossless (r14)
+            from pubsub2bq_spark.functions.jpeg_arith_lossless import (
+                decode_jpeg_arith_lossless,
+            )
+
+            return decode_jpeg_arith_lossless(payload)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "jpeg: sequential (SOF0/SOF1/SOF9), Huffman progressive "
-                "(SOF2), arithmetic progressive (SOF10), lossless (SOF3) "
-                "and hierarchical (DHP+SOF5) decode; a differential frame "
-                "OUTSIDE a DHP pyramid is malformed, and arithmetic "
-                "LOSSLESS (SOF11) frames are not decoded"
+                "jpeg: every T.81 process decodes — sequential "
+                "(SOF0/SOF1/SOF9), progressive (SOF2/SOF10), lossless "
+                "(SOF3/SOF11), hierarchical (DHP+SOF5) — except a "
+                "differential frame OUTSIDE a DHP pyramid, which is "
+                "malformed"
             )
         elif marker == 0xC4:  # DHT
             i = 0

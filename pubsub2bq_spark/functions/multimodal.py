@@ -26,8 +26,10 @@ Codec coverage is split honestly:
   decodes for real — plus SOF3 lossless (Annex H predictors), SOF5/DHP
   hierarchical pyramids (Annex J, functions/jpeg_hier.py) and, since
   r14, SOF10 ARITHMETIC PROGRESSIVE (G.2 successive approximation,
-  functions/jpeg_arith_prog.py). Only arithmetic LOSSLESS (SOF11)
-  rejects loudly.
+  functions/jpeg_arith_prog.py) and SOF11 ARITHMETIC LOSSLESS
+  (H.1.2.2 25-context conditioning,
+  functions/jpeg_arith_lossless.py) — the COMPLETE T.81 process
+  matrix decodes.
 * **G.711 µ-law WAV** (r13) — manual RIFF walk + exact integer
   expansion — and **IMA ADPCM WAV** (r13): the full adaptive-quantizer
   recurrence (wFormatTag 0x11). **MPEG-1 Layer II** (r14,
@@ -37,8 +39,8 @@ Codec coverage is split honestly:
   opcodes replayed against a persistent canvas, so skipped pixels
   retain the previous frame. The video gate covers only
   transform-coded inter-frame codecs (H.264/MPEG).
-* everything else (arithmetic progressive/lossless JPEG, mp3/opus,
-  transform-coded inter-frame video) raises ``NotImplementedError``
+* everything else (mp3/opus, transform-coded inter-frame video)
+  raises ``NotImplementedError``
   unless a real decoder library (PIL) imports — the container has
   none, and pretending otherwise would be worse.
 
@@ -1657,6 +1659,61 @@ def jpeg_arith_prog_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             w, h, _ch, px = decode_jpeg(synth_jpeg_arith_prog_from_bytes(payload))
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["px_sum"].append(int(px.sum(dtype=np.int64)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+            }
+        )
+
+
+def synth_jpeg_arith_lossless_from_bytes(payload: bytes) -> bytes:
+    """Synthesize a *real* ARITHMETIC LOSSLESS (SOF11) grayscale JPEG:
+    dims from the shared byte-length rule, pixels 8×8-block-constant at
+    ``(7·bx + 9·by + n + 3) mod 256``, predictor cycling ``n % 7 + 1``
+    so the corpus exercises every Table H.1 predictor. Lossless decode
+    equals the input EXACTLY by construction, so the oracle states Σpx
+    in closed form while the full QM-coded 25-context conditioning
+    machinery genuinely runs."""
+    from pubsub2bq_spark.functions.jpeg_arith_lossless import (
+        encode_jpeg_arith_lossless,
+    )
+
+    n = len(payload)
+    w = n % 64 + 16
+    h = (n // 64) % 64 + 16
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    px = ((7 * bx[None, :] + 9 * by[:, None] + n + 3) % 256).astype(np.uint8)
+    return encode_jpeg_arith_lossless(px, predictor=n % 7 + 1)
+
+
+def jpeg_arith_lossless_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the ARITHMETIC LOSSLESS JPEG path (r14 —
+    the final T.81 matrix cell): synthesize a real SOF11 stream per
+    payload and genuinely decode it through the general dispatcher
+    (QM decode under 25-context (Da, Db) conditioning, Table H.1
+    prediction, modulo-2^16 reconstruction), then pixel-sum the
+    decoded image."""
+    from pubsub2bq_spark.functions.jpeg_codec import decode_jpeg
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "n_bytes": [], "width": [], "height": [],
+            "px_sum": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _ch, px = decode_jpeg(
+                synth_jpeg_arith_lossless_from_bytes(payload)
+            )
             rows["doc_id"].append(doc_id)
             rows["n_bytes"].append(len(payload))
             rows["width"].append(w)

@@ -764,6 +764,61 @@ def jpeg_arith_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_arith_lossless",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT)            AS n_bytes,
+                   CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                   CAST((octet_length(encode(text)) // 64) % 64 + 16
+                        AS INTEGER)                                      AS height
+            FROM documents
+        ),
+        g AS (
+            SELECT *, unnest(range(0, (height + 7) // 8)) AS by
+            FROM (SELECT *, unnest(range(0, (width + 7) // 8)) AS bx
+                  FROM m)
+        )
+        SELECT doc_id, n_bytes, width, height,
+               CAST(sum(((7 * bx + 9 * by + n_bytes + 3) % 256)
+                        * least(8, width - 8 * bx)
+                        * least(8, height - 8 * by)) AS BIGINT)          AS px_sum
+        FROM g GROUP BY doc_id, n_bytes, width, height
+    """,
+    doc="ARITHMETIC LOSSLESS (SOF11) JPEG decode, REAL end-to-end (r14 "
+        "— the FINAL T.81 matrix cell; with it every T.81 process "
+        "decodes): the kernel synthesizes a real SOF11 stream per "
+        "payload (predictor cycling n % 7 + 1 so the corpus exercises "
+        "every Table H.1 predictor) and genuinely decodes it through "
+        "the general dispatcher (functions/jpeg_arith_lossless.py: the "
+        "Annex F DC difference model under the H.1.2.2 25-context "
+        "(Da, Db) conditioning — 5x5 L/U classification of the left and "
+        "above residuals — QM decode, Table H.1 prediction, modulo-2^16 "
+        "reconstruction). Lossless, so decode equals the input exactly "
+        "by construction and the oracle states px_sum in closed form "
+        "over the block grid; random-image round trips pin all seven "
+        "predictors. No JPEG gate remains.",
+    scale_notes="Identical envelope to jpeg_lossless: project to "
+                "(doc_id, payload), one Arrow-batched mapInPandas pass, "
+                "no shuffle after the kernel; per-row decode is one "
+                "pass over the sample grid, O(1) output per document.",
+)
+def jpeg_arith_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubsub2bq_spark.functions.multimodal import (
+        JPEG_PROG_SCHEMA,
+        jpeg_arith_lossless_batches,
+    )
+
+    d = fan_out(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        spark,
+    )
+    return d.mapInPandas(jpeg_arith_lossless_batches, JPEG_PROG_SCHEMA)
+
+
+@register(
     "jpeg_progressive_color",
     oracle="""
         WITH m AS (

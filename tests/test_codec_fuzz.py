@@ -566,3 +566,87 @@ class TestArithProgressiveFuzz:
         res = res.sort_values("doc_id").reset_index(drop=True)
         for col in exp.columns:
             assert (res[col].astype("int64") == exp[col].astype("int64")).all(), col
+
+
+class TestArithLosslessFuzz:
+    """SOF11 (r14): the final T.81 process — must reproduce the input
+    EXACTLY under every predictor."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 50), w=st.integers(1, 50),
+        sel=st.integers(1, 7), seed=st.integers(0, 2**31),
+    )
+    def test_roundtrip_exact(self, h, w, sel, seed):
+        from pubsub2bq_spark.functions.jpeg_arith_lossless import (
+            decode_jpeg_arith_lossless,
+            encode_jpeg_arith_lossless,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        W, H, planes = decode_jpeg_arith_lossless(
+            encode_jpeg_arith_lossless(px, sel)
+        )
+        assert (W, H) == (w, h)
+        assert np.array_equal(planes[0], px)
+
+    def test_dispatcher_routes_sof11(self):
+        from pubsub2bq_spark.functions.jpeg_arith_lossless import (
+            encode_jpeg_arith_lossless,
+        )
+        from pubsub2bq_spark.functions.jpeg_codec import decode_jpeg
+
+        rng = np.random.default_rng(9)
+        px = rng.integers(0, 256, (19, 27), dtype=np.uint8)
+        w, h, ch, got = decode_jpeg(encode_jpeg_arith_lossless(px, 5))
+        assert (w, h, ch) == (27, 19, 1)
+        assert np.array_equal(got[:, :, 0] if got.ndim == 3 else got, px)
+
+    def test_conditioning_compresses_smooth_content(self):
+        """The 25-context conditioning must actually adapt: a smooth
+        gradient (residuals concentrated near zero with stable
+        neighborhood classes) should compress far below 1 byte/px."""
+        from pubsub2bq_spark.functions.jpeg_arith_lossless import (
+            encode_jpeg_arith_lossless,
+        )
+
+        sm = (np.add.outer(np.arange(200), np.arange(200)) // 4 % 256).astype(
+            np.uint8
+        )
+        payload = encode_jpeg_arith_lossless(sm, 4)
+        assert len(payload) < 0.2 * sm.size
+
+    def test_fixture_matches_duckdb_oracle(self):
+        import duckdb
+        import pandas as pd
+
+        from pubsub2bq_spark.functions.multimodal import (
+            jpeg_arith_lossless_batches,
+        )
+        from pubsub2bq_spark.registry import all_queries
+
+        texts = ["c" * n for n in (0, 7, 64, 130, 999, 321)]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "payload": [t.encode() for t in texts],
+            }
+        )
+        (res,) = list(jpeg_arith_lossless_batches(iter([pdf])))
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+            ),
+        )
+        exp = (
+            con.execute(all_queries()["jpeg_arith_lossless"].oracle)
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        res = res.sort_values("doc_id").reset_index(drop=True)
+        for col in exp.columns:
+            assert (res[col].astype("int64") == exp[col].astype("int64")).all(), col

@@ -81,13 +81,12 @@ class TestJpegCodec:
         assert len(data) < 1000  # EOB-only blocks stay tiny
 
     def test_rejects_gated_frames_and_truncated(self):
-        # (sequential arithmetic SOF9 and lossless SOF3 decode for
-        # real since r13 — arithmetic-lossless/differential frame
-        # types are the remaining gate)
+        # (every T.81 process decodes for real since r14 — only a
+        # DIFFERENTIAL frame outside a DHP pyramid remains rejected)
         img = np.zeros((8, 8), dtype=np.uint8)
         data = bytearray(encode_jpeg_gray(img))
         sof = data.find(b"\xff\xc0")
-        data[sof + 1] = 0xCB  # rewrite SOF0 → SOF11 (arith lossless)
+        data[sof + 1] = 0xC5  # SOF0 → SOF5 (differential, no pyramid)
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
         with pytest.raises(ValueError):
@@ -293,13 +292,15 @@ class TestJpegProgressive:
         for got, exp in zip(planes, _textbook_420(y, cb, cr, quant)):
             assert np.array_equal(got, exp)
 
-    def test_arithmetic_sof_still_rejects(self):
+    def test_differential_sof_still_rejects(self):
+        # (SOF10 decodes for real since r14; the differential
+        # arithmetic types outside a DHP pyramid remain rejected)
         from pubsub2bq_spark.functions.jpeg_codec import encode_jpeg_420
 
         y = np.zeros((16, 16), dtype=np.uint8)
         data = bytearray(encode_jpeg_420(y, y, y))
         sof = data.find(b"\xff\xc0")
-        data[sof + 1] = 0xCA  # SOF10: arithmetic progressive
+        data[sof + 1] = 0xCE  # SOF14: differential arith sequential
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
 
@@ -516,7 +517,10 @@ class TestArithmeticJpeg:
                 planes[2], (7 * mx[None, :] + 5 * my[:, None] + 48) % 256
             )
 
-        # progressive-arithmetic (SOF10) stays loudly gated
+        # SOF10 decodes for real since r14 — but a SOF9 stream merely
+        # RELABELED as progressive is malformed (its sequential
+        # Ss=0/Se=63 scan is not a valid progressive band) and must
+        # fail loudly, never decode to garbage
         from pubsub2bq_spark.functions.jpeg_arith import (
             encode_jpeg_arith_gray,
         )
@@ -524,7 +528,7 @@ class TestArithmeticJpeg:
         data = bytearray(encode_jpeg_arith_gray(np.zeros((8, 8), np.uint8)))
         sof = data.find(b"\xff\xc9")
         data[sof + 1] = 0xCA
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_jpeg(bytes(data))
 
 

@@ -43,7 +43,7 @@ def test_unsupported_codecs_still_raise():
 
     gated = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
     sof = gated.find(b"\xff\xc0")
-    gated[sof + 1] = 0xCB  # SOF0 → SOF11 (arithmetic lossless)
+    gated[sof + 1] = 0xCE  # SOF0 → SOF14 (differential arithmetic)
     with pytest.raises(NotImplementedError):
         mm.decode_image(bytes(gated))
     with pytest.raises(NotImplementedError):
