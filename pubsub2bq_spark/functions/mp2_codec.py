@@ -194,22 +194,29 @@ def _filterbank_tables() -> tuple[np.ndarray, np.ndarray]:
 
 def synthesize(subband_samples: np.ndarray) -> np.ndarray:
     """Spec-flow polyphase synthesis: (n_t, 32) subband samples ->
-    (n_t * 32,) PCM float64 in [-1, 1]."""
+    (n_t * 32,) PCM float64 in [-1, 1].
+
+    Vectorized over time (r14): with M[t] = N @ S[t], the V-FIFO at
+    time t is just the last 16 matrixed frames, and the spec's U
+    selection / window / 16-tap accumulation reduces to the closed
+    form  out[t] = sum_j ( M[t-2j][:32]*D[j*64:j*64+32]
+                         + M[t-2j-1][32:]*D[j*64+32:j*64+64] ),
+    j = 0..7 — sixteen shifted broadcast-multiplies over the whole
+    stream instead of a per-granule Python loop (negative indexes are
+    the zero-initialized FIFO, modeled by front padding)."""
     N, D = _filterbank_tables()
     n_t = subband_samples.shape[0]
-    V = np.zeros(1024)
-    out = np.empty(n_t * 32)
-    for t in range(n_t):
-        V[64:] = V[:-64]
-        V[:64] = N @ subband_samples[t]
-        # U selection: per spec, alternate half-blocks of the FIFO.
-        U = np.empty(512)
-        for j in range(8):
-            U[j * 64 : j * 64 + 32] = V[j * 128 : j * 128 + 32]
-            U[j * 64 + 32 : j * 64 + 64] = V[j * 128 + 96 : j * 128 + 128]
-        W = U * D
-        out[t * 32 : (t + 1) * 32] = W.reshape(16, 32).sum(axis=0)
-    return np.clip(out, -1.0, 1.0)
+    if n_t == 0:
+        return np.zeros(0)
+    M = subband_samples @ N.T  # (n_t, 64)
+    Mp = np.vstack([np.zeros((16, 64)), M])  # Mp[16 + t] = M[t]
+    out = np.zeros((n_t, 32))
+    for j in range(8):
+        even = Mp[16 - 2 * j : 16 - 2 * j + n_t, :32]
+        odd = Mp[15 - 2 * j : 15 - 2 * j + n_t, 32:]
+        out += even * D[j * 64 : j * 64 + 32]
+        out += odd * D[j * 64 + 32 : j * 64 + 64]
+    return np.clip(out.reshape(-1), -1.0, 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -650,3 +650,33 @@ class TestArithLosslessFuzz:
         res = res.sort_values("doc_id").reset_index(drop=True)
         for col in exp.columns:
             assert (res[col].astype("int64") == exp[col].astype("int64")).all(), col
+
+
+def test_mp2_synthesis_vectorized_matches_spec_loop():
+    """The r14 closed-form synthesis (16 shifted broadcast-multiplies)
+    must match the straightforward spec-flow V-FIFO loop."""
+    import numpy as np
+
+    from pubsub2bq_spark.functions import mp2_codec as M
+
+    N, D = M._filterbank_tables()
+
+    def spec_loop(S):
+        n_t = S.shape[0]
+        V = np.zeros(1024)
+        out = np.empty(n_t * 32)
+        for t in range(n_t):
+            V[64:] = V[:-64]
+            V[:64] = N @ S[t]
+            U = np.empty(512)
+            for j in range(8):
+                U[j * 64 : j * 64 + 32] = V[j * 128 : j * 128 + 32]
+                U[j * 64 + 32 : j * 64 + 64] = V[j * 128 + 96 : j * 128 + 128]
+            W = U * D
+            out[t * 32 : (t + 1) * 32] = W.reshape(16, 32).sum(axis=0)
+        return np.clip(out, -1.0, 1.0)
+
+    rng = np.random.default_rng(21)
+    for n_t in (1, 7, 36, 108):
+        S = rng.normal(0, 0.02, (n_t, 32))
+        assert np.allclose(M.synthesize(S), spec_loop(S), atol=1e-12)
