@@ -35,7 +35,10 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     grows after the table fills a width, CLEAR resets at 4096."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    table: dict[bytes, int] = {bytes((i,)): i for i in range(clear)}
+    # string table keyed (prefix_code << 8) | next_byte (r14: every
+    # dictionary state IS a code, so the bytes-concatenation keys were
+    # pure allocation overhead — same greedy match, same emitted codes)
+    table: dict[int, int] = {}
     next_code = eoi + 1
     width = min_code_size + 1
 
@@ -53,26 +56,30 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
             nbits -= 8
 
     emit(clear, width)
-    prefix = b""
-    for v in indices.reshape(-1):
-        nxt = prefix + bytes((int(v),))
-        if nxt in table:
+    prefix = -1  # -1 = empty prefix
+    for v in indices.reshape(-1).tolist():
+        if prefix < 0:
+            prefix = v
+            continue
+        key = (prefix << 8) | v
+        nxt = table.get(key)
+        if nxt is not None:
             prefix = nxt
             continue
-        emit(table[prefix], width)
-        table[nxt] = next_code
+        emit(prefix, width)
+        table[key] = next_code
         next_code += 1
         if next_code == (1 << width) + 1:
             if width < 12:
                 width += 1
             else:
                 emit(clear, width)
-                table = {bytes((i,)): i for i in range(clear)}
+                table = {}
                 next_code = eoi + 1
                 width = min_code_size + 1
-        prefix = bytes((int(v),))
-    if prefix:
-        emit(table[prefix], width)
+        prefix = v
+    if prefix >= 0:
+        emit(prefix, width)
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

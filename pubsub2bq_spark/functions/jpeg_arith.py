@@ -112,6 +112,8 @@ class _QMEncoder:
     code point (stuffed zero bit after every 0xFF byte, per B.1.1.5).
     """
 
+    __slots__ = ("a", "c", "cbits")
+
     def __init__(self) -> None:
         self.a = 0x10000
         self.c = 0
@@ -148,10 +150,12 @@ class _QMEncoder:
                 self._renorm()
 
     def _renorm(self) -> None:
-        while self.a < 0x8000:
-            self.a <<= 1
-            self.c <<= 1
-            self.cbits += 1
+        # a is always in (0, 0x8000) here; the loop is a single shift by
+        # however many bits a is short of bit 15 (r14: closed form)
+        s = 16 - self.a.bit_length()
+        self.a <<= s
+        self.c <<= s
+        self.cbits += s
 
     def flush(self) -> bytes:
         """Serialize the midpoint of the final interval MSB-first with
@@ -178,6 +182,13 @@ class _QMEncoder:
                 out.append(acc)
                 stuff = acc == 0xFF
                 acc, nacc = 0, 0
+        if stuff:
+            # A trailing 0xFF still needs its stuffed zero byte
+            # (T.81 B.1.1.5) — otherwise it fuses with the following
+            # marker's 0xFF and the scan walk misparses. (Latent until
+            # r14: the fixture coefficient space never flushed to a
+            # trailing 0xFF before the DCT refactor shifted one rint.)
+            out.append(0x00)
         return bytes(out)
 
 
@@ -187,81 +198,116 @@ class _QMDecoder:
     Maintains ``off`` = the first ``16 + shifts`` code bits minus the
     low end of the current interval — the exact integer the Annex D
     C-register pipeline windows (truncating the offset is exact for
-    comparisons against integer Qe: ``floor(x) < q ⇔ x < q``). The
-    input feeder applies the B.1.1.5 rules: the bit after an 0xFF byte
-    is a stuffed zero (skipped), and a marker byte (> 0x8F) switches to
-    the feed-1-bits tail so the decoder can finish the last
-    renormalizations past the end of the entropy segment."""
+    comparisons against integer Qe: ``floor(x) < q ⇔ x < q``).
+
+    r14: the byte-at-a-time feeder (buffer/stuffing state machine per
+    bit) is replaced by ONE upfront unstuffing pass that materializes
+    the whole segment's bit list, with the B.1.1.5 semantics preserved
+    exactly: the bit after a data 0xFF byte is a stuffed zero
+    (dropped), a marker byte (> 0x8F after 0xFF) switches to the
+    feed-1-bits tail, and a segment that exhausts WITHOUT a marker
+    replays the old feeder's implicit 0xD9 padding bytes. The decision
+    loop is inlined into :meth:`decode` (no per-renorm method calls)."""
+
+    __slots__ = ("bits", "nbits", "bp", "ones_tail", "off", "a")
+
+    _D9_BITS = [1, 1, 0, 1, 1, 0, 0, 1]
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.bitbuf = 0
-        self.nbits = 0
-        self.prev_ff = False
-        self.in_marker = False
+        parts: list[np.ndarray] = []
+        i, n = 0, len(data)
+        ones_tail = False
+        while True:
+            j = data.find(b"\xff", i)
+            if j < 0:
+                if i < n:
+                    parts.append(
+                        np.unpackbits(np.frombuffer(data[i:], np.uint8))
+                    )
+                break
+            # bytes up to AND INCLUDING the 0xFF feed as full bytes
+            parts.append(
+                np.unpackbits(np.frombuffer(data[i : j + 1], np.uint8))
+            )
+            if j + 1 >= n or data[j + 1] > 0x8F:
+                ones_tail = True  # marker (or implicit 0xD9): 1-bits
+                break
+            # stuffed byte: its MSB is the stuffed zero — 7 bits count
+            parts.append(
+                np.unpackbits(np.frombuffer(data[j + 1 : j + 2], np.uint8))[1:]
+            )
+            i = j + 2
+        bits = (
+            np.concatenate(parts).tolist() if parts else []
+        )
+        self.bits = bits
+        self.nbits = len(bits)
+        self.ones_tail = ones_tail
+        self.bp = 0
         off = 0
         for _ in range(16):
-            off = (off << 1) | self._bit()
+            off = (off << 1) | self._tail_safe_bit()
         self.off = off
         self.a = 0x10000
 
-    def _bit(self) -> int:
-        if self.nbits == 0:
-            if self.in_marker:
-                return 1
-            b = self.data[self.pos] if self.pos < len(self.data) else 0xD9
-            if self.prev_ff:
-                if b > 0x8F:  # marker: feed 1-bits from here on
-                    self.in_marker = True
-                    return 1
-                self.pos += 1
-                self.prev_ff = False
-                self.bitbuf = b & 0x7F  # MSB is the stuffed zero bit
-                self.nbits = 7
-            else:
-                self.pos += 1
-                self.prev_ff = b == 0xFF
-                self.bitbuf = b
-                self.nbits = 8
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
+    def _tail_safe_bit(self) -> int:
+        bp = self.bp
+        self.bp = bp + 1
+        if bp < self.nbits:
+            return self.bits[bp]
+        if self.ones_tail:
+            return 1
+        return self._D9_BITS[(bp - self.nbits) & 7]
 
     def decode(self, bins: list[list[int]], i: int) -> int:
-        sv, mps = bins[i]
-        qe, nmps, nlps, sw = _QE[sv]
-        self.a -= qe
-        if self.off < qe:  # bottom subinterval
-            if self.a < qe:  # conditional exchange: decoded MPS
-                d = mps
-                bins[i][0] = nmps
+        b = bins[i]
+        qe, nmps, nlps, sw = _QE[b[0]]
+        a = self.a - qe
+        off = self.off
+        if off < qe:  # bottom subinterval
+            if a < qe:  # conditional exchange: decoded MPS
+                d = b[1]
+                b[0] = nmps
             else:
-                d = 1 - mps
+                d = 1 - b[1]
                 if sw:
-                    bins[i][1] = 1 - mps
-                bins[i][0] = nlps
-            self.a = qe
-            self._renorm()
+                    b[1] = d
+                b[0] = nlps
+            a = qe
         else:  # top subinterval
-            self.off -= qe
-            if self.a < 0x8000:
-                if self.a < qe:
-                    d = 1 - mps
-                    if sw:
-                        bins[i][1] = 1 - mps
-                    bins[i][0] = nlps
-                else:
-                    d = mps
-                    bins[i][0] = nmps
-                self._renorm()
+            off -= qe
+            if a >= 0x8000:
+                self.a = a
+                self.off = off
+                return b[1]
+            if a < qe:
+                d = 1 - b[1]
+                if sw:
+                    b[1] = d
+                b[0] = nlps
             else:
-                d = mps
+                d = b[1]
+                b[0] = nmps
+        # inline renormalization (a in (0, 0x8000) here)
+        bits = self.bits
+        bp = self.bp
+        nb = self.nbits
+        if bp + 16 <= nb:  # fast path: no tail handling needed
+            while a < 0x8000:
+                a <<= 1
+                off = (off << 1) | bits[bp]
+                bp += 1
+            self.bp = bp
+        else:
+            while a < 0x8000:
+                a <<= 1
+                off = (off << 1) | self._tail_safe_bit()
+            self.a = a
+            self.off = off
+            return d
+        self.a = a
+        self.off = off
         return d
-
-    def _renorm(self) -> None:
-        while self.a < 0x8000:
-            self.a <<= 1
-            self.off = (self.off << 1) | self._bit()
 
 
 # Annex F conditioning defaults (T.81 F.1.4.4.1.2 / F.1.4.4.2.1): DC
@@ -405,9 +451,12 @@ class _ACModel:
             zz[k] = -v if sign else v
             k += 1
 
-    def encode_block(self, qm: _QMEncoder, zz: np.ndarray) -> None:
-        nz = [k for k in range(1, 64) if zz[k]]
-        eob = (nz[-1] + 1) if nz else 1
+    def encode_block(self, qm: _QMEncoder, zz: list[int]) -> None:
+        eob = 1
+        for k in range(63, 0, -1):
+            if zz[k]:
+                eob = k + 1
+                break
         k = 1
         pos = 0
         while k < eob:
@@ -472,20 +521,18 @@ def encode_jpeg_arith_gray(px: np.ndarray, quant: int = 8) -> bytes:
     px = np.asarray(px, dtype=np.uint8)
     h, w = px.shape
     blocks, bw, bh = _blocks_of(px)
-    coefs = np.einsum("ux,byxz,vz->byuv", _A, blocks, _A)
+    coefs = ((_A @ blocks) @ _A.T)
     q = np.rint(coefs / float(quant)).astype(np.int64)
 
     enc = _QMEncoder()
     dcm, acm = _DCModel(), _ACModel()
     pred, ctx = 0, 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = q[by, bx].reshape(64)[_ZIGZAG]
-            diff = int(zz[0]) - pred
-            dcm.encode(enc, ctx, diff)
-            ctx = dcm.classify(diff)
-            pred = int(zz[0])
-            acm.encode_block(enc, zz)
+    for zz in q.reshape(bh * bw, 64)[:, _ZIGZAG].tolist():
+        diff = zz[0] - pred
+        dcm.encode(enc, ctx, diff)
+        ctx = dcm.classify(diff)
+        pred = zz[0]
+        acm.encode_block(enc, zz)
 
     qtab = bytes(np.full(64, quant, dtype=np.uint8))
     out = bytearray()
@@ -518,7 +565,7 @@ def encode_jpeg_arith_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     ypad = np.pad(y.astype(np.float64) - 128.0,
                   ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
     yblocks = ypad.reshape(mcuy * 2, 8, mcux * 2, 8).transpose(0, 2, 1, 3)
-    qy = np.rint(np.einsum("ux,byxz,vz->byuv", _A, yblocks, _A)
+    qy = np.rint(((_A @ yblocks) @ _A.T)
                  / float(quant)).astype(np.int64)
 
     def _sub(plane: np.ndarray) -> np.ndarray:
@@ -529,14 +576,10 @@ def encode_jpeg_arith_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                       ((0, mcuy * 8 - s.shape[0]), (0, mcux * 8 - s.shape[1])),
                       mode="edge")
 
-    qcb = np.rint(np.einsum(
-        "ux,byxz,vz->byuv", _A,
-        _sub(cb).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3), _A,
-    ) / float(quant)).astype(np.int64)
-    qcr = np.rint(np.einsum(
-        "ux,byxz,vz->byuv", _A,
-        _sub(cr).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3), _A,
-    ) / float(quant)).astype(np.int64)
+    qcb = np.rint(((_A @ _sub(cb).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3))
+         @ _A.T) / float(quant)).astype(np.int64)
+    qcr = np.rint(((_A @ _sub(cr).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3))
+         @ _A.T) / float(quant)).astype(np.int64)
 
     enc = _QMEncoder()
     dcms = [_DCModel(), _DCModel()]   # stat tables: 0 luma, 1 chroma
@@ -544,23 +587,24 @@ def encode_jpeg_arith_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     preds = [0, 0, 0]
     ctxs = [0, 0, 0]
 
-    def code_block(zz: np.ndarray, ci: int, tbl: int) -> None:
-        diff = int(zz[0]) - preds[ci]
+    def code_block(zz: list[int], ci: int, tbl: int) -> None:
+        diff = zz[0] - preds[ci]
         dcms[tbl].encode(enc, ctxs[ci], diff)
         ctxs[ci] = dcms[tbl].classify(diff)
-        preds[ci] = int(zz[0])
+        preds[ci] = zz[0]
         acms[tbl].encode_block(enc, zz)
 
+    zy = qy.reshape(mcuy * 2 * mcux * 2, 64)[:, _ZIGZAG].tolist()
+    zcb = qcb.reshape(mcuy * mcux, 64)[:, _ZIGZAG].tolist()
+    zcr = qcr.reshape(mcuy * mcux, 64)[:, _ZIGZAG].tolist()
+    yw = 2 * mcux
     for my in range(mcuy):
         for mx in range(mcux):
             for dy in range(2):
                 for dx in range(2):
-                    code_block(
-                        qy[2 * my + dy, 2 * mx + dx].reshape(64)[_ZIGZAG],
-                        0, 0,
-                    )
-            code_block(qcb[my, mx].reshape(64)[_ZIGZAG], 1, 1)
-            code_block(qcr[my, mx].reshape(64)[_ZIGZAG], 2, 1)
+                    code_block(zy[(2 * my + dy) * yw + 2 * mx + dx], 0, 0)
+            code_block(zcb[my * mcux + mx], 1, 1)
+            code_block(zcr[my * mcux + mx], 2, 1)
 
     qtab = bytes(np.full(64, quant, dtype=np.uint8))
     out = bytearray()
@@ -688,8 +732,8 @@ def decode_jpeg_arith_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]
             dcms[dc_t] = _DCModel(low, up)
         if ac_t not in acms:
             acms[ac_t] = _ACModel(ac_cond.get(ac_t, AC_KX_DEFAULT))
-    coefs = [
-        np.zeros((mcuy * vs, mcux * hs, 8, 8), dtype=np.float64)
+    zstores = [
+        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
         for _cid, hs, vs, _tq in comps
     ]
     preds = [0] * len(comps)
@@ -698,18 +742,25 @@ def decode_jpeg_arith_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]
         for mx in range(mcux):
             for ci, dc_t, ac_t in scan:
                 _cid, hs, vs, tq = comps[ci]
-                q = qtables[tq]
+                zs = zstores[ci]
+                dcm = dcms[dc_t]
+                acm = acms[ac_t]
                 for dy in range(vs):
                     for dx in range(hs):
-                        zz = np.zeros(64, dtype=np.int64)
-                        diff = dcms[dc_t].decode(qm, ctxs[ci])
-                        ctxs[ci] = dcms[dc_t].classify(diff)
+                        zz = [0] * 64
+                        diff = dcm.decode(qm, ctxs[ci])
+                        ctxs[ci] = dcm.classify(diff)
                         preds[ci] += diff
                         zz[0] = preds[ci]
-                        acms[ac_t].decode_block(qm, zz)
-                        coefs[ci][my * vs + dy, mx * hs + dx] = (
-                            zz[_UNZIGZAG].reshape(8, 8) * q
-                        )
+                        acm.decode_block(qm, zz)
+                        zs[my * vs + dy, mx * hs + dx] = zz
+    coefs = [
+        zs[:, :, _UNZIGZAG]
+        .reshape(zs.shape[0], zs.shape[1], 8, 8)
+        .astype(np.float64)
+        * qtables[tq][None, None]
+        for (_cid, _hs, _vs, tq), zs in zip(comps, zstores)
+    ]
     return _planes_of(coefs, comps, w, h, hmax, vmax)
 
 

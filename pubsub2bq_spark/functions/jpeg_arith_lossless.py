@@ -35,7 +35,38 @@ from pubsub2bq_spark.functions.jpeg_arith import (
     DC_U_DEFAULT,
     new_bins,
 )
-from pubsub2bq_spark.functions.jpeg_codec import _lossless_predict
+from pubsub2bq_spark.functions.jpeg_codec import _lossless_reconstruct
+
+# Precomputed conditioning tables (r14: the per-pixel 5-way L/U
+# classification of Da and Db was ~25% of the kernel): indexed by
+# ``diff & 0xFFFF``; TA carries 20·cat5(Da), TB carries 4·cat5(Db), so
+# the context base is one add of two list gathers. Keyed by the (L, U)
+# thresholds from the DAC segment.
+_CTX_CACHE: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+
+
+def _ctx_tables(low: int, up: int) -> tuple[list[int], list[int]]:
+    t = _CTX_CACHE.get((low, up))
+    if t is None:
+        d16 = np.arange(1 << 16, dtype=np.int64)
+        diff = np.where(d16 >= 0x8000, d16 - 0x10000, d16)
+        v = np.abs(diff) - 1
+        m = np.zeros(1 << 16, dtype=np.int64)
+        nz = v > 0
+        _, e = np.frexp(v[nz].astype(np.float64))
+        m[nz] = np.int64(1) << (e.astype(np.int64) - 1)  # highest set bit
+        cat = np.where(
+            (diff == 0) | (m < ((1 << low) >> 1)),
+            0,
+            np.where(
+                m > ((1 << up) >> 1),
+                np.where(diff > 0, 3, 4),
+                np.where(diff > 0, 1, 2),
+            ),
+        )
+        t = ((20 * cat).tolist(), (4 * cat).tolist())
+        _CTX_CACHE[(low, up)] = t
+    return t
 
 
 class _LosslessModel(_DCModel):
@@ -88,13 +119,23 @@ def encode_jpeg_arith_lossless(px: np.ndarray, predictor: int = 4) -> bytes:
 
     enc = _QMEncoder()
     model = _LosslessModel()
-    for r in range(h):
-        row = diffs[r]
-        above = diffs[r - 1] if r else None
-        for j in range(w):
-            da = int(row[j - 1]) if j else 0
-            db = int(above[j]) if r else 0
-            model.encode(enc, model.context(da, db), int(row[j]))
+    ta, tb = _ctx_tables(DC_L_DEFAULT, DC_U_DEFAULT)
+    mencode = model.encode
+    rows = diffs.tolist()
+    above: list[int] | None = None
+    for row in rows:
+        da = 0
+        if above is None:
+            for j, diff in enumerate(row):
+                mencode(enc, ta[da & 0xFFFF], diff)  # db = 0 → tb term 0
+                da = diff
+        else:
+            for j, diff in enumerate(row):
+                mencode(
+                    enc, ta[da & 0xFFFF] + tb[above[j] & 0xFFFF], diff
+                )
+                da = diff
+        above = row
 
     out = bytearray()
     out += b"\xff\xd8"
@@ -165,31 +206,31 @@ def decode_jpeg_arith_lossless(
             "jpeg arith lossless: point transform unsupported"
         )
 
+    # Two-phase decode (r14, mirroring the SOF3 twin): (1) the QM
+    # residual pass — sequential by nature (adaptive coder), but with
+    # the (Da, Db) conditioning served by precomputed tables and plain
+    # list rows; (2) Table H.1 reconstruction row-vectorized via the
+    # shared helper.
     qm = _QMDecoder(payload[scan_start:])
     model = _LosslessModel(*cond)
-    out = np.zeros((h, w), dtype=np.int64)
-    diffs = np.zeros((h, w), dtype=np.int64)
-    for r in range(h):
-        row = out[r]
-        drow = diffs[r]
-        above = out[r - 1] if r else None
-        dabove = diffs[r - 1] if r else None
-        for j in range(w):
-            da = int(drow[j - 1]) if j else 0
-            db = int(dabove[j]) if r else 0
-            diff = model.decode(qm, model.context(da, db))
-            drow[j] = diff
-            if r == 0 and j == 0:
-                p = 128
-            elif r == 0:
-                p = int(row[j - 1])
-            elif j == 0:
-                p = int(above[j])
-            else:
-                p = _lossless_predict(
-                    int(row[j - 1]), int(above[j]), int(above[j - 1]), sel
+    ta, tb = _ctx_tables(*cond)
+    mdecode = model.decode
+    rows: list[list[int]] = []
+    above: list[int] | None = None
+    for _r in range(h):
+        drow = [0] * w
+        da = 0
+        if above is None:
+            for j in range(w):
+                da = drow[j] = mdecode(qm, ta[da & 0xFFFF])  # db = 0
+        else:
+            for j in range(w):
+                da = drow[j] = mdecode(
+                    qm, ta[da & 0xFFFF] + tb[above[j] & 0xFFFF]
                 )
-            row[j] = (p + diff) & 0xFFFF
+        rows.append(drow)
+        above = drow
+    out = _lossless_reconstruct(np.array(rows, dtype=np.int64), sel)
     if out.max() > 255:
         raise ValueError("jpeg arith lossless: sample out of 8-bit range")
     return w, h, [out.astype(np.uint8)]

@@ -192,12 +192,11 @@ class _ACBand(_ACModel):
             k += 1
 
     def encode_band(
-        self, qm: _QMEncoder, zz: np.ndarray, ss: int, se: int, al: int
+        self, qm: _QMEncoder, vals: list[int], ss: int, se: int, al: int
     ) -> None:
-        vals = np.asarray(
-            [_pt_ac(int(zz[k]), al) for k in range(ss, se + 1)],
-            dtype=np.int64,
-        )
+        """``vals`` is the POINT-TRANSFORMED band [ss, se] as a plain-int
+        list (the caller computes all blocks' transforms in one
+        vectorized pass — r14)."""
         nz = [i for i, v in enumerate(vals) if v]
         eob = (nz[-1] + ss + 1) if nz else ss
         k = ss
@@ -209,7 +208,7 @@ class _ACBand(_ACModel):
                 st += 3
                 k += 1
             qm.encode(self.bins, st + 1, 1)
-            val = int(vals[k - ss])
+            val = vals[k - ss]
             sign = 1 if val < 0 else 0
             qm.encode(self.fixed, 0, sign)
             v = abs(val) - 1
@@ -251,13 +250,9 @@ def encode_jpeg_arith_progressive_gray(px: np.ndarray, quant: int = 8) -> bytes:
     px = np.asarray(px, dtype=np.uint8)
     h, w = px.shape
     blocks, bw, bh = _blocks_of(px)
-    coefs = np.einsum("ux,byxz,vz->byuv", _A, blocks, _A)
+    coefs = ((_A @ blocks) @ _A.T)
     q = np.rint(coefs / float(quant)).astype(np.int64)
-    zz_all = [
-        q[by, bx].reshape(64)[_ZIGZAG].copy()
-        for by in range(bh)
-        for bx in range(bw)
-    ]
+    Z = q.reshape(bh * bw, 64)[:, _ZIGZAG]
 
     qtab = bytes(np.full(64, quant, dtype=np.uint8))
     out = bytearray()
@@ -269,8 +264,11 @@ def encode_jpeg_arith_progressive_gray(px: np.ndarray, quant: int = 8) -> bytes:
     out += _dac_segment()
 
     # Reconstruction state visible to refinement scans (what the
-    # decoder has after the preceding scans).
-    state = [np.zeros(64, dtype=np.int64) for _ in zz_all]
+    # decoder has after the preceding scans) — plain-int lists; the
+    # point transforms are computed for every block in one vectorized
+    # pass per scan (r14: the per-coefficient `_pt_ac(int(zz[k]))`
+    # list comprehensions were most of the encoder's time).
+    state = [[0] * 64 for _ in range(bh * bw)]
     for ss, se, ah, al in PROG_SCANS:
         out += (b"\xff\xda" + struct.pack(">H", 8)
                 + bytes((1, 1, 0, ss, se, (ah << 4) | al)))
@@ -278,36 +276,38 @@ def encode_jpeg_arith_progressive_gray(px: np.ndarray, quant: int = 8) -> bytes:
         if ss == 0 and ah == 0:
             dcm = _DCModel()
             pred, ctx = 0, 0
-            for zz, st_zz in zip(zz_all, state):
-                v = int(zz[0]) >> al
+            for bi, v in enumerate((Z[:, 0] >> al).tolist()):
                 diff = v - pred
                 dcm.encode(enc, ctx, diff)
                 ctx = dcm.classify(diff)
                 pred = v
-                st_zz[0] = v << al
+                state[bi][0] = v << al
         elif ss == 0:
             fixed = [[FIXED_BIN, 0]]
-            for zz, st_zz in zip(zz_all, state):
-                bit = (int(zz[0]) >> al) & 1
+            p1 = 1 << al
+            for bi, bit in enumerate(((Z[:, 0] >> al) & 1).tolist()):
                 enc.encode(fixed, 0, bit)
                 if bit:
-                    st_zz[0] |= 1 << al
-        elif ah == 0:
-            acm = _ACBand()
-            for zz, st_zz in zip(zz_all, state):
-                acm.encode_band(enc, zz, ss, se, al)
-                for k in range(ss, se + 1):
-                    st_zz[k] = _pt_ac(int(zz[k]), al) << al
+                    state[bi][0] |= p1
         else:
-            acr = _ACRefine()
-            for zz, st_zz in zip(zz_all, state):
-                target = np.array(
-                    [_pt_ac(int(zz[k]), al) << al for k in range(64)],
-                    dtype=np.int64,
-                )
-                acr.encode_block(enc, target, st_zz, ss, se, al)
-                for k in range(ss, se + 1):
-                    st_zz[k] = target[k]
+            # AC point transform of the whole band, every block at once
+            # (truncation toward zero per _pt_ac), plus its shifted-back
+            # reconstruction value
+            PT = np.where(Z < 0, -((-Z) >> al), Z >> al)
+            band_pt = PT[:, ss : se + 1].tolist()
+            band_rec = (PT[:, ss : se + 1] << al).tolist()
+            if ah == 0:
+                acm = _ACBand()
+                for bi, vals in enumerate(band_pt):
+                    acm.encode_band(enc, vals, ss, se, al)
+                    state[bi][ss : se + 1] = band_rec[bi]
+            else:
+                acr = _ACRefine()
+                for bi, vals in enumerate(band_rec):
+                    st_zz = state[bi]
+                    target = st_zz[:ss] + vals + st_zz[se + 1 :]
+                    acr.encode_block(enc, target, st_zz, ss, se, al)
+                    st_zz[ss : se + 1] = vals
         out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -392,7 +392,7 @@ def decode_jpeg_arith_progressive_planes(
     if not scans:
         raise ValueError("jpeg arith prog: missing SOS")
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    zz_all = [np.zeros(64, dtype=np.int64) for _ in range(bw * bh)]
+    zz_all = [[0] * 64 for _ in range(bw * bh)]
     for ss, se, ah, al, start in scans:
         qm = _QMDecoder(payload[start:])
         if ss == 0 and ah == 0:
@@ -418,7 +418,9 @@ def decode_jpeg_arith_progressive_planes(
             for zz in zz_all:
                 acr.decode_block(qm, zz, ss, se, al)
     q = qtables[0]
-    coefs = [np.zeros((bh, bw, 8, 8), dtype=np.float64)]
-    for i, zz in enumerate(zz_all):
-        coefs[0][i // bw, i % bw] = zz[_UNZIGZAG].reshape(8, 8) * q
+    zarr = np.array(zz_all, dtype=np.int64)
+    coefs = [
+        zarr[:, _UNZIGZAG].reshape(bh, bw, 8, 8).astype(np.float64)
+        * q[None, None]
+    ]
     return _planes_of(coefs, [(1, 1, 1, 0)], w, h, 1, 1)

@@ -110,12 +110,49 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, the decoder-side view."""
-    return {
+class _HuffTable(dict):
+    """Decoder-side Huffman table: the (length, code) -> symbol dict plus
+    a flat 65536-entry lookup table ``lut`` indexed by the next 16 bits
+    of the stream, each entry ``(code_length << 8) | symbol`` (0 = no
+    code with that prefix). The LUT turns the per-bit tree walk into one
+    list index per symbol (guide §4.2: constant work per decision); the
+    dict form is kept for the tests and for error-path introspection."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, items: dict[tuple[int, int], int],
+                 lut: list[int]) -> None:
+        super().__init__(items)
+        self.lut = lut
+
+
+# LUT cache keyed by the DHT payload (bits + vals): real streams reuse
+# the same few tables (usually the Annex K set) across every image, and
+# materializing 65536 plain ints per table costs more than decoding a
+# small image. Bounded so adversarial fuzz streams full of one-off DHTs
+# cannot grow it without limit.
+_LUT_CACHE: dict[bytes, list[int]] = {}
+_LUT_CACHE_MAX = 64
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    """(length, code) -> symbol, the decoder-side view (with 16-bit LUT)."""
+    items = {
         (length, code): sym
         for sym, (code, length) in _canonical_codes(bits, vals).items()
     }
+    key = bytes(bits) + bytes(vals)
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        arr = np.zeros(1 << 16, dtype=np.int32)
+        for (length, code), sym in items.items():
+            lo = code << (16 - length)
+            arr[lo : lo + (1 << (16 - length))] = (length << 8) | sym
+        lut = arr.tolist()
+        if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+            _LUT_CACHE.clear()
+        _LUT_CACHE[key] = lut
+    return _HuffTable(items, lut)
 
 
 # Orthonormal 8x8 DCT-II basis: A @ x @ A.T gives exactly the T.81
@@ -176,20 +213,22 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def _encode_block(bwr: _BitWriter, zz: np.ndarray, pred: int,
-                  dc_codes: dict, ac_codes: dict) -> int:
-    """Entropy-encode one zigzagged quantized block (T.81 F.1.2); returns
-    the new DC predictor. Shared by the grayscale and 4:2:0 encoders."""
-    diff = int(zz[0]) - pred
-    pred = int(zz[0])
+def _encode_block_fast(bwr: _BitWriter, zz: list[int], last_nz: int,
+                       pred: int, dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-encode one zigzagged quantized block (T.81 F.1.2) given a
+    plain-int list and its precomputed last nonzero AC index; returns
+    the new DC predictor. The per-image caller computes every block's
+    ``last_nz`` in one vectorized pass (r14: the old per-block
+    ``np.nonzero`` was most of the encoder's time on sparse blocks)."""
+    diff = zz[0] - pred
+    pred = zz[0]
     size, bits = _magnitude(diff)
     code, length = dc_codes[size]
     bwr.write(code, length)
     bwr.write(bits, size)
     run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
     for k in range(1, last_nz + 1):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
@@ -208,6 +247,30 @@ def _encode_block(bwr: _BitWriter, zz: np.ndarray, pred: int,
     return pred
 
 
+def _encode_block(bwr: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """ndarray-accepting wrapper around :func:`_encode_block_fast`."""
+    z = [int(v) for v in zz]
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if z[k]:
+            last_nz = k
+            break
+    return _encode_block_fast(bwr, z, last_nz, pred, dc_codes, ac_codes)
+
+
+def _zigzag_blocks(q: np.ndarray) -> tuple[list, list]:
+    """(bh, bw, 8, 8) quantized coefficients → (zigzag block rows as
+    nested plain-int lists in raster order, last-nonzero-AC index per
+    block) — the whole-image vectorized prep for the entropy loop."""
+    bh, bw = q.shape[0], q.shape[1]
+    Z = q.reshape(bh * bw, 64)[:, _ZIGZAG]
+    nz = Z[:, 1:] != 0
+    has = nz.any(axis=1)
+    last = np.where(has, 63 - np.argmax(nz[:, ::-1], axis=1), 0)
+    return Z.tolist(), last.tolist()
+
+
 def encode_jpeg_gray(px: np.ndarray, quant: int = 8) -> bytes:
     """Encode an 8-bit grayscale image as baseline sequential JPEG with
     a FLAT quantization table (every entry = ``quant``) and the Annex K
@@ -215,17 +278,16 @@ def encode_jpeg_gray(px: np.ndarray, quant: int = 8) -> bytes:
     px = np.asarray(px, dtype=np.uint8)
     h, w = px.shape
     blocks, bw, bh = _blocks_of(px)
-    coefs = np.einsum("ux,byxz,vz->byuv", _A, blocks, _A)
+    coefs = ((_A @ blocks) @ _A.T)
     q = np.rint(coefs / float(quant)).astype(np.int64)
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bwr = _BitWriter()
     pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = q[by, bx].reshape(64)[_ZIGZAG]
-            pred = _encode_block(bwr, zz, pred, dc_codes, ac_codes)
+    zrows, lasts = _zigzag_blocks(q)
+    for zz, last_nz in zip(zrows, lasts):
+        pred = _encode_block_fast(bwr, zz, last_nz, pred, dc_codes, ac_codes)
 
     qtab = np.full(64, quant, dtype=np.uint8)[_UNZIGZAG][_ZIGZAG]
     # (flat table: the zigzag permutation is the identity on it, but
@@ -271,7 +333,7 @@ def encode_jpeg_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     ypad = np.pad(y.astype(np.float64) - 128.0,
                   ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
     yblocks = ypad.reshape(mcuy * 2, 8, mcux * 2, 8).transpose(0, 2, 1, 3)
-    qy = np.rint(np.einsum("ux,byxz,vz->byuv", _A, yblocks, _A) / float(quant)).astype(np.int64)
+    qy = np.rint(((_A @ yblocks) @ _A.T) / float(quant)).astype(np.int64)
 
     # Chroma: edge-pad to even dims, 2×2 mean, pad to 8-multiples
     # (= the MCU grid: ceil(ceil(w/2)/8) == ceil(w/16)).
@@ -283,14 +345,10 @@ def encode_jpeg_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                       ((0, mcuy * 8 - s.shape[0]), (0, mcux * 8 - s.shape[1])),
                       mode="edge")
 
-    qcb = np.rint(np.einsum(
-        "ux,byxz,vz->byuv", _A,
-        _sub(cb).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3), _A,
-    ) / float(quant)).astype(np.int64)
-    qcr = np.rint(np.einsum(
-        "ux,byxz,vz->byuv", _A,
-        _sub(cr).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3), _A,
-    ) / float(quant)).astype(np.int64)
+    qcb = np.rint(((_A @ _sub(cb).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3))
+         @ _A.T) / float(quant)).astype(np.int64)
+    qcr = np.rint(((_A @ _sub(cr).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3))
+         @ _A.T) / float(quant)).astype(np.int64)
 
     dc_l = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_l = _canonical_codes(_AC_BITS, _AC_VALS)
@@ -298,16 +356,25 @@ def encode_jpeg_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     ac_c = _canonical_codes(_AC_C_BITS, _AC_C_VALS)
     bwr = _BitWriter()
     pred = [0, 0, 0]
+    zy, ly = _zigzag_blocks(qy)
+    zcb, lcb = _zigzag_blocks(qcb)
+    zcr, lcr = _zigzag_blocks(qcr)
+    yw = 2 * mcux  # Y block-grid width (raster index = row * yw + col)
     for my in range(mcuy):
         for mx in range(mcux):
             for dy in range(2):
                 for dx in range(2):
-                    zz = qy[2 * my + dy, 2 * mx + dx].reshape(64)[_ZIGZAG]
-                    pred[0] = _encode_block(bwr, zz, pred[0], dc_l, ac_l)
-            zz = qcb[my, mx].reshape(64)[_ZIGZAG]
-            pred[1] = _encode_block(bwr, zz, pred[1], dc_c, ac_c)
-            zz = qcr[my, mx].reshape(64)[_ZIGZAG]
-            pred[2] = _encode_block(bwr, zz, pred[2], dc_c, ac_c)
+                    bi = (2 * my + dy) * yw + 2 * mx + dx
+                    pred[0] = _encode_block_fast(
+                        bwr, zy[bi], ly[bi], pred[0], dc_l, ac_l
+                    )
+            bi = my * mcux + mx
+            pred[1] = _encode_block_fast(
+                bwr, zcb[bi], lcb[bi], pred[1], dc_c, ac_c
+            )
+            pred[2] = _encode_block_fast(
+                bwr, zcr[bi], lcr[bi], pred[2], dc_c, ac_c
+            )
 
     qtab = bytes(np.full(64, quant, dtype=np.uint8))
     out = bytearray()
@@ -352,47 +419,42 @@ def encode_jpeg_progressive(px: np.ndarray, quant: int = 8,
     px = np.asarray(px, dtype=np.uint8)
     h, w = px.shape
     blocks, bw, bh = _blocks_of(px)
-    coefs = np.einsum("ux,byxz,vz->byuv", _A, blocks, _A)
+    coefs = ((_A @ blocks) @ _A.T)
     q = np.rint(coefs / float(quant)).astype(np.int64)
     Z = q.reshape(bh, bw, 64)[:, :, _ZIGZAG]
+    Zl = Z.reshape(bh * bw, 64).tolist()  # plain ints for the bit loops
+    dcl = Z[:, :, 0].reshape(-1).tolist()
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
-
-    def _sym(bwr, table, sym):
-        code, length = table[sym]
-        bwr.write(code, length)
 
     def dc_first(al: int) -> bytes:
         bwr = _BitWriter()
         pred = 0
-        for by in range(bh):
-            for bx in range(bw):
-                v = int(Z[by, bx, 0]) >> al  # arithmetic point transform
-                size, bits = _magnitude(v - pred)
-                pred = v
-                _sym(bwr, dc_codes, size)
-                bwr.write(bits, size)
+        for dc in dcl:
+            v = dc >> al  # arithmetic point transform
+            size, bits = _magnitude(v - pred)
+            pred = v
+            code, length = dc_codes[size]
+            bwr.write(code, length)
+            bwr.write(bits, size)
         return bwr.flush()
 
     def dc_refine(al: int) -> bytes:
         bwr = _BitWriter()
-        for by in range(bh):
-            for bx in range(bw):
-                bwr.write((int(Z[by, bx, 0]) >> al) & 1, 1)
+        for dc in dcl:
+            bwr.write((dc >> al) & 1, 1)
         return bwr.flush()
 
     def ac_first(ss: int, se: int, al: int) -> bytes:
         bwr = _BitWriter()
-        for by in range(bh):
-            for bx in range(bw):
-                _prog_ac_first_bits(bwr, Z[by, bx], ss, se, al, ac_codes)
+        for zz in Zl:
+            _prog_ac_first_bits(bwr, zz, ss, se, al, ac_codes)
         return bwr.flush()
 
     def ac_refine(ss: int, se: int, al: int) -> bytes:
         bwr = _BitWriter()
-        for by in range(bh):
-            for bx in range(bw):
-                _prog_ac_refine_bits(bwr, Z[by, bx], ss, se, al, ac_codes)
+        for zz in Zl:
+            _prog_ac_refine_bits(bwr, zz, ss, se, al, ac_codes)
         return bwr.flush()
 
     def sos(ss: int, se: int, ah: int, al: int) -> bytes:
@@ -513,7 +575,7 @@ def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
                   ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
     yblocks = ypad.reshape(mcuy * 2, 8, mcux * 2, 8).transpose(0, 2, 1, 3)
     qy = np.rint(
-        np.einsum("ux,byxz,vz->byuv", _A, yblocks, _A) / float(quant)
+        ((_A @ yblocks) @ _A.T) / float(quant)
     ).astype(np.int64)
 
     def _sub(plane: np.ndarray) -> np.ndarray:
@@ -525,15 +587,18 @@ def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
                       mode="edge")
 
     qc = [
-        np.rint(np.einsum(
-            "ux,byxz,vz->byuv", _A,
-            _sub(p).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3), _A,
-        ) / float(quant)).astype(np.int64)
+        np.rint(((_A @ _sub(p).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3))
+             @ _A.T) / float(quant)).astype(np.int64)
         for p in (cb, cr)
     ]
-    # zigzag stores, one per component (Y on the 2×2-per-MCU grid)
-    Zs = [qy.reshape(mcuy * 2, mcux * 2, 64)[:, :, _ZIGZAG]] + [
-        c.reshape(mcuy, mcux, 64)[:, :, _ZIGZAG] for c in qc
+    # zigzag stores, one per component (Y on the 2×2-per-MCU grid),
+    # converted to nested plain-int lists for the bit loops
+    Zs = [
+        z[:, :, _ZIGZAG].tolist()
+        for z in (
+            [qy.reshape(mcuy * 2, mcux * 2, 64)]
+            + [c.reshape(mcuy, mcux, 64) for c in qc]
+        )
     ]
     samp = [(2, 2), (1, 1), (1, 1)]
     dc_codes = [
@@ -556,7 +621,7 @@ def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
                     hs, vs = samp[ci]
                     for dy in range(vs):
                         for dx in range(hs):
-                            v = int(Zs[ci][my * vs + dy, mx * hs + dx, 0])
+                            v = Zs[ci][my * vs + dy][mx * hs + dx][0]
                             if ah == 0:
                                 t = v >> al
                                 size, bits = _magnitude(t - preds[ci])
@@ -577,10 +642,10 @@ def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
         for by in range(bh_i):
             for bx in range(bw_i):
                 if ah == 0:
-                    _prog_ac_first_bits(bwr, Zs[ci][by, bx], 1, 63, al,
+                    _prog_ac_first_bits(bwr, Zs[ci][by][bx], 1, 63, al,
                                         ac_codes[ci])
                 else:
-                    _prog_ac_refine_bits(bwr, Zs[ci][by, bx], 1, 63, al,
+                    _prog_ac_refine_bits(bwr, Zs[ci][by][bx], 1, 63, al,
                                          ac_codes[ci])
         return bwr.flush()
 
@@ -623,60 +688,87 @@ def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
 
 
 class _BitReader:
+    """Bit cursor over an UNSTUFFED entropy segment (r14 optimization:
+    the old reader walked the Huffman tree one ``read(1)``/dict-probe
+    per bit — up to 16 fills per symbol; this one unstuffs the segment
+    once, then serves each symbol with one 3-byte peek + one LUT index,
+    and each appended-bits read with one 4-byte slice — guide §4.2).
+
+    Semantics are unchanged: bits after the terminating marker are
+    1-PAD (``pad_consumed`` flips exactly when a read dips into them —
+    ADVICE r12: a truncated scan whose remaining blocks would decode
+    garbage from pad-1 sequences must be rejectable); a segment that
+    ends WITHOUT a marker raises the truncated-stream error instead of
+    serving pad."""
+
+    __slots__ = ("ub", "pos", "nreal", "has_marker", "pad_consumed")
+
+    _PAD = b"\xff" * 64
+
     def __init__(self, data: bytes) -> None:
-        self.data = data
+        # Split at the first marker (0xFF followed by anything but the
+        # 0x00 stuffing byte; a lone trailing 0xFF counts as a marker
+        # start), then drop the stuffing bytes in one pass.
+        i = 0
+        end = len(data)
+        has_marker = False
+        while True:
+            i = data.find(b"\xff", i)
+            if i < 0:
+                break
+            if i + 1 >= len(data) or data[i + 1] != 0x00:
+                end, has_marker = i, True
+                break
+            i += 2
+        self.ub = data[:end].replace(b"\xff\x00", b"\xff") + self._PAD
+        self.nreal = (len(self.ub) - len(self._PAD)) * 8
         self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-        # Pad-bit accounting (ADVICE r12): bits appended after the
-        # terminating marker are 1-PAD, legal only inside the final
-        # partial byte of the final MCU. ``pad_bits`` counts how many
-        # of the bits currently in ``acc`` are pad (always the tail);
-        # ``pad_consumed`` flips once a read dips into them, letting
-        # the decoder reject a truncated/corrupt scan whose remaining
-        # blocks would otherwise decode garbage from pad-1 sequences.
-        self.pad_bits = 0
+        self.has_marker = has_marker
         self.pad_consumed = False
 
-    def _fill(self) -> None:
-        while self.nbits <= 24 and self.pos < len(self.data):
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
-                if nxt == 0x00:  # stuffed
-                    self.pos += 1
-                else:  # a marker: scan over — emit pad 1s
-                    self.pos -= 1
-                    self.acc = (self.acc << 8) | 0xFF
-                    self.nbits += 8
-                    self.pad_bits += 8
-                    return
-            self.acc = (self.acc << 8) | byte
-            self.nbits += 8
+    def _pad_check(self, end: int) -> None:
+        if not self.has_marker:
+            raise ValueError("jpeg: truncated entropy stream")
+        self.pad_consumed = True
+        # The pad tail is logically infinite 1s; grow it when a decoder
+        # (legally, within the final MCU) runs deep into it.
+        if (end >> 3) + 8 >= len(self.ub):
+            self.ub += self._PAD
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        self._fill()
-        if self.nbits < n:
-            raise ValueError("jpeg: truncated entropy stream")
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        if self.nbits < self.pad_bits:
-            self.pad_bits = self.nbits
-            self.pad_consumed = True
+        pos = self.pos
+        end = pos + n
+        if end > self.nreal:
+            self._pad_check(end)
+        i = pos >> 3
+        v = (
+            int.from_bytes(self.ub[i : i + 4], "big")
+            >> (32 - (pos & 7) - n)
+        ) & ((1 << n) - 1)
+        self.pos = end
         return v
 
-    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("jpeg: invalid Huffman code")
+    def read_huff(self, table: _HuffTable) -> int:
+        pos = self.pos
+        i = pos >> 3
+        peek = (
+            int.from_bytes(self.ub[i : i + 3], "big") >> (8 - (pos & 7))
+        ) & 0xFFFF
+        ent = table.lut[peek]
+        if ent == 0:
+            # No code has this prefix. Mirror the old per-bit walk's
+            # error split: if the 16-bit window ran past an UNMARKED
+            # segment end, the stream is truncated, not invalid.
+            if pos + 16 > self.nreal and not self.has_marker:
+                raise ValueError("jpeg: truncated entropy stream")
+            raise ValueError("jpeg: invalid Huffman code")
+        end = pos + (ent >> 8)
+        if end > self.nreal:
+            self._pad_check(end)
+        self.pos = end
+        return ent & 0xFF
 
 
 def _extend(bits: int, size: int) -> int:
@@ -688,16 +780,22 @@ def _extend(bits: int, size: int) -> int:
     return bits
 
 
-def _read_block(rdr: _BitReader, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray, int]:
-    """Entropy-decode one block (T.81 F.2.2) → (zigzag int64[64], new
-    DC predictor)."""
-    zz = np.zeros(64, dtype=np.int64)
-    size = rdr.read_huff(dc_tab)
-    pred += _extend(rdr.read(size), size)
+def _read_block_list(rdr: _BitReader, dc_tab, ac_tab,
+                     pred: int) -> tuple[list[int], int]:
+    """Entropy-decode one block (T.81 F.2.2) → (zigzag list[64], new DC
+    predictor). Plain-int list output so the MCU loop never touches
+    numpy per coefficient; callers un-zigzag/dequantize whole component
+    stores in one vectorized pass at scan end."""
+    zz = [0] * 64
+    read, read_huff = rdr.read, rdr.read_huff
+    size = read_huff(dc_tab)
+    if size:
+        v = read(size)
+        pred += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
     zz[0] = pred
     k = 1
     while k < 64:
-        sym = rdr.read_huff(ac_tab)
+        sym = read_huff(ac_tab)
         if sym == 0x00:  # EOB
             break
         run, size = sym >> 4, sym & 0x0F
@@ -709,9 +807,18 @@ def _read_block(rdr: _BitReader, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray,
         k += run
         if k > 63:
             raise ValueError("jpeg: AC index overflow")
-        zz[k] = _extend(rdr.read(size), size)
+        v = read(size)
+        zz[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
         k += 1
     return zz, pred
+
+
+def _read_block(rdr: _BitReader, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray, int]:
+    """Entropy-decode one block (T.81 F.2.2) → (zigzag int64[64], new
+    DC predictor). ndarray-returning wrapper kept for callers that index
+    the block directly."""
+    zz, pred = _read_block_list(rdr, dc_tab, ac_tab, pred)
+    return np.array(zz, dtype=np.int64), pred
 
 
 def _entropy_end(data: bytes, start: int) -> int:
@@ -727,22 +834,23 @@ def _entropy_end(data: bytes, start: int) -> int:
         i += 2
 
 
-def _prog_dc_scan(rdr: _BitReader, pcoef: np.ndarray, ah: int, al: int,
+def _prog_dc_scan(rdr: _BitReader, pcoef: list, ah: int, al: int,
                   dc_tab) -> None:
     """Progressive DC scan over the raster block grid (T.81 G.1.2.1).
     First scan (Ah=0) codes the point-transformed diffs (arithmetic
     shift by Al, stored pre-shifted-back); a refinement scan appends
-    one bit per block at position Al."""
-    bh, bw, _ = pcoef.shape
+    one bit per block at position Al. ``pcoef`` is the nested-list view
+    of the coefficient store (rows of 64-int block lists)."""
     pred = 0
-    for by in range(bh):
-        for bx in range(bw):
+    read, read_huff = rdr.read, rdr.read_huff
+    for row in pcoef:
+        for blk in row:
             if ah == 0:
-                size = rdr.read_huff(dc_tab)
-                pred += _extend(rdr.read(size), size)
-                pcoef[by, bx, 0] = pred << al
-            elif rdr.read(1):
-                pcoef[by, bx, 0] |= 1 << al
+                size = read_huff(dc_tab)
+                pred += _extend(read(size), size)
+                blk[0] = pred << al
+            elif read(1):
+                blk[0] |= 1 << al
 
 
 def _prog_dc_interleaved(rdr: _BitReader, pcoefs: list, sel: list,
@@ -750,92 +858,94 @@ def _prog_dc_interleaved(rdr: _BitReader, pcoefs: list, sel: list,
                          ah: int, al: int) -> None:
     """Progressive DC scan over the interleaved MCU grid (the libjpeg
     default script's first scan): per MCU, each selected component
-    contributes its hs×vs blocks with an independent DC predictor."""
+    contributes its hs×vs blocks with an independent DC predictor.
+    ``pcoefs`` holds nested-list coefficient stores."""
     preds = {ci: 0 for ci, _tab in sel}
+    read, read_huff = rdr.read, rdr.read_huff
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, dc_tab in sel:
                 _cid, hs, vs, _tq = comps[ci]
                 for dy in range(vs):
                     for dx in range(hs):
+                        blk = pcoefs[ci][my * vs + dy][mx * hs + dx]
                         if ah == 0:
-                            size = rdr.read_huff(dc_tab)
-                            preds[ci] += _extend(rdr.read(size), size)
-                            pcoefs[ci][my * vs + dy, mx * hs + dx, 0] = (
-                                preds[ci] << al
-                            )
-                        elif rdr.read(1):
-                            pcoefs[ci][my * vs + dy, mx * hs + dx, 0] |= (
-                                1 << al
-                            )
+                            size = read_huff(dc_tab)
+                            preds[ci] += _extend(read(size), size)
+                            blk[0] = preds[ci] << al
+                        elif read(1):
+                            blk[0] |= 1 << al
 
 
-def _prog_ac_first(rdr: _BitReader, pcoef: np.ndarray, ss: int, se: int,
+def _prog_ac_first(rdr: _BitReader, pcoef: list, ss: int, se: int,
                    al: int, ac_tab) -> None:
     """Progressive AC first scan (Ah=0) over one spectral band
     (T.81 G.1.2.2): baseline-style run/size coding of the
-    point-transformed values, plus EOBn codes whose run spans blocks."""
-    bh, bw, _ = pcoef.shape
+    point-transformed values, plus EOBn codes whose run spans blocks.
+    ``pcoef`` is the nested-list coefficient store view."""
     eobrun = 0
-    for by in range(bh):
-        for bx in range(bw):
+    read, read_huff = rdr.read, rdr.read_huff
+    for row in pcoef:
+        for coef in row:
             if eobrun:
                 eobrun -= 1
                 continue
-            coef = pcoef[by, bx]
             k = ss
             while k <= se:
-                rs = rdr.read_huff(ac_tab)
+                rs = read_huff(ac_tab)
                 r, s = rs >> 4, rs & 0x0F
                 if s == 0:
                     if r != 15:
                         eobrun = (1 << r) - 1
                         if r:
-                            eobrun += rdr.read(r)
+                            eobrun += read(r)
                         break
                     k += 16  # ZRL
                     continue
                 k += r
                 if k > se:
                     raise ValueError("jpeg: AC index beyond band")
-                coef[k] = _extend(rdr.read(s), s) << al
+                v = read(s)
+                coef[k] = (
+                    v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                ) << al
                 k += 1
 
 
-def _prog_ac_refine(rdr: _BitReader, pcoef: np.ndarray, ss: int, se: int,
+def _prog_ac_refine(rdr: _BitReader, pcoef: list, ss: int, se: int,
                     al: int, ac_tab) -> None:
     """Progressive AC refinement scan (T.81 G.1.2.3): every coefficient
     already nonzero in history receives a correction bit; run lengths
     count only zero-history positions; EOBn runs consume the remaining
-    correction bits of each covered block."""
+    correction bits of each covered block. ``pcoef`` is the nested-list
+    coefficient store view."""
     p1, m1 = 1 << al, -1 << al
-    bh, bw, _ = pcoef.shape
     eobrun = 0
+    read, read_huff = rdr.read, rdr.read_huff
 
     def _correct(coef, k):
-        if rdr.read(1) and not (coef[k] & p1):
+        if read(1) and not (coef[k] & p1):
             coef[k] += p1 if coef[k] >= 0 else m1
 
-    for by in range(bh):
-        for bx in range(bw):
-            coef = pcoef[by, bx]
+    for row in pcoef:
+        for coef in row:
             k = ss
             if eobrun == 0:
                 while k <= se:
-                    rs = rdr.read_huff(ac_tab)
+                    rs = read_huff(ac_tab)
                     r, s = rs >> 4, rs & 0x0F
                     val = 0
                     if s == 0:
                         if r != 15:
                             eobrun = (1 << r) - 1
                             if r:
-                                eobrun += rdr.read(r)
+                                eobrun += read(r)
                             break
                         # ZRL: skip 16 zero-history positions
                     else:
                         if s != 1:
                             raise ValueError("jpeg: bad refinement size")
-                        val = p1 if rdr.read(1) else m1
+                        val = p1 if read(1) else m1
                     while k <= se:
                         if coef[k]:
                             _correct(coef, k)
@@ -940,8 +1050,15 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                 vmax_p = max(c[2] for c in comps)
                 mcux_p = (w + 8 * hmax_p - 1) // (8 * hmax_p)
                 mcuy_p = (h + 8 * vmax_p - 1) // (8 * vmax_p)
+                # nested plain-int lists (r14: the scan loops are pure
+                # Python — per-coefficient numpy indexing was most of
+                # their time); converted to ndarrays once after the
+                # marker walk
                 pcoefs = [
-                    np.zeros((mcuy_p * vs, mcux_p * hs, 64), dtype=np.int64)
+                    [
+                        [[0] * 64 for _ in range(mcux_p * hs)]
+                        for _ in range(mcuy_p * vs)
+                    ]
                     for _cid, hs, vs, _tq in comps
                 ]
         elif marker == 0xC9:  # SOF9: arithmetic-coded sequential (r13)
@@ -1011,7 +1128,10 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                     _cid, hs, vs, _tq = comps[cidx]
                     bw_i = (w * hs + 8 * hmax_p - 1) // (8 * hmax_p)
                     bh_i = (h * vs + 8 * vmax_p - 1) // (8 * vmax_p)
-                    view = pcoefs[cidx][:bh_i, :bw_i]
+                    # the sliced outer lists share the inner 64-int
+                    # block lists, so in-place scan mutations land in
+                    # the full store
+                    view = [row[:bw_i] for row in pcoefs[cidx][:bh_i]]
                     if ss_ == 0:
                         if se_ != 0:
                             raise ValueError("jpeg: DC scan with Se != 0")
@@ -1064,18 +1184,20 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     if progressive:
         if pcoefs is None:
             raise ValueError("jpeg: missing SOF2")
-        coefs = [
-            pc[:, :, _UNZIGZAG]
-            .reshape(pc.shape[0], pc.shape[1], 8, 8)
-            .astype(np.float64)
-            * qtables[tq][None, None]
-            for (_cid, _hs, _vs, tq), pc in zip(comps, pcoefs)
-        ]
+        coefs = []
+        for (_cid, _hs, _vs, tq), pl in zip(comps, pcoefs):
+            pc = np.array(pl, dtype=np.int64)
+            coefs.append(
+                pc[:, :, _UNZIGZAG]
+                .reshape(pc.shape[0], pc.shape[1], 8, 8)
+                .astype(np.float64)
+                * qtables[tq][None, None]
+            )
         return _planes_of(coefs, comps, w, h, hmax, vmax)
     if scan_start < 0:
         raise ValueError("jpeg: missing SOS")
-    coefs = [
-        np.zeros((mcuy * vs, mcux * hs, 8, 8), dtype=np.float64)
+    zstores = [
+        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
         for _cid, hs, vs, _tq in comps
     ]
     preds = [0] * len(comps)
@@ -1085,7 +1207,7 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
         for mx in range(mcux):
             for ci, dc_id, ac_id in scan:
                 _cid, hs, vs, tq = comps[ci]
-                q = qtables[tq]
+                zs = zstores[ci]
                 for dy in range(vs):
                     for dx in range(hs):
                         if rdr.pad_consumed and not first:
@@ -1094,13 +1216,19 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                                 "last MCU (truncated or corrupt scan)"
                             )
                         first = False
-                        zz, preds[ci] = _read_block(
+                        zz, preds[ci] = _read_block_list(
                             rdr, htables[(0, dc_id)], htables[(1, ac_id)],
                             preds[ci],
                         )
-                        coefs[ci][my * vs + dy, mx * hs + dx] = (
-                            zz[_UNZIGZAG].reshape(8, 8) * q
-                        )
+                        zs[my * vs + dy, mx * hs + dx] = zz
+    # un-zigzag + dequantize every component in one vectorized pass
+    coefs = [
+        zs[:, :, _UNZIGZAG]
+        .reshape(zs.shape[0], zs.shape[1], 8, 8)
+        .astype(np.float64)
+        * qtables[tq][None, None]
+        for (_cid, _hs, _vs, tq), zs in zip(comps, zstores)
+    ]
     return _planes_of(coefs, comps, w, h, hmax, vmax)
 
 
@@ -1112,7 +1240,7 @@ def _planes_of(coefs: list, comps: list, w: int, h: int,
     components). Shared by the baseline and progressive tails."""
     planes: list[np.ndarray] = []
     for (_cid, hs, vs, _tq), c in zip(comps, coefs):
-        spatial = np.einsum("xu,byuv,vz->byxz", _A.T, c, _A)
+        spatial = ((_A.T @ c) @ _A)
         bh, bw = c.shape[0], c.shape[1]
         full = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
         sub = np.clip(np.rint(full), 0, 255).astype(np.uint8)
@@ -1384,31 +1512,87 @@ def decode_jpeg_lossless(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     if pt != 0:
         raise NotImplementedError("jpeg lossless: point transform unsupported")
 
+    # Two-phase decode (r14 optimization): (1) one sequential pass over
+    # the entropy stream collects every residual — one LUT probe + one
+    # appended-bits read per sample instead of the old per-bit tree walk;
+    # (2) reconstruction runs ROW-VECTORIZED for the predictors whose
+    # in-row recurrence is purely additive (1/2/3/4/5 — 'a' enters with
+    # coefficient 1 and the shift terms read only the already-known row
+    # above, so an int64 cumsum masked at row end is exact mod 2^16);
+    # predictors 6/7 shift the in-row neighbor itself (nonlinear), so
+    # they keep a scalar loop per row.
     rdr = _BitReader(payload[scan_start:])
-    out = np.zeros((h, w), dtype=np.int64)
-    for r in range(h):
-        row = out[r]
-        above = out[r - 1] if r else None
-        for j in range(w):
-            size = rdr.read_huff(htab)
-            if size == 16:
-                diff = -32768  # SSSS 16: no appended bits
-            else:
-                diff = _extend(rdr.read(size), size)
-            if r == 0 and j == 0:
-                p = 1 << (precision - 1)
-            elif r == 0:
-                p = int(row[j - 1])
-            elif j == 0:
-                p = int(above[j])
-            else:
-                p = _lossless_predict(
-                    int(row[j - 1]), int(above[j]), int(above[j - 1]), sel
-                )
-            row[j] = (p + diff) & 0xFFFF
+    read, read_huff = rdr.read, rdr.read_huff
+    n = h * w
+    diffs = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        size = read_huff(htab)
+        if size == 16:
+            diffs[i] = -32768  # SSSS 16: no appended bits
+        else:
+            v = read(size)
+            diffs[i] = (
+                v if size == 0 or v >= (1 << (size - 1))
+                else v - (1 << size) + 1
+            )
+    out = _lossless_reconstruct(diffs.reshape(h, w), sel, precision)
     if out.max() > 255:
         raise ValueError("jpeg lossless: sample out of 8-bit range")
     return w, h, [out.astype(np.uint8)]
+
+
+def _lossless_reconstruct(d: np.ndarray, sel: int,
+                          precision: int = 8) -> np.ndarray:
+    """Residual grid → samples under Table H.1 prediction with
+    modulo-2^16 reconstruction, ROW-VECTORIZED for predictors 1–5 (the
+    in-row recurrence is purely additive there, so an int64 cumsum
+    masked at row end is exact mod 2^16); predictors 6/7 shift the
+    in-row neighbor itself (nonlinear), so they keep a scalar loop per
+    row. Shared by the Huffman (SOF3) and arithmetic (SOF11) lossless
+    decoders."""
+    h, w = d.shape
+    out = np.zeros((h, w), dtype=np.int64)
+    out[0] = ((1 << (precision - 1)) + np.cumsum(d[0])) & 0xFFFF
+    for r in range(1, h):
+        above = out[r - 1]
+        row = out[r]
+        first = (int(above[0]) + int(d[r, 0])) & 0xFFFF
+        if sel == 1:
+            row[:] = (first + np.concatenate(
+                ([0], np.cumsum(d[r, 1:]))
+            )) & 0xFFFF
+        elif sel == 2:
+            row[0] = first
+            row[1:] = (above[1:] + d[r, 1:]) & 0xFFFF
+        elif sel == 3:
+            row[0] = first
+            row[1:] = (above[:-1] + d[r, 1:]) & 0xFFFF
+        elif sel == 4:
+            # p = a + b - c: telescopes to a cumsum of (b - c + diff)
+            row[:] = (first + np.concatenate(
+                ([0], np.cumsum(above[1:] - above[:-1] + d[r, 1:]))
+            )) & 0xFFFF
+        elif sel == 5:
+            # p = a + ((b - c) >> 1): the shifted term reads only the
+            # row above, so the in-row recurrence is still a cumsum
+            row[:] = (first + np.concatenate(
+                ([0], np.cumsum(((above[1:] - above[:-1]) >> 1) + d[r, 1:]))
+            )) & 0xFFFF
+        else:  # sel 6/7: prediction is nonlinear in the in-row neighbor
+            ab = above.tolist()
+            dr = d[r].tolist()
+            vals = [first]
+            p = first
+            if sel == 6:
+                for j in range(1, w):
+                    p = (ab[j] + ((p - ab[j - 1]) >> 1) + dr[j]) & 0xFFFF
+                    vals.append(p)
+            else:  # sel == 7
+                for j in range(1, w):
+                    p = (((p + ab[j]) >> 1) + dr[j]) & 0xFFFF
+                    vals.append(p)
+            row[:] = vals
+    return out
 
 
 def synth_jpeg_lossless_from_bytes(payload: bytes) -> bytes:

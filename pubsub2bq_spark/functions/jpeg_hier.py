@@ -58,15 +58,15 @@ from pubsub2bq_spark.functions.jpeg_codec import (
     _DC_BITS,
     _DC_VALS,
     _UNZIGZAG,
-    _ZIGZAG,
     _A,
     _BitReader,
     _BitWriter,
     _canonical_codes,
     _decode_table,
-    _encode_block,
+    _encode_block_fast,
     _entropy_end,
-    _read_block,
+    _read_block_list,
+    _zigzag_blocks,
 )
 
 _MARKER_DHP = 0xDE
@@ -114,16 +114,15 @@ def _encode_frame_blocks(vals: np.ndarray, quant: int) -> bytes:
     pad = np.pad(vals.astype(np.float64),
                  ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
     blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-    coefs = np.einsum("ux,byxz,vz->byuv", _A, blocks, _A)
+    coefs = ((_A @ blocks) @ _A.T)
     q = np.rint(coefs / float(quant)).astype(np.int64)
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bwr = _BitWriter()
     pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = q[by, bx].reshape(64)[_ZIGZAG]
-            pred = _encode_block(bwr, zz, pred, dc_codes, ac_codes)
+    zrows, lasts = _zigzag_blocks(q)
+    for zz, last_nz in zip(zrows, lasts):
+        pred = _encode_block_fast(bwr, zz, last_nz, pred, dc_codes, ac_codes)
     return bwr.flush()
 
 
@@ -200,11 +199,12 @@ def _decode_scan_samples(entropy: bytes, w: int, h: int, dc_tab, ac_tab,
     samples (no level shift), with the truncation (pad-bit) guard from
     the baseline decoder."""
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    coefs = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+    zstore = np.zeros((bh, bw, 64), dtype=np.int64)
     rdr = _BitReader(entropy)
     pred = 0
     first = True
     for by in range(bh):
+        zrow = zstore[by]
         for bx in range(bw):
             if rdr.pad_consumed and not first:
                 raise ValueError(
@@ -212,9 +212,13 @@ def _decode_scan_samples(entropy: bytes, w: int, h: int, dc_tab, ac_tab,
                     "block (truncated or corrupt scan)"
                 )
             first = False
-            zz, pred = _read_block(rdr, dc_tab, ac_tab, pred)
-            coefs[by, bx] = zz[_UNZIGZAG].reshape(8, 8) * qtab
-    spatial = np.einsum("xu,byuv,vz->byxz", _A.T, coefs, _A)
+            zz, pred = _read_block_list(rdr, dc_tab, ac_tab, pred)
+            zrow[bx] = zz
+    coefs = (
+        zstore[:, :, _UNZIGZAG].reshape(bh, bw, 8, 8).astype(np.float64)
+        * qtab[None, None]
+    )
+    spatial = ((_A.T @ coefs) @ _A)
     full = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
     return np.rint(full).astype(np.int64)[:h, :w]
 

@@ -114,14 +114,36 @@ SCALE_FACTORS = 2.0 * np.exp2(-np.arange(63) / 3.0)
 # ---------------------------------------------------------------------------
 
 
+# Byte-at-a-time table for the MSB-first 0x8005 CRC (r14: the bit-serial
+# loop ran twice per frame — encode stamp + decode verify — and was a top
+# per-frame cost; the table form is the standard algebraic regrouping of
+# the same polynomial division, 8 bits per step).
+_CRC16_TABLE = []
+for _b in range(256):
+    _crc = _b << 8
+    for _ in range(8):
+        _crc = (
+            ((_crc << 1) ^ 0x8005) & 0xFFFF
+            if _crc & 0x8000
+            else (_crc << 1) & 0xFFFF
+        )
+    _CRC16_TABLE.append(_crc)
+del _b, _crc
+
+
 def crc16_mpeg_bits(data: bytes, nbits: int) -> int:
     """CRC-16 over the first ``nbits`` bits (MSB-first) of ``data``,
-    init 0xFFFF, polynomial 0x8005."""
+    init 0xFFFF, polynomial 0x8005. Whole bytes go through the 256-entry
+    table; the ragged tail (< 8 bits) stays bit-serial."""
     crc = 0xFFFF
-    for i in range(nbits):
-        bit = (data[i >> 3] >> (7 - (i & 7))) & 1
+    nb, rem = nbits >> 3, nbits & 7
+    tab = _CRC16_TABLE
+    for byte in data[:nb]:
+        crc = ((crc << 8) & 0xFFFF) ^ tab[(crc >> 8) ^ byte]
+    for i in range(rem):
+        bit = (data[nb] >> (7 - i)) & 1
         hi = (crc >> 15) & 1
-        crc = ((crc << 1) & 0xFFFF) | 0
+        crc = (crc << 1) & 0xFFFF
         if hi ^ bit:
             crc ^= 0x8005
     return crc
@@ -167,6 +189,31 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def bit_pos(self) -> int:
+        """Absolute bit offset of the cursor into ``data``."""
+        return self.pos * 8 - self.nbits
+
+
+def _extract_fields(buf32: np.ndarray, nbits_total: int, start_bit: int,
+                    widths: np.ndarray) -> np.ndarray:
+    """Gather consecutive MSB-first bit fields in one vectorized pass.
+
+    ``buf32`` is the payload as int64 bytes zero-padded by 4 (so every
+    32-bit window read is in bounds); fields are ≤ 16 bits wide, so a
+    window starting at the field's byte always covers it. Raises the
+    same truncated-frame error the scalar reader raised when a field
+    would run past the payload."""
+    ends = start_bit + np.cumsum(widths)
+    if ends.size and int(ends[-1]) > nbits_total:
+        raise ValueError("mp2: truncated frame")
+    offs = ends - widths
+    i = offs >> 3
+    w32 = (
+        (buf32[i] << 24) | (buf32[i + 1] << 16)
+        | (buf32[i + 2] << 8) | buf32[i + 3]
+    )
+    return (w32 >> (32 - (offs & 7) - widths)) & ((1 << widths) - 1)
+
 
 # ---------------------------------------------------------------------------
 # Synthesis filterbank (§2.4.3.2 flow; window caveat in module docstring)
@@ -174,10 +221,12 @@ class _BitReader:
 
 _N_MATRIX: np.ndarray | None = None
 _D_WINDOW: np.ndarray | None = None
+_C_EVEN: np.ndarray | None = None
+_C_ODD: np.ndarray | None = None
 
 
 def _filterbank_tables() -> tuple[np.ndarray, np.ndarray]:
-    global _N_MATRIX, _D_WINDOW
+    global _N_MATRIX, _D_WINDOW, _C_EVEN, _C_ODD
     if _N_MATRIX is None:
         i = np.arange(64)[:, None]
         k = np.arange(32)[None, :]
@@ -189,6 +238,15 @@ def _filterbank_tables() -> tuple[np.ndarray, np.ndarray]:
         x = (n - 255.5) / 32.0
         h = np.hanning(512) * np.sinc(x) / 32.0
         _D_WINDOW = 32.0 * h
+        # Window coefficients rearranged onto the 16-frame sliding
+        # window (r14): window position s = 15-2j holds the EVEN tap
+        # D[64j + k] and s = 14-2j the ODD tap D[64j + 32 + k], so the
+        # whole synthesis is two einsum contractions over s.
+        _C_EVEN = np.zeros((16, 32))
+        _C_ODD = np.zeros((16, 32))
+        for j in range(8):
+            _C_EVEN[15 - 2 * j] = _D_WINDOW[64 * j : 64 * j + 32]
+            _C_ODD[14 - 2 * j] = _D_WINDOW[64 * j + 32 : 64 * j + 64]
     return _N_MATRIX, _D_WINDOW
 
 
@@ -204,18 +262,19 @@ def synthesize(subband_samples: np.ndarray) -> np.ndarray:
     j = 0..7 — sixteen shifted broadcast-multiplies over the whole
     stream instead of a per-granule Python loop (negative indexes are
     the zero-initialized FIFO, modeled by front padding)."""
-    N, D = _filterbank_tables()
+    N, _D = _filterbank_tables()
     n_t = subband_samples.shape[0]
     if n_t == 0:
         return np.zeros(0)
     M = subband_samples @ N.T  # (n_t, 64)
     Mp = np.vstack([np.zeros((16, 64)), M])  # Mp[16 + t] = M[t]
-    out = np.zeros((n_t, 32))
-    for j in range(8):
-        even = Mp[16 - 2 * j : 16 - 2 * j + n_t, :32]
-        odd = Mp[15 - 2 * j : 15 - 2 * j + n_t, 32:]
-        out += even * D[j * 64 : j * 64 + 32]
-        out += odd * D[j * 64 + 32 : j * 64 + 64]
+    # V[t, c, s] = Mp[t + 1 + s, c]: the 16-frame FIFO window ending at
+    # frame t, so out[t] = Σ_s V[t,:32,s]·C_EVEN[s] + V[t,32:,s]·C_ODD[s]
+    # — two contractions instead of the 16 shifted multiplies (r14).
+    V = np.lib.stride_tricks.sliding_window_view(Mp, 16, axis=0)[1:]
+    out = np.einsum("tks,sk->tk", V[:, :32, :], _C_EVEN) + np.einsum(
+        "tks,sk->tk", V[:, 32:, :], _C_ODD
+    )
     return np.clip(out.reshape(-1), -1.0, 1.0)
 
 
@@ -277,25 +336,31 @@ def encode_mp2_frames(
                 tx = [scfs[0], scfs[1]]
             for s in tx:
                 body.write(s, 6)
-        for g in range(12):
-            for sb in range(sblimit):
-                spec = frame.get(sb)
-                if not spec or not spec[0]:
-                    continue
-                v = spec[0]
-                L = table[sb][1][v - 1]
-                grouped, bits = QUANT_CLASS[L]
-                codes = spec[3]
-                c0, c1, c2 = (int(codes[g][j]) for j in range(3))
-                for c in (c0, c1, c2):
+        # per-frame slot list (r14: hoisted out of the granule loop —
+        # the old form paid 12 x sblimit dict probes per frame)
+        slots = []
+        for sb in range(sblimit):
+            spec = frame.get(sb)
+            if not spec or not spec[0]:
+                continue
+            L = table[sb][1][spec[0] - 1]
+            grouped, bits = QUANT_CLASS[L]
+            codes = [[int(spec[3][g][j]) for j in range(3)] for g in range(12)]
+            for row in codes:
+                for c in row:
                     if not 0 <= c < L:
                         raise ValueError("mp2: code out of range")
+            slots.append((L, grouped, bits, codes))
+        write = body.write
+        for g in range(12):
+            for L, grouped, bits, codes in slots:
+                c0, c1, c2 = codes[g]
                 if grouped:
-                    body.write(c0 + L * c1 + L * L * c2, bits)
+                    write(c0 + L * c1 + L * L * c2, bits)
                 else:
-                    body.write(c0, bits)
-                    body.write(c1, bits)
-                    body.write(c2, bits)
+                    write(c0, bits)
+                    write(c1, bits)
+                    write(c2, bits)
         body.pad_to(frame_bytes - 4 - (2 if with_crc else 0))
         hdr = bytes(
             (
@@ -343,6 +408,12 @@ def decode_mp2(payload: bytes) -> dict:
     sample_rate = None
     bitrate_kbps = None
     blocks: list[np.ndarray] = []
+    # zero-padded int64 byte view for the vectorized field gather
+    buf32 = np.concatenate([
+        np.frombuffer(payload, dtype=np.uint8).astype(np.int64),
+        np.zeros(4, dtype=np.int64),
+    ])
+    nbits_total = len(payload) * 8
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
             raise ValueError("mp2: lost frame sync")
@@ -404,26 +475,40 @@ def decode_mp2(payload: bytes) -> dict:
             if any(s > 62 for s in scf[sb]):
                 raise ValueError("mp2: scale factor index out of range")
 
+        # Vectorized sample section (r14): after alloc/scfsi/scf the
+        # field layout of all 12 granules is fixed, so every code is
+        # gathered in one numpy pass and requantized per subband slot —
+        # the old triple loop paid ~1000 scalar bit-reads per frame.
+        slots = [
+            (sb, table[sb][1][alloc[sb] - 1]) for sb in range(sblimit)
+            if alloc[sb]
+        ]
         S = np.zeros((36, 32))
-        for g in range(12):
-            part = g // 4
-            for sb in range(sblimit):
-                if not alloc[sb]:
-                    continue
-                L = table[sb][1][alloc[sb] - 1]
+        if slots:
+            gw: list[int] = []      # field widths of ONE granule
+            spans: list[tuple[int, int, bool, int]] = []  # sb, L, grouped, pos
+            for sb, L in slots:
                 grouped, bits = QUANT_CLASS[L]
+                spans.append((sb, L, grouped, len(gw)))
+                gw += [bits] if grouped else [bits] * 3
+            widths = np.tile(np.array(gw, dtype=np.int64), 12)
+            fields = _extract_fields(
+                buf32, nbits_total, rdr.bit_pos(), widths
+            ).reshape(12, len(gw))
+            part = np.repeat(np.arange(3), 4)  # granule -> scf part
+            for sb, L, grouped, p0 in spans:
                 if grouped:
-                    v = rdr.read(bits)
-                    cs = (v % L, (v // L) % L, (v // (L * L)) % L)
-                    if v >= L * L * L:
+                    v = fields[:, p0]
+                    if int(v.max()) >= L * L * L:
                         raise ValueError("mp2: grouped code out of range")
+                    C = np.stack([v % L, (v // L) % L, (v // (L * L)) % L],
+                                 axis=1)
                 else:
-                    cs = (rdr.read(bits), rdr.read(bits), rdr.read(bits))
-                sf = SCALE_FACTORS[scf[sb][part]]
-                for j, c in enumerate(cs):
-                    num = 2 * c + 1 - L
-                    qsum += num
-                    S[3 * g + j, sb] = sf * num / L
+                    C = fields[:, p0 : p0 + 3]
+                num = 2 * C + 1 - L
+                qsum += int(num.sum())
+                sf = SCALE_FACTORS[np.asarray(scf[sb])][part]
+                S[:, sb] = (sf[:, None] * num / L).reshape(36)
 
         alloc_sum += sum(alloc)
         scf_sum += sum(sum(scf[sb]) for sb in range(sblimit) if alloc[sb])

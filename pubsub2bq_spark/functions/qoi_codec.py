@@ -34,47 +34,67 @@ def encode_qoi(px: np.ndarray) -> bytes:
     out += QOI_MAGIC + struct.pack(">IIBB", w, h, ch, 0)  # sRGB colorspace 0
     index = [(0, 0, 0, 0)] * 64
     prev = (0, 0, 0, 255)
-    run = 0
     flat = px.reshape(-1, ch)
-    for p in flat:
-        cur = (int(p[0]), int(p[1]), int(p[2]),
-               int(p[3]) if ch == 4 else 255)
+    n = flat.shape[0]
+    if ch == 3:
+        flat4 = np.concatenate(
+            [flat, np.full((n, 1), 255, dtype=np.uint8)], axis=1
+        )
+    else:
+        flat4 = flat
+    # Run detection vectorized (r14): only the LEADER of each run of
+    # equal pixels needs the per-pixel opcode logic and the hash-table
+    # update (the RUN branch never touches the table); the repeats
+    # compress to ⌊(c-1)/62⌋ full runs + a remainder, the exact opcode
+    # sequence the scalar loop emitted.
+    if n:
+        same = (flat4[1:] == flat4[:-1]).all(axis=1)
+        leads = np.concatenate(
+            [[0], np.flatnonzero(~same) + 1]
+        )
+        counts = np.diff(np.append(leads, n)).tolist()
+        leaders = [tuple(p) for p in flat4[leads].tolist()]
+    else:
+        counts, leaders = [], []
+    for cur, c in zip(leaders, counts):
         if cur == prev:
-            run += 1
-            if run == 62:
-                out.append(0xC0 | (run - 1))
-                run = 0
-            continue
+            # a leader can equal prev only at image start (prev is the
+            # spec's initial pixel, never a run member here)
+            run = c
+        else:
+            k = (cur[0] * 3 + cur[1] * 5 + cur[2] * 7 + cur[3] * 11) % 64
+            if index[k] == cur:
+                out.append(k)
+            elif cur[3] == prev[3]:
+                dr = (cur[0] - prev[0] + 256) % 256
+                dg = (cur[1] - prev[1] + 256) % 256
+                db = (cur[2] - prev[2] + 256) % 256
+                # wrap to signed
+                dr = dr - 256 if dr > 127 else dr
+                dg = dg - 256 if dg > 127 else dg
+                db = db - 256 if db > 127 else db
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(
+                        0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)
+                    )
+                elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                      and -8 <= db - dg <= 7):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out.append(0xFE)
+                    out += bytes(cur[:3])
+            else:
+                out.append(0xFF)
+                out += bytes(cur)
+            index[k] = cur
+            prev = cur
+            run = c - 1
+        while run >= 62:
+            out.append(0xC0 | 61)
+            run -= 62
         if run:
             out.append(0xC0 | (run - 1))
-            run = 0
-        k = (cur[0] * 3 + cur[1] * 5 + cur[2] * 7 + cur[3] * 11) % 64
-        if index[k] == cur:
-            out.append(k)
-        elif cur[3] == prev[3]:
-            dr = (cur[0] - prev[0] + 256) % 256
-            dg = (cur[1] - prev[1] + 256) % 256
-            db = (cur[2] - prev[2] + 256) % 256
-            # wrap to signed
-            dr = dr - 256 if dr > 127 else dr
-            dg = dg - 256 if dg > 127 else dg
-            db = db - 256 if db > 127 else db
-            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
-                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
-            elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
-                  and -8 <= db - dg <= 7):
-                out.append(0x80 | (dg + 32))
-                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
-            else:
-                out.append(0xFE)
-                out += bytes(cur[:3])
-        else:
-            out.append(0xFF)
-            out += bytes(cur)
-        index[k] = cur
-        prev = cur
-    if run:
-        out.append(0xC0 | (run - 1))
     out += _END
     return bytes(out)
 

@@ -87,9 +87,14 @@ def _packbits_decode(data: bytes, n_expected: int) -> bytes:
 
 def _tiff_lzw_encode(data: bytes) -> bytes:
     """TIFF LZW: MSB-first packing, 9-bit start, ClearCode 256, EOI
-    257, EARLY CHANGE (width grows at table size (1<<width) - 1)."""
+    257, EARLY CHANGE (width grows at table size (1<<width) - 1).
+
+    The string table is keyed ``(prefix_code << 8) | next_byte`` (r14:
+    every dictionary state IS a code, so the bytes-concatenation keys
+    were pure allocation overhead — same greedy longest-match, same
+    emitted codes)."""
     CLEAR, EOI = 256, 257
-    table: dict[bytes, int] = {bytes((i,)): i for i in range(256)}
+    table: dict[int, int] = {}
     next_code = 258
     width = 9
 
@@ -107,83 +112,164 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         acc &= (1 << nbits) - 1
 
     emit(CLEAR, width)
-    prefix = b""
+    prefix = -1  # -1 = empty prefix
     for v in data:
-        nxt = prefix + bytes((v,))
-        if nxt in table:
+        if prefix < 0:
+            prefix = v
+            continue
+        key = (prefix << 8) | v
+        nxt = table.get(key)
+        if nxt is not None:
             prefix = nxt
             continue
-        emit(table[prefix], width)
-        table[nxt] = next_code
+        emit(prefix, width)
+        table[key] = next_code
         next_code += 1
         if next_code == (1 << width) - 1:  # early change
             if width < 12:
                 width += 1
             else:
                 emit(CLEAR, width)
-                table = {bytes((i,)): i for i in range(256)}
+                table = {}
                 next_code = 258
                 width = 9
-        prefix = bytes((v,))
-    if prefix:
-        emit(table[prefix], width)
+        prefix = v
+    if prefix >= 0:
+        emit(prefix, width)
     emit(EOI, width)
     if nbits:
         emit(0, 8 - nbits)
     return bytes(out)
 
 
-def _tiff_lzw_decode(data: bytes, n_expected: int) -> bytes:
+def _tiff_lzw_parse_codes(data: bytes) -> tuple[list[np.ndarray], bool]:
+    """Extract the TIFF LZW code sequence, vectorized in chunks (r14 —
+    the same technique as the GIF decoder's `_lzw_parse_codes`, adapted
+    to MSB-first packing and the EARLY-CHANGE width schedule: the
+    decoder-side table lags the encoder by one entry, so the width bumps
+    at table size (1 << width) - 2).
+
+    Returns one code array per clear-delimited segment. Truncation is
+    NOT an error here: the scalar decoder stopped reading the moment its
+    output was complete, so a stream that ends mid-code after enough
+    output is legal — the replay in `_tiff_lzw_decode` raises the
+    truncated-stream error only when the parsed codes run out before
+    ``n_expected`` bytes exist."""
     CLEAR, EOI = 256, 257
-    acc = 0
-    nbits = 0
-    pos = 0
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    nbits = bits.size
 
-    def read(w: int) -> int:
-        nonlocal acc, nbits, pos
-        while nbits < w:
-            if pos >= len(data):
-                raise ValueError("tiff: truncated LZW stream")
-            acc = (acc << 8) | data[pos]
-            pos += 1
-            nbits += 8
-        nbits -= w
-        v = (acc >> nbits) & ((1 << w) - 1)
-        return v
-
-    out = bytearray()
-    table: list[bytes] = [bytes((i,)) for i in range(256)] + [b"", b""]
+    segments: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
     width = 9
-    prev: bytes | None = None
-    while len(out) < n_expected:
-        code = read(width)
-        if code == CLEAR:
-            table = [bytes((i,)) for i in range(256)] + [b"", b""]
-            width = 9
-            prev = None
-            continue
-        if code == EOI:
-            break
-        if prev is None:
-            if code >= len(table):
-                raise ValueError("tiff: first LZW code out of range")
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):
-            entry = prev + prev[:1]
-            table.append(entry)
+    tsize = 258
+    grown = False  # True once the NEXT code read will append an entry
+    pos = 0
+    while True:
+        if width < 12:
+            room = ((1 << width) - 2) - tsize
+            c_max = room if grown else room + 1
+            if c_max == 0:
+                width += 1  # early change
+                continue
         else:
-            raise ValueError("tiff: LZW code out of range")
-        out += entry
-        prev = entry
-        # early change: the decoder's table lags the encoder's by one
-        # entry, so it bumps the width at (1 << width) - 2
-        if len(table) == (1 << width) - 2 and width < 12:
-            width += 1
-    if len(out) != n_expected:
-        raise ValueError("tiff: LZW output size mismatch")
+            c_max = 1 << 30
+        c = min(c_max, 4096, (nbits - pos) // width)
+        if c <= 0:
+            eoi_seen = False  # bits ran out before an EOI
+            break
+        offs = pos + np.arange(c, dtype=np.int64) * width
+        vals = np.zeros(c, dtype=np.int64)
+        for j in range(width):
+            vals |= bits[offs + j].astype(np.int64) << (width - 1 - j)
+        special = (vals == CLEAR) | (vals == EOI)
+        k = int(np.argmax(special)) if special.any() else c
+        if k:
+            cur.append(vals[:k])
+            tsize += k if grown else k - 1
+            grown = True
+            pos += width * k
+            continue
+        code = int(vals[0])
+        pos += width
+        if code == EOI:
+            eoi_seen = True
+            break
+        # clear: flush the segment, reset table state
+        if cur:
+            segments.append(np.concatenate(cur))
+            cur = []
+        width = 9
+        tsize = 258
+        grown = False
+    if cur:
+        segments.append(np.concatenate(cur))
+    return segments, eoi_seen
+
+
+def _tiff_lzw_decode(data: bytes, n_expected: int) -> bytes:
+    """Inverse of :func:`_tiff_lzw_encode` (also accepts conforming
+    foreign streams: deferred clears, missing EOI after full output).
+
+    r14 rewrite on the GIF precedent: codes are extracted vectorized;
+    the table replay exploits that every LZW entry (prev + first byte of
+    current) is a CONTIGUOUS span of the already-decoded output, so the
+    table is two int lists of (start, len) and each emission one
+    bytearray span copy."""
+    out = bytearray(n_expected)
+    n = 0
+    segments, eoi_seen = _tiff_lzw_parse_codes(data)
+    for seg in segments:
+        tb_start = [0] * 258
+        tb_len = [0] * 258
+        tsize = 258
+        prev_start = -1
+        prev_len = 0
+        for code in seg.tolist():
+            if code < 256:  # root: one literal byte
+                out[n] = code
+                cur_start, cur_len = n, 1
+                n += 1
+            elif code < tsize:
+                if code < 258:  # the clear/EOI placeholder slots
+                    raise ValueError("tiff: LZW code out of range")
+                s = tb_start[code]
+                ln = tb_len[code]
+                out[n : n + ln] = out[s : s + ln]
+                cur_start, cur_len = n, ln
+                n += ln
+            elif code == tsize and prev_start >= 0:  # KwKwK
+                ln = prev_len + 1
+                out[n : n + prev_len] = out[prev_start : prev_start + prev_len]
+                out[n + prev_len : n + ln] = out[prev_start : prev_start + 1]
+                cur_start, cur_len = n, ln
+                n += ln
+            else:
+                raise ValueError(
+                    "tiff: first LZW code out of range"
+                    if prev_start < 0
+                    else "tiff: LZW code out of range"
+                )
+            if prev_start >= 0 and tsize < 4096:
+                # entries past 4095 are unreachable by 12-bit codes —
+                # the scalar decoder appended them unreferencably
+                tb_start.append(prev_start)
+                tb_len.append(prev_len + 1)
+                tsize += 1
+            prev_start, prev_len = cur_start, cur_len
+            if n >= n_expected:
+                break
+        if n >= n_expected:
+            break
+    if n != n_expected:
+        # mirror the scalar decoder's error split: running out of BITS
+        # was a truncated-stream error from its bit reader; an early EOI
+        # (or span overshoot) fell through to the final length check
+        raise ValueError(
+            "tiff: truncated LZW stream"
+            if n < n_expected and not eoi_seen
+            else "tiff: LZW output size mismatch"
+        )
     return bytes(out)
 
 

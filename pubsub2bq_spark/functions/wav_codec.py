@@ -249,28 +249,66 @@ IMA_STEP_TABLE = np.array([
 IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
 
 
+def _clipped_add_scan(deltas: np.ndarray, x0: np.ndarray, lo: int,
+                      hi: int) -> np.ndarray:
+    """Prefix scan of the recurrence ``x_k = clip(x_{k-1} + d_k, lo,
+    hi)`` along axis 1 of a (rows, n) delta array, vectorized (r14).
+
+    The map family ``f(x) = min(h, max(l, x + a))`` is CLOSED under
+    composition — ``g∘f`` has ``a' = a_f + a_g``, ``l' = clip(l_f + a_g,
+    l_g, h_g)``, ``h' = clip(h_f + a_g, l_g, h_g)`` — so the whole chain
+    folds in ⌈log2 n⌉ numpy passes of pairwise composition (the same
+    prefix-doubling discipline as the FLAC Rice decoder). Returns the
+    (rows, n) array of post-update states."""
+    rows, n = deltas.shape
+    A = deltas.astype(np.int64).copy()
+    LO = np.full((rows, n), lo, dtype=np.int64)
+    HI = np.full((rows, n), hi, dtype=np.int64)
+    s = 1
+    while s < n:
+        a_r, lo_r, hi_r = A[:, s:], LO[:, s:], HI[:, s:]
+        new_lo = np.minimum(hi_r, np.maximum(lo_r, LO[:, :-s] + a_r))
+        new_hi = np.minimum(hi_r, np.maximum(lo_r, HI[:, :-s] + a_r))
+        new_a = A[:, :-s] + a_r
+        A[:, s:] = new_a
+        LO[:, s:] = new_lo
+        HI[:, s:] = new_hi
+        s <<= 1
+    return np.minimum(HI, np.maximum(LO, x0[:, None] + A))
+
+
 def _ima_decode_nibbles(nibbles: np.ndarray, pred: int, index: int) -> np.ndarray:
     """Decode an IMA ADPCM nibble stream given the block header state.
 
-    The textbook scalar recurrence (each nibble's step depends on the
-    previous index) — the block header's predictor is NOT included in
-    the returned array; callers prepend it as sample 0 per the WAV
-    IMA block layout."""
-    out = np.empty(nibbles.size, dtype=np.int64)
-    for k, nib in enumerate(nibbles):
-        step = int(IMA_STEP_TABLE[index])
-        diff = step >> 3
-        if nib & 1:
-            diff += step >> 2
-        if nib & 2:
-            diff += step >> 1
-        if nib & 4:
-            diff += step
-        pred = pred - diff if nib & 8 else pred + diff
-        pred = max(-32768, min(32767, pred))
-        index = max(0, min(88, index + int(IMA_INDEX_TABLE[nib & 7])))
-        out[k] = pred
-    return out
+    r14: the textbook recurrence has TWO clipped running sums — the
+    step index (depends only on the nibbles) and the predictor (whose
+    per-sample delta is fixed once the step sequence is known) — and a
+    clipped running sum is a composition of ``clip(x + a)`` maps, which
+    vectorizes by prefix doubling (:func:`_clipped_add_scan`). Bit-exact
+    with the scalar loop (pure integer arithmetic throughout). The block
+    header's predictor is NOT included in the returned array; callers
+    prepend it as sample 0 per the WAV IMA block layout."""
+    nibs = np.asarray(nibbles, dtype=np.int64).reshape(1, -1)
+    if nibs.size == 0:
+        return np.empty(0, dtype=np.int64)
+    idx = _clipped_add_scan(IMA_INDEX_TABLE[nibs & 7],
+                            np.array([index], dtype=np.int64), 0, 88)
+    # step for nibble k uses the index BEFORE its own update
+    prev_idx = np.concatenate(
+        [np.array([[index]], dtype=np.int64), idx[:, :-1]], axis=1
+    )
+    step = IMA_STEP_TABLE[prev_idx]
+    diff = (
+        (step >> 3)
+        + np.where(nibs & 1, step >> 2, 0)
+        + np.where(nibs & 2, step >> 1, 0)
+        + np.where(nibs & 4, step, 0)
+    )
+    delta = np.where(nibs & 8, -diff, diff)
+    out = _clipped_add_scan(
+        delta, np.array([pred], dtype=np.int64), -32768, 32767
+    )
+    return out.reshape(-1)
 
 
 def encode_wav_adpcm(samples: np.ndarray, rate: int = 8_000,

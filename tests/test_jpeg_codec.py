@@ -37,9 +37,9 @@ def _textbook(img: np.ndarray, quant: int) -> np.ndarray:
         mode="edge",
     )
     blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-    coef = np.einsum("ux,byxz,vz->byuv", _A, blocks, _A)
+    coef = ((_A @ blocks) @ _A.T)
     qc = np.rint(coef / quant) * quant
-    spat = np.einsum("xu,byuv,vz->byxz", _A.T, qc, _A)
+    spat = ((_A.T @ qc) @ _A)
     full = spat.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
     return np.clip(np.rint(full), 0, 255).astype(np.uint8)[:h, :w]
 
@@ -143,9 +143,9 @@ def _textbook_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      mode="edge")
         bh, bw = ph // 8, pw // 8
         blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-        coef = np.einsum("ux,byxz,vz->byuv", _A, blocks, _A)
+        coef = ((_A @ blocks) @ _A.T)
         qc = np.rint(coef / quant) * quant
-        spat = np.einsum("xu,byuv,vz->byxz", _A.T, qc, _A)
+        spat = ((_A.T @ qc) @ _A)
         full = spat.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
         return np.clip(np.rint(full), 0, 255).astype(np.uint8)
 
