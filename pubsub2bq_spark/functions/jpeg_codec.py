@@ -118,12 +118,13 @@ class _HuffTable(dict):
     list index per symbol (guide §4.2: constant work per decision); the
     dict form is kept for the tests and for error-path introspection."""
 
-    __slots__ = ("lut",)
+    __slots__ = ("lut", "lut_np")
 
     def __init__(self, items: dict[tuple[int, int], int],
-                 lut: list[int]) -> None:
+                 lut: list[int], lut_np: np.ndarray) -> None:
         super().__init__(items)
         self.lut = lut
+        self.lut_np = lut_np
 
 
 # LUT cache keyed by the DHT payload (bits + vals): real streams reuse
@@ -131,7 +132,7 @@ class _HuffTable(dict):
 # materializing 65536 plain ints per table costs more than decoding a
 # small image. Bounded so adversarial fuzz streams full of one-off DHTs
 # cannot grow it without limit.
-_LUT_CACHE: dict[bytes, list[int]] = {}
+_LUT_CACHE: dict[bytes, tuple[list[int], np.ndarray]] = {}
 _LUT_CACHE_MAX = 64
 
 
@@ -142,17 +143,17 @@ def _decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
         for sym, (code, length) in _canonical_codes(bits, vals).items()
     }
     key = bytes(bits) + bytes(vals)
-    lut = _LUT_CACHE.get(key)
-    if lut is None:
-        arr = np.zeros(1 << 16, dtype=np.int32)
+    cached = _LUT_CACHE.get(key)
+    if cached is None:
+        arr = np.zeros(1 << 16, dtype=np.int64)
         for (length, code), sym in items.items():
             lo = code << (16 - length)
             arr[lo : lo + (1 << (16 - length))] = (length << 8) | sym
-        lut = arr.tolist()
+        cached = (arr.tolist(), arr)
         if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
             _LUT_CACHE.clear()
-        _LUT_CACHE[key] = lut
-    return _HuffTable(items, lut)
+        _LUT_CACHE[key] = cached
+    return _HuffTable(items, cached[0], cached[1])
 
 
 # Orthonormal 8x8 DCT-II basis: A @ x @ A.T gives exactly the T.81
@@ -421,9 +422,8 @@ def encode_jpeg_progressive(px: np.ndarray, quant: int = 8,
     blocks, bw, bh = _blocks_of(px)
     coefs = ((_A @ blocks) @ _A.T)
     q = np.rint(coefs / float(quant)).astype(np.int64)
-    Z = q.reshape(bh, bw, 64)[:, :, _ZIGZAG]
-    Zl = Z.reshape(bh * bw, 64).tolist()  # plain ints for the bit loops
-    dcl = Z[:, :, 0].reshape(-1).tolist()
+    Z = q.reshape(bh * bw, 64)[:, _ZIGZAG]
+    dcl = Z[:, 0].tolist()
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
 
@@ -447,14 +447,12 @@ def encode_jpeg_progressive(px: np.ndarray, quant: int = 8,
 
     def ac_first(ss: int, se: int, al: int) -> bytes:
         bwr = _BitWriter()
-        for zz in Zl:
-            _prog_ac_first_bits(bwr, zz, ss, se, al, ac_codes)
+        _ac_scan_emit(bwr, Z[:, ss : se + 1], 0, al, ac_codes)
         return bwr.flush()
 
     def ac_refine(ss: int, se: int, al: int) -> bytes:
         bwr = _BitWriter()
-        for zz in Zl:
-            _prog_ac_refine_bits(bwr, zz, ss, se, al, ac_codes)
+        _ac_scan_emit(bwr, Z[:, ss : se + 1], 1, al, ac_codes)
         return bwr.flush()
 
     def sos(ss: int, se: int, ah: int, al: int) -> bytes:
@@ -487,15 +485,36 @@ def encode_jpeg_progressive(px: np.ndarray, quant: int = 8,
     return bytes(out)
 
 
-def _prog_ac_first_bits(bwr: _BitWriter, zz: np.ndarray, ss: int, se: int,
-                        al: int, ac_codes: dict) -> None:
+def _ac_scan_emit(bwr: _BitWriter, Zb: np.ndarray, ah: int, al: int,
+                  ac_codes: dict) -> None:
+    """Emit one progressive AC scan for every block of one component:
+    the point transforms, last-nonzero and EOB indexes are computed for
+    ALL blocks in one vectorized pass (r14 — the per-coefficient list
+    comprehensions were most of the progressive encoder's time), then
+    the per-block bit loops run on plain-int lists. ``Zb`` is the
+    (nblocks, band_width) zigzag band slice."""
+    width = Zb.shape[1]
+    if ah == 0:
+        T = np.where(Zb > 0, 1, -1) * (np.abs(Zb) >> al)
+        nzm = T != 0
+        has = nzm.any(axis=1)
+        last = np.where(has, width - 1 - np.argmax(nzm[:, ::-1], axis=1), -1)
+        for t, lst in zip(T.tolist(), last.tolist()):
+            _prog_ac_first_bits(bwr, t, lst, ac_codes)
+    else:
+        A = np.abs(Zb) >> al
+        m1 = A == 1
+        has = m1.any(axis=1)
+        eob = np.where(has, width - 1 - np.argmax(m1[:, ::-1], axis=1), -1)
+        for zzb, av, e in zip(Zb.tolist(), A.tolist(), eob.tolist()):
+            _prog_ac_refine_bits(bwr, zzb, av, e, ac_codes)
+
+
+def _prog_ac_first_bits(bwr: _BitWriter, t: list[int], last: int,
+                        ac_codes: dict) -> None:
     """One block's AC-first-scan emission (band run/size coding of the
-    magnitude-point-transformed values, per-block EOB)."""
-    t = [
-        (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> al)
-        for k in range(ss, se + 1)
-    ]
-    last = max((i for i, v in enumerate(t) if v), default=-1)
+    PRE-point-transformed values ``t``, per-block EOB); ``last`` is the
+    last nonzero band index (-1 when the band is empty)."""
     run = 0
     for i in range(last + 1):
         v = t[i]
@@ -511,18 +530,19 @@ def _prog_ac_first_bits(bwr: _BitWriter, zz: np.ndarray, ss: int, se: int,
         bwr.write(code, length)
         bwr.write(bits, size)
         run = 0
-    if last < se - ss:
+    if last < len(t) - 1:
         code, length = ac_codes[0x00]
         bwr.write(code, length)
 
 
-def _prog_ac_refine_bits(bwr: _BitWriter, zz: np.ndarray, ss: int, se: int,
-                         al: int, ac_codes: dict) -> None:
+def _prog_ac_refine_bits(bwr: _BitWriter, zzb: list[int], absv: list[int],
+                         eob: int, ac_codes: dict) -> None:
     """One block's AC-refinement emission: newly-significant coefficients
     as (run|1)+sign symbols, correction bits for already-significant
-    ones interleaved in the exact order the decoder consumes them."""
-    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
-    eob = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+    ones interleaved in the exact order the decoder consumes them.
+    ``zzb`` is the raw zigzag band, ``absv`` its point-transformed
+    magnitudes, ``eob`` the last newly-significant index (-1: none) —
+    all precomputed vectorized by :func:`_ac_scan_emit`."""
     run = 0
     br: list[int] = []
     for i, t in enumerate(absv):
@@ -541,7 +561,7 @@ def _prog_ac_refine_bits(bwr: _BitWriter, zz: np.ndarray, ss: int, se: int,
             continue
         code, length = ac_codes[(run << 4) | 1]
         bwr.write(code, length)
-        bwr.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        bwr.write(1 if zzb[i] > 0 else 0, 1)
         for b in br:
             bwr.write(b, 1)
         br = []
@@ -591,15 +611,16 @@ def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
              @ _A.T) / float(quant)).astype(np.int64)
         for p in (cb, cr)
     ]
-    # zigzag stores, one per component (Y on the 2×2-per-MCU grid),
-    # converted to nested plain-int lists for the bit loops
+    # zigzag stores, one per component (Y on the 2×2-per-MCU grid);
+    # the DC plane as plain-int lists for the interleaved bit loop
     Zs = [
-        z[:, :, _ZIGZAG].tolist()
+        z[:, :, _ZIGZAG]
         for z in (
             [qy.reshape(mcuy * 2, mcux * 2, 64)]
             + [c.reshape(mcuy, mcux, 64) for c in qc]
         )
     ]
+    dcs = [z[:, :, 0].tolist() for z in Zs]
     samp = [(2, 2), (1, 1), (1, 1)]
     dc_codes = [
         _canonical_codes(_DC_BITS, _DC_VALS),
@@ -621,7 +642,7 @@ def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
                     hs, vs = samp[ci]
                     for dy in range(vs):
                         for dx in range(hs):
-                            v = Zs[ci][my * vs + dy][mx * hs + dx][0]
+                            v = dcs[ci][my * vs + dy][mx * hs + dx]
                             if ah == 0:
                                 t = v >> al
                                 size, bits = _magnitude(t - preds[ci])
@@ -639,14 +660,11 @@ def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
         bw_i = (w * hs + 15) // 16  # hmax = 2 → ceil(w·hs / 16)
         bh_i = (h * vs + 15) // 16
         bwr = _BitWriter()
-        for by in range(bh_i):
-            for bx in range(bw_i):
-                if ah == 0:
-                    _prog_ac_first_bits(bwr, Zs[ci][by][bx], 1, 63, al,
-                                        ac_codes[ci])
-                else:
-                    _prog_ac_refine_bits(bwr, Zs[ci][by][bx], 1, 63, al,
-                                         ac_codes[ci])
+        _ac_scan_emit(
+            bwr,
+            Zs[ci][:bh_i, :bw_i, 1:64].reshape(bh_i * bw_i, 63),
+            ah, al, ac_codes[ci],
+        )
         return bwr.flush()
 
     qtab = bytes(np.full(64, quant, dtype=np.uint8))
@@ -1382,6 +1400,38 @@ _LL_BITS = [0, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2]
 _LL_VALS = list(range(17))
 
 
+def _pack_fields(values: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Pack MSB-first variable-length bit fields into a stuffed, 1-padded
+    entropy segment in one vectorized pass (r14): field i contributes
+    ``lengths[i]`` low bits of ``values[i]``. Equivalent to a _BitWriter
+    write() per field + flush(): disjoint-bit byte contributions are
+    ADDed (no carries possible), the final partial byte pads with 1s,
+    and 0x00 is stuffed after every 0xFF byte. Fields must be ≤ 32 bits."""
+    total = int(lengths.sum())
+    if total == 0:
+        return b""
+    pad = (8 - (total & 7)) & 7
+    if pad:
+        values = np.append(values, (1 << pad) - 1)
+        lengths = np.append(lengths, pad)
+        total += pad
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    buf = np.zeros(total // 8 + 5, dtype=np.int64)
+    b0 = starts >> 3
+    # 40-bit window per field, MSB-aligned at its start byte
+    win = (values & ((np.int64(1) << lengths) - 1)) << (
+        40 - (starts & 7) - lengths
+    )
+    for j in range(5):
+        np.add.at(buf, b0 + j, (win >> (8 * (4 - j))) & 0xFF)
+    return bytes(
+        buf[: total // 8].astype(np.uint8).tobytes().replace(
+            b"\xff", b"\xff\x00"
+        )
+    )
+
+
 def _lossless_predict(a: int, b: int, c: int, sel: int) -> int:
     """T.81 Table H.1 predictors (a = left, b = above, c = above-left)."""
     if sel == 1:
@@ -1430,18 +1480,25 @@ def encode_jpeg_lossless(px: np.ndarray, predictor: int = 4) -> bytes:
     d16 = (x - pred) & 0xFFFF
     diffs = np.where(d16 >= 0x8000, d16 - 0x10000, d16)
 
+    # Vectorized emission (r14): per residual the category, appended
+    # bits and canonical code are all elementwise maps, so the whole
+    # entropy segment packs in one `_pack_fields` pass. SSSS 16
+    # (diff == -32768) has no appended bits per T.81 H.1.2.2.
     codes = _canonical_codes(_LL_BITS, _LL_VALS)
-    bwr = _BitWriter()
-    for v in diffs.reshape(-1):
-        v = int(v)
-        if v == -32768:  # SSSS 16: no appended bits (T.81 H.1.2.2)
-            code, length = codes[16]
-            bwr.write(code, length)
-            continue
-        size, bits = _magnitude(v)
-        code, length = codes[size]
-        bwr.write(code, length)
-        bwr.write(bits, size)
+    code_t = np.array([codes[s][0] for s in range(17)], dtype=np.int64)
+    len_t = np.array([codes[s][1] for s in range(17)], dtype=np.int64)
+    d = diffs.reshape(-1)
+    absd = np.abs(d)
+    size = np.zeros(d.size, dtype=np.int64)
+    nz = absd > 0
+    _m, _e = np.frexp(absd[nz].astype(np.float64))
+    size[nz] = _e.astype(np.int64)  # bit_length of |diff|
+    size[d == -32768] = 16
+    bits = np.where(d >= 0, d, d + (np.int64(1) << size) - 1)
+    app = np.where(size == 16, 0, size)
+    values = (code_t[size] << app) | np.where(size == 16, 0, bits)
+    lengths = len_t[size] + app
+    entropy = _pack_fields(values, lengths)
 
     out = bytearray()
     out += b"\xff\xd8"
@@ -1451,7 +1508,7 @@ def encode_jpeg_lossless(px: np.ndarray, predictor: int = 4) -> bytes:
     # SOS: Ss = predictor selector, Se = 0, Ah/Al = 0 (no point transform)
     out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00"
     out += bytes((predictor, 0, 0))
-    out += bwr.flush()
+    out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1512,33 +1569,75 @@ def decode_jpeg_lossless(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     if pt != 0:
         raise NotImplementedError("jpeg lossless: point transform unsupported")
 
-    # Two-phase decode (r14 optimization): (1) one sequential pass over
-    # the entropy stream collects every residual — one LUT probe + one
-    # appended-bits read per sample instead of the old per-bit tree walk;
-    # (2) reconstruction runs ROW-VECTORIZED for the predictors whose
-    # in-row recurrence is purely additive (1/2/3/4/5 — 'a' enters with
-    # coefficient 1 and the shift terms read only the already-known row
-    # above, so an int64 cumsum masked at row end is exact mod 2^16);
-    # predictors 6/7 shift the in-row neighbor itself (nonlinear), so
-    # they keep a scalar loop per row.
+    # Two-phase decode (r14 optimization): (1) the residual stream
+    # decodes by CHAIN-FOLLOW (the scan uses one table and no state, so
+    # symbol lengths + appended-bit counts define a data-independent
+    # successor function over bit positions — precompute LUT entries at
+    # every position vectorized, walk the chain with plain list
+    # indexing, then gather all appended bits in one pass; the FLAC
+    # Rice-decode discipline); (2) reconstruction runs ROW-VECTORIZED
+    # for the predictors whose in-row recurrence is purely additive
+    # (1/2/3/4/5), scalar per row for 6/7 (nonlinear in-row shift).
     rdr = _BitReader(payload[scan_start:])
-    read, read_huff = rdr.read, rdr.read_huff
-    n = h * w
-    diffs = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        size = read_huff(htab)
-        if size == 16:
-            diffs[i] = -32768  # SSSS 16: no appended bits
-        else:
-            v = read(size)
-            diffs[i] = (
-                v if size == 0 or v >= (1 << (size - 1))
-                else v - (1 << size) + 1
-            )
+    diffs = _lossless_residuals(rdr, htab, h * w)
     out = _lossless_reconstruct(diffs.reshape(h, w), sel, precision)
     if out.max() > 255:
         raise ValueError("jpeg lossless: sample out of 8-bit range")
     return w, h, [out.astype(np.uint8)]
+
+
+def _lossless_residuals(rdr: _BitReader, htab: _HuffTable,
+                        n: int) -> np.ndarray:
+    """Decode ``n`` SOF3 residuals (category code + appended bits each)
+    from the reader's unstuffed segment. The per-position symbol/length
+    tables and the appended-bit gathers are vectorized; only the chain
+    walk itself (4 list ops per sample) stays in Python."""
+    ub = rdr.ub
+    b = np.concatenate([
+        np.frombuffer(ub, dtype=np.uint8).astype(np.int64),
+        np.zeros(8, dtype=np.int64),
+    ])
+    nbits = len(ub) * 8 - 16  # leave window room at the tail
+    # 16-bit peek at every bit position
+    w24 = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+    pos_all = np.arange(nbits, dtype=np.int64)
+    peek = (w24[pos_all >> 3] >> (8 - (pos_all & 7))) & 0xFFFF
+    ent = htab.lut_np[peek]
+    ln = ent >> 8
+    sym = ent & 0xFF
+    app = np.where(sym == 16, 0, sym)  # SSSS 16: no appended bits
+    nxt = (pos_all + ln + app).tolist()
+    ent_l = ent.tolist()
+    positions = np.empty(n, dtype=np.int64)
+    pos = 0
+    nreal = rdr.nreal
+    has_marker = rdr.has_marker
+    for i in range(n):
+        if pos >= nbits:
+            raise ValueError("jpeg: truncated entropy stream")
+        if ent_l[pos] == 0:
+            # no code has this prefix — mirror the reader's error split
+            if pos + 16 > nreal and not has_marker:
+                raise ValueError("jpeg: truncated entropy stream")
+            raise ValueError("jpeg: invalid Huffman code")
+        positions[i] = pos
+        pos = nxt[pos]
+    if pos > nreal and not has_marker:
+        raise ValueError("jpeg: truncated entropy stream")
+    s = sym[positions]
+    a = app[positions]
+    q = positions + ln[positions]
+    w32 = (
+        (b[:-4] << 24) | (b[1:-3] << 16) | (b[2:-2] << 8) | b[3:-1]
+    )
+    raw = (w32[q >> 3] >> (32 - (q & 7) - a)) & ((np.int64(1) << a) - 1)
+    diffs = np.where(
+        (a == 0) | (raw >= (np.int64(1) << np.maximum(a - 1, 0))),
+        raw,
+        raw - (np.int64(1) << a) + 1,
+    )
+    diffs = np.where(s == 16, -32768, diffs)
+    return diffs
 
 
 def _lossless_reconstruct(d: np.ndarray, sel: int,
