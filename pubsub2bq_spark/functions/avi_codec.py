@@ -215,38 +215,56 @@ MRLE_FOURCC = b"MRLE"
 def _rle_encode_literal(seg: np.ndarray) -> bytes:
     """Opcodes for a changed pixel segment: encoded runs (count, value)
     for repeats ≥ 3, absolute mode (00 count literals, word-padded) for
-    literal stretches ≥ 3, count-1/2 runs for the remainder."""
+    literal stretches ≥ 3, count-1/2 runs for the remainder.
+
+    Scalar run walk (r14): segments are row-bounded and usually short,
+    where a plain loop over the bytes beats the three numpy calls the
+    old run-boundary pass cost per segment."""
+    data = np.ascontiguousarray(seg).tobytes()
+    m = len(data)
     ops = bytearray()
-    m = seg.size
     if m == 0:
         return bytes(ops)
-    # run boundaries in one vectorized pass (iterate over RUNS)
-    breaks = np.flatnonzero(seg[1:] != seg[:-1]) + 1
-    starts = np.concatenate(([0], breaks))
-    lens = np.diff(np.concatenate((starts, [m])))
-    nruns = starts.size
+    runs: list[tuple[int, int]] = []  # (value, length)
+    prev_v = data[0]
+    cnt = 1
+    for b in data[1:]:
+        if b == prev_v:
+            cnt += 1
+        else:
+            runs.append((prev_v, cnt))
+            prev_v = b
+            cnt = 1
+    runs.append((prev_v, cnt))
     i = 0
-    while i < nruns:
-        if lens[i] >= 3:
-            run, v = int(lens[i]), int(seg[starts[i]])
+    pos = 0  # byte offset of runs[i] within data
+    n = len(runs)
+    while i < n:
+        v, ln = runs[i]
+        if ln >= 3:
+            run = ln
             while run > 0:
                 c = min(run, 255)
                 ops += bytes((c, v))
                 run -= c
+            pos += ln
             i += 1
         else:
             j = i  # literal stretch: consecutive runs < 3
-            while j < nruns and lens[j] < 3:
+            end = pos
+            while j < n and runs[j][1] < 3:
+                end += runs[j][1]
                 j += 1
-            lit = seg[starts[i] : starts[j - 1] + lens[j - 1]]
-            while lit.size >= 3:
-                c = min(lit.size, 255)
-                ops += bytes((0, c)) + lit[:c].tobytes()
+            lit = data[pos:end]
+            while len(lit) >= 3:
+                c = min(len(lit), 255)
+                ops += bytes((0, c)) + lit[:c]
                 if c % 2:
                     ops += b"\x00"  # absolute runs are word-aligned
                 lit = lit[c:]
-            for v in lit:
-                ops += bytes((1, int(v)))
+            for v2 in lit:
+                ops += bytes((1, v2))
+            pos = end
             i = j
     return bytes(ops)
 
@@ -259,23 +277,33 @@ def _rle_encode_frame(prev: np.ndarray | None, frame: np.ndarray) -> bytes:
     h, w = frame.shape
     ops = bytearray()
     pending = 0
+    if prev is not None:
+        # ONE frame-wide nonzero finds every changed pixel (r14: the
+        # per-row flatnonzero/diff calls were most of the encoder);
+        # per-row segments then come from a plain walk over the (few)
+        # changed columns.
+        ys, xs = np.nonzero(frame != prev)
+        bounds = np.searchsorted(ys, np.arange(h + 1)).tolist()
+        xs_l = xs.tolist()
     for r in range(h):  # r = 0 is the BOTTOM row
         row = frame[h - 1 - r]
-        prow = prev[h - 1 - r] if prev is not None else None
-        if prow is None:
+        if prev is None:
             segs = [(0, w)] if w else []
         else:
-            # changed-pixel segments, found in one vectorized pass
-            # (iterate over SEGMENTS, not pixels)
-            diff = np.flatnonzero(row != prow)
-            if diff.size == 0:
+            actual = h - 1 - r
+            lo, hi = bounds[actual], bounds[actual + 1]
+            if lo == hi:
                 pending += 1
                 continue
-            breaks = np.flatnonzero(np.diff(diff) > 1) + 1
-            starts = np.concatenate(([0], breaks))
-            ends = np.concatenate((breaks, [diff.size]))
-            segs = [(int(diff[s]), int(diff[e - 1]) + 1)
-                    for s, e in zip(starts, ends)]
+            cols = xs_l[lo:hi]
+            segs = []
+            s = p = cols[0]
+            for c in cols[1:]:
+                if c > p + 1:
+                    segs.append((s, p + 1))
+                    s = c
+                p = c
+            segs.append((s, p + 1))
         while pending > 0:
             dy = min(pending, 255)
             ops += bytes((0, 2, 0, dy))
