@@ -65,13 +65,19 @@ SURVEY2_KEYS = frozenset({
 
 # Keys forced into one fresh driver check even though their closure hash
 # reads fresh (cross-module rewrites the hash cannot see, or an explicit
-# verdict ask). Round 14 (VERDICT r13 #3): drain the staleness floor —
-# these seven keys' newest driver row is still r5 (8 rounds old). The
-# judge replayed all seven green via driver_twin in r13, but driver
-# evidence that old should rotate out; front them for one fresh row each.
+# verdict ask). Round 15 (VERDICT r14 #1): the r14 optimization rewrote
+# these keys' kernels in functions/*.py, which the then-same-module-only
+# hash could not see, so the rotation never re-checked them. The hash now
+# follows pubsub2bq_spark.functions.* imports (evidence.closure_source),
+# which already marks all 13 stale — this set is the belt-and-suspenders
+# guarantee the verdict asked for, and it stays correct even if the
+# regenerated IMPL_EVIDENCE.json were refreshed mid-round. (The seven
+# r5-era stale rows forced in r14 all landed fresh green rows — drained.)
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    "bigram_logprob", "rolling_corr", "tpch_q11", "tpch_q15",
-    "window_distribution", "window_range_frame", "word_pmi",
+    "jpeg_decode", "jpeg_subsampled", "jpeg_progressive",
+    "jpeg_progressive_color", "jpeg_lossless", "jpeg_hier", "jpeg_arith",
+    "video_frames_mjpeg", "video_frames_rle", "tiff_decode", "gif_frames",
+    "audio_adpcm", "qoi_decode",
 })
 
 # Keys ADDED in the current round but deliberately scheduled BEHIND the

@@ -654,9 +654,17 @@ def load_prior() -> tuple[str, dict] | None:
     tail-string fallback for truncated captures.
     """
     import glob
+    import re as _re
 
     root = os.path.dirname(os.path.abspath(__file__))
-    priors = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    # Only round captures count as priors: the driver also drops sibling
+    # artifacts that match the loose glob (e.g. BENCH_r14_c8.json, an
+    # 8-core concurrency capture) whose timings are not a valid baseline.
+    priors = sorted(
+        p
+        for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
+        if _re.search(r"BENCH_r(\d+)\.json$", p)
+    )
     for prior_path in reversed(priors):
         try:
             with open(prior_path) as f:

@@ -86,15 +86,31 @@ def latest_green_rounds(max_round: int | None = None) -> dict[str, tuple[int, st
     return best
 
 
+def _loader_at_commit(commit: str):
+    """Module-source loader over the historic git tree — the twin of
+    evidence._live_module_loader, so the recorded hash covers exactly
+    the followed kernel modules *as of the green commit*."""
+    def load(dotted: str) -> str | None:
+        if not dotted.startswith("pubsub2bq_spark"):
+            return None
+        rel = "/".join(dotted.split(".")) + ".py"
+        try:
+            return _git("show", f"{commit}:{rel}")
+        except subprocess.CalledProcessError:
+            return None
+    return load
+
+
 def source_at_commit(commit: str, relpath: str, fn_name: str) -> str | None:
     """The function's closure source (fn + referenced same-module
-    symbols, identical machinery to evidence.live_impl_hash) at a
-    historic commit — extracted from the git blob, never imported."""
+    symbols + followed first-party kernel imports, identical machinery
+    to evidence.live_impl_hash) at a historic commit — extracted from
+    git blobs, never imported."""
     try:
         blob = _git("show", f"{commit}:{relpath}")
     except subprocess.CalledProcessError:
         return None
-    return closure_source(blob, fn_name)
+    return closure_source(blob, fn_name, _loader_at_commit(commit))
 
 
 def fn_only_source_at_commit(commit: str, relpath: str, fn_name: str) -> str | None:

@@ -198,3 +198,131 @@ def test_helper_only_change_is_weak_stale(tmp_path):
     )
     fresh, strong, weak = fresh_green_keys(reg, str(tmp_path))
     assert fresh == set() and strong == set() and weak == {"probe"}
+
+
+# ---- cross-module kernel hashing (VERDICT r14 #1) -------------------------
+# The r14 optimization rewrote codec kernels in pubsub2bq_spark/functions/*
+# while the operators live in operators/multimodal.py; the same-module-only
+# hash read all callers FRESH and the rotation never re-checked them. The
+# closure hash now follows first-party functions.* imports.
+
+_OP_MODULE = '''
+from pubsub2bq_spark.functions.fakekern import kern
+from pubsub2bq_spark.tables import load
+
+def operator(spark, sf_dir):
+    df = load(spark, sf_dir, "t")
+    return kern(df)
+'''
+
+_OP_MODULE_LAZY = '''
+def operator(spark, sf_dir):
+    from pubsub2bq_spark.functions.fakekern import kern
+    return kern(spark)
+'''
+
+_KERNEL_V1 = '''
+from pubsub2bq_spark.functions.otherkern import deep
+
+_TABLE = [1, 2, 3]
+
+class _State:
+    def step(self):
+        return _TABLE
+
+def _helper(x):
+    return deep(x) + 1
+
+def kern(df):
+    s = _State()
+    return _helper(df) + len(s.step())
+
+def unrelated(df):
+    return 0
+'''
+
+_KERNEL_V2 = _KERNEL_V1.replace("return deep(x) + 1", "return deep(x) + 2")
+
+_DEEP_V1 = "def deep(x):\n    return x\n"
+_DEEP_V2 = "def deep(x):\n    return x * 2\n"
+
+
+def _loader(mods):
+    return lambda dotted: mods.get(dotted)
+
+
+def test_closure_follows_functions_imports():
+    """A kernel-module edit (helper, class, constant, or a transitively
+    imported second kernel module) changes the caller's closure hash; an
+    edit to an unreferenced kernel symbol does not."""
+    from pubsub2bq_spark.evidence import closure_source
+
+    mods_v1 = {
+        "pubsub2bq_spark.functions.fakekern": _KERNEL_V1,
+        "pubsub2bq_spark.functions.otherkern": _DEEP_V1,
+    }
+    src1 = closure_source(_OP_MODULE, "operator", _loader(mods_v1))
+    # the followed kernel closure is in the text: fn, helper, class, const
+    for expected in ("def kern", "_helper", "class _State", "_TABLE", "def deep"):
+        assert expected in src1, expected
+    # tables.load is NOT followed (non-functions first-party module)
+    assert "def load" not in src1
+    assert "unrelated" not in src1  # only referenced kernel symbols
+
+    # kernel helper edit -> different closure text
+    mods_v2 = dict(mods_v1)
+    mods_v2["pubsub2bq_spark.functions.fakekern"] = _KERNEL_V2
+    assert closure_source(_OP_MODULE, "operator", _loader(mods_v2)) != src1
+
+    # second-hop kernel edit (functions.otherkern) -> different text too
+    mods_v3 = dict(mods_v1)
+    mods_v3["pubsub2bq_spark.functions.otherkern"] = _DEEP_V2
+    assert closure_source(_OP_MODULE, "operator", _loader(mods_v3)) != src1
+
+    # edit confined to an UNreferenced kernel symbol -> same text
+    mods_v4 = dict(mods_v1)
+    mods_v4["pubsub2bq_spark.functions.fakekern"] = _KERNEL_V1.replace(
+        "return 0", "return 99"
+    )
+    assert closure_source(_OP_MODULE, "operator", _loader(mods_v4)) == src1
+
+
+def test_closure_follows_lazy_function_body_imports():
+    """Kernels imported inside the mapInPandas body (the executor-pickling
+    idiom every multimodal operator uses) are followed too."""
+    from pubsub2bq_spark.evidence import closure_source
+
+    mods = {
+        "pubsub2bq_spark.functions.fakekern": _KERNEL_V1,
+        "pubsub2bq_spark.functions.otherkern": _DEEP_V1,
+    }
+    src = closure_source(_OP_MODULE_LAZY, "operator", _loader(mods))
+    assert "def kern" in src and "def deep" in src
+
+
+def test_closure_without_loader_is_same_module_only():
+    """Back-compat: no loader -> the pre-r15 same-module behavior."""
+    from pubsub2bq_spark.evidence import closure_source
+
+    src = closure_source(_OP_MODULE, "operator")
+    assert src is not None and "def kern" not in src
+
+
+def test_live_hash_covers_rewritten_codec_kernels():
+    """The real registry: jpeg_decode's live closure text must include the
+    jpeg_codec kernel internals the r14 round rewrote, so any further
+    kernel edit marks the key stale automatically."""
+    from pubsub2bq_spark.evidence import (
+        _live_module_loader,
+        closure_source,
+        unwrap_registered,
+    )
+    import inspect
+
+    from pubsub2bq_spark.registry import all_queries
+
+    fn = unwrap_registered(all_queries()["jpeg_decode"].spark)
+    module_src = inspect.getsource(inspect.getmodule(fn))
+    src = closure_source(module_src, fn.__name__, _live_module_loader)
+    assert "pubsub2bq_spark.functions.jpeg_codec" in src
+    assert "class _HuffTable" in src  # the r14 LUT rewrite lives here
