@@ -225,6 +225,17 @@ def _rle_encode_literal(seg: np.ndarray) -> bytes:
     ops = bytearray()
     if m == 0:
         return bytes(ops)
+    v0 = data[0]
+    if m >= 3 and data.count(v0) == m:
+        # constant segment (the synth frames' dominant shape, r15):
+        # pure encoded runs, no per-byte walk
+        run = m
+        while run > 0:
+            c = min(run, 255)
+            ops.append(c)
+            ops.append(v0)
+            run -= c
+        return bytes(ops)
     runs: list[tuple[int, int]] = []  # (value, length)
     prev_v = data[0]
     cnt = 1

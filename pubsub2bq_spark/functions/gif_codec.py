@@ -32,12 +32,20 @@ GIF_SIG = b"GIF89a"
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     """GIF variable-width LZW: code width starts at min_code_size+1,
-    grows after the table fills a width, CLEAR resets at 4096."""
+    grows after the table fills a width, CLEAR resets at 4096.
+
+    The string table is keyed ``(prefix_code << 8) | next_byte`` (r14).
+    r15: run-heavy inputs (the synth frames are constant rects) take a
+    RUN-CHAIN fast path — a run of byte v parses greedily as phrases
+    v^1, v^2, …, so with the pure chain [code(v²), code(v³), …] cached
+    per byte the parse of an m-byte run costs O(#phrases) ≈ O(√m) dict
+    ops instead of m probes. Chains mirror the table exactly (a generic
+    miss that extends a pure chain appends to it; CLEAR drops both), so
+    the guaranteed-miss jump is sound and the emitted codes are
+    byte-identical to the plain per-pixel walk — which inputs with
+    short runs (< 4 bytes average) still use."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    # string table keyed (prefix_code << 8) | next_byte (r14: every
-    # dictionary state IS a code, so the bytes-concatenation keys were
-    # pure allocation overhead — same greedy match, same emitted codes)
     table: dict[int, int] = {}
     next_code = eoi + 1
     width = min_code_size + 1
@@ -56,28 +64,115 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
             nbits -= 8
 
     emit(clear, width)
+    flat = np.ascontiguousarray(indices.reshape(-1))
+    npx = flat.size
+    ne = flat[1:] != flat[:-1] if npx else None
+    nruns = 1 + int(np.count_nonzero(ne)) if npx else 0
+    get = table.get
     prefix = -1  # -1 = empty prefix
-    for v in indices.reshape(-1).tolist():
-        if prefix < 0:
-            prefix = v
-            continue
-        key = (prefix << 8) | v
-        nxt = table.get(key)
-        if nxt is not None:
-            prefix = nxt
-            continue
-        emit(prefix, width)
-        table[key] = next_code
-        next_code += 1
-        if next_code == (1 << width) + 1:
-            if width < 12:
-                width += 1
+    if npx and npx >= 4 * nruns:
+        chains: dict[int, list[int]] = {}
+        if nruns == 1:
+            run_vals = [int(flat[0])]
+            run_lens = [npx]
+        else:
+            starts = np.flatnonzero(ne) + 1
+            run_vals = [int(flat[0])] + flat[starts].tolist()
+            run_lens = np.diff(starts, prepend=0, append=npx).tolist()
+        for v, cnt in zip(run_vals, run_lens):
+            if prefix < 0:
+                prefix = v
+                cnt -= 1
+                j = 1
             else:
-                emit(clear, width)
-                table = {}
-                next_code = eoi + 1
-                width = min_code_size + 1
-        prefix = v
+                # mixed-prefix walk: probe until a miss or the run ends
+                j = 0
+                while cnt:
+                    key = (prefix << 8) | v
+                    nxt = get(key)
+                    if nxt is not None:
+                        prefix = nxt
+                        cnt -= 1
+                        continue
+                    emit(prefix, width)
+                    table[key] = next_code
+                    ch = chains.get(v)
+                    if prefix == v:
+                        chains[v] = [next_code]
+                    elif ch and prefix == ch[-1]:
+                        ch.append(next_code)
+                    next_code += 1
+                    if next_code == (1 << width) + 1:
+                        if width < 12:
+                            width += 1
+                        else:
+                            emit(clear, width)
+                            table = {}
+                            get = table.get
+                            chains = {}
+                            next_code = eoi + 1
+                            width = min_code_size + 1
+                    prefix = v
+                    cnt -= 1
+                    j = 1
+                    break
+            if not cnt or not j:
+                continue
+            # pure phrase: prefix is the code of v^j — jump the chain
+            ch = chains.get(v)
+            if ch is None:
+                ch = chains[v] = []
+            while cnt:
+                known = 1 + len(ch)  # longest v^k in the table
+                if j < known:
+                    take = known - j
+                    if take > cnt:
+                        take = cnt
+                    j += take
+                    cnt -= take
+                    continue
+                code_vj = v if j == 1 else ch[j - 2]
+                emit(code_vj, width)
+                table[(code_vj << 8) | v] = next_code
+                ch.append(next_code)
+                next_code += 1
+                if next_code == (1 << width) + 1:
+                    if width < 12:
+                        width += 1
+                    else:
+                        emit(clear, width)
+                        table = {}
+                        get = table.get
+                        chains = {}
+                        next_code = eoi + 1
+                        width = min_code_size + 1
+                        ch = chains.setdefault(v, [])
+                j = 1
+                cnt -= 1
+            prefix = v if j == 1 else ch[j - 2]
+    else:
+        for v in flat.tolist():
+            if prefix < 0:
+                prefix = v
+                continue
+            key = (prefix << 8) | v
+            nxt = get(key)
+            if nxt is not None:
+                prefix = nxt
+                continue
+            emit(prefix, width)
+            table[key] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1:
+                if width < 12:
+                    width += 1
+                else:
+                    emit(clear, width)
+                    table = {}
+                    get = table.get
+                    next_code = eoi + 1
+                    width = min_code_size + 1
+            prefix = v
     if prefix >= 0:
         emit(prefix, width)
     emit(eoi, width)
@@ -86,7 +181,72 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_parse_codes(data: bytes, min_code_size: int) -> list[np.ndarray]:
+# Below this many stream bytes the scalar parse wins: the numpy chunked
+# extraction pays ~10 array dispatches per width batch, which dwarfs a
+# tight shift-accumulator loop on the few-hundred-byte streams the synth
+# frames produce (r15 measurement: crossover ≈ 1 KiB).
+_PARSE_SCALAR_MAX = 1024
+
+
+def _lzw_parse_codes(data: bytes, min_code_size: int):
+    """Code segments of the packed bitstream — scalar for small streams,
+    numpy-chunked above _PARSE_SCALAR_MAX. Segments are plain int lists
+    (scalar) or int64 ndarrays (numpy); the replay accepts both."""
+    if len(data) < _PARSE_SCALAR_MAX:
+        return _lzw_parse_codes_scalar(data, min_code_size)
+    return _lzw_parse_codes_np(data, min_code_size)
+
+
+def _lzw_parse_codes_scalar(data: bytes, min_code_size: int) -> list[list[int]]:
+    """Scalar twin of :func:`_lzw_parse_codes_np`: same width schedule,
+    same clear/EOI segmentation, same truncation error."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    segments: list[list[int]] = []
+    cur: list[int] = []
+    width = min_code_size + 1
+    tsize = clear + 2
+    grown = False
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        if width < 12:
+            room = (1 << width) - tsize
+            c_max = room if grown else room + 1
+            if c_max == 0:
+                width += 1  # scalar semantics: bump after table hits 2^w
+                continue
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("gif: truncated LZW stream")
+            acc |= data[pos] << nbits  # LSB-first packing
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == eoi:
+            break
+        if code == clear:
+            if cur:
+                segments.append(cur)
+                cur = []
+            width = min_code_size + 1
+            tsize = clear + 2
+            grown = False
+            continue
+        cur.append(code)
+        if grown:
+            tsize += 1
+        grown = True
+    if cur:
+        segments.append(cur)
+    return segments
+
+
+def _lzw_parse_codes_np(data: bytes, min_code_size: int) -> list[np.ndarray]:
     """Extract the LZW code sequence from the packed bitstream,
     vectorized in chunks (r14, VERDICT r13 #5).
 
@@ -176,7 +336,7 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
         tsize = clear + 2
         prev_start = -1
         prev_len = 0
-        for code in seg.tolist():
+        for code in (seg if type(seg) is list else seg.tolist()):
             if code < clear:  # root: one literal byte
                 if n >= n_expected:
                     raise ValueError("gif: LZW output exceeds frame size")

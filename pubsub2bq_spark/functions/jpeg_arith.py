@@ -39,6 +39,7 @@ import struct
 import numpy as np
 
 from pubsub2bq_spark.functions.jpeg_codec import (
+    _pad_edge,
     _A,
     _UNZIGZAG,
     _ZIGZAG,
@@ -562,19 +563,16 @@ def encode_jpeg_arith_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     h, w = y.shape
     mcux, mcuy = (w + 15) // 16, (h + 15) // 16
 
-    ypad = np.pad(y.astype(np.float64) - 128.0,
-                  ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
+    ypad = _pad_edge(y.astype(np.float64) - 128.0,
+                     mcuy * 16 - h, mcux * 16 - w)
     yblocks = ypad.reshape(mcuy * 2, 8, mcux * 2, 8).transpose(0, 2, 1, 3)
     qy = np.rint(((_A @ yblocks) @ _A.T)
                  / float(quant)).astype(np.int64)
 
     def _sub(plane: np.ndarray) -> np.ndarray:
-        ph = np.pad(plane.astype(np.float64),
-                    ((0, h % 2), (0, w % 2)), mode="edge")
+        ph = _pad_edge(plane.astype(np.float64), h % 2, w % 2)
         s = ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(axis=(1, 3))
-        return np.pad(s - 128.0,
-                      ((0, mcuy * 8 - s.shape[0]), (0, mcux * 8 - s.shape[1])),
-                      mode="edge")
+        return _pad_edge(s - 128.0, mcuy * 8 - s.shape[0], mcux * 8 - s.shape[1])
 
     qcb = np.rint(((_A @ _sub(cb).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3))
          @ _A.T) / float(quant)).astype(np.int64)

@@ -96,8 +96,19 @@ _AC_C_VALS = [
 ]
 
 
+# Canonical-code dicts are pure functions of the (bits, vals) payload and
+# every encoder rebuilds the same Annex K set per image — memoize (r15;
+# _canonical_codes was 8% of the progressive-color kernel). Entries are
+# read-only by convention; bounded like _LUT_CACHE, FIFO-evicted.
+_CANON_CACHE: dict[bytes, dict[int, tuple[int, int]]] = {}
+
+
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) per T.81 Annex C code assignment."""
+    key = bytes(bits) + bytes(vals)
+    cached = _CANON_CACHE.get(key)
+    if cached is not None:
+        return cached
     out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -107,6 +118,9 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
             code += 1
             k += 1
         code <<= 1
+    if len(_CANON_CACHE) >= _LUT_CACHE_MAX:
+        _CANON_CACHE.pop(next(iter(_CANON_CACHE)))
+    _CANON_CACHE[key] = out
     return out
 
 
@@ -136,13 +150,23 @@ _LUT_CACHE: dict[bytes, tuple[list[int], np.ndarray]] = {}
 _LUT_CACHE_MAX = 64
 
 
+# Assembled-table memo on top of _LUT_CACHE: the per-image dict/_HuffTable
+# rebuild itself showed up in the progressive-color profile (r15). Tables
+# are read-only by convention, so sharing one instance is safe. FIFO
+# eviction (one entry, not a full clear — ADVICE r14) on both caches.
+_TABLE_CACHE: dict[bytes, _HuffTable] = {}
+
+
 def _decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
     """(length, code) -> symbol, the decoder-side view (with 16-bit LUT)."""
+    key = bytes(bits) + bytes(vals)
+    table = _TABLE_CACHE.get(key)
+    if table is not None:
+        return table
     items = {
         (length, code): sym
         for sym, (code, length) in _canonical_codes(bits, vals).items()
     }
-    key = bytes(bits) + bytes(vals)
     cached = _LUT_CACHE.get(key)
     if cached is None:
         arr = np.zeros(1 << 16, dtype=np.int64)
@@ -151,9 +175,13 @@ def _decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
             arr[lo : lo + (1 << (16 - length))] = (length << 8) | sym
         cached = (arr.tolist(), arr)
         if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
-            _LUT_CACHE.clear()
+            _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
         _LUT_CACHE[key] = cached
-    return _HuffTable(items, cached[0], cached[1])
+    table = _HuffTable(items, cached[0], cached[1])
+    if len(_TABLE_CACHE) >= _LUT_CACHE_MAX:
+        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+    _TABLE_CACHE[key] = table
+    return table
 
 
 # Orthonormal 8x8 DCT-II basis: A @ x @ A.T gives exactly the T.81
@@ -165,13 +193,29 @@ for _u in range(8):
         _A[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
 
 
+def _pad_edge(a: np.ndarray, pb: int, pr: int) -> np.ndarray:
+    """Edge-replicate pad ``a`` by ``pb`` rows below / ``pr`` cols right —
+    exactly ``np.pad(a, ((0, pb), (0, pr)), mode="edge")`` but ~5x
+    cheaper (np.pad's generic machinery was a visible slice of every
+    encoder's profile at these image sizes — r15)."""
+    if not pb and not pr:
+        return a
+    h, w = a.shape
+    out = np.empty((h + pb, w + pr), dtype=a.dtype)
+    out[:h, :w] = a
+    if pr:
+        out[:h, w:] = a[:, -1:]
+    if pb:
+        out[h:, :] = out[h - 1 : h, :]
+    return out
+
+
 def _blocks_of(px: np.ndarray) -> tuple[np.ndarray, int, int]:
     """Pad to 8x8 multiples (edge-replicate, the T.81 recommendation)
     and return (blocks[by, bx, 8, 8] float64 level-shifted, bw, bh)."""
     h, w = px.shape
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    pad = np.pad(px.astype(np.float64) - 128.0,
-                 ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    pad = _pad_edge(px.astype(np.float64) - 128.0, bh * 8 - h, bw * 8 - w)
     return (
         pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3),
         bw,
@@ -212,6 +256,31 @@ def _magnitude(v: int) -> tuple[int, int]:
     size = int(abs(v)).bit_length()
     bits = v if v >= 0 else v + (1 << size) - 1
     return size, bits
+
+
+def _mag_fields(diffs: np.ndarray, codes: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(values, lengths) (n, 2) int64 arrays for a DC diff sequence: per
+    diff the Huffman (code, length) of its magnitude category, then the
+    appended bits — the vectorized twin of `_magnitude` + ``codes[size]``
+    + two write() calls per DC (r15). np.frexp's exponent IS bit_length
+    for the int64 magnitudes here (exact below 2^53), and a size absent
+    from the table raises the same KeyError the dict lookup raised."""
+    ab = np.abs(diffs)
+    size = np.frexp(ab.astype(np.float64))[1].astype(np.int64)
+    code_arr = np.full(17, -1, dtype=np.int64)
+    len_arr = np.zeros(17, dtype=np.int64)
+    for s, (c, ln) in codes.items():
+        if 0 <= s < 17:
+            code_arr[s] = c
+            len_arr[s] = ln
+    code_f = code_arr[size]
+    if code_f.min(initial=0) < 0:
+        codes[int(size[int(np.argmin(code_f))])]  # same KeyError as scalar
+    bits = np.where(diffs >= 0, diffs, diffs + (np.int64(1) << size) - 1)
+    return (
+        np.stack([code_f, bits], axis=1),
+        np.stack([len_arr[size], size], axis=1),
+    )
 
 
 def _encode_block_fast(bwr: _BitWriter, zz: list[int], last_nz: int,
@@ -331,20 +400,17 @@ def encode_jpeg_420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     mcux, mcuy = (w + 15) // 16, (h + 15) // 16
 
     # Y padded to MCU (16-pixel) multiples so every MCU owns 4 blocks.
-    ypad = np.pad(y.astype(np.float64) - 128.0,
-                  ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
+    ypad = _pad_edge(y.astype(np.float64) - 128.0,
+                     mcuy * 16 - h, mcux * 16 - w)
     yblocks = ypad.reshape(mcuy * 2, 8, mcux * 2, 8).transpose(0, 2, 1, 3)
     qy = np.rint(((_A @ yblocks) @ _A.T) / float(quant)).astype(np.int64)
 
     # Chroma: edge-pad to even dims, 2×2 mean, pad to 8-multiples
     # (= the MCU grid: ceil(ceil(w/2)/8) == ceil(w/16)).
     def _sub(plane: np.ndarray) -> np.ndarray:
-        ph = np.pad(plane.astype(np.float64),
-                    ((0, h % 2), (0, w % 2)), mode="edge")
+        ph = _pad_edge(plane.astype(np.float64), h % 2, w % 2)
         s = ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(axis=(1, 3))
-        return np.pad(s - 128.0,
-                      ((0, mcuy * 8 - s.shape[0]), (0, mcux * 8 - s.shape[1])),
-                      mode="edge")
+        return _pad_edge(s - 128.0, mcuy * 8 - s.shape[0], mcux * 8 - s.shape[1])
 
     qcb = np.rint(((_A @ _sub(cb).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3))
          @ _A.T) / float(quant)).astype(np.int64)
@@ -423,37 +489,27 @@ def encode_jpeg_progressive(px: np.ndarray, quant: int = 8,
     coefs = ((_A @ blocks) @ _A.T)
     q = np.rint(coefs / float(quant)).astype(np.int64)
     Z = q.reshape(bh * bw, 64)[:, _ZIGZAG]
-    dcl = Z[:, 0].tolist()
+    dcv = Z[:, 0]
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
 
     def dc_first(al: int) -> bytes:
-        bwr = _BitWriter()
-        pred = 0
-        for dc in dcl:
-            v = dc >> al  # arithmetic point transform
-            size, bits = _magnitude(v - pred)
-            pred = v
-            code, length = dc_codes[size]
-            bwr.write(code, length)
-            bwr.write(bits, size)
-        return bwr.flush()
+        # arithmetic point transform, per-block predictor diff chain —
+        # vectorized (r15): diff/magnitude/code lookups as array ops,
+        # one _pack_fields per scan.
+        t = dcv >> al
+        v2, l2 = _mag_fields(np.diff(t, prepend=np.int64(0)), dc_codes)
+        return _pack_hybrid(v2.reshape(-1), l2.reshape(-1))
 
     def dc_refine(al: int) -> bytes:
-        bwr = _BitWriter()
-        for dc in dcl:
-            bwr.write((dc >> al) & 1, 1)
-        return bwr.flush()
+        bits = (dcv >> al) & 1
+        return _pack_hybrid(bits, np.ones_like(bits))
 
     def ac_first(ss: int, se: int, al: int) -> bytes:
-        bwr = _BitWriter()
-        _ac_scan_emit(bwr, Z[:, ss : se + 1], 0, al, ac_codes)
-        return bwr.flush()
+        return _ac_scan_emit(Z[:, ss : se + 1], 0, al, ac_codes)
 
     def ac_refine(ss: int, se: int, al: int) -> bytes:
-        bwr = _BitWriter()
-        _ac_scan_emit(bwr, Z[:, ss : se + 1], 1, al, ac_codes)
-        return bwr.flush()
+        return _ac_scan_emit(Z[:, ss : se + 1], 1, al, ac_codes)
 
     def sos(ss: int, se: int, ah: int, al: int) -> bytes:
         return (
@@ -485,36 +541,109 @@ def encode_jpeg_progressive(px: np.ndarray, quant: int = 8,
     return bytes(out)
 
 
-def _ac_scan_emit(bwr: _BitWriter, Zb: np.ndarray, ah: int, al: int,
-                  ac_codes: dict) -> None:
-    """Emit one progressive AC scan for every block of one component:
-    the point transforms, last-nonzero and EOB indexes are computed for
-    ALL blocks in one vectorized pass (r14 — the per-coefficient list
-    comprehensions were most of the progressive encoder's time), then
-    the per-block bit loops run on plain-int lists. ``Zb`` is the
-    (nblocks, band_width) zigzag band slice."""
+
+# Below this many fields the vectorized _pack_fields' fixed numpy cost
+# (np.add.at × 5) exceeds a Python big-int accumulator; progressive scans
+# of small images sit far under it (r15 measurement: crossover ~400).
+_PACK_SMALL_N = 384
+
+
+def _pack_fields_small(vals: list[int], lens: list[int]) -> bytes:
+    """Big-int twin of :func:`_pack_fields` for short field lists:
+    identical output (MSB-first fields, 1-padded final byte, FF00
+    stuffing), O(n²/word) in the accumulator but faster below
+    _PACK_SMALL_N fields."""
+    acc = 0
+    total = 0
+    for v, ln in zip(vals, lens):
+        acc = (acc << ln) | (v & ((1 << ln) - 1))
+        total += ln
+    if total == 0:
+        return b""
+    pad = (8 - (total & 7)) & 7
+    if pad:
+        acc = (acc << pad) | ((1 << pad) - 1)
+        total += pad
+    return acc.to_bytes(total >> 3, "big").replace(b"\xff", b"\xff\x00")
+
+
+
+def _pack_hybrid(values: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Array-input dispatcher between the big-int and vectorized packers."""
+    if values.size < _PACK_SMALL_N:
+        return _pack_fields_small(values.tolist(), lengths.tolist())
+    return _pack_fields(values, lengths)
+
+
+def _ac_scan_emit(Zb: np.ndarray, ah: int, al: int,
+                  ac_codes: dict) -> bytes:
+    """One progressive AC scan for every block of one component,
+    returned as the flushed entropy segment: the point transforms,
+    last-nonzero and EOB indexes are computed for ALL blocks in one
+    vectorized pass (r14), the per-block bit loops build (value, length)
+    field lists (empty blocks — the common case on sparse spectra —
+    shortcut to their EOB symbol, and an all-empty scan is two bulk
+    extends), and ONE `_pack_fields` call packs the scan (r15 — the
+    per-field _BitWriter.write calls were a visible slice of the
+    progressive profile). ``Zb`` is the (nblocks, band_width) zigzag
+    band slice."""
     width = Zb.shape[1]
+    vals: list[int] = []
+    lens: list[int] = []
+    eob_code, eob_len = ac_codes[0x00]
     if ah == 0:
         T = np.where(Zb > 0, 1, -1) * (np.abs(Zb) >> al)
         nzm = T != 0
         has = nzm.any(axis=1)
-        last = np.where(has, width - 1 - np.argmax(nzm[:, ::-1], axis=1), -1)
-        for t, lst in zip(T.tolist(), last.tolist()):
-            _prog_ac_first_bits(bwr, t, lst, ac_codes)
+        if not has.any():
+            n = Zb.shape[0]
+            vals = [eob_code] * n
+            lens = [eob_len] * n
+        else:
+            last = np.where(
+                has, width - 1 - np.argmax(nzm[:, ::-1], axis=1), -1
+            )
+            for t, lst in zip(T.tolist(), last.tolist()):
+                if lst < 0:
+                    vals.append(eob_code)
+                    lens.append(eob_len)
+                else:
+                    _prog_ac_first_bits(vals, lens, t, lst, ac_codes)
     else:
         A = np.abs(Zb) >> al
-        m1 = A == 1
-        has = m1.any(axis=1)
-        eob = np.where(has, width - 1 - np.argmax(m1[:, ::-1], axis=1), -1)
-        for zzb, av, e in zip(Zb.tolist(), A.tolist(), eob.tolist()):
-            _prog_ac_refine_bits(bwr, zzb, av, e, ac_codes)
+        nz = A != 0
+        hasnz = nz.any(axis=1)
+        if not hasnz.any():
+            n = Zb.shape[0]
+            vals = [eob_code] * n
+            lens = [eob_len] * n
+        else:
+            m1 = A == 1
+            has1 = m1.any(axis=1)
+            eob = np.where(
+                has1, width - 1 - np.argmax(m1[:, ::-1], axis=1), -1
+            )
+            for zzb, av, e, hz in zip(
+                Zb.tolist(), A.tolist(), eob.tolist(), hasnz.tolist()
+            ):
+                if not hz:
+                    vals.append(eob_code)
+                    lens.append(eob_len)
+                else:
+                    _prog_ac_refine_bits(vals, lens, zzb, av, e, ac_codes)
+    if len(vals) < _PACK_SMALL_N:
+        return _pack_fields_small(vals, lens)
+    return _pack_fields(
+        np.array(vals, dtype=np.int64), np.array(lens, dtype=np.int64)
+    )
 
 
-def _prog_ac_first_bits(bwr: _BitWriter, t: list[int], last: int,
-                        ac_codes: dict) -> None:
-    """One block's AC-first-scan emission (band run/size coding of the
+def _prog_ac_first_bits(vals: list[int], lens: list[int], t: list[int],
+                        last: int, ac_codes: dict) -> None:
+    """One block's AC-first-scan fields (band run/size coding of the
     PRE-point-transformed values ``t``, per-block EOB); ``last`` is the
-    last nonzero band index (-1 when the band is empty)."""
+    last nonzero band index (-1 when the band is empty). Appends
+    (value, bit-length) pairs for :func:`_pack_fields`."""
     run = 0
     for i in range(last + 1):
         v = t[i]
@@ -523,21 +652,25 @@ def _prog_ac_first_bits(bwr: _BitWriter, t: list[int], last: int,
             continue
         while run > 15:
             code, length = ac_codes[0xF0]
-            bwr.write(code, length)
+            vals.append(code)
+            lens.append(length)
             run -= 16
         size, bits = _magnitude(v)
         code, length = ac_codes[(run << 4) | size]
-        bwr.write(code, length)
-        bwr.write(bits, size)
+        vals.append(code)
+        lens.append(length)
+        vals.append(bits)
+        lens.append(size)
         run = 0
     if last < len(t) - 1:
         code, length = ac_codes[0x00]
-        bwr.write(code, length)
+        vals.append(code)
+        lens.append(length)
 
 
-def _prog_ac_refine_bits(bwr: _BitWriter, zzb: list[int], absv: list[int],
-                         eob: int, ac_codes: dict) -> None:
-    """One block's AC-refinement emission: newly-significant coefficients
+def _prog_ac_refine_bits(vals: list[int], lens: list[int], zzb: list[int],
+                         absv: list[int], eob: int, ac_codes: dict) -> None:
+    """One block's AC-refinement fields: newly-significant coefficients
     as (run|1)+sign symbols, correction bits for already-significant
     ones interleaved in the exact order the decoder consumes them.
     ``zzb`` is the raw zigzag band, ``absv`` its point-transformed
@@ -551,26 +684,33 @@ def _prog_ac_refine_bits(bwr: _BitWriter, zzb: list[int], absv: list[int],
             continue
         while run > 15 and i <= eob:
             code, length = ac_codes[0xF0]
-            bwr.write(code, length)
+            vals.append(code)
+            lens.append(length)
             for b in br:
-                bwr.write(b, 1)
+                vals.append(b)
+                lens.append(1)
             br = []
             run -= 16
         if t > 1:
             br.append(t & 1)
             continue
         code, length = ac_codes[(run << 4) | 1]
-        bwr.write(code, length)
-        bwr.write(1 if zzb[i] > 0 else 0, 1)
+        vals.append(code)
+        lens.append(length)
+        vals.append(1 if zzb[i] > 0 else 0)
+        lens.append(1)
         for b in br:
-            bwr.write(b, 1)
+            vals.append(b)
+            lens.append(1)
         br = []
         run = 0
     if run > 0 or br:
         code, length = ac_codes[0x00]
-        bwr.write(code, length)
+        vals.append(code)
+        lens.append(length)
         for b in br:
-            bwr.write(b, 1)
+            vals.append(b)
+            lens.append(1)
 
 
 def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
@@ -591,20 +731,17 @@ def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
     h, w = y.shape
     mcux, mcuy = (w + 15) // 16, (h + 15) // 16
 
-    ypad = np.pad(y.astype(np.float64) - 128.0,
-                  ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
+    ypad = _pad_edge(y.astype(np.float64) - 128.0,
+                     mcuy * 16 - h, mcux * 16 - w)
     yblocks = ypad.reshape(mcuy * 2, 8, mcux * 2, 8).transpose(0, 2, 1, 3)
     qy = np.rint(
         ((_A @ yblocks) @ _A.T) / float(quant)
     ).astype(np.int64)
 
     def _sub(plane: np.ndarray) -> np.ndarray:
-        ph = np.pad(plane.astype(np.float64),
-                    ((0, h % 2), (0, w % 2)), mode="edge")
+        ph = _pad_edge(plane.astype(np.float64), h % 2, w % 2)
         s = ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(axis=(1, 3))
-        return np.pad(s - 128.0,
-                      ((0, mcuy * 8 - s.shape[0]), (0, mcux * 8 - s.shape[1])),
-                      mode="edge")
+        return _pad_edge(s - 128.0, mcuy * 8 - s.shape[0], mcux * 8 - s.shape[1])
 
     qc = [
         np.rint(((_A @ _sub(p).reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3))
@@ -620,7 +757,6 @@ def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
             + [c.reshape(mcuy, mcux, 64) for c in qc]
         )
     ]
-    dcs = [z[:, :, 0].tolist() for z in Zs]
     samp = [(2, 2), (1, 1), (1, 1)]
     dc_codes = [
         _canonical_codes(_DC_BITS, _DC_VALS),
@@ -632,40 +768,51 @@ def encode_jpeg_progressive_420(y: np.ndarray, cb: np.ndarray,
         _canonical_codes(_AC_C_BITS, _AC_C_VALS),
         _canonical_codes(_AC_C_BITS, _AC_C_VALS),
     ]
+    # DC planes in MCU emission order (r15 — the six-deep per-MCU Python
+    # loop was a visible slice of the progressive-color profile): Y's
+    # 2×2-per-MCU grid flattens to my → mx → dy → dx order, chroma is
+    # one block per MCU; each component's predictor chain is a diff over
+    # its own flattened sequence.
+    n_mcu = mcux * mcuy
+    y_seq = (
+        Zs[0][:, :, 0]
+        .reshape(mcuy, 2, mcux, 2)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+    )
+    cb_seq = Zs[1][:, :, 0].reshape(-1)
+    cr_seq = Zs[2][:, :, 0].reshape(-1)
 
     def dc_interleaved(ah: int, al: int) -> bytes:
-        bwr = _BitWriter()
-        preds = [0, 0, 0]
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci in range(3):
-                    hs, vs = samp[ci]
-                    for dy in range(vs):
-                        for dx in range(hs):
-                            v = dcs[ci][my * vs + dy][mx * hs + dx]
-                            if ah == 0:
-                                t = v >> al
-                                size, bits = _magnitude(t - preds[ci])
-                                preds[ci] = t
-                                code, length = dc_codes[ci][size]
-                                bwr.write(code, length)
-                                bwr.write(bits, size)
-                            else:
-                                bwr.write((v >> al) & 1, 1)
-        return bwr.flush()
+        if ah == 0:
+            V = np.empty((n_mcu, 12), dtype=np.int64)
+            L = np.empty((n_mcu, 12), dtype=np.int64)
+            for seq, codes, lo, hi in (
+                (y_seq, dc_codes[0], 0, 8),
+                (cb_seq, dc_codes[1], 8, 10),
+                (cr_seq, dc_codes[2], 10, 12),
+            ):
+                t = seq >> al
+                v2, l2 = _mag_fields(np.diff(t, prepend=np.int64(0)), codes)
+                V[:, lo:hi] = v2.reshape(n_mcu, hi - lo)
+                L[:, lo:hi] = l2.reshape(n_mcu, hi - lo)
+            return _pack_hybrid(V.reshape(-1), L.reshape(-1))
+        B = np.empty((n_mcu, 6), dtype=np.int64)
+        B[:, 0:4] = ((y_seq >> al) & 1).reshape(n_mcu, 4)
+        B[:, 4] = (cb_seq >> al) & 1
+        B[:, 5] = (cr_seq >> al) & 1
+        flat = B.reshape(-1)
+        return _pack_hybrid(flat, np.ones_like(flat))
 
     def ac_scan(ci: int, ah: int, al: int) -> bytes:
         # non-interleaved grid: ceil(cw_i/8) × ceil(ch_i/8)
         hs, vs = samp[ci]
         bw_i = (w * hs + 15) // 16  # hmax = 2 → ceil(w·hs / 16)
         bh_i = (h * vs + 15) // 16
-        bwr = _BitWriter()
-        _ac_scan_emit(
-            bwr,
+        return _ac_scan_emit(
             Zs[ci][:bh_i, :bw_i, 1:64].reshape(bh_i * bw_i, 63),
             ah, al, ac_codes[ci],
         )
-        return bwr.flush()
 
     qtab = bytes(np.full(64, quant, dtype=np.uint8))
     out = bytearray()
@@ -979,8 +1126,11 @@ def _prog_ac_refine(rdr: _BitReader, pcoef: list, ss: int, se: int,
                 eobrun -= 1
             # EOB-covered remainder of the band: correction bits only.
             # (k > se when the while-loop ran to completion — nothing
-            # left to correct.)
-            if eobrun or k <= se:
+            # left to correct.) The C-speed any() guard skips the walk
+            # for all-zero-history blocks — the common case on sparse
+            # spectra, where this loop was a 63-iteration no-op per
+            # block (r15).
+            if (eobrun or k <= se) and any(coef[k : se + 1]):
                 while k <= se:
                     if coef[k]:
                         _correct(coef, k)
@@ -1264,9 +1414,12 @@ def _planes_of(coefs: list, comps: list, w: int, h: int,
         sub = np.clip(np.rint(full), 0, 255).astype(np.uint8)
         cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
         sub = sub[:ch, :cw]
-        ys = np.arange(h) * vs // vmax
-        xs = np.arange(w) * hs // hmax
-        planes.append(sub[np.ix_(ys, xs)])
+        if hs == hmax and vs == vmax:
+            planes.append(sub)  # full-rate component: replication is identity
+        else:
+            ys = np.arange(h) * vs // vmax
+            xs = np.arange(w) * hs // hmax
+            planes.append(sub[np.ix_(ys, xs)])
     return w, h, planes
 
 

@@ -53,6 +53,7 @@ import struct
 import numpy as np
 
 from pubsub2bq_spark.functions.jpeg_codec import (
+    _pad_edge,
     _AC_BITS,
     _AC_VALS,
     _DC_BITS,
@@ -111,8 +112,7 @@ def _encode_frame_blocks(vals: np.ndarray, quant: int) -> bytes:
     decides; T.81 J.2 keeps the shift out of differential frames)."""
     h, w = vals.shape
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    pad = np.pad(vals.astype(np.float64),
-                 ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    pad = _pad_edge(vals.astype(np.float64), bh * 8 - h, bw * 8 - w)
     blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
     coefs = ((_A @ blocks) @ _A.T)
     q = np.rint(coefs / float(quant)).astype(np.int64)
@@ -142,8 +142,7 @@ def encode_jpeg_hier(px: np.ndarray, quant: int = 8) -> bytes:
     w1, h1 = (w + 1) // 2, (h + 1) // 2
 
     # Stage 1: 2x2-mean downsample (edge-pad odd dims first).
-    padded = np.pad(px.astype(np.float64),
-                    ((0, 2 * h1 - h), (0, 2 * w1 - w)), mode="edge")
+    padded = _pad_edge(px.astype(np.float64), 2 * h1 - h, 2 * w1 - w)
     small = np.rint(
         padded.reshape(h1, 2, w1, 2).mean(axis=(1, 3))
     ).astype(np.int64)

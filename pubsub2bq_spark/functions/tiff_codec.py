@@ -142,7 +142,76 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _tiff_lzw_parse_codes(data: bytes) -> tuple[list[np.ndarray], bool]:
+# Below this many stream bytes the scalar parse wins (r15 — same
+# crossover measurement as the GIF decoder; strips here encode to a few
+# hundred bytes).
+_PARSE_SCALAR_MAX = 1024
+
+
+def _tiff_lzw_parse_codes(data: bytes):
+    """Code segments of the packed bitstream — scalar for small streams,
+    numpy-chunked above _PARSE_SCALAR_MAX. Segments are plain int lists
+    (scalar) or int64 ndarrays (numpy); the replay accepts both."""
+    if len(data) < _PARSE_SCALAR_MAX:
+        return _tiff_lzw_parse_codes_scalar(data)
+    return _tiff_lzw_parse_codes_np(data)
+
+
+def _tiff_lzw_parse_codes_scalar(data: bytes) -> tuple[list[list[int]], bool]:
+    """Scalar twin of :func:`_tiff_lzw_parse_codes_np`: same early-change
+    width schedule, same clear/EOI segmentation, same
+    truncation-tolerant ``eoi_seen`` contract."""
+    CLEAR, EOI = 256, 257
+    segments: list[list[int]] = []
+    cur: list[int] = []
+    width = 9
+    tsize = 258
+    grown = False
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    eoi_seen = False
+    while True:
+        if width < 12:
+            room = ((1 << width) - 2) - tsize
+            c_max = room if grown else room + 1
+            if c_max == 0:
+                width += 1  # early change
+                continue
+        while nbits < width:
+            if pos >= n:
+                break
+            acc = (acc << 8) | data[pos]  # MSB-first packing
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            eoi_seen = False  # bits ran out before an EOI
+            break
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        if code == EOI:
+            eoi_seen = True
+            break
+        if code == CLEAR:
+            if cur:
+                segments.append(cur)
+                cur = []
+            width = 9
+            tsize = 258
+            grown = False
+            continue
+        cur.append(code)
+        if grown:
+            tsize += 1
+        grown = True
+    if cur:
+        segments.append(cur)
+    return segments, eoi_seen
+
+
+def _tiff_lzw_parse_codes_np(data: bytes) -> tuple[list[np.ndarray], bool]:
     """Extract the TIFF LZW code sequence, vectorized in chunks (r14 —
     the same technique as the GIF decoder's `_lzw_parse_codes`, adapted
     to MSB-first packing and the EARLY-CHANGE width schedule: the
@@ -225,7 +294,7 @@ def _tiff_lzw_decode(data: bytes, n_expected: int) -> bytes:
         tsize = 258
         prev_start = -1
         prev_len = 0
-        for code in seg.tolist():
+        for code in (seg if type(seg) is list else seg.tolist()):
             if code < 256:  # root: one literal byte
                 out[n] = code
                 cur_start, cur_len = n, 1
