@@ -68,6 +68,25 @@ _JAC_TAU = 0.6
 # slab + accumulated lower-triangle Gram (≤ m²/2 · 4 B = 32 MB at cap).
 _JAC_DENSE_BUDGET = 64 << 20
 
+# Per-schema memo for the kernels' empty result frames (r15): building
+# `pd.DataFrame({...}).astype({...})` costs ~1 ms and every applyInPandas
+# group call paid it eagerly — with hundreds of small groups per key the
+# empties dominated the kernel profile. The returned frame is shared and
+# read-only by convention (the Arrow serializer only reads it).
+_EMPTY_FRAMES: dict = {}
+
+
+def _empty_frame(schema):
+    """Cached empty DataFrame for a (("col", "dtype"), ...) schema."""
+    df = _EMPTY_FRAMES.get(schema)
+    if df is None:
+        import pandas as pd
+
+        df = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in schema})
+        _EMPTY_FRAMES[schema] = df
+    return df
+
+
 
 def _jaccard_block_kernel(pdf):
     """One (lang, source, len_band) block: emit every qualifying pair
@@ -84,8 +103,8 @@ def _jaccard_block_kernel(pdf):
     import numpy as np
     import pandas as pd
 
-    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
-        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+    empty = _empty_frame(
+        (("doc_a", "int64"), ("doc_b", "int64"), ("jaccard", "float64"))
     )
     m = len(pdf)
     if m < 2:
@@ -1248,20 +1267,43 @@ _LEV_PAIR_CHUNK = 1_000_000  # pairs per vectorized Myers batch
 def _myers_prep(heads):
     """Per-group preprocessing for the bit-parallel DP: lengths, the
     Peq character-mask table (one uint64 per (doc, char) — a <=64-char
-    pattern fits one word), and text char codes."""
+    pattern fits one word), and text char codes.
+
+    Vectorized (r15; the per-char Python loop was half the kernel):
+    heads become a fixed-width codepoint matrix (numpy pads with \\x00 —
+    real NULs are still distinguished by the length mask), char codes
+    come from one np.unique + searchsorted (np.unique's codepoint sort
+    IS Python's char sort), and Peq from two bincounts — each (doc,
+    char) cell ORs distinct powers of two, so summation equals OR, and
+    splitting at bit 32 keeps both float64 sums exact."""
     import numpy as np
 
     m = len(heads)
     lens = np.array([len(h) for h in heads], dtype=np.int64)
     maxlen = int(lens.max()) if m else 0
-    cidx = {c: i for i, c in enumerate(sorted({c for h in heads for c in h}))}
-    one = np.uint64(1)
-    peq = np.zeros((m, max(len(cidx), 1)), dtype=np.uint64)
-    tcodes = np.full((m, max(maxlen, 1)), -1, dtype=np.int64)
-    for i, h in enumerate(heads):
-        for p, ch in enumerate(h):
-            peq[i, cidx[ch]] |= one << np.uint64(p)
-            tcodes[i, p] = cidx[ch]
+    width = max(maxlen, 1)
+    arr = np.array(heads, dtype=f"U{width}")
+    cp = arr.view(np.uint32).reshape(m, width).astype(np.int64)
+    valid = np.arange(width)[None, :] < lens[:, None]
+    uniq = np.unique(cp[valid]) if valid.any() else np.empty(0, np.int64)
+    nc = max(len(uniq), 1)
+    tcodes = np.searchsorted(uniq, cp)
+    tcodes[~valid] = -1
+    ii, pp = np.nonzero(valid)
+    flat = ii * nc + tcodes[ii, pp]
+    lo = np.bincount(
+        flat,
+        weights=np.where(pp < 32, np.float64(2.0) ** pp, 0.0),
+        minlength=m * nc,
+    )
+    hi = np.bincount(
+        flat,
+        weights=np.where(pp >= 32, np.float64(2.0) ** (pp - 32), 0.0),
+        minlength=m * nc,
+    )
+    peq = (
+        (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    ).reshape(m, nc)
     return lens, peq, tcodes, maxlen
 
 
@@ -1281,7 +1323,24 @@ def _myers_lev(prep, pa, pb):
     bit = np.where(
         pl > 0, one << np.clip(pl - 1, 0, 63).astype(np.uint64), np.uint64(0)
     )
+    tl_min = int(tl.min()) if len(tl) else 0
     for j in range(maxlen):
+        if j < tl_min:
+            # every pair still active (the dominant case: heads are
+            # mostly full prefix length, r15) — skip the five
+            # np.where/clip masks the ragged tail needs
+            eq = peq[pa, tcodes[pb, j]]
+            xv = eq | mv
+            xh = (((eq & pv) + pv) ^ pv) | eq
+            ph = mv | ~(xh | pv)
+            mh = pv & xh
+            score += ((ph & bit) != 0).astype(np.int64)
+            score -= ((mh & bit) != 0).astype(np.int64)
+            ph = (ph << one) | one
+            mh = mh << one
+            pv = mh | ~(xv | ph)
+            mv = ph & xv
+            continue
         active = j < tl
         tc = tcodes[pb, j]
         eq = np.where(
@@ -1322,8 +1381,8 @@ def _lev_block_kernel(pdf):
     import numpy as np
     import pandas as pd
 
-    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "lev": []}).astype(
-        {"doc_a": "int64", "doc_b": "int64", "lev": "int32"}
+    empty = _empty_frame(
+        (("doc_a", "int64"), ("doc_b", "int64"), ("lev", "int32"))
     )
     cross = bool(pdf["cross"].iloc[0])
     if cross:

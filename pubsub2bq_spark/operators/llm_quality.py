@@ -40,6 +40,25 @@ from pubsub2bq_spark.operators.llm_similarity import _cosine, _dvec
 from pubsub2bq_spark.registry import register
 from pubsub2bq_spark.tables import fan_out, load, materialize
 
+# Per-schema memo for the kernels' empty result frames (r15): building
+# `pd.DataFrame({...}).astype({...})` costs ~1 ms and every applyInPandas
+# group call paid it eagerly — with hundreds of small groups per key the
+# empties dominated the kernel profile. The returned frame is shared and
+# read-only by convention (the Arrow serializer only reads it).
+_EMPTY_FRAMES: dict = {}
+
+
+def _empty_frame(schema):
+    """Cached empty DataFrame for a (("col", "dtype"), ...) schema."""
+    df = _EMPTY_FRAMES.get(schema)
+    if df is None:
+        import pandas as pd
+
+        df = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in schema})
+        _EMPTY_FRAMES[schema] = df
+    return df
+
+
 PPL_Z = 1.0          # flag docs with NLL z-score above this
 SEMDEDUP_CELLS = 16  # coarse-quantizer cell FLOOR (k-means||-seeded)
 # Cell count n_cells = max(floor, ceil(sqrt(n))) — the standard IVF
@@ -563,8 +582,8 @@ def _gsem_cross_kernel(pdf):
     import numpy as np
     import pandas as pd
 
-    empty = pd.DataFrame({"vec_id": [], "dup_of": [], "cosine": []}).astype(
-        {"vec_id": "int64", "dup_of": "int64", "cosine": "float64"}
+    empty = _empty_frame(
+        (("vec_id", "int64"), ("dup_of", "int64"), ("cosine", "float64"))
     )
     xs = pdf[pdf["side"] == 0]
     ys = pdf[pdf["side"] == 1]
@@ -610,8 +629,8 @@ def _decon_kernel(pdf):
     import numpy as np
     import pandas as pd
 
-    empty = pd.DataFrame({"vec_id": [], "n_hits": [], "max_cos": []}).astype(
-        {"vec_id": "int64", "n_hits": "int64", "max_cos": "float64"}
+    empty = _empty_frame(
+        (("vec_id", "int64"), ("n_hits", "int64"), ("max_cos", "float64"))
     )
     ts = pdf[pdf["side"] == 0]
     es = pdf[pdf["side"] == 1]

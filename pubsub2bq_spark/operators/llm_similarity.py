@@ -20,6 +20,25 @@ from pyspark.sql import functions as F
 from pubsub2bq_spark.registry import register
 from pubsub2bq_spark.tables import fan_out, load, materialize
 
+# Per-schema memo for the kernels' empty result frames (r15): building
+# `pd.DataFrame({...}).astype({...})` costs ~1 ms and every applyInPandas
+# group call paid it eagerly — with hundreds of small groups per key the
+# empties dominated the kernel profile. The returned frame is shared and
+# read-only by convention (the Arrow serializer only reads it).
+_EMPTY_FRAMES: dict = {}
+
+
+def _empty_frame(schema):
+    """Cached empty DataFrame for a (("col", "dtype"), ...) schema."""
+    df = _EMPTY_FRAMES.get(schema)
+    if df is None:
+        import pandas as pd
+
+        df = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in schema})
+        _EMPTY_FRAMES[schema] = df
+    return df
+
+
 DIM = 64
 N_PLANES = 8       # embedding_dedup bucket floor (256) — tight blocking
 MAX_PLANES = 32    # bucket-key cost ceiling (one dot product per plane)
@@ -267,8 +286,8 @@ def _probe_topk_kernel(left, right, k=_IVF_TOPK):
 
     from pubsub2bq_spark.operators.ml_ops import _seq_dots
 
-    empty = pd.DataFrame({"query_id": [], "vec_id": [], "cos": []}).astype(
-        {"query_id": "int64", "vec_id": "int64", "cos": "float64"}
+    empty = _empty_frame(
+        (("query_id", "int64"), ("vec_id", "int64"), ("cos", "float64"))
     )
     if not len(left) or not len(right):
         return empty
@@ -507,8 +526,8 @@ def _embdedup_bucket_kernel(pdf):
     order = np.argsort(ids)
     ids = ids[order]
     m = len(ids)
-    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-        {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+    empty = _empty_frame(
+        (("vec_a", "int64"), ("vec_b", "int64"), ("cosine", "float64"))
     )
     if m < 2:
         return empty

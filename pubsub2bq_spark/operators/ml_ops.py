@@ -21,6 +21,25 @@ from pubsub2bq_spark.operators.llm_similarity import DIM, _dot, _dvec
 from pubsub2bq_spark.registry import register
 from pubsub2bq_spark.tables import fan_out, load, materialize
 
+# Per-schema memo for the kernels' empty result frames (r15): building
+# `pd.DataFrame({...}).astype({...})` costs ~1 ms and every applyInPandas
+# group call paid it eagerly — with hundreds of small groups per key the
+# empties dominated the kernel profile. The returned frame is shared and
+# read-only by convention (the Arrow serializer only reads it).
+_EMPTY_FRAMES: dict = {}
+
+
+def _empty_frame(schema):
+    """Cached empty DataFrame for a (("col", "dtype"), ...) schema."""
+    df = _EMPTY_FRAMES.get(schema)
+    if df is None:
+        import pandas as pd
+
+        df = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in schema})
+        _EMPTY_FRAMES[schema] = df
+    return df
+
+
 K_CLUSTERS = 8
 # Truncated-EWMA parameters: weight (1-EWMA_ALPHA)^age over the most
 # recent EWMA_SPAN observations per user (adjust=True convention:
@@ -132,10 +151,10 @@ def _argmin_cells_kernel(left, right):
     import numpy as np
     import pandas as pd
 
-    empty = pd.DataFrame(
-        {"vec_id": [], "v": [], "cid": [], "dist": []}
-    ).astype({"vec_id": "int64", "v": "object", "cid": "int64",
-              "dist": "float64"})
+    empty = _empty_frame(
+        (("vec_id", "int64"), ("v", "object"), ("cid", "int64"),
+         ("dist", "float64"))
+    )
     if not len(left) or not len(right):
         return empty
     cids = right["cid"].to_numpy(dtype=np.int64)

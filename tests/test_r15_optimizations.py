@@ -411,3 +411,82 @@ class TestJpegR15Internals:
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+# ------------------------------------------------------- pair kernels (r15)
+class TestMyersVectorizedPrep:
+    def test_matches_textbook_dp_and_old_prep(self):
+        """The bincount-built Peq/tcodes must reproduce the per-char
+        loop's tables bit-for-bit, and the lev scores must equal the
+        textbook O(mn) DP — including empty heads and non-ASCII."""
+        import random
+
+        from pubsub2bq_spark.operators.llm_dedup import _myers_lev, _myers_prep
+
+        def old_prep(heads):
+            m = len(heads)
+            lens = np.array([len(h) for h in heads], dtype=np.int64)
+            maxlen = int(lens.max()) if m else 0
+            cidx = {
+                c: i for i, c in enumerate(sorted({c for h in heads for c in h}))
+            }
+            one = np.uint64(1)
+            peq = np.zeros((m, max(len(cidx), 1)), dtype=np.uint64)
+            tcodes = np.full((m, max(maxlen, 1)), -1, dtype=np.int64)
+            for i, h in enumerate(heads):
+                for p, ch in enumerate(h):
+                    peq[i, cidx[ch]] |= one << np.uint64(p)
+                    tcodes[i, p] = cidx[ch]
+            return lens, peq, tcodes, maxlen
+
+        def dp(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        random.seed(4)
+        rng = np.random.default_rng(17)
+        for trial in range(15):
+            m = int(rng.integers(2, 40))
+            heads = [
+                "".join(
+                    random.choice("abcdefgh é中") for _ in range(int(rng.integers(0, 65)))
+                )
+                for _ in range(m)
+            ]
+            if trial % 4 == 0:
+                heads[0] = ""
+            po, pn = old_prep(heads), _myers_prep(heads)
+            assert np.array_equal(po[0], pn[0])
+            assert np.array_equal(po[1], pn[1])
+            # old tcodes width is max(maxlen, 1) — compare valid region
+            assert np.array_equal(po[2][:, : po[3] or 1], pn[2][:, : pn[3] or 1])
+            ii, jj = np.triu_indices(m, k=1)
+            got = _myers_lev(pn, ii, jj)
+            for k in rng.choice(len(ii), size=min(25, len(ii)), replace=False):
+                a, b = heads[ii[k]], heads[jj[k]]
+                assert got[k] == dp(a, b), (a, b)
+
+
+class TestEmptyFrameMemo:
+    def test_schema_and_sharing(self):
+        import pandas as pd
+
+        from pubsub2bq_spark.operators.llm_dedup import _empty_frame
+
+        schema = (("doc_a", "int64"), ("doc_b", "int64"), ("jaccard", "float64"))
+        e1 = _empty_frame(schema)
+        e2 = _empty_frame(schema)
+        assert e1 is e2
+        want = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+        assert list(e1.dtypes) == list(want.dtypes)
+        assert list(e1.columns) == list(want.columns)
+        assert len(e1) == 0
