@@ -2147,22 +2147,44 @@ def winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         _winnow_fps(spark, sf_dir)
         .select("doc_id", F.explode("fps").alias("fp"))
-        .transform(materialize)  # one fingerprint pass feeds df + both join sides
+        .transform(materialize)  # one fingerprint pass feeds df + the pair agg
     )
+    # The df cap stays a separate partial-aggregated count (skew-safe:
+    # a corpus-wide boilerplate fp combines map-side and is dropped
+    # before anything collects it), but the PAIR step is restructured
+    # (r15, guide §2.3/§2.4): the old fp-keyed SELF-JOIN sort-merged
+    # 32-hex-char string keys and re-compared every bucket; each kept
+    # bucket holds ≤ WIN_DF_CAP docs, so collecting the (sorted, capped)
+    # doc list per fp and expanding its C(d,2) ordered pairs map-side
+    # emits the identical (doc_a < doc_b) multiset with one fewer
+    # token-scale exchange and no string-keyed join.
     df = m.groupBy("fp").agg(F.count(F.lit(1)).alias("d"))
     kept = m.join(
         df.filter(F.col("d") <= WIN_DF_CAP).hint("merge"), "fp"
     ).select("doc_id", "fp")
-    a = kept.alias("a")
-    b = kept.alias("b")
+    docs = kept.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    pairs = docs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "docs",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("docs"), i + F.lit(2), F.size("docs")
+                        ),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b.hint("merge"),
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        pairs.groupBy(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WIN_MIN_SHARED)
