@@ -1739,51 +1739,101 @@ def decode_jpeg_lossless(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     return w, h, [out.astype(np.uint8)]
 
 
+# Bits of per-position decode tables materialized at a time inside the
+# SOF3 chain walk (ADVICE r14: the whole-segment tables cost hundreds of
+# bytes of transients per stream byte — a multi-megabyte scan blew
+# hundreds of MB; 2^16 bits bounds the working set at a few MB while the
+# chunk rebuild amortizes over ~thousands of samples).
+_RESID_CHUNK_BITS = 1 << 16
+# Per-bit shift pattern (8,7,…,1 per byte) and position offsets for one
+# max-size chunk, precomputed once.
+_RESID_SHIFTS = np.tile(
+    np.arange(8, 0, -1, dtype=np.int64), _RESID_CHUNK_BITS >> 3
+)
+_RESID_ARANGE = np.arange(_RESID_CHUNK_BITS, dtype=np.int64)
+
+
 def _lossless_residuals(rdr: _BitReader, htab: _HuffTable,
                         n: int) -> np.ndarray:
     """Decode ``n`` SOF3 residuals (category code + appended bits each)
     from the reader's unstuffed segment. The per-position symbol/length
-    tables and the appended-bit gathers are vectorized; only the chain
-    walk itself (4 list ops per sample) stays in Python."""
+    tables are vectorized in bounded chunks re-anchored at the walk's
+    position (the walk is strictly forward), the chain walk itself stays
+    4 list ops per sample, and the post-walk symbol/appended-bit gathers
+    index the byte array at the n SAMPLE positions only — transient
+    memory is O(chunk + n), not O(stream bits) (r15, ADVICE r14)."""
     ub = rdr.ub
     b = np.concatenate([
         np.frombuffer(ub, dtype=np.uint8).astype(np.int64),
         np.zeros(8, dtype=np.int64),
     ])
     nbits = len(ub) * 8 - 16  # leave window room at the tail
-    # 16-bit peek at every bit position
-    w24 = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
-    pos_all = np.arange(nbits, dtype=np.int64)
-    peek = (w24[pos_all >> 3] >> (8 - (pos_all & 7))) & 0xFFFF
-    ent = htab.lut_np[peek]
-    ln = ent >> 8
-    sym = ent & 0xFF
-    app = np.where(sym == 16, 0, sym)  # SSSS 16: no appended bits
-    nxt = (pos_all + ln + app).tolist()
-    ent_l = ent.tolist()
+    lut = htab.lut_np
     positions = np.empty(n, dtype=np.int64)
     pos = 0
     nreal = rdr.nreal
     has_marker = rdr.has_marker
-    for i in range(n):
-        if pos >= nbits:
-            raise ValueError("jpeg: truncated entropy stream")
-        if ent_l[pos] == 0:
-            # no code has this prefix — mirror the reader's error split
-            if pos + 16 > nreal and not has_marker:
+    nb_total = (nbits + 7) >> 3
+    shifts = _RESID_SHIFTS
+    base_idx = _RESID_ARANGE
+
+    def build_chunk(b0: int, nbb: int) -> tuple[list[int], list[int]]:
+        # byte-aligned chunk built from contiguous SLICES (fancy
+        # gathers measured 1.5x slower on one-chunk small streams)
+        bseg = b[b0 : b0 + nbb + 2]
+        w24 = (bseg[:-2] << 16) | (bseg[1:-1] << 8) | bseg[2:]
+        peek = (np.repeat(w24, 8) >> shifts[: nbb * 8]) & 0xFFFF
+        ent = lut[peek]
+        sym = ent & 0xFF
+        app = np.where(sym == 16, 0, sym)  # SSSS 16: no appended bits
+        nxt = (base_idx[: nbb * 8] + ((b0 << 3) + (ent >> 8) + app)).tolist()
+        return ent.tolist(), nxt
+
+    if nbits <= _RESID_CHUNK_BITS:
+        # one chunk covers the stream: the walk body stays exactly the
+        # pre-r15 4-ops-per-sample loop (no chunk-offset subtraction)
+        ent_l, nxt_l = build_chunk(0, nb_total)
+        for i in range(n):
+            if pos >= nbits:
                 raise ValueError("jpeg: truncated entropy stream")
-            raise ValueError("jpeg: invalid Huffman code")
-        positions[i] = pos
-        pos = nxt[pos]
+            if ent_l[pos] == 0:
+                # no code has this prefix — mirror the reader's error split
+                if pos + 16 > nreal and not has_marker:
+                    raise ValueError("jpeg: truncated entropy stream")
+                raise ValueError("jpeg: invalid Huffman code")
+            positions[i] = pos
+            pos = nxt_l[pos]
+    else:
+        c0 = 0
+        c1 = 0  # current chunk covers bit positions [c0, c1)
+        ent_l = nxt_l = []
+        for i in range(n):
+            if pos >= nbits:
+                raise ValueError("jpeg: truncated entropy stream")
+            if pos >= c1:
+                b0 = pos >> 3
+                nbb = min(_RESID_CHUNK_BITS >> 3, nb_total - b0)
+                c0 = b0 << 3
+                c1 = min(c0 + nbb * 8, nbits)
+                ent_l, nxt_l = build_chunk(b0, nbb)
+            j = pos - c0
+            if ent_l[j] == 0:
+                if pos + 16 > nreal and not has_marker:
+                    raise ValueError("jpeg: truncated entropy stream")
+                raise ValueError("jpeg: invalid Huffman code")
+            positions[i] = pos
+            pos = nxt_l[j]
     if pos > nreal and not has_marker:
         raise ValueError("jpeg: truncated entropy stream")
-    s = sym[positions]
-    a = app[positions]
-    q = positions + ln[positions]
-    w32 = (
-        (b[:-4] << 24) | (b[1:-3] << 16) | (b[2:-2] << 8) | b[3:-1]
-    )
-    raw = (w32[q >> 3] >> (32 - (q & 7) - a)) & ((np.int64(1) << a) - 1)
+    byte = positions >> 3
+    w24p = (b[byte] << 16) | (b[byte + 1] << 8) | b[byte + 2]
+    entp = lut[(w24p >> (8 - (positions & 7))) & 0xFFFF]
+    s = entp & 0xFF
+    a = np.where(s == 16, 0, s)
+    q = positions + (entp >> 8)
+    qb = q >> 3
+    w32 = (b[qb] << 24) | (b[qb + 1] << 16) | (b[qb + 2] << 8) | b[qb + 3]
+    raw = (w32 >> (32 - (q & 7) - a)) & ((np.int64(1) << a) - 1)
     diffs = np.where(
         (a == 0) | (raw >= (np.int64(1) << np.maximum(a - 1, 0))),
         raw,
